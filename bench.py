@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed with a count()-style materialization (collect for
+small results) and wall-clock timed after a warm-up of the input scans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # relational layer
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "join_semi_anti", "agg_rollup", "window_topk_per_group",
+    "window_running", "sort_limit", "conditional_agg", "sessionize",
+    "window_event_time",
+    # CDC surface
+    "cdc_snapshot_scan", "cdc_decompose_updates", "cdc_latest_state",
+    "cdc_snapshot_changelog_merge", "cdc_json_roundtrip",
+    # training-data ops
+    "dedup_exact", "dedup_minhash_lsh", "ann_brute_force",
+    "text_quality", "text_fingerprint",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from storagetapper_spark.plans.registry import QUERIES
+    from storagetapper_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + file listing once so per-query numbers measure the
+    # query, not session startup
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    print(json.dumps({
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,253 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup as DataFrame
+transforms.  Everything except SimHash uses engine-portable hashing
+(md5 hex, lexicographic min) so a DuckDB oracle can verify it exactly;
+SimHash uses xxhash64 + bit ops (Spark-native, rows-only checked).
+
+Scale design:
+  - exact dedup: one hash-shuffle on the content hash (map-side partial
+    aggregation applies); never shuffles the raw text wider than needed.
+  - MinHash/LSH: per-row signature computation is shuffle-free; the only
+    shuffle is the band-key self-join, whose fan-in is bounded by bucket
+    size (skew-safe: near-duplicate clusters are small by construction;
+    a hot bucket means real duplicates, which is the signal itself).
+  - candidate verification joins only candidate PAIRS (LSH output), not
+    the full cross-product — the O(n²) never materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from storagetapper_spark.operators.text import normalize_text
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct text
+    with the smallest id as keeper and the duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+          .agg(F.min(id_col).alias("keeper_id"),
+               F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles over normalized text (array<string>).
+    Pure expression: split → transform over index sequence.
+
+    NOTE: higher-order functions run interpreted (no codegen) — measured
+    ~7ms/row at 60 words/doc, 36s for 5k docs.  Use ``shingle_udf`` (the
+    Arrow-vectorized path, ~45x faster) for bulk shingling; this
+    expression form is kept for small/streaming uses where avoiding a
+    Python worker matters.
+    """
+    words = F.split(normalize_text(text), " ")
+    k = F.size(words) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    joined = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int"))
+                                          for j in range(n)])
+    )
+    return F.when(k <= 0, F.array(normalize_text(text))).otherwise(joined)
+
+
+def _normalize_py(x: str) -> str:
+    import re
+    return re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", x.lower())).strip()
+
+
+def _shingles_py(x: str, n: int) -> list[str]:
+    t = _normalize_py(x)
+    w = t.split(" ")
+    if len(w) < n:
+        return [t]
+    return list(dict.fromkeys(" ".join(w[i:i + n]) for i in range(len(w) - n + 1)))
+
+
+def shingle_udf(n: int = 3):
+    """Arrow-batched pandas UDF producing the distinct word n-gram shingle
+    set — byte-identical to ``array_distinct(shingles(...))`` and to the
+    DuckDB oracle's list_transform form."""
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _udf(s):
+        return s.map(lambda x: _shingles_py(x, n))
+    return _udf
+
+
+def minhash_udf(num_hashes: int, n: int = 3):
+    """Arrow-batched pandas UDF computing the full MinHash signature
+    (array of num_hashes md5-hex minima) in one pass.  hashlib.md5 hex ==
+    Spark md5() == DuckDB md5(), so the oracle match is exact.  Measured
+    ~45x faster than the interpreted higher-order-function expression."""
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _udf(s):
+        import hashlib
+
+        def go(x):
+            sh = _shingles_py(x, n)
+            return [min(hashlib.md5((f"{i}|" + g).encode()).hexdigest() for g in sh)
+                    for i in range(num_hashes)]
+        return s.map(go)
+    return _udf
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 8,
+                      shingle_n: int = 3) -> DataFrame:
+    """MinHash signature: num_hashes salted-md5 minima over the shingle
+    set.  min over md5 hex strings is a valid uniform min-hash (md5 is
+    uniform; lexicographic order on fixed-width hex == numeric order).
+
+    Output: (id_col, mh_0 … mh_{k-1}).
+    """
+    # Small files arrive as one partition; fan the CPU-heavy signature
+    # computation out to the cluster width (at 100 TB the scan is already
+    # many-partitioned and this coalesces/no-ops via AQE).
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    sig = df.select(F.col(id_col),
+                    minhash_udf(num_hashes, shingle_n)(text_col).alias("_mhs"))
+    return sig.select(
+        id_col, *[F.col("_mhs").getItem(i).alias(f"mh_{i}") for i in range(num_hashes)])
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 8,
+                      bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """LSH candidate pairs: band the signature (bands × rows_per_band),
+    bucket-join on (band, band_key), emit distinct (id_a < id_b) pairs
+    with the estimated Jaccard = fraction of matching signature slots.
+
+    The self-join shuffles only (band_key, id, signature) — never text.
+    """
+    assert num_hashes % bands == 0
+    rpb = num_hashes // bands
+    # Materialize signatures before anything fans out over them: a
+    # generator (explode) or self-join whose child is the expensive
+    # signature expression re-evaluates it per emitted row (measured
+    # 250s vs <1s at sf0.1).  At 100 TB this is the checkpointed
+    # signature table.
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n).persist()
+    sig.count()
+    band_rows = []
+    for b in range(bands):
+        key = F.md5(F.concat_ws("|", *[F.col(f"mh_{b * rpb + j}") for j in range(rpb)]))
+        band_rows.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
+    banded = sig.select(
+        F.col(id_col), *[F.col(f"mh_{i}") for i in range(num_hashes)],
+        F.explode(F.array(*band_rows)).alias("bk"),
+    ).select(id_col, *[f"mh_{i}" for i in range(num_hashes)],
+             "bk.band", "bk.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, on=["band", "band_key"])
+         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+         .select(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"),
+                 *[(F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("int").alias(f"eq_{i}")
+                   for i in range(num_hashes)])
+         .distinct()
+    )
+    est = sum([F.col(f"eq_{i}") for i in range(num_hashes)], F.lit(0)) / F.lit(float(num_hashes))
+    return pairs.select("id_a", "id_b", F.round(est, 4).alias("jaccard_est")) \
+                .groupBy("id_a", "id_b").agg(F.max("jaccard_est").alias("jaccard_est"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, bucket_cols: list[str],
+                        text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 3, threshold: float = 0.0) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs within a bucket
+    (blocking on ``bucket_cols`` keeps this quadratic-in-bucket, linear
+    overall — the standard blocked-dedup shape).
+
+    Implemented set-theoretically: explode distinct shingles, self-join
+    on (bucket, shingle) to count the intersection, join per-doc set
+    sizes for the union.  No array comparisons in the join — only
+    hashable narrow keys, so it's a plain shuffle join at scale.
+    """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    # Arrow-vectorized shingling (see shingle_udf), materialized so the
+    # self-join below doesn't recompute it per side.
+    arr = df.select(
+        *[F.col(c) for c in bucket_cols], F.col(id_col),
+        shingle_udf(shingle_n)(text_col).alias("sh_arr"),
+    ).persist()
+    sh = arr.select(*bucket_cols, id_col, F.explode("sh_arr").alias("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on=[*bucket_cols, "sh"])
+         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+         .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = (F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+             .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+             .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: sign-sum of per-token 64-bit hashes.
+
+    Spark-native (xxhash64 + bitwise ops inside higher-order functions);
+    no portable SQL oracle → rows-only correctness check.  Near-dup
+    pairs = fingerprints within small Hamming distance; at scale, block
+    on bit-bands of the fingerprint like LSH.
+    """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    words = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    bit_votes = []
+    for i in range(bits):
+        mask = (1 << i) if i < 63 else -(1 << 63)  # bit 63 as signed long
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _bit_vote(mask))
+        bit_votes.append(
+            F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * F.lit(mask))
+    fp = sum(bit_votes[1:], bit_votes[0])
+    return df.select(F.col(id_col), fp.alias("simhash"))
+
+
+def _bit_vote(mask: int):
+    return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       fp_col: str = "simhash", max_hamming: int = 3,
+                       blocks: int = 4) -> DataFrame:
+    """Near-dup candidates by SimHash: split the 64-bit fingerprint into
+    ``blocks`` bands; any pair within hamming distance < blocks shares
+    at least one exact band (pigeonhole) → band-equality join, then
+    exact popcount filter."""
+    width = 64 // blocks
+    banded = df.select(
+        id_col, fp_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftrightunsigned(F.col(fp_col), b * width)
+                      .bitwiseAND(F.lit((1 << width) - 1)).alias("bkey"))
+            for b in range(blocks)
+        ])).alias("bk"),
+    ).select(id_col, fp_col, "bk.band", "bk.bkey")
+    banded = banded.persist()
+    banded.count()  # eager: self-join over lazy persist recomputes lineage
+    a, b = banded.alias("a"), banded.alias("b")
+    xor = F.col(f"a.{fp_col}").bitwiseXOR(F.col(f"b.{fp_col}"))
+    return (
+        a.join(b, on=["band", "bkey"])
+         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+         .select(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"),
+                 F.bit_count(xor).alias("hamming"))
+         .distinct()
+         .filter(F.col("hamming") <= max_hamming)
+    )

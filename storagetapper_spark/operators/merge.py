@@ -1,0 +1,81 @@
+"""Upsert / latest-state materialization and the snapshot↔changelog merge —
+the engine's signature operators (E5 + O1 in SURVEY.md §2).
+
+Reference semantics:
+  - Idempotent upsert: ``INSERT … ON DUPLICATE KEY UPDATE col =
+    IF(seqno < VALUES(seqno), VALUES(col), col)`` — last-writer-wins
+    guarded by seqno (encoder/sql.go:133-148, 231-238).
+  - Snapshot rows carry seqno = ^uint64(0) (signed: -1), so any changelog
+    row (seqno ≥ 0) supersedes them (snapshot/mysql.go:301,
+    streamer/streamer.go:196-197).
+  - Per-PK total order: max-seqno wins; a delete as the latest event means
+    the key is absent from the materialized state (SURVEY.md §4.3).
+
+Spark-first: one window `row_number() over (partition by pk order by
+seqno desc) = 1` — a single hash-partitioned shuffle on the key; at scale
+the same shuffle the reference's Kafka key-partitioning performs.  AQE
+splits skewed keys.  For incremental materialization the same expression
+runs per micro-batch in foreachBatch followed by a MERGE (sinks.jdbc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_state(cdc: DataFrame, pk_cols: list[str],
+                 seqno_col: str = "seqno", op_col: str = "op",
+                 drop_deleted: bool = True,
+                 tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """Materialize latest row per PK under max-seqno-wins.
+
+    Ties (same seqno) are broken by ``tiebreak_cols`` then by op
+    ('insert' sorts after 'delete', so the insert half of an update pair
+    wins — mirrors the reference emitting delete before insert with the
+    insert carrying the higher seqno).
+    """
+    order = [F.col(seqno_col).desc()]
+    if tiebreak_cols:
+        order += [F.col(c).desc() for c in tiebreak_cols]
+    order += [F.col(op_col).desc()]  # 'insert' > 'delete' lexically
+    w = Window.partitionBy(*pk_cols).orderBy(*order)
+    out = (cdc.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1)
+              .drop("_rn"))
+    if drop_deleted:
+        out = out.filter(F.col(op_col) != "delete")
+    return out
+
+
+def idempotent_upsert(existing: DataFrame, incoming: DataFrame,
+                      pk_cols: list[str], seqno_col: str = "seqno",
+                      op_col: str = "op") -> DataFrame:
+    """Batch rendition of the reference's seqno-guarded upsert (E5): rows
+    from ``incoming`` replace rows in ``existing`` only when their seqno
+    is higher.  Equivalent to MERGE INTO … WHEN MATCHED AND s.seqno >
+    t.seqno on a transactional sink."""
+    cols = existing.columns
+    return latest_state(
+        existing.select(*cols).unionByName(incoming.select(*cols)),
+        pk_cols, seqno_col=seqno_col, op_col=op_col,
+    )
+
+
+def snapshot_changelog_merge(snapshot: DataFrame, changelog: DataFrame,
+                             pk_cols: list[str],
+                             seqno_col: str = "seqno", op_col: str = "op",
+                             drop_deleted: bool = True) -> DataFrame:
+    """The O1 construct: union the snapshot (seqno=-1) with the buffered
+    changelog and resolve per-PK by max seqno.
+
+    The reference's gap-free dance (create changelog consumer before
+    snapshotting, wait for GTID catch-up — streamer/streamer.go:67-157)
+    collapses in Spark to 'record the stream start offset before the
+    batch read'; correctness then only needs snapshot-seqno < all
+    changelog seqnos, which SNAPSHOT_SEQNO=-1 guarantees.
+    """
+    common = [c for c in snapshot.columns if c in set(changelog.columns)]
+    unioned = snapshot.select(*common).unionByName(changelog.select(*common))
+    return latest_state(unioned, pk_cols, seqno_col=seqno_col, op_col=op_col,
+                        drop_deleted=drop_deleted)

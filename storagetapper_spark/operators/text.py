@@ -1,0 +1,137 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — no Python
+in the row path.  Deliberately built from engine-portable primitives
+(length/replace/md5/regexp) so every operator has an exact DuckDB oracle.
+
+Scale: each operator is a narrow per-row projection — no shuffle, fully
+partition-parallel, unaffected by skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def occurrence_count(text: Column, marker: str) -> Column:
+    """# of occurrences of ``marker`` via the length/replace identity —
+    portable across engines (no regexp dialect differences)."""
+    return ((F.length(text) - F.length(F.regexp_replace(text, _re_escape(marker), "")))
+            / F.lit(len(marker))).cast("long")
+
+
+def _re_escape(s: str) -> str:
+    out = []
+    for ch in s:
+        out.append("\\" + ch if ch in r"\.^$*+?()[]{}|" else ch)
+    return "".join(out)
+
+
+def word_count(text: Column) -> Column:
+    """Whitespace token count: spaces+1 on single-space-normalized text."""
+    t = F.trim(F.regexp_replace(text, "\\s+", " "))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1
+    ).cast("long")
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, alnum+space only,
+    collapsed whitespace."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.trim(F.regexp_replace(t, " +", " "))
+    return t
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (The rolling-hash variant for shingle-level fingerprints lives in
+    dedup.shingles + md5.)"""
+    return F.md5(normalize_text(text))
+
+
+#: language → marker words used by the n-gram-ish language-ID heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " los "],
+    "zh": ["的", "是", "了"],
+}
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    """Marker-occurrence score for one language."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    score = F.lit(0).cast("long")
+    for m in LANG_MARKERS[lang]:
+        score = score + occurrence_count(padded, m)
+    return score
+
+
+def lang_id(text: Column, langs: list[str] | None = None) -> Column:
+    """Argmax over per-language marker scores; deterministic tie-break by
+    the declared language order; 'und' (undetermined) when all zero."""
+    langs = langs or list(LANG_MARKERS)
+    scores = {lg: lang_score(text, lg) for lg in langs}
+    best = F.greatest(*scores.values()) if len(scores) > 1 else scores[langs[0]]
+    expr = F.lit("und")
+    for lg in reversed(langs):
+        expr = F.when((scores[lg] > 0) & (scores[lg] == best), F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: char/word counts, mean word length,
+    punctuation & digit & whitespace ratios, stopword ratio, and a
+    composite [0,1] quality score (heuristic in the spirit of C4/Gopher
+    document-quality rules)."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    n_words = word_count(t)
+    n_punct = (F.length(t) - F.length(F.regexp_replace(t, "[.,;:!?]", ""))).cast("long")
+    n_digit = (F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))).cast("long")
+    n_space = (F.length(t) - F.length(F.regexp_replace(t, " ", ""))).cast("long")
+    stop_hits = lang_score(t, "en")
+    mean_wlen = F.round((n_chars - n_space) / F.greatest(n_words, F.lit(1)), 4)
+    stop_ratio = F.round(stop_hits / F.greatest(n_words, F.lit(1)), 4)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    digit_ratio = F.round(n_digit / F.greatest(n_chars, F.lit(1)), 4)
+    quality = F.round(
+        F.least(F.lit(1.0), n_words / F.lit(100.0)) * 0.4
+        + F.least(F.lit(1.0), stop_ratio * 5) * 0.4
+        + (F.lit(1.0) - F.least(F.lit(1.0), digit_ratio * 5)) * 0.2,
+        4,
+    )
+    return df.select(
+        "*",
+        n_chars.alias("n_chars_calc"),
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens, alphabetic-run tokens (a cheap
+    BPE-ish proxy: alpha runs + digit runs + punct singles), chars/token."""
+    t = F.col(text_col)
+    ws_tokens = word_count(t)
+    alpha_chars = F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast("long")
+    digit_chars = F.length(F.regexp_replace(t, "[^0-9]", "")).cast("long")
+    # alpha runs ≈ word-ish subword units; ~4.4 chars/BPE token is the
+    # published GPT-2 average — use ceil(alpha/4) + digits + punct as the
+    # deterministic estimator.
+    n_punct = (F.length(t) - F.length(F.regexp_replace(t, "[.,;:!?]", ""))).cast("long")
+    bpe_est = (F.ceil(alpha_chars / F.lit(4.0)) + digit_chars + n_punct).cast("long")
+    return df.select(
+        "*",
+        ws_tokens.alias("ws_tokens"),
+        bpe_est.alias("bpe_tokens_est"),
+        F.round(F.length(t) / F.greatest(ws_tokens, F.lit(1)), 4).alias("chars_per_token"),
+    )

@@ -1,0 +1,25 @@
+"""Shared helpers for the query registry."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table (the snapshot-scan stand-in — BASELINE.md
+    load protocol)."""
+    if name == "events":
+        return events_t(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture stores TIMESTAMP(NANOS) which Spark 4 rejects by
+    default; read nanos as long, then surface ``ts`` as a TimestampType at
+    microsecond precision (same truncation DuckDB applies to ns parquet)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

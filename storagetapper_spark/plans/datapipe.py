@@ -1,0 +1,324 @@
+"""Training-data pipeline plans: dedup, similarity search, text analysis
+over the ``documents`` and ``embeddings`` fixtures — the beyond-reference
+operator set, each with a DuckDB oracle where exactly expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storagetapper_spark.operators import dedup as D
+from storagetapper_spark.operators import similarity as S
+from storagetapper_spark.operators import text as X
+from storagetapper_spark.plans.common import t
+
+
+# --- exact dedup --------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return D.exact_dedup(t(spark, sf, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --- minhash signatures (portable salted-md5 min over shingles) ---------
+
+_MH_HASHES = 8
+_SHINGLE_N = 3
+
+
+def dedup_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
+    return D.minhash_signature(t(spark, sf, "documents"),
+                               num_hashes=_MH_HASHES, shingle_n=_SHINGLE_N)
+
+
+def _mh_sql() -> str:
+    mins = ",\n       ".join(
+        f"min(md5('{i}|' || s)) AS mh_{i}" for i in range(_MH_HASHES))
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT doc_id, string_split(nt, ' ') AS w FROM norm
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < {_SHINGLE_N} THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(w) - {_SHINGLE_N - 1} + 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         END AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+)
+SELECT doc_id,
+       {mins}
+FROM ex GROUP BY doc_id
+"""
+
+
+# --- minhash LSH candidate pairs ---------------------------------------
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return D.minhash_lsh_pairs(t(spark, sf, "documents"),
+                               num_hashes=_MH_HASHES, bands=4,
+                               shingle_n=_SHINGLE_N)
+
+
+def _lsh_sql() -> str:
+    rpb = _MH_HASHES // 4
+    bands = []
+    for b in range(4):
+        cols = " || '|' || ".join(f"mh_{b * rpb + j}" for j in range(rpb))
+        bands.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key, "
+                     + ", ".join(f"mh_{i}" for i in range(_MH_HASHES))
+                     + " FROM sig")
+    banded = "\nUNION ALL\n".join(bands)
+    eqs = " + ".join(
+        f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(_MH_HASHES))
+    return f"""
+WITH sig AS ({_mh_sql()}),
+banded AS ({banded}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(({eqs}) / {float(_MH_HASHES)}, 4) AS jaccard_est
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, max(jaccard_est) AS jaccard_est FROM pairs GROUP BY id_a, id_b
+"""
+
+
+# --- exact n-gram Jaccard within (lang, source) blocks ------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(t(spark, sf, "documents"),
+                                 bucket_cols=["lang", "source"],
+                                 shingle_n=_SHINGLE_N, threshold=0.1)
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, lang, source,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT doc_id, lang, source, string_split(nt, ' ') AS w FROM norm
+), sh AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN len(w) < {_SHINGLE_N} THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(w) - {_SHINGLE_N - 1} + 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         END AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, lang, source, unnest(shingles) AS s FROM sh
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.lang = b.lang AND a.source = b.source AND a.s = b.s
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(n_inter / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.1
+"""
+
+
+# --- simhash (Spark-native; rows-only check) ----------------------------
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return D.simhash(t(spark, sf, "documents"))
+
+
+# --- ANN: brute-force cosine top-k --------------------------------------
+
+def ann_brute_force(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return S.brute_force_topk(corpus, queries, k=5)
+
+
+ANN_BRUTE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 6)
+         AS cosine_sim
+  FROM c CROSS JOIN q
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# --- embedding norms / stats (portable exact) ---------------------------
+
+def embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(S.l2_norm(F.col("embedding"))), 4).alias("avg_norm"),
+        F.round(F.max(S.l2_norm(F.col("embedding"))), 4).alias("max_norm"),
+    )
+
+
+EMBEDDING_STATS_SQL = """
+SELECT label, count(*) AS n_vectors,
+       round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))), 4) AS avg_norm,
+       round(max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))), 4) AS max_norm
+FROM embeddings GROUP BY label
+"""
+
+
+# --- text: language ID heuristic ---------------------------------------
+
+def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    return docs.select("doc_id", "lang",
+                       X.lang_id(F.col("text")).alias("pred_lang"))
+
+
+def _lang_sql() -> str:
+    def count_of(marker: str) -> str:
+        m = marker.replace("'", "''")
+        return (f"CAST((length(pt) - length(replace(pt, '{m}', ''))) "
+                f"/ {len(marker)} AS BIGINT)")
+
+    score = {lg: " + ".join(count_of(m) for m in ms)
+             for lg, ms in X.LANG_MARKERS.items()}
+    langs = list(X.LANG_MARKERS)
+    whens = " ".join(
+        f"WHEN s_{lg} > 0 AND s_{lg} = best THEN '{lg}'" for lg in langs)
+    scores_sel = ",\n         ".join(f"{score[lg]} AS s_{lg}" for lg in langs)
+    greatest = ", ".join(f"s_{lg}" for lg in langs)
+    return f"""
+WITH padded AS (
+  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS pt FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         {scores_sel}
+  FROM padded
+), best AS (
+  SELECT *, greatest({greatest}) AS best FROM scored
+)
+SELECT doc_id, lang,
+       CASE {whens} ELSE 'und' END AS pred_lang
+FROM best
+"""
+
+
+# --- text: quality features --------------------------------------------
+
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    return X.quality_features(docs).drop("text")
+
+
+TEXT_QUALITY_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars_calc,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+              ELSE length(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                   - length(replace(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ', '')) + 1
+         END AS n_words,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         length(text) - length(replace(text, ' ', '')) AS n_space,
+         CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5 AS BIGINT)
+         + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5 AS BIGINT)
+         + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4 AS BIGINT)
+         AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_chars_calc, n_words,
+       round((n_chars_calc - n_space) / greatest(n_words, 1), 4) AS mean_word_len,
+       round(n_punct / greatest(n_chars_calc, 1), 4) AS punct_ratio,
+       round(n_digit / greatest(n_chars_calc, 1), 4) AS digit_ratio,
+       round(stop_hits / greatest(n_words, 1), 4) AS stopword_ratio,
+       round(least(1.0, n_words / 100.0) * 0.4
+             + least(1.0, round(stop_hits / greatest(n_words, 1), 4) * 5) * 0.4
+             + (1.0 - least(1.0, round(n_digit / greatest(n_chars_calc, 1), 4) * 5)) * 0.2,
+             4) AS quality_score
+FROM base
+"""
+
+
+# --- text: token stats --------------------------------------------------
+
+def text_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    return X.token_stats(docs).drop("text")
+
+
+TEXT_TOKENS_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+              ELSE length(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                   - length(replace(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ', '')) + 1
+         END AS ws_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, ws_tokens,
+       CAST(ceil(alpha_chars / 4.0) + digit_chars + n_punct AS BIGINT) AS bpe_tokens_est,
+       round(length(text) / greatest(ws_tokens, 1), 4) AS chars_per_token
+FROM base
+"""
+
+
+# --- text: document fingerprint ----------------------------------------
+
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    return docs.select("doc_id", X.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_signature": (dedup_minhash_signature, _mh_sql()),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, _lsh_sql()),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_simhash": (dedup_simhash, None),  # xxhash64-based — no SQL oracle
+    "ann_brute_force": (ann_brute_force, ANN_BRUTE_SQL),
+    "embedding_stats": (embedding_stats, EMBEDDING_STATS_SQL),
+    "text_lang_id": (text_lang_id, _lang_sql()),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "text_tokens": (text_tokens, TEXT_TOKENS_SQL),
+    "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+}
