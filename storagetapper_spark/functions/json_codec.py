@@ -38,7 +38,9 @@ def encode_json(df: DataFrame, pk_cols: list[str],
     ev = F.when(F.col(op_col) == "delete", delete_ev).otherwise(insert_ev)
     return df.select(
         F.concat_ws("", *[F.col(c).cast("string") for c in pk_cols]).alias("key"),
-        F.to_json(ev).alias("value"),
+        # Go's json.Marshal emits explicit nulls ("Fields":null on deletes,
+        # "Value":null on null columns) — match it (encoder/json.go:88-107)
+        F.to_json(ev, {"ignoreNullFields": "false"}).alias("value"),
     )
 
 

@@ -1,0 +1,141 @@
+"""File sink (F1/F2 in SURVEY.md §2.4 — pipe/file.go:218-773).
+
+Reference behavior re-expressed Spark-first:
+  - newline-delimited records, optional gzip          → df.write.text + codec
+  - rotation on max file size                         → maxRecordsPerFile
+  - per-partition-key file routing ("snapshot"/"log") → partitionBy(stream)
+  - atomic .open → rename on close                    → Spark task commit protocol
+  - _DONE manifest with sha256 + record count per file
+    (pipe/file.go:717-758)                            → post-write manifest job
+
+The manifest step lists files and hashes them driver-side; at 100 TB the
+same step runs as a distributed job over the file list (binaryFile source)
+— kept driver-side here because manifests are per-output, not per-row.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+
+
+def write_files(df: DataFrame, path: str, fmt: str = "text",
+                compression: str | None = "gzip",
+                max_records_per_file: int = 0,
+                partition_by: list[str] | None = None,
+                value_col: str = "value",
+                write_manifest: bool = True) -> dict:
+    """Write an encoded event DataFrame as rotated (compressed) files plus
+    a _DONE manifest. ``fmt``: text (newline-delimited; needs value_col),
+    json, or parquet."""
+    writer = df.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "text":
+        out = df.select(value_col) if not partition_by else \
+            df.select(*partition_by, value_col)
+        writer = out.write.mode("overwrite").option(
+            "compression", compression or "none")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.text(path)
+    elif fmt == "json":
+        writer.json(path)
+    elif fmt == "parquet":
+        writer.parquet(path)
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
+    if write_manifest:
+        return _write_manifest(path)
+    return {}
+
+
+def _count_records(fp: str) -> int:
+    if fp.endswith(".gz"):
+        with gzip.open(fp, "rb") as f:
+            return sum(1 for _ in f)
+    if fp.endswith(".parquet"):
+        import pyarrow.parquet as pq
+        return pq.read_metadata(fp).num_rows
+    with open(fp, "rb") as f:
+        return sum(1 for _ in f)
+
+
+def _write_manifest(path: str) -> dict:
+    """The _DONE marker (EndOfStreamMark analog, pipe/file.go:717-758):
+    per-file sha256, byte size and record count."""
+    files = {}
+    total = 0
+    for fp in sorted(glob.glob(os.path.join(path, "**", "*"), recursive=True)):
+        base = os.path.basename(fp)
+        if not os.path.isfile(fp) or base.startswith(("_", ".")):
+            continue
+        h = hashlib.sha256()
+        with open(fp, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        n = _count_records(fp)
+        files[os.path.relpath(fp, path)] = {
+            "sha256": h.hexdigest(),
+            "bytes": os.path.getsize(fp),
+            "records": n,
+        }
+        total += n
+    manifest = {"files": files, "total_records": total,
+                "created_at": int(time.time())}
+    with open(os.path.join(path, "_DONE"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, "_DONE")) as f:
+        return json.load(f)
+
+
+def encrypt_files(path: str, key: bytes, suffix: str = ".enc") -> list[str]:
+    """Post-write encryption step — the functional analog of the
+    reference's OpenPGP encrypt+sign chain (F3, pipe/file.go:384-437),
+    using AES-256-GCM (authenticated encryption covers the signing
+    role).  Production parity with the reference's PGP container would
+    swap this for an OpenPGP implementation; the Spark-side shape
+    (post-write per-file pass, original removed after encrypt) is the
+    same.  Runs driver-side here; distribute over a binaryFile read for
+    large outputs."""
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+    import secrets
+
+    aes = AESGCM(key)
+    out = []
+    for fp in sorted(glob.glob(os.path.join(path, "**", "*"), recursive=True)):
+        base = os.path.basename(fp)
+        if not os.path.isfile(fp) or base.startswith(("_", ".")) or fp.endswith(suffix):
+            continue
+        with open(fp, "rb") as f:
+            data = f.read()
+        nonce = secrets.token_bytes(12)
+        enc = nonce + aes.encrypt(nonce, data, None)
+        with open(fp + suffix, "wb") as f:
+            f.write(enc)
+        os.remove(fp)
+        out.append(fp + suffix)
+    return out
+
+
+def decrypt_file(fp: str, key: bytes) -> bytes:
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+    with open(fp, "rb") as f:
+        blob = f.read()
+    return AESGCM(key).decrypt(blob[:12], blob[12:], None)

@@ -1,0 +1,117 @@
+"""Structured Streaming pipelines — the changelog path (S2/O1-O4) as one
+Spark lineage.
+
+Reference architecture collapsed (SURVEY.md §3.3): binlog reader →
+buffer pipe → streamer re-encode → sink becomes readStream → transform →
+foreachBatch sink with checkpointing.  The reference's at-least-once +
+seqno-idempotence contract (K2/E5) maps to: checkpointed micro-batches +
+an idempotent MERGE keyed on (pk, seqno) — replayed batches re-apply the
+same seqno-guarded upsert and converge.
+
+The file source stands in for Kafka (no Kafka connector jar in this
+container); the pipeline shape is identical — swap
+``readStream.format("kafka")`` in ``read_changelog_stream``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from storagetapper_spark.operators.merge import latest_state
+
+
+def read_changelog_stream(spark: SparkSession, path: str,
+                          schema: T.StructType,
+                          max_files_per_trigger: int | None = None) -> DataFrame:
+    """CDC feed as a streaming DataFrame (newline-JSON events in ``path``).
+
+    ``maxFilesPerTrigger`` is the throughput throttle — the analog of the
+    reference's IOPS/MBs throttling (O5, throttle/throttle.go) and batch
+    sizing (O4, max_batch_size).
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def incremental_upsert_sink(cdc_stream: DataFrame, state_dir: str,
+                            checkpoint_dir: str, pk_cols: list[str],
+                            seqno_col: str = "seqno", op_col: str = "op",
+                            trigger_available_now: bool = True):
+    """foreachBatch materialization of latest-state (O1/E5 streaming form).
+
+    Each micro-batch: resolve the batch to one row per PK (max seqno),
+    merge against the current state table under the same rule, write the
+    new state atomically (write-new + swap).  Idempotent under batch
+    replay — max-seqno-wins is commutative/idempotent, the reference's
+    exact recovery argument (pipe/kafka.go:43-53).
+
+    With Delta/Iceberg this is MERGE INTO; plain parquet here, so the
+    state rewrite is full-file — fine for dimension-sized state; for
+    100 TB fact state use a partitioned MERGE sink.
+    """
+    spark = cdc_stream.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        resolved = latest_state(batch_df, pk_cols, seqno_col=seqno_col,
+                                op_col=op_col, drop_deleted=False)
+        cur_path = os.path.join(state_dir, "current")
+        if os.path.exists(cur_path):
+            cur = spark.read.parquet(cur_path)
+            merged = latest_state(
+                cur.unionByName(resolved.select(*cur.columns)),
+                pk_cols, seqno_col=seqno_col, op_col=op_col,
+                drop_deleted=False)
+        else:
+            merged = resolved
+        # keep tombstones in state (drop_deleted=False) so a replayed
+        # older insert can never resurrect a deleted key; readers filter.
+        nxt = os.path.join(state_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(nxt)
+        swap = spark.read.parquet(nxt)
+        swap.write.mode("overwrite").parquet(cur_path)
+
+    writer = (cdc_stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_state(spark: SparkSession, state_dir: str,
+               op_col: str = "op") -> DataFrame:
+    """Consumer view of the materialized state: tombstones filtered."""
+    return (spark.read.parquet(os.path.join(state_dir, "current"))
+            .filter(F.col(op_col) != "delete"))
+
+
+def windowed_event_counts(stream: DataFrame, ts_col: str = "ts",
+                          window: str = "1 hour",
+                          watermark: str = "2 hours",
+                          group_cols: list[str] | None = None) -> DataFrame:
+    """Event-time tumbling-window aggregation with a watermark — late
+    events past the watermark are dropped (the reference has no
+    event-time semantics; this is the §2.6 streaming-windows surface)."""
+    gcols = group_cols or []
+    return (stream.withWatermark(ts_col, watermark)
+                  .groupBy(F.window(ts_col, window).alias("w"), *gcols)
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       F.round(F.sum("value"), 2).alias("sum_value"))
+                  .select(F.col("w.start").alias("window_start"),
+                          *gcols, "n_events", "sum_value"))
+
+
+def streaming_dedup(stream: DataFrame, key_cols: list[str],
+                    ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """At-least-once retransmit cleanup in-stream:
+    dropDuplicatesWithinWatermark keeps state bounded by the watermark
+    (vs. the reference's unbounded seqno-idempotence at the sink)."""
+    return (stream.withWatermark(ts_col, watermark)
+                  .dropDuplicatesWithinWatermark(key_cols))

@@ -1,0 +1,149 @@
+"""Encoder round-trip tests (encoder/encoder_test.go pattern): golden
+events, encode→decode equality, delete events carrying only the key."""
+
+import datetime
+import json
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from storagetapper_spark.functions.json_codec import decode_json, encode_json, restore_columns
+from storagetapper_spark.functions.msgpack_codec import (
+    decode_msgpack,
+    encode_msgpack,
+    msgpack_pack,
+    msgpack_unpack,
+)
+from storagetapper_spark.functions.sql_codec import create_table_sql, encode_sql
+from storagetapper_spark.functions.avro_codec import avro_prepare
+from storagetapper_spark.schema.commonformat import common_format_struct
+
+
+def _event_df(spark):
+    schema = T.StructType([
+        T.StructField("f1", T.LongType(), False),
+        T.StructField("f2", T.StringType(), True),
+        T.StructField("f3", T.DoubleType(), True),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("seqno", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+    ])
+    rows = [
+        (1, "abc", 1.5, "insert", 10, 0),
+        (2, None, None, "insert", 11, 0),   # nulls survive the round trip
+        (1, "abc", 1.5, "delete", 12, 0),   # delete: key only, no fields
+        (1 << 54, "big", -2.25, "insert", 13, 0),  # 2^54 edge (encoder_test.go)
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_json_roundtrip(spark):
+    df = _event_df(spark)
+    enc = encode_json(df, pk_cols=["f1"])
+    decoded = decode_json(enc)
+    restored = restore_columns(decoded, T.StructType([
+        T.StructField("f1", T.LongType()),
+        T.StructField("f2", T.StringType()),
+        T.StructField("f3", T.DoubleType()),
+    ]))
+    got = {(r.seqno): r for r in restored.collect()}
+    assert got[10].f1 == 1 and got[10].f2 == "abc" and got[10].f3 == 1.5
+    assert got[11].f2 is None and got[11].f3 is None
+    assert got[13].f1 == 1 << 54
+    # delete carries no fields → restored data columns are null
+    assert got[12].op == "delete" and got[12].f1 is None
+
+
+def test_json_delete_shape(spark):
+    df = _event_df(spark)
+    vals = [json.loads(r.value) for r in encode_json(df, pk_cols=["f1"]).collect()]
+    by_seq = {v["SeqNo"]: v for v in vals}
+    assert by_seq[12]["Type"] == "delete"
+    assert by_seq[12]["Fields"] is None       # doc/commonformat.md delete shape
+    assert by_seq[12]["Key"] == ["1"]
+    assert by_seq[10]["Fields"] == [
+        {"Name": "f1", "Value": "1"},
+        {"Name": "f2", "Value": "abc"},
+        {"Name": "f3", "Value": "1.5"},
+    ]
+
+
+def test_msgpack_primitives():
+    cases = [None, True, False, 0, 1, 127, -1, -32, -33, 1 << 40, -(1 << 40),
+             1.5, -2.25, "", "hello", "é" * 40, b"", b"\x00\xff", [1, "a", None],
+             {"k": 1, "nested": [1, 2]}, "x" * 70000, list(range(20))]
+    for c in cases:
+        assert msgpack_unpack(msgpack_pack(c)) == c
+
+
+def test_msgpack_roundtrip(spark):
+    df = _event_df(spark)
+    ev = common_format_struct(F.col("op"), ["f1"], F.col("seqno"), F.col("ts"),
+                              ["f1", "f2", "f3"])
+    packed = encode_msgpack(df.select(ev.alias("ev"), "op"), F.col("ev"))
+    decoded = decode_msgpack(packed)
+    rows = decoded.select("event.*").collect()
+    by_seq = {r.SeqNo: r for r in rows}
+    assert by_seq[10].Type == "insert"
+    assert by_seq[10].Key == ["1"]
+    assert [f.asDict() for f in by_seq[10].Fields] == [
+        {"Name": "f1", "Value": "1"},
+        {"Name": "f2", "Value": "abc"},
+        {"Name": "f3", "Value": "1.5"},
+    ]
+    assert by_seq[11].Fields[1].Value is None
+
+
+def test_sql_encoder_goldens(spark):
+    df = _event_df(spark)
+    stmts = {r.seqno: r.stmt for r in
+             encode_sql(df, "t1", pk_cols=["f1"], dialect="mysql").collect()}
+    assert stmts[10] == ("INSERT INTO `t1` (`seqno`, `f1`, `f2`, `f3`) "
+                         "VALUES ( 10, 1, 'abc', 1.5 );")
+    assert stmts[11] == ("INSERT INTO `t1` (`seqno`, `f1`, `f2`, `f3`) "
+                         "VALUES ( 11, 2, NULL, NULL );")
+    assert stmts[12] == "DELETE FROM `t1` WHERE `f1`=1;"
+    # ansi dialect quoting
+    ansi = {r.seqno: r.stmt for r in
+            encode_sql(df, "t1", pk_cols=["f1"], dialect="ansisql").collect()}
+    assert ansi[10].startswith('INSERT INTO "t1" ("seqno", "f1", "f2", "f3")')
+
+
+def test_sql_quote_escaping(spark):
+    df = spark.createDataFrame(
+        [(1, "O'Brien", "insert", 5, 0)],
+        "f1 long, f2 string, op string, seqno long, ts long")
+    stmt = encode_sql(df, "t", pk_cols=["f1"]).collect()[0].stmt
+    assert "'O''Brien'" in stmt
+
+
+def test_create_table_sql():
+    schema = T.StructType([
+        T.StructField("f1", T.LongType(), False),
+        T.StructField("f2", T.StringType(), True),
+        T.StructField("f3", T.DecimalType(10, 2), True),
+    ])
+    ddl = create_table_sql("t1", schema, ["f1"], dialect="mysql")
+    assert ddl == ("CREATE TABLE `t1` (`seqno` BIGINT NOT NULL, "
+                   "`f1` BIGINT NOT NULL, `f2` TEXT, `f3` DECIMAL(10,2), "
+                   "UNIQUE KEY(`seqno`), PRIMARY KEY (`f1`));")
+
+
+def test_avro_prepare_metadata(spark):
+    df = _event_df(spark)
+    out = avro_prepare(df, pk_cols=["f1"]).collect()
+    by_ref = {r.ref_key: r for r in out}
+    assert by_ref[10].is_deleted is False
+    assert by_ref[12].is_deleted is True
+    # delete nulls out non-PK data fields, keeps the key (avro.go:148-162)
+    assert by_ref[12].f2 is None and by_ref[12].f1 == 1
+    assert bytes(by_ref[10].row_key) == b"11"  # len('1') + '1'
+
+
+def test_avro_prepare_epoch_ms(spark):
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 2, 3, 4, 5), "insert", 9, 0)],
+        "f1 long, f5 timestamp, op string, seqno long, ts long")
+    r = avro_prepare(df, pk_cols=["f1"]).collect()[0]
+    assert r.f5 == 1704164645000  # epoch ms (encoder/avro.go:283)

@@ -1,0 +1,71 @@
+"""Dedup operator semantics on constructed corpora."""
+
+from pyspark.sql import functions as F
+
+from storagetapper_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+
+DOC = ("the quick brown fox jumps over the lazy dog and keeps running "
+       "through the quiet green field until the evening light fades")
+
+
+def _docs(spark):
+    rows = [
+        (1, DOC, "b1"),
+        (2, DOC, "b1"),                          # exact duplicate
+        (3, DOC.replace("quiet", "silent"), "b1"),  # near duplicate
+        (4, "completely different text about spark query engines and "
+            "distributed columnar execution at scale", "b1"),
+        (5, "another unrelated document mentioning kafka pipelines and "
+            "binlog replication with schema registry", "b2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, bucket string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark))
+    dup = [r for r in out.collect() if r.n_copies > 1]
+    assert len(dup) == 1 and dup[0].keeper_id == 1 and dup[0].n_copies == 2
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    sig = {r.doc_id: tuple(r[f"mh_{i}"] for i in range(8))
+           for r in minhash_signature(_docs(spark)).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[4]
+
+
+def test_minhash_lsh_finds_dups(spark):
+    pairs = {(r.id_a, r.id_b): r.jaccard_est
+             for r in minhash_lsh_pairs(_docs(spark)).collect()}
+    assert pairs[(1, 2)] == 1.0          # exact dup: all bands match
+    assert (1, 4) not in pairs           # unrelated: no shared band
+    if (1, 3) in pairs:                  # near-dup may band-collide
+        assert pairs[(1, 3)] >= 0.5
+
+
+def test_ngram_jaccard_exact_values(spark):
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(_docs(spark), ["bucket"],
+                                        threshold=0.0).collect()}
+    assert out[(1, 2)] == 1.0
+    # near-dup: one word changed in a 20-word doc → substantial overlap
+    assert 0.5 < out[(1, 3)] < 1.0
+    # cross-bucket pairs are never compared (blocking)
+    assert all(a != 5 and b != 5 for a, b in out)
+
+
+def test_simhash_properties(spark):
+    fp = {r.doc_id: r.simhash for r in simhash(_docs(spark)).collect()}
+    assert fp[1] == fp[2]                # identical docs, identical prints
+    assert fp[1] != fp[4]
+    pairs = simhash_near_pairs(simhash(_docs(spark)), max_hamming=10)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] <= 10             # near-dup within hamming budget

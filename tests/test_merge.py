@@ -1,0 +1,78 @@
+"""Latest-state / upsert / snapshot-changelog-merge semantics (E5/O1,
+SURVEY.md §4.3 — the per-PK max-seqno-wins invariant)."""
+
+from storagetapper_spark.operators.merge import (
+    idempotent_upsert,
+    latest_state,
+    snapshot_changelog_merge,
+)
+from storagetapper_spark.schema.commonformat import SNAPSHOT_SEQNO
+
+CDC_SCHEMA = "pk long, val string, op string, seqno long"
+
+
+def test_latest_state_max_seqno_wins(spark):
+    cdc = spark.createDataFrame([
+        (1, "a", "insert", 1),
+        (1, "b", "insert", 5),
+        (1, "c", "insert", 3),
+        (2, "x", "insert", 2),
+    ], CDC_SCHEMA)
+    got = {r.pk: r.val for r in latest_state(cdc, ["pk"]).collect()}
+    assert got == {1: "b", 2: "x"}
+
+
+def test_latest_state_delete_wins_and_drops(spark):
+    cdc = spark.createDataFrame([
+        (1, "a", "insert", 1),
+        (1, None, "delete", 9),
+        (2, "x", "insert", 2),
+    ], CDC_SCHEMA)
+    got = latest_state(cdc, ["pk"]).collect()
+    assert {r.pk for r in got} == {2}
+    # tombstones kept when requested
+    kept = latest_state(cdc, ["pk"], drop_deleted=False).collect()
+    assert {r.pk: r.op for r in kept} == {1: "delete", 2: "insert"}
+
+
+def test_latest_state_update_pair_tiebreak(spark):
+    # update decomposed to delete+insert at the same seqno: insert wins
+    cdc = spark.createDataFrame([
+        (1, None, "delete", 7),
+        (1, "after", "insert", 7),
+    ], CDC_SCHEMA)
+    got = latest_state(cdc, ["pk"]).collect()
+    assert len(got) == 1 and got[0].val == "after"
+
+
+def test_snapshot_superseded_by_changelog(spark):
+    snap = spark.createDataFrame(
+        [(1, "snap", "insert", SNAPSHOT_SEQNO), (2, "snap", "insert", SNAPSHOT_SEQNO)],
+        CDC_SCHEMA)
+    log = spark.createDataFrame([(1, "log", "insert", 0)], CDC_SCHEMA)
+    got = {r.pk: r.val for r in
+           snapshot_changelog_merge(snap, log, ["pk"]).collect()}
+    # seqno 0 (first changelog event) still beats the snapshot's -1
+    assert got == {1: "log", 2: "snap"}
+
+
+def test_idempotent_upsert_guard(spark):
+    existing = spark.createDataFrame([(1, "cur", "insert", 10)], CDC_SCHEMA)
+    stale = spark.createDataFrame([(1, "old", "insert", 5)], CDC_SCHEMA)
+    fresh = spark.createDataFrame([(1, "new", "insert", 15)], CDC_SCHEMA)
+    assert idempotent_upsert(existing, stale, ["pk"]).collect()[0].val == "cur"
+    assert idempotent_upsert(existing, fresh, ["pk"]).collect()[0].val == "new"
+    # replay is a no-op (at-least-once convergence, pipe/kafka.go:43-53)
+    twice = idempotent_upsert(idempotent_upsert(existing, fresh, ["pk"]),
+                              fresh, ["pk"])
+    assert twice.collect()[0].val == "new"
+
+
+def test_composite_pk(spark):
+    cdc = spark.createDataFrame([
+        (1, 1, "a", "insert", 1),
+        (1, 2, "b", "insert", 2),
+        (1, 1, "c", "insert", 3),
+    ], "k1 long, k2 long, val string, op string, seqno long")
+    got = {(r.k1, r.k2): r.val for r in latest_state(cdc, ["k1", "k2"]).collect()}
+    assert got == {(1, 1): "c", (1, 2): "b"}

@@ -1,0 +1,112 @@
+"""Structured Streaming pipeline tests: incremental upsert materialization
+(O1/E5 streaming form), watermarked windows, streaming dedup.
+
+Uses the file source (Kafka stand-in) with availableNow triggers — each
+start() drains whatever files exist, mirroring micro-batch execution.
+"""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from storagetapper_spark.streaming.pipeline import (
+    incremental_upsert_sink,
+    read_changelog_stream,
+    read_state,
+    streaming_dedup,
+    windowed_event_counts,
+)
+
+CDC_SCHEMA = T.StructType([
+    T.StructField("pk", T.LongType()),
+    T.StructField("val", T.StringType()),
+    T.StructField("op", T.StringType()),
+    T.StructField("seqno", T.LongType()),
+])
+
+
+def _drop(path, name, events):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def test_incremental_upsert(spark, tmp_path):
+    src = str(tmp_path / "feed")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    _drop(src, "b1.json", [
+        {"pk": 1, "val": "a", "op": "insert", "seqno": 1},
+        {"pk": 2, "val": "b", "op": "insert", "seqno": 2},
+    ])
+    stream = read_changelog_stream(spark, src, CDC_SCHEMA)
+    q = incremental_upsert_sink(stream, state, ckpt, pk_cols=["pk"])
+    q.awaitTermination(60)
+    got = {r.pk: r.val for r in read_state(spark, state).collect()}
+    assert got == {1: "a", 2: "b"}
+
+    # second micro-batch: update pk=1, delete pk=2, insert pk=3
+    _drop(src, "b2.json", [
+        {"pk": 1, "val": "a2", "op": "insert", "seqno": 3},
+        {"pk": 2, "val": None, "op": "delete", "seqno": 4},
+        {"pk": 3, "val": "c", "op": "insert", "seqno": 5},
+    ])
+    q2 = incremental_upsert_sink(
+        read_changelog_stream(spark, src, CDC_SCHEMA), state, ckpt, pk_cols=["pk"])
+    q2.awaitTermination(60)
+    got = {r.pk: r.val for r in read_state(spark, state).collect()}
+    assert got == {1: "a2", 3: "c"}
+
+    # stale replay (lower seqno) cannot resurrect the deleted key
+    _drop(src, "b3.json", [
+        {"pk": 2, "val": "b", "op": "insert", "seqno": 2},
+    ])
+    q3 = incremental_upsert_sink(
+        read_changelog_stream(spark, src, CDC_SCHEMA), state, ckpt, pk_cols=["pk"])
+    q3.awaitTermination(60)
+    got = {r.pk: r.val for r in read_state(spark, state).collect()}
+    assert got == {1: "a2", 3: "c"}
+
+
+EV_SCHEMA = T.StructType([
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    _drop(src, "e1.json", [
+        {"ts": "2024-01-01T10:05:00Z", "user_id": 1, "value": 1.0},
+        {"ts": "2024-01-01T10:55:00Z", "user_id": 2, "value": 2.0},
+        {"ts": "2024-01-01T11:05:00Z", "user_id": 1, "value": 3.0},
+    ])
+    stream = spark.readStream.schema(EV_SCHEMA).json(src)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (agg.writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    rows = {r.window_start.hour: (r.n_events, r.sum_value)
+            for r in spark.sql("select * from win_counts").collect()}
+    assert rows[10] == (2, 3.0)
+    assert rows[11] == (1, 3.0)
+
+
+def test_streaming_dedup(spark, tmp_path):
+    src = str(tmp_path / "dups")
+    _drop(src, "d1.json", [
+        {"ts": "2024-01-01T10:00:00Z", "user_id": 1, "value": 1.0},
+        {"ts": "2024-01-01T10:00:00Z", "user_id": 1, "value": 1.0},  # retransmit
+        {"ts": "2024-01-01T10:01:00Z", "user_id": 2, "value": 2.0},
+    ])
+    stream = spark.readStream.schema(EV_SCHEMA).json(src)
+    dedup = streaming_dedup(stream, ["user_id", "ts"])
+    q = (dedup.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    assert spark.sql("select count(*) n from dedup_out").collect()[0].n == 2
