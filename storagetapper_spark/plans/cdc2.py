@@ -1,0 +1,133 @@
+"""CDC surface, batch 2: type coercion (P4), seqno derivation (O3),
+msgpack round-trip (E3), Avro record preparation (E2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from storagetapper_spark.functions.json_codec import restore_columns
+from storagetapper_spark.functions.msgpack_codec import decode_msgpack, encode_msgpack
+from storagetapper_spark.functions.avro_codec import avro_prepare
+from storagetapper_spark.plans.common import t
+from storagetapper_spark.schema.commonformat import common_format_struct
+from storagetapper_spark.sources.changelog import with_monotonic_seqno
+from storagetapper_spark.sources.snapshot import snapshot_scan
+
+
+# --- P4: type coercion matrix (the §1.3 conversions as a query) ---------
+
+def cdc_type_coercion(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty_decimal"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_linenumber").cast("string").alias("line_str"),
+        F.col("l_extendedprice").cast("float").cast("double").alias("price_f32"),
+        (F.col("l_linenumber") == 1).alias("is_first_line"),
+        F.to_date("l_shipdate").alias("ship_date"),
+        # l_shipdate is TIMESTAMP_NTZ in the parquet; go via LTZ (session
+        # tz pinned UTC) for the epoch-seconds rendition
+        F.col("l_shipdate").cast("timestamp").cast("long").alias("ship_epoch"),
+    )
+
+
+TYPE_COERCION_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity AS DECIMAL(12,2)) AS qty_decimal,
+       CAST(l_quantity AS INT) AS qty_int,
+       CAST(l_linenumber AS VARCHAR) AS line_str,
+       CAST(CAST(l_extendedprice AS FLOAT) AS DOUBLE) AS price_f32,
+       l_linenumber = 1 AS is_first_line,
+       CAST(l_shipdate AS DATE) AS ship_date,
+       CAST(epoch(l_shipdate) AS BIGINT) AS ship_epoch
+FROM lineitem
+"""
+
+
+# --- O3: seqno derivation from (partition, offset) ----------------------
+
+def cdc_seqno_derivation(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    # the events fixture stands in for a Kafka feed: key-hash partition +
+    # per-partition offset (row_number within partition)
+    from pyspark.sql import Window
+    part = (F.col("user_id") % 8).alias("partition")
+    w = Window.partitionBy(F.col("user_id") % 8).orderBy("event_id")
+    offs = (F.row_number().over(w) - 1).alias("offset")
+    base = ev.select("event_id", part, offs)
+    return base.select("event_id", "partition", "offset",
+                       with_monotonic_seqno(base, "partition", "offset"))
+
+
+SEQNO_SQL = """
+WITH base AS (
+  SELECT event_id, user_id % 8 AS partition,
+         row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS "offset"
+  FROM events
+)
+SELECT event_id, partition, "offset",
+       CAST(partition * 1099511627776 + "offset" AS BIGINT) AS seqno
+FROM base
+"""
+
+
+# --- E3: msgpack encode → decode round-trip -----------------------------
+
+def cdc_msgpack_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    region = t(spark, sf, "region")
+    snap = snapshot_scan(region, pk_cols=["r_regionkey"])
+    ev = common_format_struct(F.col("op"), ["r_regionkey"], F.col("seqno"),
+                              F.col("ts"), ["r_regionkey", "r_name"])
+    packed = encode_msgpack(snap.select(ev.alias("ev")), F.col("ev"))
+    decoded = decode_msgpack(packed)
+    return restore_columns(decoded, T.StructType([
+        T.StructField("r_regionkey", T.IntegerType()),
+        T.StructField("r_name", T.StringType()),
+    ]))
+
+
+MSGPACK_SQL = """
+SELECT 'insert' AS op, CAST(-1 AS BIGINT) AS seqno, CAST(0 AS BIGINT) AS ts,
+       r_regionkey, r_name
+FROM region
+"""
+
+
+# --- E2: Avro record shape (metadata columns, delete nulling) -----------
+
+def cdc_avro_prepare(spark: SparkSession, sf: str) -> DataFrame:
+    nation = t(spark, sf, "nation")
+    ev = (nation
+          .withColumn("op", F.when(F.col("n_nationkey") % 4 == 0, "delete")
+                             .otherwise("insert"))
+          .withColumn("seqno", F.col("n_nationkey").cast("long") + 50))
+    out = avro_prepare(ev, pk_cols=["n_nationkey"])
+    # binary → hex for engine-portable comparison
+    return out.select(
+        "n_nationkey", "n_name", "n_regionkey",
+        F.hex(F.col("row_key")).alias("row_key_hex"),
+        "ref_key", "is_deleted",
+    )
+
+
+AVRO_PREPARE_SQL = """
+SELECT n_nationkey,
+       CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_name END AS n_name,
+       CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS n_regionkey,
+       upper(hex(concat(length(CAST(n_nationkey AS VARCHAR)),
+                        CAST(n_nationkey AS VARCHAR))::BLOB)) AS row_key_hex,
+       CAST(n_nationkey AS BIGINT) + 50 AS ref_key,
+       n_nationkey % 4 = 0 AS is_deleted
+FROM nation
+"""
+
+
+QUERIES = {
+    "cdc_type_coercion": (cdc_type_coercion, TYPE_COERCION_SQL),
+    "cdc_seqno_derivation": (cdc_seqno_derivation, SEQNO_SQL),
+    "cdc_msgpack_roundtrip": (cdc_msgpack_roundtrip, MSGPACK_SQL),
+    "cdc_avro_prepare": (cdc_avro_prepare, AVRO_PREPARE_SQL),
+}

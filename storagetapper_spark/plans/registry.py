@@ -8,10 +8,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from storagetapper_spark.plans import cdc, datapipe, relational
+from storagetapper_spark.plans import cdc, cdc2, datapipe, relational, relational2
 
 _ALL: dict[str, tuple[Callable, str | None]] = {}
-for mod in (relational, cdc, datapipe):
+for mod in (relational, relational2, cdc, cdc2, datapipe):
     for name, pair in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"
         _ALL[name] = pair
