@@ -1,0 +1,53 @@
+"""SQL/JDBC sink (Q1, pipe/sql.go) and JDBC snapshot source options.
+
+The reference executes encoder-generated INSERT/DELETE statements in
+batched transactions; Spark-side the append path is ``df.write.jdbc``
+and the upsert path is a foreachBatch MERGE (or, for engines without
+MERGE, the statement-replay fallback using functions.sql_codec output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def jdbc_append(df: DataFrame, url: str, table: str,
+                properties: dict | None = None, batch_size: int = 4096):
+    """Plain append (insert-only streams).  batchsize mirrors the
+    reference's max_batch_size=4096 (config/config.go:218)."""
+    props = dict(properties or {})
+    props.setdefault("batchsize", str(batch_size))
+    return df.write.mode("append").options(**props).jdbc(url, table)
+
+
+def merge_statement(table: str, staging: str, pk_cols: list[str],
+                    data_cols: list[str], seqno_col: str = "seqno",
+                    dialect: str = "ansi") -> str:
+    """The seqno-guarded MERGE that replaces the reference's
+    ``ON DUPLICATE KEY UPDATE IF(seqno < VALUES(seqno)...)`` upsert (E5)
+    on engines with ANSI MERGE.  Executed per micro-batch in
+    foreachBatch after staging the batch."""
+    on = " AND ".join(f"t.{c} = s.{c}" for c in pk_cols)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in data_cols + [seqno_col])
+    ins_cols = ", ".join(pk_cols + data_cols + [seqno_col])
+    ins_vals = ", ".join(f"s.{c}" for c in pk_cols + data_cols + [seqno_col])
+    return (f"MERGE INTO {table} t USING {staging} s ON {on} "
+            f"WHEN MATCHED AND s.{seqno_col} > t.{seqno_col} THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})")
+
+
+def jdbc_snapshot_options(url: str, table: str, pk_col: str,
+                          lower: int, upper: int,
+                          num_partitions: int = 32,
+                          fetch_size: int = 10000) -> dict:
+    """Partitioned JDBC snapshot read — the production replacement for
+    FORCE INDEX (primary) full scans (snapshot/mysql.go:71): each
+    executor reads one PK range, preserving key-contiguous output, with
+    predicate pushdown into each range query."""
+    return {
+        "url": url, "dbtable": table,
+        "partitionColumn": pk_col,
+        "lowerBound": str(lower), "upperBound": str(upper),
+        "numPartitions": str(num_partitions),
+        "fetchsize": str(fetch_size),
+    }
