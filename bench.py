@@ -20,13 +20,16 @@ BENCH_QUERIES = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "join_semi_anti", "agg_rollup", "window_topk_per_group",
     "window_running", "sort_limit", "conditional_agg", "sessionize",
-    "window_event_time",
+    "window_event_time", "agg_stats", "agg_percentiles",
+    "pivot_returnflag", "string_functions2",
     # CDC surface
     "cdc_snapshot_scan", "cdc_decompose_updates", "cdc_latest_state",
     "cdc_snapshot_changelog_merge", "cdc_json_roundtrip",
+    "cdc_msgpack_roundtrip", "cdc_avro_prepare", "cdc_seqno_derivation",
     # training-data ops
-    "dedup_exact", "dedup_minhash_lsh", "ann_brute_force",
-    "text_quality", "text_fingerprint",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "ann_brute_force", "embedding_stats",
+    "text_lang_id", "text_quality", "text_tokens", "text_fingerprint",
 ]
 
 
