@@ -31,10 +31,12 @@ def encode_json(df: DataFrame, pk_cols: list[str],
     if field_cols is None:
         field_cols = [c for c in df.columns
                       if c not in (op_col, seqno_col, ts_col, "row_key")]
+    # encode-time timestamp defaults to 0 when absent (GenTime=0 goldens)
+    ts = F.col(ts_col) if ts_col in df.columns else F.lit(0)
     insert_ev = common_format_struct(F.col(op_col), pk_cols, F.col(seqno_col),
-                                     F.col(ts_col), field_cols)
+                                     ts, field_cols)
     delete_ev = common_format_struct(F.col(op_col), pk_cols, F.col(seqno_col),
-                                     F.col(ts_col), [])
+                                     ts, [])
     ev = F.when(F.col(op_col) == "delete", delete_ev).otherwise(insert_ev)
     return df.select(
         F.concat_ws("", *[F.col(c).cast("string") for c in pk_cols]).alias("key"),

@@ -1,0 +1,77 @@
+"""Streaming query monitoring + watchdog (O9, changelog/mysql.go:885-908).
+
+The reference's watchdog kills a changelog reader that has made no
+progress within an interval; Spark's StreamingQueryListener gives the
+same signal without polling the source.  ``Watchdog`` records progress
+events and stops queries that stall past the deadline — the driver
+restarts them (the reference's worker loop does the same)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+#: reference default watchdog interval (config/config.go:207)
+DEFAULT_STALL_SEC = 300.0
+
+
+class ProgressRecorder(StreamingQueryListener):
+    """Collects per-query progress: rows/sec, batch durations, last
+    activity timestamp."""
+
+    def __init__(self):
+        self.progress: dict[str, dict] = {}
+
+    def onQueryStarted(self, event):
+        self.progress[str(event.id)] = {"started_at": time.time(),
+                                        "last_progress_at": time.time(),
+                                        "batches": 0, "rows": 0}
+
+    def onQueryProgress(self, event):
+        p = self.progress.setdefault(str(event.progress.id),
+                                     {"started_at": time.time(),
+                                      "batches": 0, "rows": 0})
+        p["last_progress_at"] = time.time()
+        p["batches"] += 1
+        p["rows"] += event.progress.numInputRows or 0
+        p["input_rows_per_sec"] = event.progress.inputRowsPerSecond
+
+    def onQueryTerminated(self, event):
+        p = self.progress.get(str(event.id))
+        if p is not None:
+            p["terminated_at"] = time.time()
+
+    def onQueryIdle(self, event):
+        p = self.progress.get(str(event.id))
+        if p is not None:
+            p["last_progress_at"] = time.time()
+
+
+class Watchdog:
+    """Stop queries that made no progress within ``stall_sec``; the
+    caller's restart loop re-creates them from checkpoints."""
+
+    def __init__(self, recorder: ProgressRecorder,
+                 stall_sec: float = DEFAULT_STALL_SEC):
+        self.recorder = recorder
+        self.stall_sec = stall_sec
+
+    def stalled(self, now: float | None = None) -> list[str]:
+        now = time.time() if now is None else now
+        out = []
+        for qid, p in self.recorder.progress.items():
+            if "terminated_at" in p:
+                continue
+            if now - p.get("last_progress_at", p["started_at"]) > self.stall_sec:
+                out.append(qid)
+        return out
+
+    def enforce(self, spark, now: float | None = None) -> list[str]:
+        stalled = set(self.stalled(now))
+        stopped = []
+        for q in spark.streams.active:
+            if str(q.id) in stalled:
+                q.stop()
+                stopped.append(str(q.id))
+        return stopped
