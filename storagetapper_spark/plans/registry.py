@@ -8,10 +8,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from storagetapper_spark.plans import cdc, cdc2, datapipe, relational, relational2
+from storagetapper_spark.plans import (
+    cdc,
+    cdc2,
+    datapipe,
+    relational,
+    relational2,
+    relational3,
+)
 
 _ALL: dict[str, tuple[Callable, str | None]] = {}
-for mod in (relational, relational2, cdc, cdc2, datapipe):
+for mod in (relational, relational2, relational3, cdc, cdc2, datapipe):
     for name, pair in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"
         _ALL[name] = pair
