@@ -11,10 +11,12 @@ Reference semantics implemented Spark-side:
   - Avro output schema with [null, T] unions (types/avro.go:45-62) from
     schema.mysql_types.struct_to_avro_schema
 
-The actual Avro *binary* encoding uses spark-avro's ``to_avro`` when the
-package jar is on the classpath (not shipped in this container); the
-structural transform below is the engine-side operator either way and is
-what the unit tests cover.
+Binary encoding: spark-avro's ``to_avro`` when the package jar is on
+the classpath (preferred, JVM-side), else the self-contained Avro
+binary codec below (written against the public Avro 1.11 spec: zigzag
+varints, little-endian floats, length-prefixed bytes, union index
+prefix) exposed as Arrow pandas UDFs — byte-compatible with any Avro
+reader given the same schema.
 """
 
 from __future__ import annotations
@@ -65,3 +67,125 @@ def to_avro_binary(df: DataFrame, avro_schema: dict,
             "spark.jars.packages") from e
     cols = struct_cols or df.columns
     return df.select(to_avro(F.struct(*cols), json.dumps(avro_schema)).alias("value"))
+
+
+# --- self-contained Avro binary codec (public Avro spec) ----------------
+
+import struct as _struct  # noqa: E402
+
+
+def _zigzag_encode(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: bytes, i: int) -> tuple[int, int]:
+    shift = u = 0
+    while True:
+        b = buf[i]
+        i += 1
+        u |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return (u >> 1) ^ -(u & 1), i
+
+
+def avro_encode_record(rec: dict, fields: list[dict]) -> bytes:
+    """Encode one record against a [null, T]-union field list (the shape
+    struct_to_avro_schema produces)."""
+    out = bytearray()
+    for f in fields:
+        v = rec.get(f["name"])
+        t = f["type"][1] if isinstance(f["type"], list) else f["type"]
+        if v is None:
+            out += _zigzag_encode(0)  # union branch 0 = null
+            continue
+        out += _zigzag_encode(1)      # union branch 1 = value
+        if t in ("int", "long"):
+            out += _zigzag_encode(int(v))
+        elif t == "boolean":
+            out.append(1 if v else 0)
+        elif t == "float":
+            out += _struct.pack("<f", float(v))
+        elif t == "double":
+            out += _struct.pack("<d", float(v))
+        elif t == "string":
+            b = str(v).encode("utf-8")
+            out += _zigzag_encode(len(b)) + b
+        elif t == "bytes":
+            b = bytes(v)
+            out += _zigzag_encode(len(b)) + b
+        else:
+            raise TypeError(f"avro: unsupported type {t}")
+    return bytes(out)
+
+
+def avro_decode_record(buf: bytes, fields: list[dict]) -> dict:
+    rec: dict = {}
+    i = 0
+    for f in fields:
+        t = f["type"][1] if isinstance(f["type"], list) else f["type"]
+        branch, i = _zigzag_decode(buf, i)
+        if branch == 0:
+            rec[f["name"]] = None
+            continue
+        if t in ("int", "long"):
+            rec[f["name"]], i = _zigzag_decode(buf, i)
+        elif t == "boolean":
+            rec[f["name"]] = buf[i] == 1
+            i += 1
+        elif t == "float":
+            rec[f["name"]] = _struct.unpack_from("<f", buf, i)[0]
+            i += 4
+        elif t == "double":
+            rec[f["name"]] = _struct.unpack_from("<d", buf, i)[0]
+            i += 8
+        elif t == "string":
+            n, i = _zigzag_decode(buf, i)
+            rec[f["name"]] = buf[i:i + n].decode("utf-8")
+            i += n
+        elif t == "bytes":
+            n, i = _zigzag_decode(buf, i)
+            rec[f["name"]] = bytes(buf[i:i + n])
+            i += n
+        else:
+            raise TypeError(f"avro: unsupported type {t}")
+    return rec
+
+
+def encode_avro_binary(df: DataFrame, avro_schema: dict) -> DataFrame:
+    """Arrow-batched fallback for to_avro: one binary ``value`` column.
+    Field values are taken from identically-named df columns."""
+    fields = avro_schema["fields"]
+    names = [f["name"] for f in fields]
+
+    @F.pandas_udf(T.BinaryType())
+    def _enc(s):
+        import pandas as pd
+        recs = s.to_dict("records")
+        return pd.Series([avro_encode_record(r, fields) for r in recs])
+
+    return df.select(_enc(F.struct(*names)).alias("value"))
+
+
+def decode_avro_binary(df: DataFrame, avro_schema: dict,
+                       spark_schema: T.StructType,
+                       value_col: str = "value") -> DataFrame:
+    """Inverse of encode_avro_binary: binary → typed columns."""
+    fields = avro_schema["fields"]
+
+    @F.pandas_udf(spark_schema)
+    def _dec(s):
+        import pandas as pd
+        return pd.DataFrame([avro_decode_record(b, fields) for b in s])
+
+    return df.select(_dec(F.col(value_col)).alias("rec")).select("rec.*")

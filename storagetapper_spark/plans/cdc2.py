@@ -125,8 +125,59 @@ FROM nation
 """
 
 
+# --- E2: full Avro binary encode → decode round-trip --------------------
+
+def cdc_avro_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    from storagetapper_spark.functions.avro_codec import (
+        decode_avro_binary,
+        encode_avro_binary,
+    )
+    from storagetapper_spark.schema.mysql_types import (
+        ColumnSchema,
+        TableSchema,
+        struct_to_avro_schema,
+    )
+
+    sup = t(spark, sf, "supplier")
+    ev = (sup.withColumn("op", F.lit("insert"))
+             .withColumn("seqno", F.col("s_suppkey").cast("long")))
+    ts_schema = TableSchema("tpch", "supplier", [
+        ColumnSchema("s_suppkey", "bigint", "bigint", 1, False, key="PRI"),
+        ColumnSchema("s_name", "varchar", "varchar(25)", 2),
+        ColumnSchema("s_nationkey", "int", "int", 3),
+        ColumnSchema("s_acctbal", "double", "double", 4),
+    ])
+    avsc = struct_to_avro_schema(ts_schema)
+    encoded = encode_avro_binary(avro_prepare(ev, pk_cols=["s_suppkey"]), avsc)
+    back = T.StructType([
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("s_name", T.StringType()),
+        T.StructField("s_nationkey", T.IntegerType()),
+        T.StructField("s_acctbal", T.DoubleType()),
+        T.StructField("row_key", T.BinaryType()),
+        T.StructField("ref_key", T.LongType()),
+        T.StructField("is_deleted", T.BooleanType()),
+    ])
+    out = decode_avro_binary(encoded, avsc, back)
+    return out.select("s_suppkey", "s_name", "s_nationkey",
+                      F.round("s_acctbal", 2).alias("s_acctbal"),
+                      F.hex("row_key").alias("row_key_hex"),
+                      "ref_key", "is_deleted")
+
+
+AVRO_ROUNDTRIP_SQL = """
+SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal,
+       upper(hex(concat(length(CAST(s_suppkey AS VARCHAR)),
+                        CAST(s_suppkey AS VARCHAR))::BLOB)) AS row_key_hex,
+       CAST(s_suppkey AS BIGINT) AS ref_key,
+       false AS is_deleted
+FROM supplier
+"""
+
+
 QUERIES = {
     "cdc_type_coercion": (cdc_type_coercion, TYPE_COERCION_SQL),
+    "cdc_avro_roundtrip": (cdc_avro_roundtrip, AVRO_ROUNDTRIP_SQL),
     "cdc_seqno_derivation": (cdc_seqno_derivation, SEQNO_SQL),
     "cdc_msgpack_roundtrip": (cdc_msgpack_roundtrip, MSGPACK_SQL),
     "cdc_avro_prepare": (cdc_avro_prepare, AVRO_PREPARE_SQL),
