@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -97,6 +98,110 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         c.join(q, on="_bucket")
          .select(F.col(query_id_col), F.col(id_col), sim.alias("cosine_sim"))
     )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
+def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        query_id_col: str = "query_id") -> DataFrame:
+    """Numpy-vectorized exact top-k: per Arrow batch, one (batch × query)
+    matmul, emitting only the batch-local top-k per query; a final window
+    merges the partials (combiner pattern — shuffle is k rows/query/batch,
+    never the full score matrix).  The query set is collected driver-side
+    and closed over (small by contract, like any broadcast)."""
+    import numpy as np
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows])
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+
+    out_schema = T.StructType([
+        T.StructField(query_id_col, T.LongType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("cosine_sim", T.DoubleType()),
+    ])
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            S = Vn @ Qn.T  # (n, q)
+            kk = min(k, S.shape[0])
+            top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (k, q)
+            rows = []
+            for qi in range(S.shape[1]):
+                for ri in top[:, qi]:
+                    rows.append((int(qids[qi]), int(ids[ri]),
+                                 round(float(S[ri, qi]), 6)))
+            yield pd.DataFrame(rows, columns=[query_id_col, id_col, "cosine_sim"])
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(gen, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    centroid cells, search only the query's ``n_probe`` nearest cells.
+
+    Centroids are deterministic (the first ``n_centroids`` corpus vectors
+    by id — production would run k-means and persist them).  At 100 TB
+    the cell assignment is computed at ingest and the corpus is
+    partitioned/bucketed by ``centroid_id``, so a probe reads only
+    n_probe/n_centroids of the data — the classic IVF trade of recall
+    for a ~n_centroids/n_probe scan reduction."""
+    import numpy as np
+
+    cent = corpus.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    C = np.array([list(r[1]) for r in cent], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    assign_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(vec_col, T.ArrayType(T.FloatType())),
+        T.StructField("centroid_id", T.IntegerType()),
+    ])
+
+    def assign(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            pdf = pdf.copy()
+            pdf["centroid_id"] = (Vn @ Cn.T).argmax(axis=1).astype("int32")
+            yield pdf[[id_col, vec_col, "centroid_id"]]
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(assign, assign_schema)
+
+    # query → n_probe nearest centroids, exploded as (query_id, centroid_id)
+    qrows = queries.select(query_id_col, vec_col).collect()
+    probes = []
+    for r in qrows:
+        qv = np.array(list(r[1]), dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        order = np.argsort(-(Cn @ qn))[:n_probe]
+        for c in order:
+            probes.append((int(r[0]), int(c), [float(x) for x in qv]))
+    spark = corpus.sparkSession
+    probe_df = F.broadcast(spark.createDataFrame(
+        probes, f"{query_id_col} long, centroid_id int, _qvec array<double>"))
+
+    sim = F.round(cosine(F.col(vec_col), F.col("_qvec")), 6)
+    scored = (assigned.join(probe_df, on="centroid_id")
+                      .select(query_id_col, id_col, sim.alias("cosine_sim")))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k))

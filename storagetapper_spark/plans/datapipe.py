@@ -175,6 +175,25 @@ SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 
 # --- embedding norms / stats (portable exact) ---------------------------
 
+def ann_vectorized(spark: SparkSession, sf: str) -> DataFrame:
+    """Numpy/Arrow vectorized exact top-k — same oracle as the
+    expression baseline (round-6 cosine agrees; verified in tests)."""
+    emb = t(spark, sf, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return S.brute_force_topk_np(corpus, queries, k=5)
+
+
+def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate top-k (rows-only: recall depends on probe set)."""
+    emb = t(spark, sf, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return S.ivf_topk(corpus, queries, k=5, n_centroids=16, n_probe=4)
+
+
 def embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
     return emb.groupBy("label").agg(
@@ -316,6 +335,8 @@ QUERIES = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_simhash": (dedup_simhash, None),  # xxhash64-based — no SQL oracle
     "ann_brute_force": (ann_brute_force, ANN_BRUTE_SQL),
+    "ann_vectorized": (ann_vectorized, ANN_BRUTE_SQL),
+    "ann_ivf": (ann_ivf, None),  # recall depends on probed cells
     "embedding_stats": (embedding_stats, EMBEDDING_STATS_SQL),
     "text_lang_id": (text_lang_id, _lang_sql()),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
