@@ -1,0 +1,73 @@
+"""Job lifecycle orchestration — SURVEY.md §3 entry points as functions.
+
+Entry point A (register):   Registry.register (state.py)
+Entry point B (snapshot):   run_snapshot_job below — claim → scan →
+                            encode → sink → manifest → clear_need_snapshot
+                            (streamer/streamer.go:313-316 collapsed)
+Entry point C (changelog):  streaming.pipeline / streaming.buffered
+
+The reference's claim/lease/lock machinery disappears: the driver owns
+the registry, Spark owns distribution.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storagetapper_spark.functions.json_codec import encode_json
+from storagetapper_spark.sinks.files import write_files
+from storagetapper_spark.sources.snapshot import RowFilter, snapshot_scan
+from storagetapper_spark.state import Registry, TableRegistration
+
+
+def run_snapshot_job(spark: SparkSession, registry: Registry,
+                     reg: TableRegistration, source_df: DataFrame,
+                     output_root: str,
+                     filters: list[RowFilter] | None = None,
+                     output_columns: list[str] | None = None,
+                     sort_within_files: bool = True,
+                     compression: str | None = "gzip",
+                     max_records_per_file: int = 0) -> dict:
+    """The §3.2 snapshot path, end-to-end:
+
+    1. snapshot scan: op='insert', seqno=-1, row_key (S1)
+    2. row filters + PK-protected output-schema pruning (P1/P2)
+    3. key-ordered output within files (the FORCE INDEX (primary)
+       key-contiguity property, via sortWithinPartitions)
+    4. common-format encode per the registration's output format
+    5. file sink with rotation + _DONE manifest (F1)
+    6. registry bookkeeping: ClearNeedSnapshot (O7)
+
+    Returns the sink manifest.
+    """
+    if reg.output_format not in ("json",):
+        raise NotImplementedError(
+            f"snapshot output format {reg.output_format!r}: json is the "
+            "built-in; avro/msgpack go through their codec modules")
+    snap = snapshot_scan(source_df, pk_cols=reg.pk_cols, filters=filters,
+                         output_columns=output_columns)
+    if sort_within_files:
+        snap = snap.sortWithinPartitions(*reg.pk_cols)
+    encoded = encode_json(snap, pk_cols=reg.pk_cols)
+    out_dir = os.path.join(output_root, reg.topic())
+    manifest = write_files(encoded, out_dir, fmt="text",
+                           compression=compression,
+                           max_records_per_file=max_records_per_file)
+    registry.clear_need_snapshot(reg.key)
+    return manifest
+
+
+def run_due_snapshots(spark: SparkSession, registry: Registry,
+                      source_loader, output_root: str,
+                      now: float | None = None) -> dict[str, dict]:
+    """Periodic-snapshot driver loop (O7): snapshot every due table.
+    ``source_loader(reg) -> DataFrame`` resolves a registration to its
+    source frame (parquet fixture locally, JDBC in production)."""
+    results = {}
+    for reg in registry.tables_needing_snapshot(now=now):
+        results[reg.key] = run_snapshot_job(
+            spark, registry, reg, source_loader(reg), output_root)
+    return results

@@ -25,6 +25,18 @@ from pyspark.sql import types as T
 #: MySQL zero-time literals that map to NULL (encoder/avro.go:236-238).
 ZERO_TIMES = ("0000-00-00 00:00:00", "0000-00-00")
 
+
+def normalize_zero_time(col, with_fraction: bool = True):
+    """Column transform: MySQL zero-time string → NULL before the
+    timestamp cast (the Avro rule, encoder/avro.go:236-238; JSON keeps a
+    zero-value time — callers choose).  Handles the fractional-seconds
+    variants ('0000-00-00 00:00:00.000...')."""
+    from pyspark.sql import functions as F
+
+    c = col.cast("string")
+    is_zero = c.startswith("0000-00-00") if with_fraction else c.isin(*ZERO_TIMES)
+    return F.when(c.isNull() | is_zero, F.lit(None)).otherwise(c).cast("timestamp")
+
 _INT_FAMILY = ("int", "integer", "mediumint", "smallint")
 
 

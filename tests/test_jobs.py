@@ -1,0 +1,57 @@
+"""Snapshot job lifecycle (§3.2 path) and zero-time normalization."""
+
+import gzip
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from storagetapper_spark.jobs import run_due_snapshots, run_snapshot_job
+from storagetapper_spark.schema.mysql_types import normalize_zero_time
+from storagetapper_spark.sources.snapshot import RowFilter
+from storagetapper_spark.state import Registry, TableRegistration
+
+
+def test_run_snapshot_job(spark, tmp_path, sf_dir):
+    registry = Registry(str(tmp_path / "reg.json"))
+    reg = registry.register(TableRegistration(
+        service="svc", cluster="c1", db="tpch", table="nation",
+        pk_cols=["n_nationkey"]))
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    manifest = run_snapshot_job(
+        spark, registry, reg, src, str(tmp_path / "out"),
+        filters=[RowFilter("n_regionkey", [0, 1], "=", "or")])
+    # filters applied: regions 0,1 only (10 of 25 nations)
+    assert manifest["total_records"] == 10
+    out_dir = os.path.join(str(tmp_path / "out"), "svc.tpch.nation.v0")
+    assert os.path.exists(os.path.join(out_dir, "_DONE"))
+    # events decode as common-format inserts with seqno=-1
+    part = [f for f in manifest["files"]][0]
+    with gzip.open(os.path.join(out_dir, part), "rt") as f:
+        ev = json.loads(f.readline())
+    assert ev["Type"] == "insert" and ev["SeqNo"] == -1
+    # bookkeeping: no longer due
+    assert registry.tables_needing_snapshot() == []
+
+
+def test_run_due_snapshots(spark, tmp_path, sf_dir):
+    registry = Registry(str(tmp_path / "reg.json"))
+    for t in ("region", "nation"):
+        registry.register(TableRegistration(
+            service="svc", cluster="c1", db="tpch", table=t,
+            pk_cols=[f"{'r' if t == 'region' else 'n'}_{t}key"]))
+    loader = lambda reg: spark.read.parquet(f"{sf_dir}/{reg.table}.parquet")  # noqa: E731
+    results = run_due_snapshots(spark, registry, loader, str(tmp_path / "o"))
+    assert set(results) == {"svc.c1.tpch.region.v0", "svc.c1.tpch.nation.v0"}
+    assert results["svc.c1.tpch.region.v0"]["total_records"] == 5
+    # second pass: nothing due
+    assert run_due_snapshots(spark, registry, loader, str(tmp_path / "o")) == {}
+
+
+def test_normalize_zero_time(spark):
+    df = spark.createDataFrame(
+        [("0000-00-00 00:00:00",), ("0000-00-00 00:00:00.123",),
+         ("2024-01-02 03:04:05",), (None,)], "t string")
+    out = df.select(normalize_zero_time(F.col("t")).alias("ts")).collect()
+    assert out[0].ts is None and out[1].ts is None and out[3].ts is None
+    assert out[2].ts is not None and out[2].ts.year == 2024
