@@ -32,6 +32,9 @@ def get_spark(app_name: str = "storagetapper-spark", cpus: int | None = None) ->
         # should broadcast; 64 MiB threshold covers TPC-H dims at sf<=10.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # keep managed (bucketed) tables out of the repo working dir
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark-warehouse"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
