@@ -15,10 +15,12 @@ from storagetapper_spark.plans import (
     relational,
     relational2,
     relational3,
+    relational4,
 )
 
 _ALL: dict[str, tuple[Callable, str | None]] = {}
-for mod in (relational, relational2, relational3, cdc, cdc2, datapipe):
+for mod in (relational, relational2, relational3, relational4,
+            cdc, cdc2, datapipe):
     for name, pair in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"
         _ALL[name] = pair
