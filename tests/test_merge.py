@@ -76,3 +76,23 @@ def test_composite_pk(spark):
     ], "k1 long, k2 long, val string, op string, seqno long")
     got = {(r.k1, r.k2): r.val for r in latest_state(cdc, ["k1", "k2"]).collect()}
     assert got == {(1, 1): "c", (1, 2): "b"}
+
+
+def test_strategies_agree(spark):
+    import random
+    rnd = random.Random(7)
+    rows = [(rnd.randrange(50), f"v{i}",
+             rnd.choice(["insert", "delete"]), i)
+            for i in range(500)]
+    cdc = spark.createDataFrame(rows, CDC_SCHEMA)
+    a = {(r.pk, r.val, r.seqno) for r in
+         latest_state(cdc, ["pk"], strategy="agg").collect()}
+    w = {(r.pk, r.val, r.seqno) for r in
+         latest_state(cdc, ["pk"], strategy="window").collect()}
+    assert a == w
+    # tombstone retention agrees too
+    a2 = {(r.pk, r.op) for r in
+          latest_state(cdc, ["pk"], strategy="agg", drop_deleted=False).collect()}
+    w2 = {(r.pk, r.op) for r in
+          latest_state(cdc, ["pk"], strategy="window", drop_deleted=False).collect()}
+    assert a2 == w2
