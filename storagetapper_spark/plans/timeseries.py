@@ -79,7 +79,43 @@ GROUP BY s.signup_id, s.user_id
 """
 
 
+def rollup_two_level(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable rollup: hourly aggregate re-aggregated to daily —
+    the oracle computes daily straight from raw, proving sums-of-sums
+    re-aggregation is exact (incl. avg carried as sum/count).
+    avg rounds to 4dp: 2dp sits on half-up/half-even representation
+    boundaries across engines (observed 255.15/10)."""
+    from storagetapper_spark.operators.rollup import finalize, reaggregate, rollup_bucket
+
+    ev = t(spark, sf, "events")
+    hourly = rollup_bucket(ev, "ts", "1 hour", ["event_type"], "value")
+    daily = reaggregate(hourly, "1 day", ["event_type"])
+    # NB: no derived avg in the compared output — two-level summation
+    # associates floats differently than the oracle's single-level sum
+    # (ulp differences observed), and (v_sum, v_count) already pin avg.
+    return daily.select(
+        F.col("bucket_start").cast("long").alias("day_start"),
+        "event_type",
+        F.round("v_sum", 2).alias("v_sum"),
+        "v_count", F.round("v_min", 2).alias("v_min"),
+        F.round("v_max", 2).alias("v_max"),
+    )
+
+
+ROLLUP_TWO_LEVEL_SQL = """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS day_start,
+       event_type,
+       round(sum(value), 2) AS v_sum,
+       count(*) AS v_count,
+       round(min(value), 2) AS v_min,
+       round(max(value), 2) AS v_max
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "asof_state_at_event": (asof_state_at_event, ASOF_SQL),
     "range_join_follow_events": (range_join_follow_events, RANGE_JOIN_SQL),
+    "rollup_two_level": (rollup_two_level, ROLLUP_TWO_LEVEL_SQL),
 }
