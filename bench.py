@@ -21,7 +21,8 @@ BENCH_QUERIES = [
     "join_semi_anti", "agg_rollup", "window_topk_per_group",
     "window_running", "sort_limit", "conditional_agg", "sessionize",
     "window_event_time", "agg_stats", "agg_percentiles",
-    "pivot_returnflag", "string_functions2",
+    "pivot_returnflag", "string_functions2", "session_window_native",
+    "asof_state_at_event", "range_join_follow_events", "rollup_two_level",
     # CDC surface
     "cdc_snapshot_scan", "cdc_decompose_updates", "cdc_latest_state",
     "cdc_snapshot_changelog_merge", "cdc_json_roundtrip",

@@ -147,3 +147,17 @@ def test_avro_prepare_epoch_ms(spark):
         "f1 long, f5 timestamp, op string, seqno long, ts long")
     r = avro_prepare(df, pk_cols=["f1"]).collect()[0]
     assert r.f5 == 1704164645000  # epoch ms (encoder/avro.go:283)
+
+
+def test_decode_tolerates_garbage(spark):
+    """Bad-record tolerance: malformed JSON decodes to a null event, not
+    an exception — a 100 TB feed always contains garbage."""
+    df = spark.createDataFrame(
+        [("not json",), ("{\"Type\":",), ("",), (None,),
+         ('{"Type":"insert","Key":["1"],"SeqNo":5,"Timestamp":0,'
+          '"Fields":[{"Name":"f1","Value":"1"}]}',)],
+        "value string")
+    decoded = decode_json(df)
+    rows = decoded.collect()
+    ok = [r for r in rows if r.event is not None and r.event.Type is not None]
+    assert len(ok) == 1 and ok[0].event.SeqNo == 5
