@@ -16,11 +16,12 @@ from storagetapper_spark.plans import (
     relational2,
     relational3,
     relational4,
+    relational5,
     timeseries,
 )
 
 _ALL: dict[str, tuple[Callable, str | None]] = {}
-for mod in (relational, relational2, relational3, relational4,
+for mod in (relational, relational2, relational3, relational4, relational5,
             timeseries, cdc, cdc2, datapipe):
     for name, pair in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"
