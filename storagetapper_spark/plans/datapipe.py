@@ -328,8 +328,101 @@ FROM documents
 """
 
 
+# --- lang-ID confusion matrix vs the labeled lang column ----------------
+
+def text_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    pred = docs.select("lang", X.lang_id(F.col("text")).alias("pred_lang"))
+    return (pred.groupBy("lang", "pred_lang")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _lang_confusion_sql() -> str:
+    inner = _lang_sql()
+    return f"SELECT lang, pred_lang, count(*) AS n FROM ({inner}) GROUP BY lang, pred_lang"
+
+
+# --- exact decimal aggregation (no float rounding in the check) ---------
+
+def agg_decimal_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Money aggregated in DECIMAL — bit-exact across engines, proving
+    the engine's decimal arithmetic (the reference loses decimals to
+    double; we keep fidelity — SURVEY §1.3)."""
+    li = t(spark, sf, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (li.groupBy("l_returnflag")
+              .agg(F.sum(dec).alias("sum_price_dec"),
+                   F.min(dec).alias("min_price_dec"),
+                   F.max(dec).alias("max_price_dec"),
+                   F.count(F.lit(1)).alias("n")))
+
+
+AGG_DECIMAL_SQL = """
+SELECT l_returnflag,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price_dec,
+       min(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price_dec,
+       max(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price_dec,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- composite training-data pipeline (flagship #2) ---------------------
+
+def training_data_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end curation pass: exact-dedup keepers → quality
+    filter → per-language token/size stats.  One declarative lineage:
+    dedup groupBy → join-back → quality features → aggregate."""
+    docs = t(spark, sf, "documents")
+    keepers = D.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    kept = docs.join(keepers, "doc_id")
+    feat = X.quality_features(kept)
+    good = feat.filter((F.col("n_words") >= 10) & (F.col("quality_score") >= 0.3))
+    return (good.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_words").alias("total_words"),
+                     F.round(F.avg("quality_score"), 3).alias("avg_quality"),
+                     F.sum("n_chars_calc").alias("total_chars")))
+
+
+TRAINING_PIPELINE_SQL = """
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), base AS (
+  SELECT d.doc_id, d.lang, d.text,
+         length(d.text) AS n_chars_calc,
+         CASE WHEN length(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))) = 0 THEN 0
+              ELSE length(trim(regexp_replace(d.text, '\\s+', ' ', 'g')))
+                   - length(replace(trim(regexp_replace(d.text, '\\s+', ' ', 'g')), ' ', '')) + 1
+         END AS n_words,
+         length(d.text) - length(regexp_replace(d.text, '[0-9]', '', 'g')) AS n_digit,
+         CAST((length(' ' || lower(d.text) || ' ') - length(replace(' ' || lower(d.text) || ' ', ' the ', ''))) / 5 AS BIGINT)
+         + CAST((length(' ' || lower(d.text) || ' ') - length(replace(' ' || lower(d.text) || ' ', ' and ', ''))) / 5 AS BIGINT)
+         + CAST((length(' ' || lower(d.text) || ' ') - length(replace(' ' || lower(d.text) || ' ', ' of ', ''))) / 4 AS BIGINT)
+         AS stop_hits
+  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+), scored AS (
+  SELECT *,
+         round(least(1.0, n_words / 100.0) * 0.4
+               + least(1.0, round(stop_hits / greatest(n_words, 1), 4) * 5) * 0.4
+               + (1.0 - least(1.0, round(n_digit / greatest(n_chars_calc, 1), 4) * 5)) * 0.2,
+               4) AS quality_score
+  FROM base
+)
+SELECT lang, count(*) AS n_docs, sum(n_words) AS total_words,
+       round(avg(quality_score), 3) AS avg_quality,
+       sum(n_chars_calc) AS total_chars
+FROM scored
+WHERE n_words >= 10 AND quality_score >= 0.3
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "text_lang_confusion": (text_lang_confusion, _lang_confusion_sql()),
+    "agg_decimal_exact": (agg_decimal_exact, AGG_DECIMAL_SQL),
+    "training_data_pipeline": (training_data_pipeline, TRAINING_PIPELINE_SQL),
     "dedup_minhash_signature": (dedup_minhash_signature, _mh_sql()),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _lsh_sql()),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
