@@ -1,0 +1,93 @@
+"""Deterministic sampling and sequence packing for training-data jobs.
+
+- ``hash_sample``: content-hash Bernoulli sampling — deterministic and
+  engine-portable (unlike rng-based ``df.sample``), stable across
+  re-runs: the SAME documents are always picked, which reproducible
+  training-data builds require.
+- ``stratified_hash_sample``: per-stratum rates with the same property.
+- ``pack_sequences``: greedy first-fit packing of documents into token
+  budgets (context windows) per partition — applyInPandas over a
+  distribution key, constant memory, no driver involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: 2^64-scale denominator for md5-prefix-as-uniform
+_DENOM = float(1 << 60)
+
+
+def _uniform_from_hash(col) -> "F.Column":
+    # first 15 hex chars of md5 → [0, 1) uniform, deterministic
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10) \
+            .cast("double") / F.lit(_DENOM)
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: str,
+                salt: str = "") -> DataFrame:
+    """Keep rows whose hash-uniform < rate; same key ⇒ same decision."""
+    u = _uniform_from_hash(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    return df.filter(u < rate)
+
+
+def stratified_hash_sample(df: DataFrame, rates: dict[str, float],
+                           stratum_col: str, key_col: str,
+                           default_rate: float = 0.0,
+                           salt: str = "") -> DataFrame:
+    """Per-stratum deterministic rates (sampleBy without RNG)."""
+    u = _uniform_from_hash(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    rate = F.lit(default_rate)
+    for s, r in rates.items():
+        rate = F.when(F.col(stratum_col) == s, F.lit(r)).otherwise(rate)
+    return df.filter(u < rate)
+
+
+def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
+                   tokens_col: str = "n_tokens",
+                   part_col: str | None = None) -> DataFrame:
+    """Greedy first-fit-decreasing packing of docs into token-budget
+    bins.  Packing runs per partition (``part_col`` or a hash of the id)
+    — bins never span partitions, so the operator scales linearly and
+    shuffles only (id, token-count).
+
+    Output: one row per doc with its (partition, bin) assignment and the
+    bin's total fill."""
+    spark_part = (F.col(part_col) if part_col
+                  else (F.abs(F.xxhash64(F.col(id_col))) % 64)).alias("_part")
+    slim = df.select(F.col(id_col), F.col(tokens_col), spark_part)
+
+    out_schema = T.StructType([
+        T.StructField("_part", T.LongType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField(tokens_col, T.LongType()),
+        T.StructField("bin_id", T.LongType()),
+        T.StructField("bin_fill", T.LongType()),
+    ])
+
+    def pack(key, pdf):
+        import pandas as pd
+        pdf = pdf.sort_values(tokens_col, ascending=False)
+        bins: list[int] = []  # current fill per bin
+        assign = []
+        for tok in pdf[tokens_col]:
+            tok = int(min(tok, budget))
+            placed = None
+            for i, fill in enumerate(bins):
+                if fill + tok <= budget:
+                    placed = i
+                    bins[i] += tok
+                    break
+            if placed is None:
+                bins.append(tok)
+                placed = len(bins) - 1
+            assign.append(placed)
+        pdf = pdf.copy()
+        pdf["bin_id"] = assign
+        pdf["bin_fill"] = [bins[b] for b in assign]
+        return pdf[["_part", id_col, tokens_col, "bin_id", "bin_fill"]]
+
+    return (slim.groupBy("_part").applyInPandas(pack, out_schema)
+                .withColumnRenamed("_part", "pack_partition"))

@@ -418,8 +418,28 @@ GROUP BY lang
 """
 
 
+# --- deterministic content-hash sampling --------------------------------
+
+def sample_deterministic(spark: SparkSession, sf: str) -> DataFrame:
+    """Reproducible 20% sample of documents by id-hash (same docs every
+    run, engine-portable — unlike RNG sampling)."""
+    from storagetapper_spark.operators.sampling import hash_sample
+
+    docs = t(spark, sf, "documents")
+    return hash_sample(docs, 0.2, "doc_id").select("doc_id", "lang", "n_chars")
+
+
+SAMPLE_SQL = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 1152921504606846976.0 < 0.2
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "sample_deterministic": (sample_deterministic, SAMPLE_SQL),
     "text_lang_confusion": (text_lang_confusion, _lang_confusion_sql()),
     "agg_decimal_exact": (agg_decimal_exact, AGG_DECIMAL_SQL),
     "training_data_pipeline": (training_data_pipeline, TRAINING_PIPELINE_SQL),

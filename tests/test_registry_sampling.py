@@ -1,0 +1,70 @@
+"""Codec plugin registry (encoder.Create analog) + deterministic
+sampling + sequence packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from storagetapper_spark.functions.registry import create, registered
+from storagetapper_spark.operators.sampling import (
+    hash_sample,
+    pack_sequences,
+    stratified_hash_sample,
+)
+
+
+def test_codec_registry(spark):
+    assert registered() == ["avro", "json", "msgpack"]
+    with pytest.raises(ValueError):
+        create("protobuf")
+    df = spark.createDataFrame([(1, "a", "insert", 5, 0)],
+                               "pk long, v string, op string, seqno long, ts long")
+    json_codec = create("json")
+    enc = json_codec.encode(df, pk_cols=["pk"])
+    ev = json_codec.decode(enc).select("event.*").collect()[0]
+    assert ev.Type == "insert" and ev.SeqNo == 5
+    mp = create("msgpack")
+    packed = mp.encode(df, pk_cols=["pk"])
+    ev2 = mp.decode(packed).select("event.*").collect()[0]
+    assert ev2.Key == ["1"]
+
+
+def test_hash_sample_deterministic(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in hash_sample(df, 0.2, "doc_id").collect()}
+    b = {r.doc_id for r in hash_sample(df, 0.2, "doc_id").collect()}
+    assert a == b                      # reproducible build
+    assert 0.15 < len(a) / 5000 < 0.25  # ~rate
+    # nested property: a 10% sample is a subset of the 20% sample
+    c = {r.doc_id for r in hash_sample(df, 0.1, "doc_id").collect()}
+    assert c <= a
+    # salt changes the pick
+    d = {r.doc_id for r in hash_sample(df, 0.2, "doc_id", salt="v2").collect()}
+    assert d != a
+
+
+def test_stratified_hash_sample(spark):
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"))
+    out = stratified_hash_sample(df, {"en": 0.5, "de": 0.05}, "lang", "doc_id")
+    counts = {r.lang: r.n for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 800 < counts["en"] < 1200
+    assert 40 < counts.get("de", 0) < 200
+
+
+def test_pack_sequences(spark):
+    df = spark.createDataFrame(
+        [(i, 300 + (i * 37) % 700) for i in range(200)],
+        "doc_id long, n_tokens long")
+    packed = pack_sequences(df, budget=2048)
+    rows = packed.collect()
+    assert len(rows) == 200            # every doc assigned exactly once
+    # no bin exceeds the budget
+    fills = {}
+    for r in rows:
+        fills.setdefault((r.pack_partition, r.bin_id), 0)
+        fills[(r.pack_partition, r.bin_id)] += r.n_tokens
+    assert max(fills.values()) <= 2048
+    # packing is reasonably tight: average fill ≥ 60% of budget
+    assert sum(fills.values()) / (len(fills) * 2048) >= 0.6
