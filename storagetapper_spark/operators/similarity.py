@@ -209,12 +209,19 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def embedding_near_dup(corpus: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding", threshold: float = 0.95,
-                       n_planes: int = 8, dim: int = 64, seed: int = 7) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via SRP blocking: pairs in
-    the same bucket with cosine ≥ threshold.  (Exact variant = blocking
-    on a metadata column instead; same downstream.)"""
-    planes = make_planes(dim, n_planes, seed)
-    c = corpus.select(id_col, vec_col).withColumn("_bucket", srp_bucket(F.col(vec_col), planes))
+                       n_planes: int = 8, dim: int = 64, seed: int = 7,
+                       block_col: str | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: pairs in the same block
+    with cosine ≥ threshold.  Blocking is SRP buckets by default
+    (approximate, ~2^planes candidate reduction — the 100 TB path), or
+    an exact metadata column via ``block_col`` (deterministic, oracle-
+    checkable).  Either way the pair join shuffles only on the block
+    key, never all-pairs."""
+    if block_col is not None:
+        c = corpus.select(id_col, vec_col, F.col(block_col).alias("_bucket"))
+    else:
+        planes = make_planes(dim, n_planes, seed)
+        c = corpus.select(id_col, vec_col).withColumn("_bucket", srp_bucket(F.col(vec_col), planes))
     a, b = c.alias("a"), c.alias("b")
     sim = F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
     return (

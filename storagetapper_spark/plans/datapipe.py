@@ -138,6 +138,33 @@ WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.1
 """
 
 
+# --- embedding-cosine near-dup (label-blocked exact; SRP variant in
+# --- tests — blocking column is the only difference) --------------------
+
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate embedding pairs: same-label blocking, cosine ≥ 0.4
+    (fixture embeddings are near-random; real corpora use ≥0.95).  Pair
+    join shuffles only on the block key — never all-pairs."""
+    emb = t(spark, sf, "embeddings")
+    return (S.embedding_near_dup(emb, threshold=0.4, block_col="label")
+             .select("id_a", "id_b", "cosine_sim"))
+
+
+DEDUP_EMB_COS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+       AS cosine_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+      >= 0.4
+"""
+
+
 # --- simhash (Spark-native; rows-only check) ----------------------------
 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -439,6 +466,7 @@ WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
 
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_COS_SQL),
     "sample_deterministic": (sample_deterministic, SAMPLE_SQL),
     "text_lang_confusion": (text_lang_confusion, _lang_confusion_sql()),
     "agg_decimal_exact": (agg_decimal_exact, AGG_DECIMAL_SQL),
