@@ -69,6 +69,8 @@ def apply_change(schema: T.StructType, change: SchemaChange) -> T.StructType:
     from storagetapper_spark.schema.mysql_types import mysql_to_spark_type
 
     if change.kind == "add":
+        if any(f.name == change.column for f in schema.fields):
+            return schema  # replay-idempotent: column already added
         base = change.mysql_type or "text"
         name = base.split("(")[0]
         prec = scale = None
