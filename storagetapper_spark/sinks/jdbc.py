@@ -27,12 +27,18 @@ def merge_statement(table: str, staging: str, pk_cols: list[str],
     ``ON DUPLICATE KEY UPDATE IF(seqno < VALUES(seqno)...)`` upsert (E5)
     on engines with ANSI MERGE.  Executed per micro-batch in
     foreachBatch after staging the batch."""
-    on = " AND ".join(f"t.{c} = s.{c}" for c in pk_cols)
-    sets = ", ".join(f"t.{c} = s.{c}" for c in data_cols + [seqno_col])
-    ins_cols = ", ".join(pk_cols + data_cols + [seqno_col])
-    ins_vals = ", ".join(f"s.{c}" for c in pk_cols + data_cols + [seqno_col])
+    # identifier quoting per dialect (encoder/sql.go:34-60 analog: ` for
+    # mysql, " for ansi) — required against Spark-created JDBC tables,
+    # whose columns are quoted case-sensitive
+    qc = "`" if dialect == "mysql" else '"'
+    def q(c: str) -> str:
+        return f"{qc}{c}{qc}"
+    on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in pk_cols)
+    sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in data_cols + [seqno_col])
+    ins_cols = ", ".join(q(c) for c in pk_cols + data_cols + [seqno_col])
+    ins_vals = ", ".join(f"s.{q(c)}" for c in pk_cols + data_cols + [seqno_col])
     return (f"MERGE INTO {table} t USING {staging} s ON {on} "
-            f"WHEN MATCHED AND s.{seqno_col} > t.{seqno_col} THEN UPDATE SET {sets} "
+            f"WHEN MATCHED AND s.{q(seqno_col)} > t.{q(seqno_col)} THEN UPDATE SET {sets} "
             f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})")
 
 

@@ -1,0 +1,67 @@
+"""Live JDBC end-to-end against embedded Derby (bundled with Spark):
+append sink, partitioned snapshot read, and the seqno-guarded MERGE —
+the Q1/E5 path executed for real rather than statement-generation-only.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from storagetapper_spark.sinks.jdbc import (
+    jdbc_append,
+    jdbc_snapshot_options,
+    merge_statement,
+)
+
+
+@pytest.fixture(scope="module")
+def derby_url(tmp_path_factory):
+    return f"jdbc:derby:{tmp_path_factory.mktemp('derby')}/db;create=true"
+
+
+def _exec(spark, url, *stmts):
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        for s in stmts:
+            st.execute(s)
+        st.close()
+    finally:
+        conn.close()
+
+
+def test_jdbc_append_and_partitioned_read(spark, derby_url):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("pk"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+        F.col("id").alias("seqno"))
+    jdbc_append(df, derby_url, "snap_t")
+
+    opts = jdbc_snapshot_options(derby_url, "snap_t", "pk", 0, 1000,
+                                 num_partitions=4)
+    back = spark.read.format("jdbc").options(**opts).load()
+    assert back.rdd.getNumPartitions() == 4       # ranged scan, S1 analog
+    assert back.count() == 1000
+    assert back.filter(F.col("pk") == 7).collect()[0].val == "v7"
+
+
+def test_jdbc_seqno_guarded_merge(spark, derby_url):
+    # target with one stale and one fresh row
+    _exec(spark, derby_url,
+          'CREATE TABLE tgt ("pk" BIGINT PRIMARY KEY, "val" VARCHAR(32), "seqno" BIGINT)',
+          "INSERT INTO tgt VALUES (1, 'old', 5), (2, 'current', 50)")
+
+    staging = spark.createDataFrame(
+        [(1, "newer", 10), (2, "stale", 20), (3, "insert", 30)],
+        "pk long, val string, seqno long")
+    jdbc_append(staging, derby_url, "stage_b1")
+
+    _exec(spark, derby_url,
+          merge_statement("tgt", "stage_b1", pk_cols=["pk"],
+                          data_cols=["val"]))
+
+    got = {r.pk: (r.val, r.seqno) for r in
+           spark.read.format("jdbc")
+                .options(url=derby_url, dbtable="tgt").load().collect()}
+    assert got[1] == ("newer", 10)     # seqno 10 > 5: updated
+    assert got[2] == ("current", 50)   # seqno 20 < 50: guarded, untouched
+    assert got[3] == ("insert", 30)    # new key inserted

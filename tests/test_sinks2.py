@@ -16,11 +16,14 @@ def test_prepare_kafka_frame(spark):
 
 def test_merge_statement():
     m = merge_statement("tgt", "stg", ["pk"], ["v1", "v2"])
-    assert m == ("MERGE INTO tgt t USING stg s ON t.pk = s.pk "
-                 "WHEN MATCHED AND s.seqno > t.seqno THEN UPDATE SET "
-                 "t.v1 = s.v1, t.v2 = s.v2, t.seqno = s.seqno "
-                 "WHEN NOT MATCHED THEN INSERT (pk, v1, v2, seqno) "
-                 "VALUES (s.pk, s.v1, s.v2, s.seqno)")
+    assert m == ('MERGE INTO tgt t USING stg s ON t."pk" = s."pk" '
+                 'WHEN MATCHED AND s."seqno" > t."seqno" THEN UPDATE SET '
+                 't."v1" = s."v1", t."v2" = s."v2", t."seqno" = s."seqno" '
+                 'WHEN NOT MATCHED THEN INSERT ("pk", "v1", "v2", "seqno") '
+                 'VALUES (s."pk", s."v1", s."v2", s."seqno")')
+    # mysql dialect: backtick quoting (encoder/sql.go:34-60)
+    m2 = merge_statement("tgt", "stg", ["pk"], ["v1"], dialect="mysql")
+    assert "t.`pk` = s.`pk`" in m2 and '"' not in m2
 
 
 def test_jdbc_snapshot_options():
