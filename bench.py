@@ -23,15 +23,34 @@ BENCH_QUERIES = [
     "window_event_time", "agg_stats", "agg_percentiles",
     "pivot_returnflag", "string_functions2", "session_window_native",
     "asof_state_at_event", "range_join_follow_events", "rollup_two_level",
+    "window_range_frame", "unpivot_measures",
     # CDC surface
     "cdc_snapshot_scan", "cdc_decompose_updates", "cdc_latest_state",
     "cdc_snapshot_changelog_merge", "cdc_json_roundtrip",
     "cdc_msgpack_roundtrip", "cdc_avro_prepare", "cdc_seqno_derivation",
     # training-data ops
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "ann_brute_force", "embedding_stats",
+    "dedup_simhash", "dedup_embedding_cosine", "ann_brute_force",
+    "ann_vectorized", "ann_ivf", "embedding_stats",
+    "sample_deterministic", "sample_stratified",
     "text_lang_id", "text_quality", "text_tokens", "text_fingerprint",
 ]
+
+
+def materialize(df) -> int:
+    """Force FULL computation of every output column JVM-side.
+
+    A bare ``count()`` lets Catalyst prune unreferenced expressions —
+    windows, to_json/from_json, regex columns all get optimized away and
+    the "benchmark" measures just the scan.  Hashing every column into
+    an aggregate keeps the result tiny (1 row to the driver) while
+    making every expression load-bearing."""
+    from pyspark.sql import functions as F
+
+    row = (df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("_h"))
+             .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(_h)"))
+             .collect()[0])
+    return row.n
 
 
 def main() -> int:
@@ -51,7 +70,7 @@ def main() -> int:
         fn = QUERIES[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
-        n = df.count()
+        n = materialize(df)
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
