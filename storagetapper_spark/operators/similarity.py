@@ -148,23 +148,46 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 5,
                   .filter(F.col("rank") <= k))
 
 
+def train_centroids(corpus: DataFrame, n_centroids: int,
+                    vec_col: str = "embedding", seed: int = 42,
+                    max_iter: int = 10):
+    """k-means|| trained IVF centroids (Spark ML — distributed, one
+    pass per iteration over the corpus; the production path vs the
+    deterministic first-N seed).  Returns an (n_centroids × dim)
+    numpy array for broadcast into cell assignment."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    return np.array(model.clusterCenters())
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id_col: str = "query_id") -> DataFrame:
+             query_id_col: str = "query_id",
+             centroids=None) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     centroid cells, search only the query's ``n_probe`` nearest cells.
 
-    Centroids are deterministic (the first ``n_centroids`` corpus vectors
-    by id — production would run k-means and persist them).  At 100 TB
-    the cell assignment is computed at ingest and the corpus is
-    partitioned/bucketed by ``centroid_id``, so a probe reads only
-    n_probe/n_centroids of the data — the classic IVF trade of recall
-    for a ~n_centroids/n_probe scan reduction."""
+    Default centroids are deterministic (the first ``n_centroids``
+    corpus vectors by id — oracle-reproducible); pass
+    ``centroids=train_centroids(corpus, n)`` for the k-means|| trained
+    production path.  At 100 TB the cell assignment is computed at
+    ingest and the corpus is partitioned/bucketed by ``centroid_id``,
+    so a probe reads only n_probe/n_centroids of the data — the
+    classic IVF trade of recall for a ~n_centroids/n_probe scan
+    reduction."""
     import numpy as np
 
-    cent = corpus.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
-    C = np.array([list(r[1]) for r in cent], dtype=np.float64)
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+    else:
+        cent = corpus.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+        C = np.array([list(r[1]) for r in cent], dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
     assign_schema = T.StructType([

@@ -9,7 +9,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from storagetapper_spark.operators.dedup import minhash_lsh_pairs
-from storagetapper_spark.operators.similarity import brute_force_topk, ivf_topk
+from storagetapper_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    train_centroids,
+)
 
 np = pytest.importorskip("numpy")
 
@@ -53,6 +57,20 @@ def test_ivf_recall_at_k(clustered_vectors):
     # probing 4/16 cells of well-clustered data must find most true
     # neighbors; regression here means assignment/probe logic broke
     assert mean_recall >= 0.8, f"IVF recall@{K} = {mean_recall:.2f}"
+
+    # k-means||-trained centroids (the production path) must do at
+    # least as well as the naive first-N seed on clustered data
+    trained = train_centroids(corpus, 16, max_iter=5)
+    approx_t = ivf_topk(corpus, queries, k=K, n_centroids=16, n_probe=4,
+                        centroids=trained)
+    got_t = {}
+    for r in approx_t.collect():
+        got_t.setdefault(r.query_id, set()).add(r.vec_id)
+    recall_t = sum(len(truth[q] & got_t.get(q, set())) / K
+                   for q in truth) / len(truth)
+    assert recall_t >= mean_recall - 0.05, (
+        f"trained-centroid recall {recall_t:.2f} < naive {mean_recall:.2f}")
+    assert recall_t >= 0.9, f"trained IVF recall@{K} = {recall_t:.2f}"
 
 
 def _word_doc(rng, n_words=60):
