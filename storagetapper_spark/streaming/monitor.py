@@ -36,6 +36,21 @@ class ProgressRecorder(StreamingQueryListener):
         p["batches"] += 1
         p["rows"] += event.progress.numInputRows or 0
         p["input_rows_per_sec"] = event.progress.inputRowsPerSecond
+        # stateful-operator telemetry (conflation/evolution sinks):
+        # state rows + memory bound the applyInPandasWithState store;
+        # output/input ratio is the conflation ratio (1.0 = no benefit)
+        try:
+            ops = event.progress.stateOperators or []
+        except Exception:  # pragma: no cover - py4j shape drift
+            ops = []
+        if ops:
+            p["state_rows"] = sum((o.numRowsTotal or 0) for o in ops)
+            p["state_memory_bytes"] = sum(
+                (o.memoryUsedBytes or 0) for o in ops)
+            out_rows = sum((o.numRowsUpdated or 0) for o in ops)
+            if event.progress.numInputRows:
+                p["conflation_ratio"] = round(
+                    out_rows / event.progress.numInputRows, 4)
 
     def onQueryTerminated(self, event):
         p = self.progress.get(str(event.id))

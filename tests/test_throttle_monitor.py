@@ -68,3 +68,40 @@ def test_progress_recorder_and_watchdog(spark, tmp_path):
             assert str(q.id) in dead
     finally:
         spark.streams.removeListener(rec)
+
+
+def test_stateful_metrics_in_recorder(spark, tmp_path):
+    """Conflation telemetry: state rows/memory + conflation ratio from
+    stateOperators progress."""
+    from storagetapper_spark.streaming.stateful import conflate_cdc
+
+    src = str(tmp_path / "conf_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for i in range(10):   # 10 events, 2 keys -> ratio 0.2
+            f.write(json.dumps({"pk": i % 2, "val": f"v{i}",
+                                "op": "insert", "seqno": i}) + "\n")
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        stream = spark.readStream.schema(
+            "pk long, val string, op string, seqno long").json(src)
+        conf = conflate_cdc(stream, ["pk"], ["val"])
+        q = (conf.writeStream.format("memory").queryName("conf_out")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(90)
+        import time
+        for _ in range(40):
+            p = rec.progress.get(str(q.id))
+            if p and "state_rows" in p:
+                break
+            time.sleep(0.25)
+        p = rec.progress[str(q.id)]
+        assert p["state_rows"] == 2            # one state row per key
+        assert p["state_memory_bytes"] > 0
+        assert p["conflation_ratio"] == 0.2    # 10 events -> 2 outputs
+    finally:
+        spark.streams.removeListener(rec)
