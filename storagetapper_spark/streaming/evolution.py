@@ -71,6 +71,39 @@ def _merge_segment(spark: SparkSession, rows: DataFrame,
     spark.read.parquet(tmp).write.mode("overwrite").parquet(cur_path)
 
 
+def apply_evolving_batch(spark: SparkSession, batch_df: DataFrame,
+                         registry: Registry, table_key: str,
+                         state_path: str, pk_cols: list[str]) -> None:
+    """One micro-batch of the evolving pipeline (pure batch function —
+    the streaming sink calls this per trigger; tests/fuzzers call it
+    directly)."""
+    reg = registry.get(table_key)
+    schema = (T.StructType.fromJson(json.loads(reg.schema_json))
+              if reg and reg.schema_json else None)
+    if schema is None:
+        raise ValueError(f"no schema registered for {table_key}")
+
+    ddl_events = sorted(
+        batch_df.filter(F.col("op") == "schema")
+                .select("seqno", "ddl").collect(),
+        key=lambda r: r.seqno)
+    rows = batch_df.filter(F.col("op") != "schema")
+
+    lo = None
+    for ev in ddl_events:
+        seg = rows.filter(F.col("seqno") < ev.seqno)
+        if lo is not None:
+            seg = seg.filter(F.col("seqno") >= lo)
+        _merge_segment(spark, seg, schema, state_path, pk_cols)
+        change = parse_ddl(ev.ddl)
+        if change is not None and change.kind in ("add", "drop"):
+            schema = apply_change(schema, change)
+            registry.update_schema(table_key, schema.json())
+        lo = ev.seqno
+    tail = rows if lo is None else rows.filter(F.col("seqno") >= lo)
+    _merge_segment(spark, tail, schema, state_path, pk_cols)
+
+
 def evolving_upsert_sink(stream: DataFrame, registry: Registry,
                          table_key: str, state_path: str,
                          checkpoint_dir: str, pk_cols: list[str],
@@ -84,31 +117,8 @@ def evolving_upsert_sink(stream: DataFrame, registry: Registry,
     spark = stream.sparkSession
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        reg = registry.get(table_key)
-        schema = (T.StructType.fromJson(json.loads(reg.schema_json))
-                  if reg and reg.schema_json else None)
-        if schema is None:
-            raise ValueError(f"no schema registered for {table_key}")
-
-        ddl_events = sorted(
-            batch_df.filter(F.col("op") == "schema")
-                    .select("seqno", "ddl").collect(),
-            key=lambda r: r.seqno)
-        rows = batch_df.filter(F.col("op") != "schema")
-
-        lo = None
-        for ev in ddl_events:
-            seg = rows.filter(F.col("seqno") < ev.seqno)
-            if lo is not None:
-                seg = seg.filter(F.col("seqno") >= lo)
-            _merge_segment(spark, seg, schema, state_path, pk_cols)
-            change = parse_ddl(ev.ddl)
-            if change is not None and change.kind in ("add", "drop"):
-                schema = apply_change(schema, change)
-                registry.update_schema(table_key, schema.json())
-            lo = ev.seqno
-        tail = rows if lo is None else rows.filter(F.col("seqno") >= lo)
-        _merge_segment(spark, tail, schema, state_path, pk_cols)
+        apply_evolving_batch(spark, batch_df, registry, table_key,
+                             state_path, pk_cols)
 
     writer = (stream.writeStream
               .foreachBatch(process_batch)
