@@ -115,6 +115,36 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
         id_col, *[F.col("_mhs").getItem(i).alias(f"mh_{i}") for i in range(num_hashes)])
 
 
+def lsh_plan(threshold: float, num_hashes: int,
+             fp_budget: float = 0.10, fp_at: float = 0.10) -> tuple[int, int]:
+    """Pick (bands, rows_per_band) for a target Jaccard threshold.
+
+    The LSH s-curve is p(J) = 1 - (1 - J^r)^b with r = num_hashes/b.
+    Contract: maximize the catch probability p(threshold) subject to
+    the unrelated-pair collision rate p(``fp_at``) ≤ ``fp_budget``
+    (unrelated real-corpus pairs sit near J≈0; their collisions are
+    pure wasted candidate-verification compute).  Falls back to the
+    minimum-fp banding if no divisor satisfies the budget.  Pure
+    planning function: tune bands offline, run ``minhash_lsh_pairs``
+    with the result."""
+    def p_collide(j: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - j ** r) ** b
+
+    candidates = []
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        candidates.append((p_collide(threshold, b, r),
+                           p_collide(fp_at, b, r), b, r))
+    within = [c for c in candidates if c[1] <= fp_budget]
+    if within:
+        _, _, b, r = max(within)
+    else:
+        _, _, b, r = min(candidates, key=lambda c: c[1])
+    return b, r
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 8,
                       bands: int = 4, shingle_n: int = 3) -> DataFrame:

@@ -112,3 +112,32 @@ def test_minhash_lsh_precision_recall(spark):
     # p ≈ 1-(1-J^2)^8 ≈ 0.97; unrelated docs have J ≈ 0 -> est ≈ 0
     assert recall >= 0.85, f"LSH recall = {recall:.2f} ({tp}/{len(truth_pairs)})"
     assert precision >= 0.9, f"LSH precision = {precision:.2f}"
+
+
+def test_lsh_plan_properties():
+    """lsh_plan: the s-curve p(J)=1-(1-J^r)^b must catch pairs above the
+    target threshold and reject the unrelated-pair regime."""
+    from storagetapper_spark.operators.dedup import lsh_plan
+
+    def p(j, b, r):
+        return 1 - (1 - j ** r) ** b
+
+    for n in (16, 32, 64, 128):
+        for th in (0.5, 0.6, 0.7, 0.8, 0.9):
+            b, r = lsh_plan(th, n)
+            assert b * r == n
+            # pairs at/above the threshold are caught with high odds
+            assert p(min(th + 0.2, 0.95), b, r) >= 0.85, (n, th, b, r)
+            # the unrelated-pair regime stays under the budget
+            assert p(0.10, b, r) <= 0.10, (n, th, b, r)
+            assert p(0.05, b, r) <= 0.05, (n, th, b, r)
+            # optimality: no budget-satisfying divisor catches more
+            for b2 in range(1, n + 1):
+                if n % b2 or b2 == b:
+                    continue
+                r2 = n // b2
+                if p(0.10, b2, r2) <= 0.10:
+                    assert p(th, b, r) >= p(th, b2, r2), (n, th, b, r, b2)
+    # the measured corpus regime (J≈0.6, 16 hashes) picks the banding
+    # the precision/recall test validated empirically
+    assert lsh_plan(0.6, 16) == (8, 2)
