@@ -74,3 +74,38 @@ def test_partitioned_upsert_and_pruned_rewrite(spark, tmp_path):
     _run(spark, src, state, str(tmp_path / "ck3"))
     again = {r.pk: r.val for r in read_partitioned_state(spark, state).collect()}
     assert again == state_now
+
+
+def test_publish_state_bucketed_joins_without_shuffle(spark, tmp_path):
+    """Serving layout: the published state joins a same-bucketed table
+    with zero Exchange on either side."""
+    from storagetapper_spark.operators.skew import exchange_count, write_bucketed
+    from storagetapper_spark.streaming.pipeline import publish_state_bucketed
+
+    src = str(tmp_path / "feed")
+    state = str(tmp_path / "state")
+    _drop(src, "b1.json", [
+        {"pk": i, "val": f"v{i}", "op": "insert", "seqno": i}
+        for i in range(64)
+    ])
+    _run(spark, src, state, str(tmp_path / "ck"))
+
+    try:
+        st = publish_state_bucketed(spark, state, "state_serv", "pk",
+                                    n_buckets=8)
+        dim = spark.range(0, 64).selectExpr("id as pk", "id * 10 as attr")
+        write_bucketed(dim, "dim_serv", "pk", n_buckets=8)
+        joined = st.join(spark.table("dim_serv"), "pk")
+        assert exchange_count(joined) == 0          # co-located scan join
+        assert joined.count() == 64
+        # baseline: the same shape without bucketing DOES shuffle (force
+        # the merge strategy — a broadcast would hide the exchange)
+        from storagetapper_spark.streaming.pipeline import read_partitioned_state
+        raw = read_partitioned_state(spark, state).join(dim.hint("merge"), "pk")
+        assert exchange_count(raw) > 0
+        # while the bucketed pair under the same hint still needs none
+        assert exchange_count(st.join(spark.table("dim_serv").hint("merge"),
+                                      "pk")) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS state_serv")
+        spark.sql("DROP TABLE IF EXISTS dim_serv")
