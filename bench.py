@@ -23,7 +23,8 @@ BENCH_QUERIES = [
     "window_event_time", "agg_stats", "agg_percentiles",
     "pivot_returnflag", "string_functions2", "session_window_native",
     "asof_state_at_event", "range_join_follow_events", "rollup_two_level",
-    "window_range_frame", "unpivot_measures",
+    "window_range_frame", "unpivot_measures", "q6_forecast_revenue",
+    "q14_promo_effect", "q19_disjunctive_ranges",
     # CDC surface
     "cdc_snapshot_scan", "cdc_decompose_updates", "cdc_latest_state",
     "cdc_snapshot_changelog_merge", "cdc_json_roundtrip",
@@ -34,6 +35,7 @@ BENCH_QUERIES = [
     "ann_vectorized", "ann_ivf", "embedding_stats",
     "sample_deterministic", "sample_stratified",
     "text_lang_id", "text_quality", "text_tokens", "text_fingerprint",
+    "text_pii_flags", "text_repetition",
 ]
 
 

@@ -225,6 +225,52 @@ def ngram_jaccard_pairs(df: DataFrame, bucket_cols: list[str],
     )
 
 
+def connected_components(edges: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b", max_iters: int = 20) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over candidate
+    pairs → (node, component) with component = min node id reachable.
+
+    This is the completion step of every pairwise dedup (LSH/Jaccard/
+    cosine emit PAIRS; keeping one doc per transitive cluster needs
+    components).  Implements iterated min-label propagation — each
+    round: component[u] = min(component[u], min over neighbors) — via
+    self-joins, converging in O(diameter) rounds.  Dup clusters are
+    small and star-shaped in practice (diameter ≤ ~3), so the loop is
+    2-4 shuffles of the EDGE LIST only; node payloads never move.
+    Deterministic, no driver-side graph state.
+    """
+    sym = (edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+                .unionByName(
+                    edges.select(F.col(b_col).alias("src"),
+                                 F.col(a_col).alias("dst")))
+                .distinct())
+    sym.persist()
+    labels = (sym.groupBy("src").agg(F.min("dst").alias("nbr_min"))
+                 .select(F.col("src").alias("node"),
+                         F.least("src", "nbr_min").alias("comp"))
+                 .persist())
+    labels.count()
+    for _ in range(max_iters):
+        # propagate: candidate label for dst = min over neighbors' comps
+        prop = (sym.join(labels, sym.src == labels.node)
+                   .groupBy("dst").agg(F.min("comp").alias("nbr_comp")))
+        new_labels = (labels.join(prop, labels.node == prop.dst, "left")
+                            .select("node",
+                                    F.least("comp", "nbr_comp").alias("comp"))
+                            .persist())
+        # materialize the new generation, then compare + retire the old —
+        # without this, iteration k re-derives the whole k-deep lineage
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.comp") != F.col("o.comp")).limit(1).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 64) -> DataFrame:
     """SimHash fingerprint: sign-sum of per-token 64-bit hashes.

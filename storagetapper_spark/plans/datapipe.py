@@ -138,6 +138,46 @@ WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.1
 """
 
 
+# --- duplicate-cluster resolution (connected components over pairs) ----
+
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive duplicate clusters: connected components over the
+    n-gram-Jaccard candidate pairs, labelling each doc with the min
+    doc_id of its cluster (the canonical keeper).  The completion step
+    after any pairwise dedup — pairs alone can't answer "keep one per
+    group" when dups chain A~B~C."""
+    from storagetapper_spark.operators.dedup import connected_components
+
+    pairs = D.ngram_jaccard_pairs(t(spark, sf, "documents"),
+                                  bucket_cols=["lang", "source"],
+                                  shingle_n=_SHINGLE_N, threshold=0.1)
+    return (connected_components(pairs, "id_a", "id_b")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("comp").alias("cluster_id"))
+            .orderBy("doc_id"))
+
+
+def _clusters_sql() -> str:
+    # transitive closure over the same edge set via recursive CTE;
+    # component id = min reachable node (DuckDB executes the recursion,
+    # Spark runs label propagation — same fixpoint)
+    return f"""
+WITH RECURSIVE edges AS (
+  {NGRAM_JACCARD_SQL}
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+), reach(a, b) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+FROM reach GROUP BY a ORDER BY doc_id
+"""
+
+
 # --- embedding-cosine near-dup (label-blocked exact; SRP variant in
 # --- tests — blocking column is the only difference) --------------------
 
@@ -467,6 +507,7 @@ WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_COS_SQL),
+    "dedup_clusters": (dedup_clusters, _clusters_sql()),
     "sample_deterministic": (sample_deterministic, SAMPLE_SQL),
     "text_lang_confusion": (text_lang_confusion, _lang_confusion_sql()),
     "agg_decimal_exact": (agg_decimal_exact, AGG_DECIMAL_SQL),

@@ -18,12 +18,13 @@ from storagetapper_spark.plans import (
     relational4,
     relational5,
     relational6,
+    relational7,
     timeseries,
 )
 
 _ALL: dict[str, tuple[Callable, str | None]] = {}
 for mod in (relational, relational2, relational3, relational4, relational5,
-            relational6, timeseries, cdc, cdc2, datapipe):
+            relational6, relational7, timeseries, cdc, cdc2, datapipe):
     for name, pair in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"
         _ALL[name] = pair

@@ -1,0 +1,186 @@
+"""Query batch 7: more TPC-H-shaped scans/joins (q4/q6/q14/q19 analogs
+on the fixture schema) and text-quality signals a training pipeline
+filters on (PII detection, repetition ratio)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storagetapper_spark.plans.common import t
+
+
+# --- q6: forecast revenue change (pure pushdown filter + single agg) ----
+
+def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H q6 shape: every predicate reaches the parquet scan
+    (PushedFilters), the agg is a single map-side partial — the
+    minimal-shuffle query (one row crosses the exchange)."""
+    li = t(spark, sf, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                      & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+                      & (F.col("l_discount") >= 0.05)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+              .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                    .alias("revenue"),
+                   F.count(F.lit(1)).alias("n_lines")))
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- q4: order priority checking (EXISTS semi-join) ----------------------
+
+def q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H q4 shape: EXISTS → left-semi join (never multiplies rows,
+    ships only o_orderkey across the shuffle)."""
+    orders = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = t(spark, sf, "lineitem").filter(F.col("l_tax") > 0.05)
+    return (orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+                  .groupBy("o_orderpriority")
+                  .agg(F.count(F.lit(1)).alias("order_count"))
+                  .orderBy("o_orderpriority"))
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_tax > 0.05)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- q14: promotion effect (conditional agg over a join) -----------------
+
+def q14_promo_effect(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    part = t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .agg(F.round(100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                                          .otherwise(0.0)) / F.sum(rev), 4)
+                    .alias("promo_revenue_pct")))
+
+
+Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+# --- q19: discounted revenue (disjunctive multi-range join filter) -------
+
+def q19_disjunctive_ranges(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H q19 shape: OR of (brand, quantity-range, size-range)
+    conjuncts evaluated on a broadcast join — Catalyst extracts the
+    common join key so the disjunction never becomes a cartesian."""
+    li = t(spark, sf, "lineitem")
+    part = t(spark, sf, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11)
+         & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(10, 20)
+           & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(20, 30)
+           & F.col("p_size").between(1, 15))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+         .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#12' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+"""
+
+
+# --- PII detection (training-data compliance filter) ---------------------
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_IPV4_RE = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+_PHONE_RE = "\\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\\b"
+
+
+def text_pii_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document PII signals (email/IP/phone regex counts) — the
+    filter every compliance-scrubbing pipeline runs before training.
+    Pure regexp_count expressions: JVM-side, scan-parallel, no UDF."""
+    docs = t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_IPV4_RE)).alias("n_ipv4"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).alias("n_phones"),
+    ).withColumn("has_pii",
+                 (F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")) > 0)
+
+
+PII_SQL = f"""
+SELECT doc_id, n_emails, n_ipv4, n_phones,
+       (n_emails + n_ipv4 + n_phones) > 0 AS has_pii
+FROM (SELECT doc_id,
+             len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(text, '{_IPV4_RE}')) AS n_ipv4,
+             len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones
+      FROM documents)
+"""
+
+
+# --- repetition ratio (text-quality signal) -------------------------------
+
+def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeated-word mass: 1 - distinct_words/total_words per document —
+    high repetition is the classic low-quality/spam signal.  Split +
+    aggregate expressions only; the scan is the whole cost."""
+    docs = t(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    nd = F.size(F.array_distinct(words))
+    return docs.select(
+        "doc_id", n.alias("n_words"), nd.alias("n_distinct_words"),
+        F.round(1.0 - nd.cast("double") / n, 4).alias("repetition_ratio"))
+
+
+REPETITION_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_words,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+       round(1.0 - len(list_distinct(string_split(text, ' ')))
+                   / len(string_split(text, ' ')), 4) AS repetition_ratio
+FROM documents
+"""
+
+
+QUERIES = {
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q14_promo_effect": (q14_promo_effect, Q14_SQL),
+    "q19_disjunctive_ranges": (q19_disjunctive_ranges, Q19_SQL),
+    "text_pii_flags": (text_pii_flags, PII_SQL),
+    "text_repetition": (text_repetition, REPETITION_SQL),
+}

@@ -69,3 +69,20 @@ def test_simhash_properties(spark):
     got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
     assert got[(1, 2)] == 0
     assert got[(1, 3)] <= 10             # near-dup within hamming budget
+
+
+def test_connected_components_chains(spark):
+    """Transitive clusters: chains collapse to min-id label; separate
+    clusters stay separate; convergence needs multiple propagation
+    rounds for a long path."""
+    from storagetapper_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # path 1-2-3-4-5
+         (10, 11), (11, 12),                   # path 10-11-12
+         (20, 21)],                            # pair
+        "id_a long, id_b long")
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
