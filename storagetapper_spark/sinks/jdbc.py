@@ -42,6 +42,48 @@ def merge_statement(table: str, staging: str, pk_cols: list[str],
             f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})")
 
 
+def jdbc_upsert_sink(cdc_stream: DataFrame, url: str, table: str,
+                     pk_cols: list[str], data_cols: list[str],
+                     checkpoint_dir: str, seqno_col: str = "seqno",
+                     dialect: str = "ansi",
+                     trigger_available_now: bool = True):
+    """Streaming upsert into a SQL database: per micro-batch, resolve to
+    one row per PK (max seqno), stage via ``df.write.jdbc``, MERGE with
+    the seqno guard, drop the staging table.
+
+    Exactly the reference streamer→SQL-pipe path (pipe/sql.go:177-207 +
+    encoder/sql.go idempotent upsert) with Spark checkpointing replacing
+    the offset store: a replayed batch re-runs the same guarded MERGE
+    and converges (seqno-idempotence, SURVEY §4.3)."""
+    from storagetapper_spark.operators.merge import latest_state
+
+    spark = cdc_stream.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        resolved = latest_state(batch_df, pk_cols, seqno_col=seqno_col,
+                                drop_deleted=True)
+        staging = f"{table}_stage_{batch_id}"
+        jdbc_append(resolved.select(*pk_cols, *data_cols, seqno_col),
+                    url, staging)
+        conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            st = conn.createStatement()
+            st.execute(merge_statement(table, staging, pk_cols, data_cols,
+                                       seqno_col=seqno_col, dialect=dialect))
+            st.execute(f"DROP TABLE {staging}")
+            st.close()
+        finally:
+            conn.close()
+
+    writer = (cdc_stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def jdbc_snapshot_options(url: str, table: str, pk_col: str,
                           lower: int, upper: int,
                           num_partitions: int = 32,

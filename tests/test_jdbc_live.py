@@ -65,3 +65,52 @@ def test_jdbc_seqno_guarded_merge(spark, derby_url):
     assert got[1] == ("newer", 10)     # seqno 10 > 5: updated
     assert got[2] == ("current", 50)   # seqno 20 < 50: guarded, untouched
     assert got[3] == ("insert", 30)    # new key inserted
+
+
+def test_streaming_jdbc_upsert(spark, derby_url, tmp_path):
+    """Streaming CDC feed -> staged MERGE into Derby: the reference's
+    streamer->SQL-pipe path end-to-end with checkpoint resume."""
+    import json as _json
+    import os as _os
+
+    from storagetapper_spark.sinks.jdbc import jdbc_upsert_sink
+
+    src = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    _os.makedirs(src)
+    _exec(spark, derby_url,
+          'CREATE TABLE cdc_tgt ("pk" BIGINT PRIMARY KEY, "val" VARCHAR(32), "seqno" BIGINT)')
+
+    def drop(name, events):
+        with open(_os.path.join(src, name), "w") as f:
+            for e in events:
+                f.write(_json.dumps(e) + "\n")
+
+    def run():
+        stream = spark.readStream.schema(
+            "pk long, val string, op string, seqno long").json(src)
+        q = jdbc_upsert_sink(stream, derby_url, "cdc_tgt",
+                             pk_cols=["pk"], data_cols=["val"],
+                             checkpoint_dir=ckpt)
+        q.awaitTermination(120)
+
+    def read_tgt():
+        return {r.pk: (r.val, r.seqno) for r in
+                spark.read.format("jdbc")
+                     .options(url=derby_url, dbtable="cdc_tgt").load().collect()}
+
+    drop("b1.json", [
+        {"pk": 1, "val": "a", "op": "insert", "seqno": 1},
+        {"pk": 1, "val": "a2", "op": "insert", "seqno": 3},   # conflates
+        {"pk": 2, "val": "b", "op": "insert", "seqno": 2},
+    ])
+    run()
+    assert read_tgt() == {1: ("a2", 3), 2: ("b", 2)}
+
+    # resume from checkpoint: late-older event guarded, new key merged
+    drop("b2.json", [
+        {"pk": 1, "val": "late", "op": "insert", "seqno": 0},
+        {"pk": 3, "val": "c", "op": "insert", "seqno": 9},
+    ])
+    run()
+    assert read_tgt() == {1: ("a2", 3), 2: ("b", 2), 3: ("c", 9)}
