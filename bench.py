@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "cdc_snapshot_scan", "cdc_decompose_updates", "cdc_latest_state",
     "cdc_snapshot_changelog_merge", "cdc_json_roundtrip",
     "cdc_msgpack_roundtrip", "cdc_avro_prepare", "cdc_seqno_derivation",
+    "snapshot_diff_changelog",
     # training-data ops
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_embedding_cosine", "ann_brute_force",

@@ -176,7 +176,58 @@ FROM documents
 """
 
 
+# --- snapshot diff (derive a changelog from two snapshot versions) -------
+
+def snapshot_diff_changelog(spark: SparkSession, sf: str) -> DataFrame:
+    """Diff-based CDC fallback: minimal insert/update/delete set between
+    two deterministic 'versions' of lineitem (v2 extends the date range,
+    drops orderkeys %97, bumps quantity for %89)."""
+    from storagetapper_spark.operators.snapshot_diff import snapshot_diff
+
+    li = t(spark, sf, "lineitem")
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    old = (li.filter(F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+             .select(*cols))
+    new = (li.filter((F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+                     & (F.col("l_orderkey") % 97 != 0))
+             .select("l_orderkey", "l_linenumber",
+                     F.when(F.col("l_orderkey") % 89 == 0,
+                            F.col("l_quantity") + 1)
+                      .otherwise(F.col("l_quantity")).alias("l_quantity"),
+                     "l_extendedprice"))
+    return snapshot_diff(old, new, pk_cols=["l_orderkey", "l_linenumber"])
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH oldv AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-07-01'
+), newv AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_orderkey % 89 = 0 THEN l_quantity + 1
+              ELSE l_quantity END AS l_quantity,
+         l_extendedprice
+  FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_orderkey % 97 <> 0
+)
+SELECT * FROM (
+  SELECT coalesce(o.l_orderkey, n.l_orderkey) AS l_orderkey,
+         coalesce(o.l_linenumber, n.l_linenumber) AS l_linenumber,
+         CASE WHEN o.l_orderkey IS NULL THEN 'insert'
+              WHEN n.l_orderkey IS NULL THEN 'delete'
+              WHEN o.l_quantity IS DISTINCT FROM n.l_quantity
+                OR o.l_extendedprice IS DISTINCT FROM n.l_extendedprice
+              THEN 'update' END AS op,
+         n.l_quantity, n.l_extendedprice
+  FROM oldv o
+  FULL JOIN newv n
+    ON o.l_orderkey = n.l_orderkey AND o.l_linenumber = n.l_linenumber
+) WHERE op IS NOT NULL
+"""
+
+
 QUERIES = {
+    "snapshot_diff_changelog": (snapshot_diff_changelog, SNAPSHOT_DIFF_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q14_promo_effect": (q14_promo_effect, Q14_SQL),

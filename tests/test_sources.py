@@ -94,3 +94,23 @@ def test_ordering_contract_after_decompose(spark):
            decompose_updates(cdc).orderBy("seqno").collect()]
     assert seq == [("delete", "a"), ("insert", "a"),
                    ("delete", "b"), ("insert", "b")]
+
+
+def test_snapshot_diff(spark):
+    """Minimal change set between two snapshots: insert/update/delete,
+    unchanged rows dropped."""
+    from storagetapper_spark.operators.snapshot_diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "pk long, v string, x double")
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),          # unchanged
+         (2, "b2", 20.0),         # update
+         (4, "d", 40.0)],         # insert; pk=3 deleted
+        "pk long, v string, x double")
+    got = {r.pk: (r.op, r.v, r.x) for r in
+           snapshot_diff(old, new, ["pk"]).collect()}
+    assert got == {2: ("update", "b2", 20.0),
+                   3: ("delete", None, None),
+                   4: ("insert", "d", 40.0)}
