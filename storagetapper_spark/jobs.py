@@ -71,3 +71,28 @@ def run_due_snapshots(spark: SparkSession, registry: Registry,
         results[reg.key] = run_snapshot_job(
             spark, registry, reg, source_loader(reg), output_root)
     return results
+
+
+def run_due_snapshots_parallel(spark: SparkSession, registry: Registry,
+                               source_loader, output_root: str,
+                               now: float | None = None,
+                               max_workers: int = 8) -> dict[str, dict]:
+    """Concurrent form of the snapshot loop — the reference's worker
+    pool (pool/pool.go:52-96, NumCPU workers each claiming a table)
+    mapped to Spark: N driver threads submit independent jobs and the
+    fair scheduler interleaves their stages across executors.  Small
+    tables no longer serialize behind big ones; per-table failures are
+    isolated (returned as {"error": ...}, the lease-timeout analog)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    due = registry.tables_needing_snapshot(now=now)
+
+    def one(reg):
+        try:
+            return reg.key, run_snapshot_job(
+                spark, registry, reg, source_loader(reg), output_root)
+        except Exception as e:  # noqa: BLE001 — isolate per-table failure
+            return reg.key, {"error": str(e)}
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        return dict(ex.map(one, due))

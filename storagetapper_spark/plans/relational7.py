@@ -226,7 +226,67 @@ SELECT * FROM (
 """
 
 
+# --- tf-idf ranked retrieval (inverted-index keyword search) -------------
+
+_SEARCH_TERMS = ["spark", "join", "window"]
+_TOPK = 10
+
+
+def text_tfidf_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyword search: tf-idf-ranked top-10 docs for a fixed query.
+    Shape = the batch build of an inverted index: explode to (doc, term)
+    postings, per-term document frequencies (a broadcast-sized dim —
+    |vocab| rows), then score = Σ tf·idf over query terms.  Postings
+    shuffle once on the term; document text never leaves the scan."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    tf = (tok.filter(F.col("w").isin(_SEARCH_TERMS))
+             .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = (tok.filter(F.col("w").isin(_SEARCH_TERMS))
+                .groupBy("w").agg(F.countDistinct("doc_id").alias("df")))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = (tf.join(F.broadcast(dfreq), "w")
+                .withColumn("tfidf", F.col("tf") * idf)
+                .groupBy("doc_id")
+                .agg(F.round(F.sum("tfidf"), 4).alias("score"),
+                     F.count(F.lit(1)).alias("n_terms_hit")))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= _TOPK))
+
+
+def _tfidf_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), hits AS (
+  SELECT doc_id, w FROM tok WHERE w IN ({terms})
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM hits GROUP BY doc_id, w
+), dfreq AS (
+  SELECT w, count(DISTINCT doc_id) AS df FROM hits GROUP BY w
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0)), 4)
+           AS score,
+         count(*) AS n_terms_hit
+  FROM tf JOIN dfreq USING (w) CROSS JOIN n
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score, n_terms_hit,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM scored
+QUALIFY rank <= {_TOPK}
+"""
+
+
 QUERIES = {
+    "text_tfidf_search": (text_tfidf_search, _tfidf_sql()),
     "snapshot_diff_changelog": (snapshot_diff_changelog, SNAPSHOT_DIFF_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),

@@ -55,3 +55,40 @@ def test_normalize_zero_time(spark):
     out = df.select(normalize_zero_time(F.col("t")).alias("ts")).collect()
     assert out[0].ts is None and out[1].ts is None and out[3].ts is None
     assert out[2].ts is not None and out[2].ts.year == 2024
+
+
+def test_run_due_snapshots_parallel(spark, tmp_path, sf_dir):
+    """Worker-pool analog: 3 tables snapshot concurrently; one broken
+    registration fails in isolation."""
+    from storagetapper_spark.jobs import run_due_snapshots_parallel
+    from storagetapper_spark.sinks.files import read_manifest
+    from storagetapper_spark.state import Registry, TableRegistration
+
+    registry = Registry(str(tmp_path / "reg.json"))
+    for name, pk in [("region", "r_regionkey"), ("nation", "n_nationkey"),
+                     ("supplier", "s_suppkey")]:
+        registry.register(TableRegistration(
+            service="svc", cluster="c1", db="tpch", table=name,
+            pk_cols=[pk]))
+    registry.register(TableRegistration(
+        service="svc", cluster="c1", db="tpch", table="missing",
+        pk_cols=["nope"]))
+
+    def loader(reg):
+        import os as _os
+        path = _os.path.join(sf_dir, f"{reg.table}.parquet")
+        return spark.read.parquet(path)
+
+    out = str(tmp_path / "out")
+    results = run_due_snapshots_parallel(spark, registry, loader, out,
+                                         max_workers=4)
+    assert len(results) == 4
+    assert "error" in results["svc.c1.tpch.missing.v0"]
+    ok = [k for k in results if "error" not in results[k]]
+    assert len(ok) == 3
+    for k in ok:
+        m = results[k]
+        assert m["total_records"] > 0
+    # failed table still flagged for snapshot; successes cleared
+    due = {r.table for r in registry.tables_needing_snapshot()}
+    assert due == {"missing"}
