@@ -177,6 +177,47 @@ def read_partitioned_state(spark: SparkSession, state_dir: str,
             .drop("_bucket"))
 
 
+def propagate_deletes(spark: SparkSession, state_dir: str,
+                      keys: DataFrame, pk_cols: list[str],
+                      n_buckets: int = 256) -> int:
+    """Targeted hard-delete from the bucket-partitioned state (the
+    GDPR/right-to-be-forgotten path): physically remove the given keys,
+    rewriting ONLY the buckets they hash into — O(touched buckets), not
+    O(state).  Unlike a tombstone upsert, the rows are gone from disk.
+    Returns the number of rows removed."""
+    cur_path = os.path.join(state_dir, "current")
+    bucket = F.pmod(F.xxhash64(*pk_cols), F.lit(n_buckets)).cast("int")
+    keyed = keys.select(*pk_cols).distinct().withColumn("_bucket", bucket)
+    keyed.persist()
+    touched = [r._bucket for r in keyed.select("_bucket").distinct().collect()]
+    dirs = [os.path.join(cur_path, f"_bucket={b}") for b in touched
+            if os.path.exists(os.path.join(cur_path, f"_bucket={b}"))]
+    if not dirs:
+        keyed.unpersist()
+        return 0
+    cur = spark.read.option("basePath", cur_path).parquet(*dirs)
+    before = cur.count()
+    kept = cur.join(F.broadcast(keyed.drop("_bucket")), pk_cols, "left_anti")
+    stage = os.path.join(state_dir, "stage_delete")
+    kept.repartition("_bucket").write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+    removed = before - staged.count()
+    (staged.write.mode("overwrite")
+           .option("partitionOverwriteMode", "dynamic")
+           .partitionBy("_bucket").parquet(cur_path))
+    keyed.unpersist()
+    import shutil
+    # dynamic overwrite only replaces buckets PRESENT in the staged
+    # data; a bucket whose every row was deleted must be removed by hand
+    remaining = {r._bucket for r in staged.select("_bucket").distinct().collect()}
+    for b in touched:
+        if b not in remaining:
+            shutil.rmtree(os.path.join(cur_path, f"_bucket={b}"),
+                          ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    return removed
+
+
 def publish_state_bucketed(spark: SparkSession, state_dir: str,
                            table_name: str, pk_col: str,
                            n_buckets: int = 64) -> DataFrame:

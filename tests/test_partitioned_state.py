@@ -109,3 +109,44 @@ def test_publish_state_bucketed_joins_without_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS state_serv")
         spark.sql("DROP TABLE IF EXISTS dim_serv")
+
+
+def test_propagate_deletes_bucket_pruned(spark, tmp_path):
+    """GDPR hard-delete: rows physically removed, only their buckets
+    rewritten; a fully-emptied bucket directory disappears."""
+    from pyspark.sql import functions as F
+
+    from storagetapper_spark.streaming.pipeline import propagate_deletes
+
+    src = str(tmp_path / "feed")
+    state = str(tmp_path / "state")
+    _drop(src, "b1.json", [
+        {"pk": i, "val": f"v{i}", "op": "insert", "seqno": i}
+        for i in range(64)
+    ])
+    _run(spark, src, state, str(tmp_path / "ck"))
+    before = _bucket_files(state)
+
+    # keys of one whole bucket + one key from another
+    bdf = (spark.createDataFrame([(i,) for i in range(64)], "pk long")
+           .withColumn("_b", F.pmod(F.xxhash64("pk"), F.lit(8)).cast("int")))
+    by_bucket = {}
+    for r in bdf.collect():
+        by_bucket.setdefault(r._b, []).append(r.pk)
+    victim_bucket = min(by_bucket)
+    other_bucket = max(by_bucket)
+    to_delete = by_bucket[victim_bucket] + [by_bucket[other_bucket][0]]
+
+    keys = spark.createDataFrame([(k,) for k in to_delete], "pk long")
+    removed = propagate_deletes(spark, state, keys, ["pk"], n_buckets=8)
+    assert removed == len(to_delete)
+
+    from storagetapper_spark.streaming.pipeline import read_partitioned_state
+    left = {r.pk for r in read_partitioned_state(spark, state).collect()}
+    assert left == set(range(64)) - set(to_delete)
+
+    after = _bucket_files(state)
+    assert victim_bucket not in after          # emptied dir removed
+    untouched = set(before) - {victim_bucket, other_bucket}
+    for b in untouched:
+        assert sorted(before[b]) == sorted(after[b]), f"bucket {b} rewritten"
