@@ -77,6 +77,32 @@ def main() -> int:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    # BASELINE.md bench protocol: rows/s for the snapshot→encode→sink
+    # path (gzip text files, _DONE manifest) — the reference's hot path.
+    import shutil
+    import tempfile
+
+    from storagetapper_spark.jobs import run_snapshot_job
+    from storagetapper_spark.state import Registry, TableRegistration
+
+    tmp = tempfile.mkdtemp(prefix="bench_snap_")
+    try:
+        reg_store = Registry(os.path.join(tmp, "reg.json"))
+        reg = reg_store.register(TableRegistration(
+            service="bench", cluster="c", db="tpch", table="lineitem",
+            pk_cols=["l_orderkey", "l_linenumber"]))
+        src = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        t0 = time.time()
+        manifest = run_snapshot_job(spark, reg_store, reg, src,
+                                    os.path.join(tmp, "out"))
+        snap_sec = time.time() - t0
+        snap_rows_per_sec = round(manifest["total_records"] / snap_sec)
+        print(f"# snapshot_encode_sink: {round(snap_sec, 3)}s "
+              f"({manifest['total_records']} rows, {snap_rows_per_sec} rows/s)",
+              file=sys.stderr)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     print(json.dumps({
@@ -85,6 +111,7 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
+        "snapshot_rows_per_sec": snap_rows_per_sec,
     }))
     spark.stop()
     return 0
