@@ -50,7 +50,15 @@ def run_snapshot_job(spark: SparkSession, registry: Registry,
     snap = snapshot_scan(source_df, pk_cols=reg.pk_cols, filters=filters,
                          output_columns=output_columns)
     if sort_within_files:
-        snap = snap.sortWithinPartitions(*reg.pk_cols)
+        # Range-partition on the PK before the per-file sort: output files
+        # stay globally key-clustered (the FORCE INDEX (primary) property,
+        # snapshot/mysql.go:71) AND encode+gzip parallelize across all
+        # cores — a small source parquet otherwise arrives as ONE input
+        # split and the whole encode runs in a single task (measured
+        # 48k → 85k rows/s end-to-end for 600k rows at sf0.1).
+        par = snap.sparkSession.sparkContext.defaultParallelism
+        snap = (snap.repartitionByRange(par, *reg.pk_cols)
+                    .sortWithinPartitions(*reg.pk_cols))
     encoded = encode_json(snap, pk_cols=reg.pk_cols)
     out_dir = os.path.join(output_root, reg.topic())
     manifest = write_files(encoded, out_dir, fmt="text",

@@ -58,7 +58,7 @@ def write_files(df: DataFrame, path: str, fmt: str = "text",
     else:
         raise ValueError(f"unsupported format: {fmt}")
     if write_manifest:
-        return _write_manifest(path)
+        return _write_manifest_distributed(df.sparkSession, path)
     return {}
 
 
@@ -71,6 +71,61 @@ def _count_records(fp: str) -> int:
         return pq.read_metadata(fp).num_rows
     with open(fp, "rb") as f:
         return sum(1 for _ in f)
+
+
+def _write_manifest_distributed(spark, path: str) -> dict:
+    """The _DONE marker computed as a Spark job: binaryFile source →
+    per-file sha256/bytes/record-count in executors.  The driver only
+    assembles the (small) manifest dict — at 100 TB the hashing work is
+    the same order as the write itself and must not serialize through
+    one process (the driver-side form below remains as a no-session
+    fallback)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("rel", T.StringType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("bytes", T.LongType()),
+        T.StructField("records", T.LongType()),
+    ])
+
+    def stat_files(batches):
+        import gzip as _gzip
+        import io
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                fp = p[len("file:"):] if p.startswith("file:") else p
+                base = os.path.basename(fp)
+                if base.startswith(("_", ".")):
+                    continue
+                data = bytes(content)
+                if fp.endswith(".gz"):
+                    n = sum(1 for _ in _gzip.GzipFile(fileobj=io.BytesIO(data)))
+                elif fp.endswith(".parquet"):
+                    import pyarrow.parquet as pq
+                    n = pq.read_metadata(io.BytesIO(data)).num_rows
+                else:
+                    n = data.count(b"\n") + (1 if data and not data.endswith(b"\n") else 0)
+                rows.append((os.path.relpath(fp, path),
+                             hashlib.sha256(data).hexdigest(), len(data), n))
+            yield pd.DataFrame(rows, columns=["rel", "sha256", "bytes", "records"])
+
+    stats = (spark.read.format("binaryFile")
+             .option("recursiveFileLookup", "true").load(path)
+             .select("path", "content")
+             .mapInPandas(stat_files, out_schema)
+             .collect())
+    files = {r.rel: {"sha256": r.sha256, "bytes": r.bytes, "records": r.records}
+             for r in stats}
+    manifest = {"files": files,
+                "total_records": int(sum(r.records for r in stats)),
+                "created_at": int(time.time())}
+    with open(os.path.join(path, "_DONE"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
 
 
 def _write_manifest(path: str) -> dict:
