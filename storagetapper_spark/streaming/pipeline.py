@@ -39,6 +39,46 @@ def read_changelog_stream(spark: SparkSession, path: str,
     return reader.json(path)
 
 
+def read_changelog_stream_with_dlq(spark: SparkSession, path: str,
+                                   schema: T.StructType,
+                                   dead_letter_dir: str,
+                                   max_files_per_trigger: int | None = None,
+                                   ) -> tuple[DataFrame, "callable"]:
+    """Changelog stream with a dead-letter queue: malformed feed lines
+    are captured (PERMISSIVE + _corrupt_record) instead of poisoning the
+    query.  Returns (clean_stream, route) — call ``route(batch_df)``
+    inside foreachBatch: it appends that batch's corrupt raw lines to
+    ``dead_letter_dir`` and returns the clean rows.  A poisoned event
+    stalls the reference reader until the watchdog kills it
+    (changelog/mysql.go:885-908); here bad input is quarantined with
+    full fidelity for replay, and the stream keeps moving."""
+    full = T.StructType(list(schema.fields)
+                        + [T.StructField("_corrupt_record", T.StringType())])
+    reader = (spark.readStream.schema(full)
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", "_corrupt_record"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(path)
+
+    def route(batch_df: DataFrame) -> DataFrame:
+        # Spark requires caching a frame before filtering on the
+        # corrupt-record column alone (it is populated at parse time)
+        batch_df.persist()
+        try:
+            bad = batch_df.filter(F.col("_corrupt_record").isNotNull()) \
+                          .select("_corrupt_record")
+            if bad.limit(1).count():
+                bad.write.mode("append").text(dead_letter_dir)
+            clean = (batch_df.filter(F.col("_corrupt_record").isNull())
+                             .drop("_corrupt_record"))
+            return clean
+        finally:
+            batch_df.unpersist()
+
+    return stream, route
+
+
 def incremental_upsert_sink(cdc_stream: DataFrame, state_dir: str,
                             checkpoint_dir: str, pk_cols: list[str],
                             seqno_col: str = "seqno", op_col: str = "op",

@@ -110,3 +110,37 @@ def test_streaming_dedup(spark, tmp_path):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(60)
     assert spark.sql("select count(*) n from dedup_out").collect()[0].n == 2
+
+
+def test_dead_letter_queue(spark, tmp_path):
+    """Malformed feed lines are quarantined to the DLQ with full
+    fidelity; valid events in the same batch still materialize."""
+    from storagetapper_spark.streaming.pipeline import (
+        read_changelog_stream_with_dlq,
+    )
+
+    src = str(tmp_path / "feed")
+    dlq = str(tmp_path / "dlq")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        f.write(json.dumps({"pk": 1, "val": "a", "op": "insert", "seqno": 1}) + "\n")
+        f.write('{"pk": 2, "val": "b", "op": "insert", "seqno": }\n')   # broken
+        f.write("total garbage line\n")
+        f.write(json.dumps({"pk": 3, "val": "c", "op": "insert", "seqno": 3}) + "\n")
+
+    stream, route = read_changelog_stream_with_dlq(spark, src, CDC_SCHEMA, dlq)
+
+    def sink(batch_df, batch_id):
+        route(batch_df).write.mode("append").parquet(out)
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+
+    good = {r.pk for r in spark.read.parquet(out).collect()}
+    assert good == {1, 3}
+    bad_lines = {r.value for r in spark.read.text(dlq).collect()}
+    assert bad_lines == {'{"pk": 2, "val": "b", "op": "insert", "seqno": }',
+                         "total garbage line"}
