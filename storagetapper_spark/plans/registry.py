@@ -20,11 +20,12 @@ from storagetapper_spark.plans import (
     relational6,
     relational7,
     timeseries,
+    timeseries2,
 )
 
 _ALL: dict[str, tuple[Callable, str | None]] = {}
 for mod in (relational, relational2, relational3, relational4, relational5,
-            relational6, relational7, timeseries, cdc, cdc2, datapipe):
+            relational6, relational7, timeseries, timeseries2, cdc, cdc2, datapipe):
     for name, pair in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"
         _ALL[name] = pair
