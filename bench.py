@@ -23,6 +23,7 @@ BENCH_QUERIES = [
     "window_event_time", "agg_stats", "agg_percentiles",
     "pivot_returnflag", "string_functions2", "session_window_native",
     "asof_state_at_event", "range_join_follow_events", "rollup_two_level",
+    "funnel_view_click_purchase", "retention_cohorts", "text_tfidf_search",
     "window_range_frame", "unpivot_measures", "q6_forecast_revenue",
     "q14_promo_effect", "q19_disjunctive_ranges",
     # CDC surface
