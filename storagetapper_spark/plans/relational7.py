@@ -285,7 +285,32 @@ QUALIFY rank <= {_TOPK}
 """
 
 
+# --- mergeable histogram sketch -----------------------------------------
+
+def sketch_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram of l_quantity per linestatus (long form:
+    one row per non-empty bin).  The per-partition partial IS the
+    sketch; the shuffle moves ≤ n_bins rows per group however many
+    input rows exist (operators/sketch.py)."""
+    li = t(spark, sf, "lineitem")
+    bin_id = F.least(F.greatest(F.floor(F.col("l_quantity") / 2.0), F.lit(0)),
+                     F.lit(24)).cast("int")
+    return (li.withColumn("bin", bin_id)
+              .groupBy("l_linestatus", "bin")
+              .agg(F.count(F.lit(1)).alias("n")))
+
+
+SKETCH_HIST_SQL = """
+SELECT l_linestatus,
+       CAST(least(greatest(floor(l_quantity / 2.0), 0), 24) AS INT) AS bin,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_linestatus, bin
+"""
+
+
 QUERIES = {
+    "sketch_histogram": (sketch_histogram, SKETCH_HIST_SQL),
     "text_tfidf_search": (text_tfidf_search, _tfidf_sql()),
     "snapshot_diff_changelog": (snapshot_diff_changelog, SNAPSHOT_DIFF_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
