@@ -290,6 +290,25 @@ def windowed_event_counts(stream: DataFrame, ts_col: str = "ts",
                           *gcols, "n_events", "sum_value"))
 
 
+def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
+                       left_ts: str = "ts", right_ts: str = "ts",
+                       within: str = "1 hour",
+                       watermark: str = "2 hours",
+                       right_key: str | None = None) -> DataFrame:
+    """Stream↔stream inner join (the §2.6 surface the reference cannot
+    express at all — it correlates nothing across streams): match events
+    on ``key`` when the right event lands within ``within`` after the
+    left one.  BOTH watermarks plus the time-range join condition are
+    what let Spark evict join state — without them state grows O(stream).
+    State per side ≈ events within (watermark + within)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = ((lw[key] == rw[right_key or key])
+            & (rw[right_ts] >= lw[left_ts])
+            & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}")))
+    return lw.join(rw, cond, "inner")
+
+
 def streaming_dedup(stream: DataFrame, key_cols: list[str],
                     ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
     """At-least-once retransmit cleanup in-stream:

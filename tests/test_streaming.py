@@ -144,3 +144,38 @@ def test_dead_letter_queue(spark, tmp_path):
     bad_lines = {r.value for r in spark.read.text(dlq).collect()}
     assert bad_lines == {'{"pk": 2, "val": "b", "op": "insert", "seqno": }',
                          "total garbage line"}
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Two live streams joined on key within a time bound; an
+    out-of-window pair does not match."""
+    from pyspark.sql import types as T
+
+    from storagetapper_spark.streaming.pipeline import stream_stream_join
+
+    ls, rs = str(tmp_path / "l"), str(tmp_path / "r")
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("ts", T.TimestampType()),
+                        T.StructField("v", T.StringType())])
+    _drop(ls, "a.json", [
+        {"k": 1, "ts": "2024-01-01T10:00:00", "v": "L1"},
+        {"k": 2, "ts": "2024-01-01T10:00:00", "v": "L2"},
+    ])
+    _drop(rs, "a.json", [
+        {"k": 1, "ts": "2024-01-01T10:30:00", "v": "R1"},   # within 1h
+        {"k": 2, "ts": "2024-01-01T12:30:00", "v": "R2"},   # outside 1h
+    ])
+    left = spark.readStream.schema(sch).json(ls) \
+        .select("k", "ts", F.col("v").alias("lv"))
+    right = spark.readStream.schema(sch).json(rs) \
+        .select(F.col("k").alias("rk"), F.col("ts").alias("rts"),
+                F.col("v").alias("rv"))
+    joined = stream_stream_join(left, right, "k", "ts", "rts",
+                                within="1 hour", right_key="rk")
+    q = (joined.writeStream.format("memory").queryName("ssj")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(90)
+    rows = [(r.k, r.lv, r.rv) for r in spark.table("ssj").collect()]
+    assert rows == [(1, "L1", "R1")]
