@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from storagetapper_spark.plans import (
     cdc,
+    extensions,
     cdc2,
     datapipe,
     relational,
@@ -25,7 +26,8 @@ from storagetapper_spark.plans import (
 
 _ALL: dict[str, tuple[Callable, str | None]] = {}
 for mod in (relational, relational2, relational3, relational4, relational5,
-            relational6, relational7, timeseries, timeseries2, cdc, cdc2, datapipe):
+            relational6, relational7, timeseries, timeseries2, cdc, cdc2,
+            datapipe, extensions):
     for name, pair in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"
         _ALL[name] = pair
