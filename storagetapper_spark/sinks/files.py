@@ -189,6 +189,51 @@ def encrypt_files(path: str, key: bytes, suffix: str = ".enc") -> list[str]:
     return out
 
 
+def encrypt_files_distributed(spark, path: str, key: bytes,
+                              suffix: str = ".enc") -> list[str]:
+    """Distributed form of ``encrypt_files``: binaryFile scan →
+    per-file AES-256-GCM in executors (same pattern as the distributed
+    manifest — at 100 TB the crypto work scales with the write, not the
+    driver).  Executors write sibling ``.enc`` files directly (local FS
+    / NFS / fuse mounts; for object stores route the write through the
+    Hadoop FS API); the driver removes originals only after the job
+    reports every file encrypted."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([T.StructField("src", T.StringType()),
+                               T.StructField("dst", T.StringType())])
+
+    def enc_batch(batches):
+        import secrets
+
+        import pandas as pd
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+        aes = AESGCM(key)
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                fp = p[len("file:"):] if p.startswith("file:") else p
+                base = os.path.basename(fp)
+                if base.startswith(("_", ".")) or fp.endswith(suffix):
+                    continue
+                nonce = secrets.token_bytes(12)
+                blob = nonce + aes.encrypt(nonce, bytes(content), None)
+                with open(fp + suffix, "wb") as f:
+                    f.write(blob)
+                rows.append((fp, fp + suffix))
+            yield pd.DataFrame(rows, columns=["src", "dst"])
+
+    done = (spark.read.format("binaryFile")
+            .option("recursiveFileLookup", "true").load(path)
+            .select("path", "content")
+            .mapInPandas(enc_batch, out_schema)
+            .collect())
+    for r in done:
+        os.remove(r.src)
+    return sorted(r.dst for r in done)
+
+
 def decrypt_file(fp: str, key: bytes) -> bytes:
     from cryptography.hazmat.primitives.ciphers.aead import AESGCM
     with open(fp, "rb") as f:

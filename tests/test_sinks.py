@@ -73,3 +73,36 @@ def test_encrypt_decrypt_roundtrip(spark, tmp_path):
     # originals removed after encryption (reference chains the writer)
     assert not [f for f in os.listdir(out)
                 if not f.startswith(("_", ".")) and not f.endswith(".enc")]
+
+
+def test_encrypt_files_distributed_roundtrip(spark, tmp_path):
+    """Distributed encryption: every data file encrypted executor-side,
+    originals removed, decrypt restores exact bytes."""
+    import gzip as _gzip
+
+    from pyspark.sql import functions as F
+
+    from storagetapper_spark.sinks.files import (
+        decrypt_file,
+        encrypt_files_distributed,
+        write_files,
+    )
+
+    out = str(tmp_path / "enc_out")
+    df = spark.range(0, 1000).select(
+        F.concat(F.lit("rec-"), F.col("id")).alias("value"))
+    write_files(df, out, fmt="text", compression="gzip")
+
+    key = bytes(range(32))
+    enc = encrypt_files_distributed(spark, out, key)
+    assert enc and all(p.endswith(".enc") for p in enc)
+    # no plaintext part files remain
+    import glob as _glob
+    leftover = [p for p in _glob.glob(os.path.join(out, "**", "*"), recursive=True)
+                if os.path.isfile(p) and not os.path.basename(p).startswith(("_", "."))
+                and not p.endswith(".enc")]
+    assert leftover == []
+    # decrypt one file and read its gzip payload
+    data = decrypt_file(enc[0], key)
+    lines = _gzip.decompress(data).decode().strip().split("\n")
+    assert all(line.startswith("rec-") for line in lines)
