@@ -119,6 +119,73 @@ WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 
 """
 
 
+# --- q17: small-quantity-order revenue (correlated scalar subquery) ------
+
+def q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H q17 shape: lineitems under 20% of their part's average
+    quantity.  The correlated scalar subquery decorrelates to a
+    per-part aggregate joined back — the aggregate side is |part|-sized
+    (broadcastable), so the fact table is scanned once and never
+    self-joined row-to-row."""
+    li = t(spark, sf, "lineitem")
+    part = t(spark, sf, "part")
+    avg_qty = (li.groupBy("l_partkey")
+                 .agg((0.2 * F.avg("l_quantity")).alias("qty_limit")))
+    return (li.join(F.broadcast(part.filter(F.col("p_brand") == "Brand#3")),
+                    li.l_partkey == part.p_partkey)
+              .join(F.broadcast(avg_qty), "l_partkey")
+              .filter(F.col("l_quantity") < F.col("qty_limit"))
+              .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+                    .alias("avg_yearly"),
+                   F.count(F.lit(1)).alias("n_lines")))
+
+
+Q17_SQL = """
+SELECT round(sum(l1.l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem l1
+JOIN part ON p_partkey = l1.l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                       FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
+# --- q22: global-avg filter + NOT EXISTS anti-join ------------------------
+
+def q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H q22 shape: customers above the global average balance with
+    no high-value order.  The scalar global average is a 1-row
+    broadcast; the NOT EXISTS is a left-anti join shipping only
+    custkeys (the anti side is pre-filtered, so it carries the few
+    high-value orders, not the whole table)."""
+    cust = t(spark, sf, "customer")
+    big_orders = t(spark, sf, "orders").filter(F.col("o_totalprice") > 300000.0)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0) \
+                  .agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (cust.crossJoin(F.broadcast(avg_bal))
+                .filter(F.col("c_acctbal") > F.col("avg_bal"))
+                .join(big_orders, cust.c_custkey == big_orders.o_custkey,
+                      "left_anti")
+                .groupBy(F.col("c_nationkey"))
+                .agg(F.count(F.lit(1)).alias("numcust"),
+                     F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+                .orderBy("c_nationkey"))
+
+
+Q22_SQL = """
+SELECT c_nationkey,
+       count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 # --- PII detection (training-data compliance filter) ---------------------
 
 _EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
@@ -316,6 +383,8 @@ QUERIES = {
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q14_promo_effect": (q14_promo_effect, Q14_SQL),
+    "q17_small_quantity": (q17_small_quantity, Q17_SQL),
+    "q22_global_sales_opportunity": (q22_global_sales_opportunity, Q22_SQL),
     "q19_disjunctive_ranges": (q19_disjunctive_ranges, Q19_SQL),
     "text_pii_flags": (text_pii_flags, PII_SQL),
     "text_repetition": (text_repetition, REPETITION_SQL),
