@@ -26,6 +26,71 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def conflate_cdc_tws(stream: DataFrame, pk_cols: list[str],
+                     value_cols: list[str], seqno_col: str = "seqno",
+                     op_col: str = "op",
+                     ttl_ms: int | None = None) -> DataFrame:
+    """``transformWithStateInPandas`` form of :func:`conflate_cdc` —
+    Spark 4's successor stateful API: typed state variables (ValueState)
+    with optional per-state TTL, instead of one opaque tuple.  Requires
+    the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``).  Same contract:
+    ≤1 output row per key per trigger, max-seqno wins, late events never
+    regress."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    pk_fields = [stream.schema[c] for c in pk_cols]
+    val_fields = [stream.schema[c] for c in value_cols]
+    state_schema = T.StructType(
+        [T.StructField("seqno", T.LongType()), T.StructField("op", T.StringType())]
+        + [T.StructField(f.name, f.dataType) for f in val_fields])
+    out_schema = T.StructType(
+        [T.StructField(f.name, f.dataType) for f in pk_fields]
+        + list(state_schema.fields)
+        + [T.StructField("n_conflated", T.LongType())])
+
+    class Conflator(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            ttl = int(ttl_ms) if ttl_ms is not None else None
+            self.best = handle.getValueState("best", state_schema, ttl)
+
+        def handleInputRows(self, key, rows, timerValues):
+            best = tuple(self.best.get()) if self.best.exists() else None
+            n = 0
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += len(pdf)
+                i = pdf[seqno_col].idxmax()
+                row = pdf.loc[i]
+                if best is None or int(row[seqno_col]) >= int(best[0]):
+                    best = (int(row[seqno_col]), str(row[op_col]),
+                            *(row[c] for c in value_cols))
+            if n == 0:
+                return
+            self.best.update(best)
+            out = {f.name: [k] for f, k in zip(pk_fields, key)}
+            out["seqno"], out["op"] = [best[0]], [best[1]]
+            for c, v in zip(value_cols, best[2:]):
+                out[c] = [v]
+            out["n_conflated"] = [n]
+            yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return (stream.groupBy(*pk_cols)
+                  .transformWithStateInPandas(Conflator(),
+                                              outputStructType=out_schema,
+                                              outputMode="Update",
+                                              timeMode="None"))
+
+
 def conflate_cdc(stream: DataFrame, pk_cols: list[str],
                  value_cols: list[str], seqno_col: str = "seqno",
                  op_col: str = "op", ttl_ms: int | None = None) -> DataFrame:

@@ -81,3 +81,51 @@ def test_conflation_and_no_regression(spark, tmp_path):
     # state recovered across restart: seqno-0 cannot regress pk=1
     assert (1, 3, "v3", "insert") in rows2
     assert (2, 11, None, "delete") in rows2
+
+
+def test_conflation_tws(spark, tmp_path):
+    """transformWithStateInPandas variant: same conflation contract on
+    the successor API (RocksDB state store).  The API's worker protocol
+    needs protobuf, which this container lacks — skipped when absent."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from storagetapper_spark.streaming.stateful import conflate_cdc_tws
+
+    src = str(tmp_path / "feed")
+    _drop(src, "b1.json", [
+        {"pk": 1, "val": "v1", "op": "insert", "seqno": 1},
+        {"pk": 1, "val": "v3", "op": "insert", "seqno": 3},
+        {"pk": 2, "val": "w", "op": "insert", "seqno": 10},
+    ])
+    _drop(src, "b2.json", [
+        {"pk": 1, "val": "late", "op": "insert", "seqno": 2},
+    ])
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try:
+        stream = read_changelog_stream(spark, src, CDC_SCHEMA,
+                                       max_files_per_trigger=1)
+        conf = conflate_cdc_tws(stream, ["pk"], ["val"], ttl_ms=3_600_000)
+        out_dir = str(tmp_path / "out")
+
+        def emit(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (conf.writeStream.foreachBatch(emit)
+                 .outputMode("update")
+                 .option("checkpointLocation", str(tmp_path / "ck"))
+                 .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = sorted((r.pk, r.seqno, r.val, r.n_conflated)
+                      for r in spark.read.parquet(out_dir).collect())
+        assert (1, 3, "v3", 2) in rows     # in-batch conflation
+        assert (1, 3, "v3", 1) in rows     # late event absorbed, no regression
+        assert (2, 10, "w", 1) in rows
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
