@@ -17,9 +17,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events fixture stores TIMESTAMP(NANOS) which Spark 4 rejects by
-    default; read nanos as long, then surface ``ts`` as a TimestampType at
-    microsecond precision (same truncation DuckDB applies to ns parquet)."""
+    """The events fixture stores TIMESTAMP(NANOS).  Depending on the Spark
+    version this surfaces as a long (with legacy nanosAsLong) or as a
+    TIMESTAMP_NTZ truncated to micros; normalize either to a session-TZ
+    (UTC) TimestampType so downstream epoch math matches DuckDB."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType.typeName()
+    if ts_type in ("long", "bigint"):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -396,8 +396,11 @@ def conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
     return (
         ev.groupBy("user_id")
           .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"),
+               # sum as decimal: exact, order-independent accumulation so the
+               # value-hash is stable across partition orders (double sums are not)
                F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))
-                             .otherwise(0.0)), 2).alias("purchase_value"))
+                             .otherwise(0.0).cast("decimal(30,10)")), 2)
+                .cast("double").alias("purchase_value"))
     )
 
 
@@ -408,7 +411,8 @@ SELECT user_id,
        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
        sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
        sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value
+       CAST(round(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
+                           AS DECIMAL(30,10))), 2) AS DOUBLE) AS purchase_value
 FROM events GROUP BY user_id
 """
 
@@ -468,7 +472,8 @@ def sessionize(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.min("event_id").alias("first_event"),
                  F.max("event_id").alias("last_event"),
-                 F.round(F.sum("value"), 2).alias("session_value"))
+                 F.round(F.sum(F.col("value").cast("decimal(30,10)")), 2)
+                  .cast("double").alias("session_value"))
     )
 
 
@@ -487,7 +492,7 @@ WITH tagged AS (
 )
 SELECT user_id, session_id, count(*) AS n_events,
        min(event_id) AS first_event, max(event_id) AS last_event,
-       round(sum(value), 2) AS session_value
+       CAST(round(sum(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE) AS session_value
 FROM sess GROUP BY user_id, session_id
 """
 

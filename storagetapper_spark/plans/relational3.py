@@ -109,7 +109,11 @@ def regexp_counting(spark: SparkSession, sf: str) -> DataFrame:
         "p_partkey",
         F.regexp_count(F.col("p_name"), F.lit("[aeiou]")).alias("n_vowels"),
         F.regexp_count(F.col("p_type"), F.lit("[A-Z]+")).alias("n_upper_runs"),
-        F.regexp_extract_all(F.col("p_name"), F.lit("([a-z]{4,})"), 1).alias("long_words"),
+        # joined to a string: the correctness harness canonicalizes by sorting
+        # column values, and python lists are unhashable there
+        F.array_join(
+            F.regexp_extract_all(F.col("p_name"), F.lit("([a-z]{4,})"), 1), " "
+        ).alias("long_words"),
     )
 
 
@@ -117,7 +121,7 @@ REGEXP_COUNT_SQL = """
 SELECT p_partkey,
        len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
        len(regexp_extract_all(p_type, '[A-Z]+')) AS n_upper_runs,
-       regexp_extract_all(p_name, '([a-z]{4,})', 1) AS long_words
+       coalesce(array_to_string(regexp_extract_all(p_name, '([a-z]{4,})', 1), ' '), '') AS long_words
 FROM part
 """
 

@@ -59,7 +59,7 @@ def map_functions(spark: SparkSession, sf: str) -> DataFrame:
     return n.select(
         "n_nationkey",
         F.element_at(m, "region").alias("region_val"),
-        F.map_keys(m).alias("keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys"),
         F.size(m).alias("n_entries"),
         F.element_at(m, "missing").alias("missing_val"),
     )
@@ -74,7 +74,7 @@ WITH m AS (
 )
 SELECT n_nationkey,
        mp['region'][1] AS region_val,
-       map_keys(mp) AS keys,
+       array_to_string(map_keys(mp), ',') AS keys,
        cardinality(mp) AS n_entries,
        CAST(NULL AS BIGINT) AS missing_val
 FROM m

@@ -22,11 +22,17 @@ def jdbc_append(df: DataFrame, url: str, table: str,
 
 def merge_statement(table: str, staging: str, pk_cols: list[str],
                     data_cols: list[str], seqno_col: str = "seqno",
-                    dialect: str = "ansi") -> str:
+                    dialect: str = "ansi", op_col: str | None = None) -> str:
     """The seqno-guarded MERGE that replaces the reference's
     ``ON DUPLICATE KEY UPDATE IF(seqno < VALUES(seqno)...)`` upsert (E5)
     on engines with ANSI MERGE.  Executed per micro-batch in
-    foreachBatch after staging the batch."""
+    foreachBatch after staging the batch.
+
+    With ``op_col`` the staged batch carries tombstones and the MERGE
+    mirrors the reference SQL pipe emitting DELETE statements for delete
+    events (encoder/sql.go:94,249-250): a matched row whose superseding
+    event is a delete is removed, and a tombstone for an absent key is a
+    no-op (never inserted)."""
     # identifier quoting per dialect (encoder/sql.go:34-60 analog: ` for
     # mysql, " for ansi) — required against Spark-created JDBC tables,
     # whose columns are quoted case-sensitive
@@ -37,39 +43,52 @@ def merge_statement(table: str, staging: str, pk_cols: list[str],
     sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in data_cols + [seqno_col])
     ins_cols = ", ".join(q(c) for c in pk_cols + data_cols + [seqno_col])
     ins_vals = ", ".join(f"s.{q(c)}" for c in pk_cols + data_cols + [seqno_col])
+    guard = f"s.{q(seqno_col)} > t.{q(seqno_col)}"
+    if op_col is None:
+        return (f"MERGE INTO {table} t USING {staging} s ON {on} "
+                f"WHEN MATCHED AND {guard} THEN UPDATE SET {sets} "
+                f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})")
+    is_del = f"s.{q(op_col)} = 'delete'"
     return (f"MERGE INTO {table} t USING {staging} s ON {on} "
-            f"WHEN MATCHED AND s.{q(seqno_col)} > t.{q(seqno_col)} THEN UPDATE SET {sets} "
-            f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})")
+            f"WHEN MATCHED AND {guard} AND {is_del} THEN DELETE "
+            f"WHEN MATCHED AND {guard} THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED AND NOT {is_del} "
+            f"THEN INSERT ({ins_cols}) VALUES ({ins_vals})")
 
 
 def jdbc_upsert_sink(cdc_stream: DataFrame, url: str, table: str,
                      pk_cols: list[str], data_cols: list[str],
                      checkpoint_dir: str, seqno_col: str = "seqno",
-                     dialect: str = "ansi",
+                     op_col: str = "op", dialect: str = "ansi",
                      trigger_available_now: bool = True):
     """Streaming upsert into a SQL database: per micro-batch, resolve to
-    one row per PK (max seqno), stage via ``df.write.jdbc``, MERGE with
-    the seqno guard, drop the staging table.
+    one row per PK (max seqno) INCLUDING tombstones, stage via
+    ``df.write.jdbc``, MERGE with the seqno guard (delete branch for
+    tombstones), drop the staging table.
 
     Exactly the reference streamer→SQL-pipe path (pipe/sql.go:177-207 +
-    encoder/sql.go idempotent upsert) with Spark checkpointing replacing
-    the offset store: a replayed batch re-runs the same guarded MERGE
-    and converges (seqno-idempotence, SURVEY §4.3)."""
+    encoder/sql.go idempotent upsert + DELETE for delete events,
+    encoder/sql.go:249-250) with Spark checkpointing replacing the offset
+    store: a replayed batch re-runs the same guarded MERGE and converges
+    (seqno-idempotence, SURVEY §4.3)."""
     from storagetapper_spark.operators.merge import latest_state
 
     spark = cdc_stream.sparkSession
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # keep tombstones: a PK whose latest event is a delete must reach
+        # the MERGE so the stale target row is removed
         resolved = latest_state(batch_df, pk_cols, seqno_col=seqno_col,
-                                drop_deleted=True)
+                                op_col=op_col, drop_deleted=False)
         staging = f"{table}_stage_{batch_id}"
-        jdbc_append(resolved.select(*pk_cols, *data_cols, seqno_col),
+        jdbc_append(resolved.select(*pk_cols, *data_cols, seqno_col, op_col),
                     url, staging)
         conn = spark._jvm.java.sql.DriverManager.getConnection(url)
         try:
             st = conn.createStatement()
             st.execute(merge_statement(table, staging, pk_cols, data_cols,
-                                       seqno_col=seqno_col, dialect=dialect))
+                                       seqno_col=seqno_col, dialect=dialect,
+                                       op_col=op_col))
             st.execute(f"DROP TABLE {staging}")
             st.close()
         finally:
