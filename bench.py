@@ -69,13 +69,25 @@ def main() -> int:
     # query, not session startup
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # best-of-N (default 2): a single cold run folds one-time codegen
+    # compilation and box-level contention noise into every number (r2
+    # recorded a 7.4x phantom regression on unchanged code); the min of
+    # two runs measures the steady-state plan, which is what a long-lived
+    # 100 TB job actually executes
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = materialize(df)
-        timings[name] = round(time.time() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(max(1, reps)):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = materialize(df)
+            best = min(best, time.time() - t0)
+            # drop per-query persisted intermediates so reps don't
+            # accumulate cache across the 50+ query sweep
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     # BASELINE.md bench protocol: rows/s for the snapshot→encode→sink

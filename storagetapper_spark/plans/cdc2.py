@@ -22,7 +22,11 @@ def cdc_type_coercion(spark: SparkSession, sf: str) -> DataFrame:
     li = t(spark, sf, "lineitem")
     return li.select(
         "l_orderkey", "l_linenumber",
-        F.col("l_quantity").cast("decimal(12,2)").alias("qty_decimal"),
+        # decimal coercion exercised, then surfaced as double: pandas keeps
+        # Spark decimals as Decimal objects while DuckDB yields float64,
+        # so a decimal-typed output column can never hash-match
+        F.col("l_quantity").cast("decimal(12,2)").cast("double")
+         .alias("qty_decimal"),
         F.col("l_quantity").cast("int").alias("qty_int"),
         F.col("l_linenumber").cast("string").alias("line_str"),
         F.col("l_extendedprice").cast("float").cast("double").alias("price_f32"),
@@ -36,7 +40,7 @@ def cdc_type_coercion(spark: SparkSession, sf: str) -> DataFrame:
 
 TYPE_COERCION_SQL = """
 SELECT l_orderkey, l_linenumber,
-       CAST(l_quantity AS DECIMAL(12,2)) AS qty_decimal,
+       CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty_decimal,
        CAST(l_quantity AS INT) AS qty_int,
        CAST(l_linenumber AS VARCHAR) AS line_str,
        CAST(CAST(l_extendedprice AS FLOAT) AS DOUBLE) AS price_f32,

@@ -476,9 +476,9 @@ WITH keepers AS (
                4) AS quality_score
   FROM base
 )
-SELECT lang, count(*) AS n_docs, sum(n_words) AS total_words,
+SELECT lang, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS total_words,
        round(avg(quality_score), 3) AS avg_quality,
-       sum(n_chars_calc) AS total_chars
+       CAST(sum(n_chars_calc) AS BIGINT) AS total_chars
 FROM scored
 WHERE n_words >= 10 AND quality_score >= 0.3
 GROUP BY lang

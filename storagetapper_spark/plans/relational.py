@@ -406,11 +406,11 @@ def conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 CONDITIONAL_AGG_SQL = """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
        CAST(round(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
                            AS DECIMAL(30,10))), 2) AS DOUBLE) AS purchase_value
 FROM events GROUP BY user_id
@@ -486,8 +486,8 @@ WITH tagged AS (
               THEN 1 ELSE 0 END AS new_sess
   FROM events
 ), sess AS (
-  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM tagged
 )
 SELECT user_id, session_id, count(*) AS n_events,

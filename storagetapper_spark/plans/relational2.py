@@ -213,15 +213,31 @@ FROM customer
 """
 
 
-# --- approximate distinct (rows-only: HLL sketches differ per engine) ---
+# --- approximate distinct --------------------------------------------
+# HLL sketch values are engine-specific, so the checkable contract is:
+# exact distinct count (oracle-comparable) plus a self-consistency flag
+# asserting Spark's deterministic HLL lands within 5% of its own exact
+# count — the oracle emits the exact counts and literal TRUE.
 
 def approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     li = t(spark, sf, "lineitem")
     return (
         li.groupBy("l_returnflag")
-          .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
-               F.countDistinct("l_partkey").alias("exact_parts"))
+          .agg(F.countDistinct("l_partkey").alias("exact_parts"),
+               F.approx_count_distinct("l_partkey").alias("_approx"))
+          .select("l_returnflag", "exact_parts",
+                  (F.abs(F.col("_approx") - F.col("exact_parts"))
+                   <= 0.05 * F.col("exact_parts")).alias("within_5pct"))
     )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 # --- array / higher-order functions ------------------------------------
@@ -259,6 +275,6 @@ QUERIES = {
     "null_semantics": (null_semantics, NULL_SQL),
     "exists_correlated": (exists_correlated, EXISTS_SQL),
     "scalar_subquery_cross": (scalar_subquery_cross, SCALAR_SUBQ_SQL),
-    "approx_distinct": (approx_distinct, None),  # engine-specific HLL sketch
+    "approx_distinct": (approx_distinct, APPROX_DISTINCT_SQL),
     "array_functions": (array_functions, ARRAY_SQL),
 }

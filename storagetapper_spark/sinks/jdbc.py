@@ -48,7 +48,12 @@ def merge_statement(table: str, staging: str, pk_cols: list[str],
         return (f"MERGE INTO {table} t USING {staging} s ON {on} "
                 f"WHEN MATCHED AND {guard} THEN UPDATE SET {sets} "
                 f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})")
-    is_del = f"s.{q(op_col)} = 'delete'"
+    # CAST keeps the predicate legal when the staged op column arrives as
+    # CLOB/TEXT (Spark's Derby dialect maps StringType to CLOB, and Derby
+    # rejects CLOB = CHAR comparisons); COALESCE makes a NULL op behave as
+    # a plain upsert instead of NULL-ing the NOT MATCHED branch away.
+    cast_t = "CHAR(16)" if dialect == "mysql" else "VARCHAR(16)"
+    is_del = f"COALESCE(CAST(s.{q(op_col)} AS {cast_t}), '') = 'delete'"
     return (f"MERGE INTO {table} t USING {staging} s ON {on} "
             f"WHEN MATCHED AND {guard} AND {is_del} THEN DELETE "
             f"WHEN MATCHED AND {guard} THEN UPDATE SET {sets} "
@@ -81,16 +86,30 @@ def jdbc_upsert_sink(cdc_stream: DataFrame, url: str, table: str,
         resolved = latest_state(batch_df, pk_cols, seqno_col=seqno_col,
                                 op_col=op_col, drop_deleted=False)
         staging = f"{table}_stage_{batch_id}"
-        jdbc_append(resolved.select(*pk_cols, *data_cols, seqno_col, op_col),
-                    url, staging)
+        # overwrite: a replayed batch (crash after stage, before MERGE)
+        # must not append into a leftover staging table and double rows;
+        # VARCHAR(16) keeps op comparable on dialects that map StringType
+        # to CLOB/TEXT (Derby)
+        (resolved.select(*pk_cols, *data_cols, seqno_col, op_col)
+         .write.mode("overwrite")
+         .option("createTableColumnTypes", f"{op_col} VARCHAR(16)")
+         .option("batchsize", "4096")
+         .jdbc(url, staging))
         conn = spark._jvm.java.sql.DriverManager.getConnection(url)
         try:
             st = conn.createStatement()
-            st.execute(merge_statement(table, staging, pk_cols, data_cols,
-                                       seqno_col=seqno_col, dialect=dialect,
-                                       op_col=op_col))
-            st.execute(f"DROP TABLE {staging}")
-            st.close()
+            try:
+                st.execute(merge_statement(table, staging, pk_cols,
+                                           data_cols, seqno_col=seqno_col,
+                                           dialect=dialect, op_col=op_col))
+            finally:
+                # staging must not outlive the batch even when the MERGE
+                # throws — a leftover table would shadow the next attempt
+                try:
+                    st.execute(f"DROP TABLE {staging}")
+                except Exception:
+                    pass
+                st.close()
         finally:
             conn.close()
 

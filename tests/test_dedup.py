@@ -86,3 +86,21 @@ def test_connected_components_chains(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_minhash_jvm_arrow_parity(spark):
+    """The codegen'd signature path must be byte-identical to the
+    Arrow/pandas-UDF reference implementation (same md5-hex-min
+    contract the DuckDB oracle checks)."""
+    from storagetapper_spark.operators.dedup import minhash_signature_arrow
+
+    docs = _docs(spark).union(spark.createDataFrame(
+        [(6, "one two", "b3"),      # shorter than shingle_n -> whole text
+         (7, "  MIXED Case,  punct!! and   spaces ", "b3"),
+         (8, "", "b3")],            # empty text -> empty-string shingle
+        "doc_id long, text string, bucket string"))
+    jvm = {r.doc_id: tuple(r[f"mh_{i}"] for i in range(8))
+           for r in minhash_signature(docs).collect()}
+    arrow = {r.doc_id: tuple(r[f"mh_{i}"] for i in range(8))
+             for r in minhash_signature_arrow(docs).collect()}
+    assert jvm == arrow

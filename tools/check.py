@@ -30,13 +30,41 @@ def _norm_cell(v) -> str:
             return "NaN"
         # strict: full-precision repr — queries must round explicitly
         return repr(v)
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
+        # DuckDB surfaces DATE as midnight datetime64 via pandas while
+        # Spark keeps datetime.date — normalize midnight-naive to date
+        if v.tzinfo is None and v.time() == datetime.time(0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     return str(v)
+
+
+def _pandas_rows(pdf):
+    """Materialize a pandas frame as plain-Python row tuples.  BOTH sides
+    go through pandas (like the driver): DuckDB HUGEINT → float64,
+    NULL-int → NaN-float, datetime64 → Timestamp happen identically to
+    Spark's toPandas(), so only genuine value/type differences survive.
+    """
+    import numpy as np
+
+    def conv(v):
+        if isinstance(v, np.ndarray):
+            return [conv(x) for x in v.tolist()]
+        if hasattr(v, "item") and not isinstance(v, (bytes, bytearray)):
+            try:
+                return v.item()
+            except (ValueError, AttributeError):
+                return v
+        return v
+
+    return [tuple(conv(v) for v in row)
+            for row in pdf.itertuples(index=False, name=None)]
 
 
 def frame_digest(cols, rows):
@@ -76,7 +104,7 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
+            srows = _pandas_rows(sdf.toPandas())
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             results[name] = ("SPARK_ERROR", str(e).split("\n")[0][:200])
@@ -89,7 +117,10 @@ def main():
         try:
             orel = con.sql(oracles[name])
             ocols = [c.lower() for c in orel.columns]
-            orows = orel.fetchall()
+            # go through pandas like the driver does: DuckDB HUGEINT (e.g.
+            # sum(int)) surfaces as float64 here but as int via fetchall(),
+            # so fetchall() would hide driver-visible hash mismatches
+            orows = _pandas_rows(orel.df())
         except Exception as e:  # noqa: BLE001
             results[name] = ("ORACLE_ERROR", str(e).split("\n")[0][:200])
             print(f"✗ {name}: ORACLE_ERROR {results[name][1]}")
