@@ -320,9 +320,13 @@ def text_tfidf_search(spark: SparkSession, sf: str) -> DataFrame:
                 .groupBy("doc_id")
                 .agg(F.round(F.sum("tfidf"), 4).alias("score"),
                      F.count(F.lit(1)).alias("n_terms_hit")))
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, no full sort, no single-partition exchange of the corpus),
+    # THEN the rank window over only the k surviving rows — the global
+    # Window.orderBy form funnels every scored doc through one partition
+    topk = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(_TOPK)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= _TOPK))
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 def _tfidf_sql() -> str:

@@ -189,21 +189,45 @@ def encrypt_files(path: str, key: bytes, suffix: str = ".enc") -> list[str]:
     return out
 
 
+def _resolve_fs(uri: str):
+    """(filesystem, path) for a Spark-style file URI.  Executor Python
+    workers have no JVM gateway, so the Hadoop-FileSystem role is filled
+    by pyarrow.fs implementations: LocalFileSystem for file:/…, S3 for
+    s3a://… (scheme translated), HadoopFileSystem for hdfs://… (needs
+    libhdfs).  Plain paths resolve local."""
+    from pyarrow import fs as pafs
+
+    if uri.startswith("file:"):
+        p = uri[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+        return pafs.LocalFileSystem(), p
+    if "://" in uri:
+        scheme, rest = uri.split("://", 1)
+        if scheme in ("s3a", "s3n"):
+            uri = "s3://" + rest
+        return pafs.FileSystem.from_uri(uri)
+    return pafs.LocalFileSystem(), uri
+
+
 def encrypt_files_distributed(spark, path: str, key: bytes,
                               suffix: str = ".enc") -> list[str]:
-    """Distributed form of ``encrypt_files``: binaryFile scan →
-    per-file AES-256-GCM in executors (same pattern as the distributed
-    manifest — at 100 TB the crypto work scales with the write, not the
-    driver).  Executors write sibling ``.enc`` files directly (local FS
-    / NFS / fuse mounts; for object stores route the write through the
-    Hadoop FS API); the driver removes originals only after the job
-    reports every file encrypted."""
+    """Distributed encryption — the DEFAULT entry point (the driver-side
+    ``encrypt_files`` loop is the small-output fallback): binaryFile
+    scan → per-file AES-256-GCM in executors (same pattern as the
+    distributed manifest — at 100 TB the crypto work scales with the
+    write, not the driver).  Executors write sibling ``.enc`` files
+    through the filesystem API resolved from the file URI (local, s3a,
+    hdfs — see ``_resolve_fs``), so object-store outputs work; the
+    driver removes originals only after the job reports every file
+    encrypted."""
     from pyspark.sql import types as T
 
     out_schema = T.StructType([T.StructField("src", T.StringType()),
                                T.StructField("dst", T.StringType())])
 
     def enc_batch(batches):
+        import posixpath
         import secrets
 
         import pandas as pd
@@ -213,15 +237,15 @@ def encrypt_files_distributed(spark, path: str, key: bytes,
         for pdf in batches:
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                fp = p[len("file:"):] if p.startswith("file:") else p
-                base = os.path.basename(fp)
-                if base.startswith(("_", ".")) or fp.endswith(suffix):
+                base = posixpath.basename(p)
+                if base.startswith(("_", ".")) or p.endswith(suffix):
                     continue
+                fs, fp = _resolve_fs(p)
                 nonce = secrets.token_bytes(12)
                 blob = nonce + aes.encrypt(nonce, bytes(content), None)
-                with open(fp + suffix, "wb") as f:
+                with fs.open_output_stream(fp + suffix) as f:
                     f.write(blob)
-                rows.append((fp, fp + suffix))
+                rows.append((p, p + suffix))
             yield pd.DataFrame(rows, columns=["src", "dst"])
 
     done = (spark.read.format("binaryFile")
@@ -230,8 +254,9 @@ def encrypt_files_distributed(spark, path: str, key: bytes,
             .mapInPandas(enc_batch, out_schema)
             .collect())
     for r in done:
-        os.remove(r.src)
-    return sorted(r.dst for r in done)
+        fs, fp = _resolve_fs(r.src)
+        fs.delete_file(fp)
+    return sorted(_resolve_fs(r.dst)[1] for r in done)
 
 
 def decrypt_file(fp: str, key: bytes) -> bytes:
