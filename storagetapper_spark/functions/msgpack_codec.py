@@ -130,8 +130,31 @@ def _unpack(b: bytes, i: int):
         return True, i
     if c == 0xCB:
         return struct.unpack_from(">d", b, i)[0], i + 8
+    # compact unsigned/signed int and str8 formats: OUR encoder never
+    # emits these (fixint/int64/str16 only) but Go msgp encoders pick
+    # the most compact representation per value (e.g. SeqNo=203 →
+    # uint8 0xCC), so wire-compat decode must accept all of them
+    if c == 0xCA:
+        return struct.unpack_from(">f", b, i)[0], i + 4
+    if c == 0xCC:
+        return b[i], i + 1
+    if c == 0xCD:
+        return struct.unpack_from(">H", b, i)[0], i + 2
+    if c == 0xCE:
+        return struct.unpack_from(">I", b, i)[0], i + 4
+    if c == 0xCF:
+        return struct.unpack_from(">Q", b, i)[0], i + 8
+    if c == 0xD0:
+        return struct.unpack_from(">b", b, i)[0], i + 1
+    if c == 0xD1:
+        return struct.unpack_from(">h", b, i)[0], i + 2
+    if c == 0xD2:
+        return struct.unpack_from(">i", b, i)[0], i + 4
     if c == 0xD3:
         return struct.unpack_from(">q", b, i)[0], i + 8
+    if c == 0xD9:
+        n = b[i]
+        return b[i + 1:i + 1 + n].decode("utf-8"), i + 1 + n
     if c == 0xDA:
         n = struct.unpack_from(">H", b, i)[0]
         return b[i + 2:i + 2 + n].decode("utf-8"), i + 2 + n

@@ -42,6 +42,14 @@ class TableRegistration:
     # schema registry (S4): current StructType as JSON + version
     schema_json: str | None = None
     schema_version: int = 0
+    # stream resume point — the GTID-set persistence analog
+    # (changelog/mysql.go:1019-1043): recorded BEFORE the snapshot begins
+    # (streamer/streamer.go:67-103) so a RE-CREATED stream (e.g. lost
+    # checkpoint) restarts from a known-safe position instead of
+    # "latest", preserving the gap-free handoff.  Source-specific JSON:
+    # Kafka startingOffsets, or a file-feed watermark.
+    stream_start_offsets: str | None = None
+    stream_started_at: float = 0.0
 
     @property
     def key(self) -> str:
@@ -116,6 +124,25 @@ class Registry:
         t.need_snapshot = False
         t.snapshotted_at = time.time() if now is None else now
         self._save()
+
+    # --- stream resume point (GTID analog) -----------------------------
+
+    def record_stream_start(self, key: str, offsets_json: str,
+                            now: float | None = None) -> None:
+        """Persist the changelog start position (changelog/mysql.go:
+        1019-1043 writes the GTID set; here, e.g. the Kafka
+        ``startingOffsets`` JSON).  Call BEFORE the snapshot read — the
+        ordering that makes the handoff gap-free (O1)."""
+        t = self._tables[key]
+        t.stream_start_offsets = offsets_json
+        t.stream_started_at = time.time() if now is None else now
+        self._save()
+
+    def stream_resume_point(self, key: str) -> str | None:
+        """Resume position for a re-created stream; None = no recorded
+        start (fall back to 'earliest', never 'latest', to stay safe)."""
+        t = self._tables.get(key)
+        return t.stream_start_offsets if t else None
 
     # --- schema registry (S4) ------------------------------------------
 

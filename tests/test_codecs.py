@@ -161,3 +161,52 @@ def test_decode_tolerates_garbage(spark):
     rows = decoded.collect()
     ok = [r for r in rows if r.event is not None and r.event.Type is not None]
     assert len(ok) == 1 and ok[0].event.SeqNo == 5
+
+
+def test_msgpack_decodes_reference_wire_format():
+    """Golden bytes, hand-assembled per the public MessagePack spec the
+    way a Go msgp encoder lays out CommonFormatEvent
+    (reference types/format.go:40-46 + encoder/msgpack.go): a fixmap
+    keyed by the Go field names, with each value in its MOST COMPACT
+    encoding (uint8/16/32/64, int8, str8, nil Fields) — formats our own
+    encoder never emits but a reference-produced message will contain."""
+    from storagetapper_spark.functions.msgpack_codec import msgpack_unpack
+
+    def fixstr(s):
+        b = s.encode()
+        return bytes([0xA0 | len(b)]) + b
+
+    golden = bytearray()
+    golden += bytes([0x85])                     # fixmap, 5 entries
+    golden += fixstr("Type") + fixstr("insert")
+    golden += fixstr("Key") + bytes([0x91])     # fixarray(1)
+    golden += bytes([0xD9, 0x02]) + b"k1"       # str8 (msgp uses for len<256)
+    golden += fixstr("SeqNo") + bytes([0xCE]) + (1 << 20).to_bytes(4, "big")
+    golden += fixstr("Timestamp") + bytes([0xD3]) + \
+        (1514764800000000000).to_bytes(8, "big")
+    golden += fixstr("Fields") + bytes([0x92])  # fixarray(2)
+    golden += bytes([0x82]) + fixstr("Name") + fixstr("f1") \
+        + fixstr("Value") + bytes([0xCC, 0xCB])          # uint8 203
+    golden += bytes([0x82]) + fixstr("Name") + fixstr("f2") \
+        + fixstr("Value") + bytes([0xD0, 0x80])          # int8 -128
+
+    ev = msgpack_unpack(bytes(golden))
+    assert ev == {
+        "Type": "insert",
+        "Key": ["k1"],
+        "SeqNo": 1 << 20,
+        "Timestamp": 1514764800000000000,
+        "Fields": [{"Name": "f1", "Value": 203},
+                   {"Name": "f2", "Value": -128}],
+    }
+
+    # delete event with nil Fields and the remaining compact widths
+    golden2 = bytes([0x85]) \
+        + fixstr("Type") + fixstr("delete") \
+        + fixstr("Key") + bytes([0x91, 0xCD]) + (300).to_bytes(2, "big") \
+        + fixstr("SeqNo") + bytes([0xCF]) + ((1 << 40)).to_bytes(8, "big") \
+        + fixstr("Timestamp") + bytes([0x00]) \
+        + fixstr("Fields") + bytes([0xC0])
+    ev2 = msgpack_unpack(golden2)
+    assert ev2 == {"Type": "delete", "Key": [300], "SeqNo": 1 << 40,
+                   "Timestamp": 0, "Fields": None}

@@ -87,3 +87,29 @@ def test_apply_change_and_conform(spark):
     out = conform(old_batch, s3)
     assert out.columns == ["id", "f2"]
     assert out.collect()[0].f2 is None
+
+
+def test_stream_start_offset_resume(tmp_path):
+    """GTID-persistence analog (changelog/mysql.go:1019-1043): the
+    stream start position recorded before a snapshot survives a registry
+    restart, so a re-created stream resumes from it instead of 'latest'
+    (SURVEY §7.3 risk 2 — the gap-free handoff)."""
+    import json
+
+    from storagetapper_spark.state import Registry, TableRegistration
+
+    path = str(tmp_path / "registry.json")
+    reg = Registry(path)
+    t = reg.register(TableRegistration(
+        service="svc", cluster="c1", db="d1", table="t1",
+        pk_cols=["pk"]))
+
+    offsets = json.dumps({"topic.v0": {"0": 120, "1": 98}})
+    reg.record_stream_start(t.key, offsets, now=1000.0)
+
+    # registry re-created (process restart, checkpoint lost)
+    reg2 = Registry(path)
+    assert reg2.stream_resume_point(t.key) == offsets
+    assert reg2.get(t.key).stream_started_at == 1000.0
+    # unknown stream: no recorded start -> caller must use 'earliest'
+    assert reg2.stream_resume_point("nope") is None
