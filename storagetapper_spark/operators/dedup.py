@@ -237,18 +237,27 @@ def ngram_jaccard_pairs(df: DataFrame, bucket_cols: list[str],
     on (bucket, shingle) to count the intersection, join per-doc set
     sizes for the union.  No array comparisons in the join — only
     hashable narrow keys, so it's a plain shuffle join at scale.
+
+    Shingling is the same JVM-side lookahead-regex pass as
+    ``minhash_signature`` (zero Python in the row path); Jaccard needs
+    SET semantics, so the exploded grams go through one ``distinct()``
+    (narrow rows: bucket keys + id + gram).  Bucket columns are plain
+    attributes, safe to carry through the generator — only computed
+    EXPRESSIONS get re-evaluated per exploded row.
     """
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    # Arrow-vectorized shingling (see shingle_udf), materialized so the
-    # self-join below doesn't recompute it per side.
-    arr = df.select(
+    norm = normalize_text(F.col(text_col))
+    pat = "(?<!\\S)(?=(" + " ".join(["\\S+"] * shingle_n) + "))"
+    grams = df.select(
         *[F.col(c) for c in bucket_cols], F.col(id_col),
-        shingle_udf(shingle_n)(text_col).alias("sh_arr"),
-    ).persist()
-    # eager materialize: without this the self-join races to compute the
-    # lazy persist from both sides and runs the shingle UDF twice
-    arr.count()
-    sh = arr.select(*bucket_cols, id_col, F.explode("sh_arr").alias("sh"))
+        F.explode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias("sh"))
+    shorts = (df.select(*[F.col(c) for c in bucket_cols], F.col(id_col),
+                        norm.alias("sh"))
+                .filter(F.size(F.split("sh", " ")) < shingle_n))
+    sh = grams.unionByName(shorts).distinct().persist()
+    # eager materialize: the self-join below reads this from both sides;
+    # an unmaterialized persist would race and compute the lineage twice
+    sh.count()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
