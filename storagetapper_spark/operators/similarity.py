@@ -209,18 +209,37 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     assigned = corpus.select(id_col, vec_col).mapInPandas(assign, assign_schema)
 
-    # query → n_probe nearest centroids, exploded as (query_id, centroid_id)
-    qrows = queries.select(query_id_col, vec_col).collect()
-    probes = []
-    for r in qrows:
-        qv = np.array(list(r[1]), dtype=np.float64)
-        qn = qv / max(np.linalg.norm(qv), 1e-12)
-        order = np.argsort(-(Cn @ qn))[:n_probe]
-        for c in order:
-            probes.append((int(r[0]), int(c), [float(x) for x in qv]))
-    spark = corpus.sparkSession
-    probe_df = F.broadcast(spark.createDataFrame(
-        probes, f"{query_id_col} long, centroid_id int, _qvec array<double>"))
+    # query → n_probe nearest centroids, exploded as (query_id,
+    # centroid_id, qvec).  Computed DISTRIBUTED (mapInPandas over the
+    # query frame, centroids closed over — they're n_centroids × dim,
+    # broadcast-sized by construction) and then broadcast-joined: the
+    # query set reaches executors through Spark's broadcast machinery
+    # rather than a driver-side Python collect loop.
+    probe_schema = T.StructType([
+        T.StructField(query_id_col, T.LongType()),
+        T.StructField("centroid_id", T.IntegerType()),
+        T.StructField("_qvec", T.ArrayType(T.DoubleType())),
+    ])
+
+    def probe_assign(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")[:, :n_probe]
+            rows = []
+            for qi, qid in enumerate(pdf[query_id_col]):
+                qv = [float(x) for x in Q[qi]]
+                for c in order[qi]:
+                    rows.append((int(qid), int(c), qv))
+            yield pd.DataFrame(rows,
+                               columns=[query_id_col, "centroid_id", "_qvec"])
+
+    probe_df = F.broadcast(
+        queries.select(query_id_col, vec_col).mapInPandas(probe_assign,
+                                                          probe_schema))
 
     sim = F.round(cosine(F.col(vec_col), F.col("_qvec")), 6)
     scored = (assigned.join(probe_df, on="centroid_id")

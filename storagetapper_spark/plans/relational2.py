@@ -60,6 +60,32 @@ FROM lineitem GROUP BY l_linestatus
 """
 
 
+# exact percentile() sorts every group — correct for the oracle, wrong
+# at 100 TB.  The scaled variant uses approx_percentile (t-digest-style
+# mergeable sketch, one partial-agg pass, no per-group sort); its values
+# are engine-specific, so the checkable contract mirrors approx_distinct:
+# exact medians plus a self-consistency flag that Spark's sketch lands
+# within 1% of Spark's own exact percentile (both deterministic).
+
+def agg_percentiles_approx(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    exact = F.expr("percentile(l_extendedprice, 0.5)")
+    approx = F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+    return (
+        li.groupBy("l_linestatus")
+          .agg(F.round(exact, 4).alias("p50_exact"),
+               (F.abs(approx - exact) <= 0.01 * exact).alias("within_1pct"))
+    )
+
+
+PERCENTILES_APPROX_SQL = """
+SELECT l_linestatus,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+       TRUE AS within_1pct
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
 # --- pivot (wide conditional aggregation) ------------------------------
 
 def pivot_returnflag(spark: SparkSession, sf: str) -> DataFrame:
@@ -269,6 +295,7 @@ FROM part
 QUERIES = {
     "agg_stats": (agg_stats, AGG_STATS_SQL),
     "agg_percentiles": (agg_percentiles, PERCENTILES_SQL),
+    "agg_percentiles_approx": (agg_percentiles_approx, PERCENTILES_APPROX_SQL),
     "pivot_returnflag": (pivot_returnflag, PIVOT_SQL),
     "date_functions": (date_functions, DATE_SQL),
     "string_functions2": (string_functions, STRING_SQL),
