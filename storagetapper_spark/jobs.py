@@ -68,6 +68,58 @@ def run_snapshot_job(spark: SparkSession, registry: Registry,
     return manifest
 
 
+def run_table_pipeline(spark: SparkSession, registry: Registry,
+                       reg: TableRegistration, source_df: DataFrame,
+                       feed_path: str, feed_schema, state_dir: str,
+                       checkpoint_dir: str) -> dict:
+    """Entry point B+C combined — the streamer.Worker analog
+    (streamer/streamer.go:313-316): consistent snapshot seeding a
+    latest-state store, then the changelog stream draining over it,
+    with the gap-free handoff protocol (O1) in the reference's order:
+
+    1. RECORD THE STREAM START before reading the snapshot
+       (Registry.record_stream_start, the GTID-wait collapse — any
+       event from here on is guaranteed to be replayed by step 3).
+    2. Snapshot with seqno = SNAPSHOT_SEQNO (-1) written as the initial
+       state, so every changelog event supersedes snapshot rows.
+    3. Stream the changelog feed from the recorded start through the
+       seqno-guarded upsert sink; max-seqno-wins makes overlap between
+       buffered events and the snapshot harmless.
+
+    Returns {"snapshot_rows": n, "stream_id": query id}.  The stream is
+    started with availableNow (drains current feed, then stops) — call
+    again or run continuously for tailing.
+    """
+    import json as _json
+    import time as _time
+
+    from storagetapper_spark.streaming.pipeline import (
+        incremental_upsert_sink,
+        read_changelog_stream,
+    )
+
+    # 1. GTID analog: persist the resume point BEFORE the snapshot
+    registry.record_stream_start(
+        reg.key, _json.dumps({"feed": feed_path, "position": "earliest",
+                              "recorded_at": _time.time()}))
+
+    # 2. snapshot (op=insert, seqno=-1, row filters/pruning as configured)
+    snap = snapshot_scan(source_df, pk_cols=reg.pk_cols)
+    cur = os.path.join(state_dir, "current")
+    cols = [f.name for f in feed_schema.fields]
+    snap_out = snap.select(*cols)
+    snap_out.write.mode("overwrite").parquet(cur)
+    n_snap = spark.read.parquet(cur).count()
+    registry.clear_need_snapshot(reg.key)
+
+    # 3. drain the changelog from the recorded start over the snapshot
+    q = incremental_upsert_sink(
+        read_changelog_stream(spark, feed_path, feed_schema),
+        state_dir, checkpoint_dir, pk_cols=reg.pk_cols)
+    q.awaitTermination(600)
+    return {"snapshot_rows": n_snap, "stream_id": str(q.id)}
+
+
 def run_due_snapshots(spark: SparkSession, registry: Registry,
                       source_loader, output_root: str,
                       now: float | None = None) -> dict[str, dict]:

@@ -92,3 +92,51 @@ def test_run_due_snapshots_parallel(spark, tmp_path, sf_dir):
     # failed table still flagged for snapshot; successes cleared
     due = {r.table for r in registry.tables_needing_snapshot()}
     assert due == {"missing"}
+
+
+def test_run_table_pipeline_handoff(spark, tmp_path):
+    """The combined snapshot+changelog worker (streamer.Worker analog):
+    resume point recorded before the snapshot, snapshot seeds state at
+    seqno=-1, concurrent changelog events supersede it."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from storagetapper_spark.jobs import run_table_pipeline
+    from storagetapper_spark.state import Registry, TableRegistration
+    from storagetapper_spark.streaming.pipeline import read_state
+
+    feed_schema = T.StructType([
+        T.StructField("pk", T.LongType()),
+        T.StructField("val", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("seqno", T.LongType()),
+    ])
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    # events already buffered before/while the snapshot runs
+    with open(os.path.join(feed, "b1.json"), "w") as f:
+        f.write(json.dumps({"pk": 1, "val": "from-binlog", "op": "insert",
+                            "seqno": 7}) + "\n")
+        f.write(json.dumps({"pk": 2, "val": None, "op": "delete",
+                            "seqno": 8}) + "\n")
+
+    registry = Registry(str(tmp_path / "reg.json"))
+    reg = registry.register(TableRegistration(
+        service="svc", cluster="c", db="d", table="t", pk_cols=["pk"]))
+    source = spark.createDataFrame(
+        [(1, "snap-1"), (2, "snap-2"), (3, "snap-3")], "pk long, val string")
+
+    out = run_table_pipeline(spark, registry, reg, source, feed, feed_schema,
+                             str(tmp_path / "state"), str(tmp_path / "ckpt"))
+    assert out["snapshot_rows"] == 3
+
+    got = {r.pk: (r.val, r.seqno) for r in
+           read_state(spark, str(tmp_path / "state")).collect()}
+    assert got[1] == ("from-binlog", 7)   # changelog wins over snapshot
+    assert 2 not in got                   # concurrent delete applied
+    assert got[3][0] == "snap-3"          # untouched key keeps snapshot row
+    # resume point was persisted before the snapshot (GTID analog)
+    assert json.loads(registry.stream_resume_point(reg.key))["feed"] == feed
+    assert registry.get(reg.key).need_snapshot is False
