@@ -323,13 +323,19 @@ def connected_components(edges: DataFrame, a_col: str = "id_a",
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 64) -> DataFrame:
-    """SimHash fingerprint: sign-sum of per-token 64-bit hashes.
+            bits: int = 64, token_hash: str = "xxhash64") -> DataFrame:
+    """SimHash fingerprint: sign-sum of per-token hashes.
 
-    Spark-native (xxhash64 + bitwise ops inside higher-order functions);
-    no portable SQL oracle → rows-only correctness check.  Near-dup
-    pairs = fingerprints within small Hamming distance; at scale, block
-    on bit-bands of the fingerprint like LSH.
+    ``token_hash``:
+      - ``"xxhash64"`` (default): Spark-native 64-bit token hash — the
+        scale path (one JVM hash per token).
+      - ``"md5_60"``: 60-bit hash from the first 15 hex chars of
+        md5(token) — engine-portable (DuckDB computes the identical
+        value from the same hex arithmetic), enabling an exact SQL
+        oracle for the full simhash pipeline at ~2x the hash cost.
+
+    Near-dup pairs = fingerprints within small Hamming distance; at
+    scale, block on bit-bands of the fingerprint like LSH.
     """
     # Explode tokens and bit-vote in ONE hash aggregation: 64 codegen'd
     # sum() expressions over (doc_id, token_hash) rows.  The previous
@@ -338,9 +344,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # Scale shape: explode → map-side partial agg → one shuffle on
     # doc_id; token fan-out never crosses the exchange unaggregated.
     words = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    if token_hash == "md5_60":
+        bits = min(bits, 60)
+        h = F.conv(F.substring(F.md5(F.col("_w")), 1, 15), 16, 10).cast("long")
+        masks = [1 << i for i in range(bits)]
+    else:
+        h = F.xxhash64("_w")
+        masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(bits)]
     tok = df.select(F.col(id_col), F.explode(words).alias("_w")) \
-            .select(id_col, F.xxhash64("_w").alias("_h"))
-    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(bits)]
+            .select(id_col, h.alias("_h"))
     votes = tok.groupBy(id_col).agg(*[
         F.sum(F.when(F.col("_h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1))
          .alias(f"_v{i}")

@@ -208,7 +208,41 @@ WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 # --- simhash (Spark-native; rows-only check) ----------------------------
 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    return D.simhash(t(spark, sf, "documents"))
+    """Portable-hash simhash (md5-derived 60-bit token hash) so the
+    sign-sum pipeline is exactly replayed by the DuckDB oracle; the
+    xxhash64 form (same shape, cheaper hash) stays the scale default in
+    operators/dedup.simhash."""
+    return D.simhash(t(spark, sf, "documents"), token_hash="md5_60")
+
+
+def _simhash_sql(bits: int = 60) -> str:
+    # h = int(md5(w)[0:15], 16) via per-hex-digit arithmetic
+    hexpos = "strpos('0123456789abcdef', substr(m, {j}, 1)) - 1"
+    h_terms = " + ".join(
+        f"({hexpos.format(j=j + 1)}) * {16 ** (14 - j)}" for j in range(15))
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits))
+    fp = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(nt, ' '))) AS w FROM norm
+), hashed AS (
+  SELECT doc_id, CAST({h_terms} AS BIGINT) AS h
+  FROM (SELECT doc_id, md5(w) AS m FROM toks)
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
 
 
 # --- ANN: brute-force cosine top-k --------------------------------------
@@ -253,12 +287,61 @@ def ann_vectorized(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF approximate top-k (rows-only: recall depends on probe set)."""
+    """IVF approximate top-k.  Fully deterministic with the default
+    centroids (first 16 corpus vectors by id) and stable probe argsort,
+    so the ENTIRE IVF pipeline — cell assignment, probe selection,
+    in-cell search — is replayed by the DuckDB oracle below."""
     emb = t(spark, sf, "embeddings")
     queries = (emb.filter(F.col("vec_id") < 5)
                   .select(F.col("vec_id").alias("query_id"), "embedding"))
     corpus = emb.filter(F.col("vec_id") >= 5)
     return S.ivf_topk(corpus, queries, k=5, n_centroids=16, n_probe=4)
+
+
+# cosine ranking is scale-invariant, so the oracle ranks by raw
+# dot/(|a||b|); ties (exact-duplicate vectors) break on centroid_id —
+# matching np.argmax's first-index rule and the stable probe argsort.
+_IVF_COS = ("(list_dot_product({a}, {b}) / "
+            "(sqrt(list_dot_product({a}, {a})) * "
+            "sqrt(list_dot_product({b}, {b}))))")
+
+ANN_IVF_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id >= 5),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cv
+  FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT 16)
+),
+assign AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT c.vec_id, c.v, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             {_IVF_COS.format(a='c.v', b='cent.cv')} DESC, cent.centroid_id
+           ) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_IVF_COS.format(a='q.qv', b='cent.cv')} DESC, cent.centroid_id
+           ) AS rn
+    FROM q CROSS JOIN cent) WHERE rn <= 4
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round({_IVF_COS.format(a='a.v', b='p.qv')}, 6) AS cosine_sim
+  FROM assign a JOIN probes p USING (centroid_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
 
 
 def embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -515,10 +598,10 @@ QUERIES = {
     "dedup_minhash_signature": (dedup_minhash_signature, _mh_sql()),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _lsh_sql()),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
-    "dedup_simhash": (dedup_simhash, None),  # xxhash64-based — no SQL oracle
+    "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "ann_brute_force": (ann_brute_force, ANN_BRUTE_SQL),
     "ann_vectorized": (ann_vectorized, ANN_BRUTE_SQL),
-    "ann_ivf": (ann_ivf, None),  # recall depends on probed cells
+    "ann_ivf": (ann_ivf, ANN_IVF_SQL),
     "embedding_stats": (embedding_stats, EMBEDDING_STATS_SQL),
     "text_lang_id": (text_lang_id, _lang_sql()),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
