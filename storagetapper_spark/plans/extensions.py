@@ -35,8 +35,11 @@ class ShingleUDTF:
 def udtf_shingles(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
+    # useArrow: rows cross the Python boundary in Arrow batches instead
+    # of pickled one-at-a-time — removes the plan's only row-Python stage
     spark.udtf.register("shingles3",
-                        udtf(ShingleUDTF, returnType="shingle: string, pos: int"))
+                        udtf(ShingleUDTF, returnType="shingle: string, pos: int",
+                             useArrow=True))
     t(spark, sf, "documents").createOrReplaceTempView("docs_v")
     return spark.sql("""
         SELECT doc_id, s.shingle, s.pos
