@@ -92,3 +92,83 @@ def test_latest_state_model_property(events):
         if top[2] != "delete":
             got.add(pk)
     assert got == expected
+
+
+def _pack_compact(o) -> bytes:
+    """Alternative encoder that always picks the MOST COMPACT msgpack
+    representation (the choice Go msgp makes), unlike our encoder's
+    fixed int64/str16 widths — used to property-test wire-compat decode."""
+    import struct
+
+    out = bytearray()
+
+    def p(o):
+        nonlocal out
+        if o is None:
+            out.append(0xC0)
+        elif o is True:
+            out.append(0xC3)
+        elif o is False:
+            out.append(0xC2)
+        elif isinstance(o, int):
+            if 0 <= o <= 0x7F:
+                out.append(o)
+            elif -32 <= o < 0:
+                out.append(0x100 + o)
+            elif 0 <= o <= 0xFF:
+                out += bytes([0xCC, o])
+            elif 0 <= o <= 0xFFFF:
+                out.append(0xCD); out += struct.pack(">H", o)
+            elif 0 <= o <= 0xFFFFFFFF:
+                out.append(0xCE); out += struct.pack(">I", o)
+            elif o > 0xFFFFFFFF and o < (1 << 64):
+                out.append(0xCF); out += struct.pack(">Q", o)
+            elif -0x80 <= o < 0:
+                out.append(0xD0); out += struct.pack(">b", o)
+            elif -0x8000 <= o < 0:
+                out.append(0xD1); out += struct.pack(">h", o)
+            elif -0x80000000 <= o < 0:
+                out.append(0xD2); out += struct.pack(">i", o)
+            else:
+                out.append(0xD3); out += struct.pack(">q", o)
+        elif isinstance(o, float):
+            out.append(0xCB); out += struct.pack(">d", o)
+        elif isinstance(o, str):
+            b = o.encode()
+            if len(b) <= 31:
+                out.append(0xA0 | len(b))
+            elif len(b) <= 0xFF:
+                out.append(0xD9); out.append(len(b))
+            else:
+                out.append(0xDA); out += struct.pack(">H", len(b))
+            out += b
+        elif isinstance(o, list):
+            assert len(o) <= 15
+            out.append(0x90 | len(o))
+            for x in o:
+                p(x)
+        elif isinstance(o, dict):
+            assert len(o) <= 15
+            out.append(0x80 | len(o))
+            for k, v in o.items():
+                p(k); p(v)
+        else:
+            raise TypeError(type(o))
+
+    p(o)
+    return bytes(out)
+
+
+@given(st.recursive(
+    st.none() | st.booleans()
+    | st.integers(min_value=-(2 ** 63), max_value=2 ** 64 - 1)
+    | st.text(max_size=300),
+    lambda children: st.lists(children, max_size=5)
+    | st.dictionaries(st.text(max_size=8), children, max_size=5),
+    max_leaves=20))
+@settings(deadline=None, max_examples=200)
+def test_msgpack_decodes_any_compact_layout(v):
+    """Wire-compat: whatever compact width another encoder picks for the
+    same value (uint8 vs int64, fixstr vs str8 ...), decode yields the
+    identical Python value."""
+    assert msgpack_unpack(_pack_compact(v)) == v

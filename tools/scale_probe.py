@@ -1,0 +1,132 @@
+"""Scale probe: run headline operators at sf0.1 AND a 10x-amplified
+copy (6M-row lineitem, 50k docs, 10k embeddings) and report the runtime
+ratio.  Linear-ish ratios (~10x data -> <=~10x time) are the local
+evidence that the plan shapes — banded LSH self-joins, map-side partial
+aggs, broadcast ANN, WindowGroupLimit merges — hold under scale-up, the
+question a 100 TB deployment asks.
+
+The 10x tables are synthesized by unioning the sf0.1 fixture 10 times
+with shifted keys (and perturbed text so dedup can't collapse the
+copies into one cluster per doc).  Writes only under /tmp.
+
+Usage: python tools/scale_probe.py [base_sf_dir] [out_dir]
+Prints one JSON line: {"probe": {...}} and writes SCALE_PROBE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+COPIES = 10
+PROBES = [
+    "q1_pricing_summary",      # hash agg over the fact table
+    "q3_shipping_priority",    # 3-way join + agg + top-k
+    "cdc_latest_state",        # the signature merge (WindowGroupLimit)
+    "cdc_snapshot_changelog_merge",
+    "dedup_exact",
+    "dedup_minhash_lsh",       # banded self-join
+    "dedup_simhash",
+    "ann_brute_force",         # broadcast query set
+    "text_quality",            # narrow projections
+    "sessionize",              # window over users
+]
+
+
+def _amplify(spark, base: str, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out, exist_ok=True)
+    done_marker = os.path.join(out, "_AMPLIFIED")
+    if os.path.exists(done_marker):
+        return
+    small = ["region", "nation", "customer", "supplier", "part", "orders"]
+    for t in small:
+        spark.read.parquet(f"{base}/{t}.parquet") \
+             .write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    parts = [li.withColumn("l_orderkey",
+                           F.col("l_orderkey") + F.lit(i * 100_000_000))
+             for i in range(COPIES)]
+    out_li = parts[0]
+    for p in parts[1:]:
+        out_li = out_li.unionByName(p)
+    out_li.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+    # events: shift event_id + user_id so sessionize/windows see 10x keys
+    from storagetapper_spark.plans.common import events_t
+    ev = events_t(spark, base)
+    evs = [ev.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+             .withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
+           for i in range(COPIES)]
+    out_ev = evs[0]
+    for p in evs[1:]:
+        out_ev = out_ev.unionByName(p)
+    out_ev.write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    # documents: shift ids, append a distinct token per copy so copies are
+    # NEAR-duplicates (realistic dedup load), not byte-identical
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    ds = [docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+              .withColumn("text", F.concat(F.col("text"), F.lit(f" copytag{i}")))
+          for i in range(COPIES)]
+    out_docs = ds[0]
+    for p in ds[1:]:
+        out_docs = out_docs.unionByName(p)
+    out_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{base}/embeddings.parquet")
+    es = [emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+          for i in range(COPIES)]
+    out_emb = es[0]
+    for p in es[1:]:
+        out_emb = out_emb.unionByName(p)
+    out_emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    open(done_marker, "w").write("ok")
+
+
+def main() -> int:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10"
+
+    import bench
+    from storagetapper_spark.plans.registry import QUERIES
+    from storagetapper_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    _amplify(spark, base, out)
+
+    probe = {}
+    for name in PROBES:
+        fn = QUERIES[name]
+        times = {}
+        for label, sf_dir in (("base", base), ("x10", out)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                bench.materialize(fn(spark, sf_dir))
+                best = min(best, time.time() - t0)
+                spark.catalog.clearCache()
+            times[label] = round(best, 3)
+        ratio = round(times["x10"] / max(times["base"], 1e-9), 2)
+        probe[name] = {**times, "ratio": ratio}
+        print(f"# {name}: base={times['base']}s x10={times['x10']}s "
+              f"ratio={ratio}", file=sys.stderr)
+
+    result = {"copies": COPIES, "probe": probe}
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SCALE_PROBE.json"), "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
