@@ -75,11 +75,17 @@ def main() -> int:
     # two runs measures the steady-state plan, which is what a long-lived
     # 100 TB job actually executes
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # soft wall-clock budget: if the sweep runs long (loaded box), drop
+    # to single-shot for the remaining queries rather than risk a
+    # harness timeout
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "480"))
+    sweep_start = time.time()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
+        eff_reps = reps if time.time() - sweep_start < budget else 1
         best, n = float("inf"), 0
-        for _ in range(max(1, reps)):
+        for _ in range(max(1, eff_reps)):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = materialize(df)
