@@ -103,3 +103,60 @@ def test_e2e_basic_workload(spark, tmp_path):
                  decoded.filter("seqno = -1"),
                  decoded.filter("seqno >= 0"), pk_cols=["f1"]).collect()}
     assert final == got
+
+
+def test_e2e_format_matrix(spark):
+    """TestBasic's cross-format claim (main_test.go:490-526 runs every
+    encoder over the same workload and compares golden outputs): the
+    same CDC event stream encoded through JSON, MsgPack and the Avro
+    binary codec decodes to the IDENTICAL canonical row set."""
+    from storagetapper_spark.functions.avro_codec import (
+        avro_decode_record,
+        avro_encode_record,
+    )
+    from storagetapper_spark.functions.msgpack_codec import (
+        decode_msgpack,
+        encode_msgpack,
+    )
+    from storagetapper_spark.schema.commonformat import common_format_struct
+
+    src = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 11), (3, None, 12)],
+        "pk int, val string, seqno long")
+    cdc = src.select("pk", "val", "seqno",
+                     F.lit("insert").alias("op"), F.lit(0).cast("long").alias("ts"))
+
+    def canon(rows):
+        return sorted((r["pk"], r["val"], r["seqno"]) for r in rows)
+
+    # JSON path
+    enc_j = encode_json(cdc, pk_cols=["pk"], field_cols=["pk", "val"],
+                        seqno_col="seqno")
+    dec_j = restore_columns(
+        decode_json(enc_j),
+        T.StructType([T.StructField("pk", T.IntegerType()),
+                      T.StructField("val", T.StringType())]))
+    json_rows = canon(r.asDict() for r in
+                      dec_j.select("pk", "val", "seqno").collect())
+
+    # MsgPack path
+    ev = common_format_struct(F.col("op"), ["pk"], F.col("seqno"),
+                              F.col("ts"), ["pk", "val"])
+    dec_m = restore_columns(
+        decode_msgpack(encode_msgpack(cdc.select(ev.alias("ev")), F.col("ev"))),
+        T.StructType([T.StructField("pk", T.IntegerType()),
+                      T.StructField("val", T.StringType())]))
+    mp_rows = canon(r.asDict() for r in
+                    dec_m.select("pk", "val", "seqno").collect())
+
+    # Avro binary path (driver-side codec over the same records)
+    fields = [{"name": "pk", "type": "int"}, {"name": "val", "type": "string"},
+              {"name": "seqno", "type": "long"}]
+    av_rows = canon(
+        avro_decode_record(
+            avro_encode_record({"pk": r.pk, "val": r.val, "seqno": r.seqno},
+                               fields), fields)
+        for r in cdc.collect())
+
+    assert json_rows == mp_rows == av_rows
+    assert len(json_rows) == 3 and json_rows[2][1] is None  # null survives
