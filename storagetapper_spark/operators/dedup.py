@@ -41,10 +41,11 @@ def shingles(text: Column, n: int = 3) -> Column:
     Pure expression: split → transform over index sequence.
 
     NOTE: higher-order functions run interpreted (no codegen) — measured
-    ~7ms/row at 60 words/doc, 36s for 5k docs.  Use ``shingle_udf`` (the
-    Arrow-vectorized path, ~45x faster) for bulk shingling; this
-    expression form is kept for small/streaming uses where avoiding a
-    Python worker matters.
+    ~7ms/row at 60 words/doc, 36s for 5k docs.  Bulk shingling uses the
+    lookahead-regex pass inside ``minhash_signature`` /
+    ``ngram_jaccard_pairs`` (pure JVM, overlap-safe); this expression
+    form is kept for small/streaming uses where an array result is
+    needed inline.
     """
     words = F.split(normalize_text(text), " ")
     k = F.size(words) - (n - 1)
@@ -67,16 +68,6 @@ def _shingles_py(x: str, n: int) -> list[str]:
     if len(w) < n:
         return [t]
     return list(dict.fromkeys(" ".join(w[i:i + n]) for i in range(len(w) - n + 1)))
-
-
-def shingle_udf(n: int = 3):
-    """Arrow-batched pandas UDF producing the distinct word n-gram shingle
-    set — byte-identical to ``array_distinct(shingles(...))`` and to the
-    DuckDB oracle's list_transform form."""
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def _udf(s):
-        return s.map(lambda x: _shingles_py(x, n))
-    return _udf
 
 
 def minhash_udf(num_hashes: int, n: int = 3):

@@ -106,3 +106,18 @@ def test_encrypt_files_distributed_roundtrip(spark, tmp_path):
     data = decrypt_file(enc[0], key)
     lines = _gzip.decompress(data).decode().strip().split("\n")
     assert all(line.startswith("rec-") for line in lines)
+
+
+def test_resolve_fs_uri_forms():
+    """URI → (filesystem, path) resolution used by distributed
+    encryption: Spark binaryFile emits file:/abs and file:///abs; object
+    stores use s3a:// (translated to pyarrow's s3://)."""
+    from pyarrow import fs as pafs
+
+    from storagetapper_spark.sinks.files import _resolve_fs
+
+    f1, p1 = _resolve_fs("file:/tmp/x/part-0.gz")
+    f2, p2 = _resolve_fs("file:///tmp/x/part-0.gz")
+    f3, p3 = _resolve_fs("/tmp/x/part-0.gz")
+    assert p1 == p2 == p3 == "/tmp/x/part-0.gz"
+    assert all(isinstance(f, pafs.LocalFileSystem) for f in (f1, f2, f3))
