@@ -457,6 +457,35 @@ GROUP BY 1, 2
 """
 
 
+# --- sliding (hopping) event-time window -------------------------------
+# Spark aligns sliding windows to epoch multiples of the slide, so every
+# event belongs to exactly duration/slide windows whose starts are
+# bucket(ts, slide) - k*slide.  The oracle expands each event into those
+# 4 rows explicitly — exact, no approximation.
+
+def window_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                   "event_type")
+          .agg(F.count(F.lit(1)).alias("n_events"))
+          .select(F.col("w.start").cast("long").alias("window_start"),
+                  "event_type", "n_events")
+    )
+
+
+WINDOW_SLIDING_SQL = """
+WITH expanded AS (
+  SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', ts)) AS BIGINT)
+           - k.k * 900 AS window_start,
+         event_type
+  FROM events, (SELECT unnest(range(0, 4)) AS k) k
+)
+SELECT window_start, event_type, count(*) AS n_events
+FROM expanded GROUP BY 1, 2
+"""
+
+
 # --- sessionization (gaps-and-islands; batch form of session_window) ---
 
 def sessionize(spark: SparkSession, sf: str) -> DataFrame:
@@ -515,5 +544,6 @@ QUERIES = {
     "conditional_agg": (conditional_agg, CONDITIONAL_AGG_SQL),
     "in_subquery": (in_subquery, IN_SUBQUERY_SQL),
     "window_event_time": (window_event_time, WINDOW_EVENT_TIME_SQL),
+    "window_sliding": (window_sliding, WINDOW_SLIDING_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
 }
