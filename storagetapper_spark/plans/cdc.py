@@ -97,6 +97,16 @@ def cdc_latest_state(spark: SparkSession, sf: str) -> DataFrame:
         .select("user_id", "event_id", "op", "seqno", F.round("value", 2).alias("value"))
 
 
+def cdc_latest_state_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Same semantics via the max_by aggregation strategy (the
+    alternative to the WindowGroupLimit plan in operators/merge.py) —
+    an identical oracle row proves both physical strategies agree."""
+    ev = t(spark, sf, "events").select("event_id", "user_id", "event_type", "value")
+    decomposed = decompose_updates(events_as_changelog(ev))
+    return latest_state(decomposed, pk_cols=["user_id"], strategy="agg") \
+        .select("user_id", "event_id", "op", "seqno", F.round("value", 2).alias("value"))
+
+
 LATEST_STATE_SQL = """
 WITH cdc AS (
   SELECT event_id, user_id, 'delete' AS op, CAST(event_id * 2 AS BIGINT) AS seqno, value
@@ -272,6 +282,7 @@ QUERIES = {
     "cdc_snapshot_filtered": (cdc_snapshot_filtered, SNAPSHOT_FILTERED_SQL),
     "cdc_decompose_updates": (cdc_decompose_updates, DECOMPOSE_SQL),
     "cdc_latest_state": (cdc_latest_state, LATEST_STATE_SQL),
+    "cdc_latest_state_agg": (cdc_latest_state_agg, LATEST_STATE_SQL),
     "cdc_snapshot_changelog_merge": (cdc_snapshot_changelog_merge, MERGE_SQL),
     "cdc_json_roundtrip": (cdc_json_roundtrip, JSON_ROUNDTRIP_SQL),
     "cdc_row_key": (cdc_row_key, ROW_KEY_SQL),

@@ -380,6 +380,51 @@ GROUP BY l_linestatus, bin
 """
 
 
+
+
+# --- corpus n-gram frequency table --------------------------------------
+# The corpus-statistics op behind tokenizer training / contamination
+# checks: top word-3-grams per language by raw occurrence count (NOT
+# per-doc-distinct — frequency semantics).  Same lookahead-regex
+# shingling as the dedup operators; one narrow shuffle on (lang, gram),
+# top-k per lang bounded by a WindowGroupLimit plan.
+
+def text_ngram_freq(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from storagetapper_spark.operators.text import normalize_text
+
+    docs = t(spark, sf, "documents")
+    norm = normalize_text(F.col("text"))
+    pat = "(?<!\\S)(?=(\\S+ \\S+ \\S+))"
+    grams = docs.select(
+        "lang", F.explode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias("g"))
+    counts = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("g"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= 10))
+
+
+NGRAM_FREQ_SQL = """
+WITH norm AS (
+  SELECT lang,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT lang, string_split(nt, ' ') AS w FROM norm WHERE len(string_split(nt, ' ')) >= 3
+), grams AS (
+  SELECT lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS u(i)
+), counts AS (
+  SELECT lang, g, count(*) AS n FROM grams GROUP BY lang, g
+)
+SELECT lang, g, n,
+       row_number() OVER (PARTITION BY lang ORDER BY n DESC, g) AS rank
+FROM counts QUALIFY rank <= 10
+"""
+
+
 QUERIES = {
     "sketch_histogram": (sketch_histogram, SKETCH_HIST_SQL),
     "text_tfidf_search": (text_tfidf_search, _tfidf_sql()),
@@ -392,4 +437,5 @@ QUERIES = {
     "q19_disjunctive_ranges": (q19_disjunctive_ranges, Q19_SQL),
     "text_pii_flags": (text_pii_flags, PII_SQL),
     "text_repetition": (text_repetition, REPETITION_SQL),
+    "text_ngram_freq": (text_ngram_freq, NGRAM_FREQ_SQL),
 }
