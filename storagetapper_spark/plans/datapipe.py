@@ -178,6 +178,55 @@ FROM reach GROUP BY a ORDER BY doc_id
 """
 
 
+# --- end-to-end corpus dedup summary ------------------------------------
+# The composition a real dedup run executes: candidate pairs →
+# transitive clusters → keep ONE doc per cluster (min id; singletons
+# keep themselves) → per-language kept/dropped accounting.
+
+def dedup_corpus_summary(spark: SparkSession, sf: str) -> DataFrame:
+    from storagetapper_spark.operators.dedup import connected_components
+
+    docs = t(spark, sf, "documents").select("doc_id", "lang")
+    pairs = D.ngram_jaccard_pairs(t(spark, sf, "documents"),
+                                  bucket_cols=["lang", "source"],
+                                  shingle_n=_SHINGLE_N, threshold=0.1)
+    comp = connected_components(pairs, "id_a", "id_b")
+    labeled = (docs.join(comp, docs.doc_id == comp.node, "left")
+                   .select("doc_id", "lang",
+                           F.coalesce(F.col("comp"), F.col("doc_id"))
+                            .alias("cluster_id")))
+    keeper = (F.col("doc_id") == F.col("cluster_id")).cast("int")
+    return (labeled.groupBy("lang")
+                   .agg(F.count(F.lit(1)).alias("n_docs"),
+                        F.sum(keeper).alias("n_kept"),
+                        F.sum(1 - keeper).alias("n_dropped")))
+
+
+def _corpus_summary_sql() -> str:
+    return f"""
+WITH RECURSIVE edges AS (
+  {NGRAM_JACCARD_SQL}
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+), reach(a, b) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+), comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN COALESCE(c.cluster_id, d.doc_id) = d.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN COALESCE(c.cluster_id, d.doc_id) <> d.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+GROUP BY d.lang
+"""
+
+
 # --- embedding-cosine near-dup (label-blocked exact; SRP variant in
 # --- tests — blocking column is the only difference) --------------------
 
@@ -591,6 +640,7 @@ QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_COS_SQL),
     "dedup_clusters": (dedup_clusters, _clusters_sql()),
+    "dedup_corpus_summary": (dedup_corpus_summary, _corpus_summary_sql()),
     "sample_deterministic": (sample_deterministic, SAMPLE_SQL),
     "text_lang_confusion": (text_lang_confusion, _lang_confusion_sql()),
     "agg_decimal_exact": (agg_decimal_exact, AGG_DECIMAL_SQL),
