@@ -20,7 +20,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "join_semi_anti", "agg_rollup", "window_topk_per_group",
     "window_running", "sort_limit", "conditional_agg", "sessionize",
-    "window_event_time", "agg_stats", "agg_percentiles",
+    "window_event_time", "window_sliding", "agg_stats", "agg_percentiles",
+    "agg_percentiles_approx",
     "pivot_returnflag", "string_functions2", "session_window_native",
     "asof_state_at_event", "range_join_follow_events", "rollup_two_level",
     "funnel_view_click_purchase", "retention_cohorts", "text_tfidf_search",
@@ -28,16 +29,17 @@ BENCH_QUERIES = [
     "q14_promo_effect", "q19_disjunctive_ranges",
     # CDC surface
     "cdc_snapshot_scan", "cdc_decompose_updates", "cdc_latest_state",
-    "cdc_snapshot_changelog_merge", "cdc_json_roundtrip",
+    "cdc_latest_state_agg", "cdc_snapshot_changelog_merge", "cdc_json_roundtrip",
     "cdc_msgpack_roundtrip", "cdc_avro_prepare", "cdc_seqno_derivation",
     "snapshot_diff_changelog",
     # training-data ops
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_embedding_cosine", "ann_brute_force",
+    "dedup_simhash", "dedup_corpus_summary", "dedup_embedding_cosine",
+    "ann_brute_force",
     "ann_vectorized", "ann_ivf", "embedding_stats",
     "sample_deterministic", "sample_stratified",
     "text_lang_id", "text_quality", "text_tokens", "text_fingerprint",
-    "text_pii_flags", "text_repetition",
+    "text_pii_flags", "text_repetition", "text_ngram_freq",
 ]
 
 
