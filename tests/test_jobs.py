@@ -140,3 +140,30 @@ def test_run_table_pipeline_handoff(spark, tmp_path):
     # resume point was persisted before the snapshot (GTID analog)
     assert json.loads(registry.stream_resume_point(reg.key))["feed"] == feed
     assert registry.get(reg.key).need_snapshot is False
+
+
+def test_run_due_snapshots_parallel_isolates_failures(spark, tmp_path, sf_dir):
+    """The worker-pool analog (pool/pool.go:52-96): tables snapshot
+    concurrently; one table's broken source fails only that table (the
+    lease-timeout analog), the others complete and clear their flags."""
+    from storagetapper_spark.jobs import run_due_snapshots_parallel
+
+    registry = Registry(str(tmp_path / "reg.json"))
+    for t, pk in (("region", "r_regionkey"), ("nation", "n_nationkey"),
+                  ("broken", "x_pk")):
+        registry.register(TableRegistration(
+            service="svc", cluster="c1", db="tpch", table=t, pk_cols=[pk]))
+
+    def loader(reg):
+        if reg.table == "broken":
+            raise IOError("source unavailable")
+        return spark.read.parquet(f"{sf_dir}/{reg.table}.parquet")
+
+    results = run_due_snapshots_parallel(
+        spark, registry, loader, str(tmp_path / "o"), max_workers=3)
+    assert results["svc.c1.tpch.region.v0"]["total_records"] == 5
+    assert results["svc.c1.tpch.nation.v0"]["total_records"] == 25
+    assert "error" in results["svc.c1.tpch.broken.v0"]
+    # failed table stays due for retry; successes are cleared
+    due = {r.key for r in registry.tables_needing_snapshot()}
+    assert due == {"svc.c1.tpch.broken.v0"}
