@@ -45,6 +45,22 @@ def stratified_hash_sample(df: DataFrame, rates: dict[str, float],
     return df.filter(u < rate)
 
 
+def weighted_hash_sample(df: DataFrame, weight_col: str, key_col: str,
+                         alpha: float = 0.5, scale: float = 1.0,
+                         salt: str = "") -> DataFrame:
+    """Temperature-weighted deterministic sampling: keep probability
+    min(1, scale * w^alpha) per row — alpha < 1 flattens source/domain
+    imbalance (the multilingual-corpus resampling trick) while keeping
+    the reproducibility of ``hash_sample``.  alpha=0.5 uses sqrt
+    explicitly (IEEE correctly-rounded, hence engine-portable for the
+    oracle; pow() implementations may differ in the last ulp)."""
+    u = _uniform_from_hash(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = F.col(weight_col).cast("double")
+    wa = F.sqrt(w) if alpha == 0.5 else F.pow(w, F.lit(alpha))
+    p = F.least(F.lit(1.0), F.lit(scale) * wa)
+    return df.filter(u < p)
+
+
 def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
                    tokens_col: str = "n_tokens",
                    part_col: str | None = None) -> DataFrame:

@@ -636,12 +636,34 @@ WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
 """
 
 
+def sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature sampling: longer documents kept with probability
+    min(1, 0.3*sqrt(n_chars/1000)) — deterministic (same docs every
+    run), the domain-rebalancing primitive of corpus construction."""
+    from storagetapper_spark.operators.sampling import weighted_hash_sample
+
+    docs = t(spark, sf, "documents") \
+        .withColumn("w", F.col("n_chars") / F.lit(1000.0))
+    return (weighted_hash_sample(docs, "w", "doc_id", alpha=0.5, scale=0.3)
+            .select("doc_id", "lang", "n_chars"))
+
+
+SAMPLE_WEIGHTED_SQL = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 1152921504606846976.0
+      < least(1.0, 0.3 * sqrt(n_chars / 1000.0))
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_COS_SQL),
     "dedup_clusters": (dedup_clusters, _clusters_sql()),
     "dedup_corpus_summary": (dedup_corpus_summary, _corpus_summary_sql()),
     "sample_deterministic": (sample_deterministic, SAMPLE_SQL),
+    "sample_weighted": (sample_weighted, SAMPLE_WEIGHTED_SQL),
     "text_lang_confusion": (text_lang_confusion, _lang_confusion_sql()),
     "agg_decimal_exact": (agg_decimal_exact, AGG_DECIMAL_SQL),
     "training_data_pipeline": (training_data_pipeline, TRAINING_PIPELINE_SQL),
