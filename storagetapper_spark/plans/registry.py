@@ -20,14 +20,15 @@ from storagetapper_spark.plans import (
     relational5,
     relational6,
     relational7,
+    relational8,
     timeseries,
     timeseries2,
 )
 
 _ALL: dict[str, tuple[Callable, str | None]] = {}
 for mod in (relational, relational2, relational3, relational4, relational5,
-            relational6, relational7, timeseries, timeseries2, cdc, cdc2,
-            datapipe, extensions):
+            relational6, relational7, relational8, timeseries, timeseries2,
+            cdc, cdc2, datapipe, extensions):
     for name, pair in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"
         _ALL[name] = pair
