@@ -27,6 +27,10 @@ BENCH_QUERIES = [
     "funnel_view_click_purchase", "retention_cohorts", "text_tfidf_search",
     "window_range_frame", "unpivot_measures", "q6_forecast_revenue",
     "q14_promo_effect", "q19_disjunctive_ranges",
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+    "q11_important_parts", "q12_priority_by_status",
+    "q13_customer_distribution", "q15_top_supplier", "q16_supplier_counts",
+    "q20_dominant_suppliers", "q21_last_shippers",
     # CDC surface
     "cdc_snapshot_scan", "cdc_decompose_updates", "cdc_latest_state",
     "cdc_latest_state_agg", "cdc_snapshot_changelog_merge", "cdc_json_roundtrip",
