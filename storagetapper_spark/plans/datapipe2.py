@@ -161,8 +161,96 @@ FROM feats
 """
 
 
+# --- SRP-LSH approximate nearest neighbours ------------------------------
+
+def ann_srp(spark: SparkSession, sf: str) -> DataFrame:
+    """SRP-bucketed ANN (the 100 TB scale path: at ingest the bucket is
+    a stored column and the corpus is partitioned by it, so serving is
+    a co-located per-bucket scan).  The hyperplanes come from a seeded
+    LCG — plain double literals folded into the plan on BOTH engines,
+    and the dot-product fold order is identical (sequential
+    left-to-right), so bucket bits are bit-exact reproducible and the
+    whole pipeline has an exact DuckDB oracle."""
+    from storagetapper_spark.operators import similarity as S
+    emb = t(spark, sf, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return S.lsh_topk(corpus, queries, k=5, n_planes=6, dim=64, seed=42)
+
+
+def _srp_sql() -> str:
+    from storagetapper_spark.operators.similarity import make_planes
+    planes = make_planes(64, 6, 42)
+    def bucket_expr(v: str) -> str:
+        bits = []
+        for i, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(x) for x in p) + "]"
+            bits.append(f"(CASE WHEN list_dot_product({v}, {lit}) >= 0 "
+                        f"THEN {1 << i} ELSE 0 END)")
+        return " + ".join(bits)
+    cos = ("round(list_dot_product(c.v, q.qv) / "
+           "(sqrt(list_dot_product(c.v, c.v)) * "
+           "sqrt(list_dot_product(q.qv, q.qv))), 6)")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                  {bucket_expr('CAST(embedding AS DOUBLE[])')} AS bucket
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {bucket_expr('CAST(embedding AS DOUBLE[])')} AS bucket
+      FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, c.vec_id, {cos} AS cosine_sim
+  FROM c JOIN q USING (bucket)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# --- SRP-blocked embedding near-dup pairs --------------------------------
+
+def dedup_embedding_srp(spark: SparkSession, sf: str) -> DataFrame:
+    """SRP-bucket-blocked near-dup pairs — the scale path of
+    ``dedup_embedding_cosine`` (label blocking needs labels; SRP blocks
+    any corpus).  Per-block GEMM via applyInPandas; candidate pairs cut
+    ~2^planes.  Threshold kept away from fixture cosine values so the
+    round-6 comparison is engine-stable."""
+    from storagetapper_spark.operators import similarity as S
+    emb = t(spark, sf, "embeddings")
+    return (S.embedding_near_dup(emb, threshold=0.4, n_planes=8, dim=64,
+                                 seed=7)
+             .select("id_a", "id_b", "cosine_sim"))
+
+
+def _srp_near_dup_sql() -> str:
+    from storagetapper_spark.operators.similarity import make_planes
+    planes = make_planes(64, 8, 7)
+    bits = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        bits.append(f"(CASE WHEN list_dot_product(v, {lit}) >= 0 "
+                    f"THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    cos = ("round(list_dot_product(a.v, b.v) / "
+           "(sqrt(list_dot_product(a.v, a.v)) * "
+           "sqrt(list_dot_product(b.v, b.v))), 6)")
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+buck AS (SELECT vec_id, v, {bucket} AS bucket FROM c)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine_sim
+FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= 0.4
+"""
+
+
 QUERIES = {
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
     "quality_gate": (quality_gate, QUALITY_GATE_SQL),
+    "ann_srp": (ann_srp, _srp_sql()),
+    "dedup_embedding_srp": (dedup_embedding_srp, _srp_near_dup_sql()),
 }
