@@ -294,19 +294,28 @@ def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
                        left_ts: str = "ts", right_ts: str = "ts",
                        within: str = "1 hour",
                        watermark: str = "2 hours",
-                       right_key: str | None = None) -> DataFrame:
-    """Stream↔stream inner join (the §2.6 surface the reference cannot
+                       right_key: str | None = None,
+                       how: str = "inner") -> DataFrame:
+    """Stream↔stream join (the §2.6 surface the reference cannot
     express at all — it correlates nothing across streams): match events
     on ``key`` when the right event lands within ``within`` after the
     left one.  BOTH watermarks plus the time-range join condition are
     what let Spark evict join state — without them state grows O(stream).
-    State per side ≈ events within (watermark + within)."""
+    State per side ≈ events within (watermark + within).
+
+    ``how`` extends to the outer family ('left_outer', 'right_outer',
+    'full_outer', 'left_semi'): outer rows for unmatched events are
+    emitted only once the watermark passes the end of their join window
+    (Spark must prove no future match can arrive before it emits the
+    null-padded row) — downstream consumers see them one
+    watermark-delay late, which is the correctness-mandated behavior,
+    not a bug to tune away."""
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = ((lw[key] == rw[right_key or key])
             & (rw[right_ts] >= lw[left_ts])
             & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}")))
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 def streaming_dedup(stream: DataFrame, key_cols: list[str],

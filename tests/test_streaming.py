@@ -179,3 +179,44 @@ def test_stream_stream_join(spark, tmp_path):
     q.awaitTermination(90)
     rows = [(r.k, r.lv, r.rv) for r in spark.table("ssj").collect()]
     assert rows == [(1, "L1", "R1")]
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """Unmatched left events emit null-padded once the watermark passes
+    the end of their join window (needs a second micro-batch whose
+    events advance the watermark)."""
+    from pyspark.sql import types as T
+
+    from storagetapper_spark.streaming.pipeline import stream_stream_join
+
+    ls, rs = str(tmp_path / "l"), str(tmp_path / "r")
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("ts", T.TimestampType()),
+                        T.StructField("v", T.StringType())])
+    _drop(ls, "a.json", [
+        {"k": 1, "ts": "2024-01-01T10:00:00", "v": "L1"},   # will match
+        {"k": 2, "ts": "2024-01-01T10:00:00", "v": "L2"},   # never matches
+    ])
+    _drop(rs, "a.json", [
+        {"k": 1, "ts": "2024-01-01T10:30:00", "v": "R1"},
+    ])
+    # watermark-advancing batch, far past 10:00 + within + watermark
+    _drop(ls, "b.json", [{"k": 9, "ts": "2024-01-02T12:00:00", "v": "LX"}])
+    _drop(rs, "b.json", [{"k": 9, "ts": "2024-01-02T12:00:00", "v": "RX"}])
+    left = (spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+            .json(ls).select("k", "ts", F.col("v").alias("lv")))
+    right = (spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+             .json(rs).select(F.col("k").alias("rk"),
+                              F.col("ts").alias("rts"),
+                              F.col("v").alias("rv")))
+    joined = stream_stream_join(left, right, "k", "ts", "rts",
+                                within="1 hour", watermark="30 minutes",
+                                right_key="rk", how="left_outer")
+    q = (joined.writeStream.format("memory").queryName("ssloj")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(r.k, r.lv, r.rv) for r in spark.table("ssloj").collect()}
+    assert (1, "L1", "R1") in rows          # matched pair
+    assert (2, "L2", None) in rows          # outer row, null-padded
