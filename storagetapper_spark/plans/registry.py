@@ -41,25 +41,32 @@ for mod in (relational, relational2, relational3, relational4, relational5,
 # text surface) plus the 3 queries whose oracles were fixed this round
 # into the window.  Previously-green queries keep their recorded rows.
 _CHECK_FIRST = [
+    # round-4 additions (no driver row yet): the TPC-H completion batch…
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+    "q11_important_parts", "q12_priority_by_status",
+    "q13_customer_distribution", "q15_top_supplier", "q16_supplier_counts",
+    "q20_dominant_suppliers", "q21_last_shippers",
+    # …and the training-data hygiene batch
+    "contamination_check", "decontaminate", "quality_gate",
+    "ann_srp", "dedup_embedding_srp",
+    # the 6 queries never inside any round's window so far
+    "agg_percentiles_approx", "cdc_latest_state_agg", "dedup_corpus_summary",
+    "sample_weighted", "text_ngram_freq", "window_sliding",
+    # re-checks: the CDC reference-parity surface (keep fresh rows every
+    # round — this is the literal gate) and the r3 oracle fixes
     "cdc_snapshot_scan", "cdc_snapshot_filtered", "cdc_decompose_updates",
     "cdc_latest_state", "cdc_snapshot_changelog_merge", "cdc_json_roundtrip",
     "cdc_row_key", "cdc_sql_encoder", "cdc_sql_encoder_idempotent",
     "cdc_dedup_retransmit", "cdc_type_coercion", "cdc_avro_roundtrip",
     "cdc_seqno_derivation", "cdc_msgpack_roundtrip", "cdc_avro_prepare",
-    "dedup_exact", "dedup_embedding_cosine", "dedup_clusters",
-    "dedup_minhash_signature", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "ann_brute_force", "ann_vectorized", "ann_ivf",
-    "embedding_stats", "text_lang_id", "text_quality", "text_tokens",
-    "text_fingerprint", "text_lang_confusion", "text_pii_flags",
-    "text_repetition", "udtf_shingles", "udaf_geomean",
-    "sample_deterministic", "agg_decimal_exact", "training_data_pipeline",
-    "asof_state_at_event", "range_join_follow_events", "rollup_two_level",
-    "funnel_view_click_purchase", "retention_cohorts",
-    "q14_promo_effect", "q17_small_quantity", "q22_global_sales_opportunity",
-    "q19_disjunctive_ranges",
-    # oracle fixes this round — need fresh rows
     "conditional_agg", "sessionize", "approx_distinct",
+    # re-checks: dedup/ANN/text headliners
+    "dedup_exact", "dedup_minhash_signature", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_clusters",
+    "ann_brute_force", "ann_ivf", "text_lang_id",
+    "training_data_pipeline", "asof_state_at_event",
 ]
+assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 assert all(n in _ALL for n in _CHECK_FIRST), "unknown name in _CHECK_FIRST"
 _ORDERED = _CHECK_FIRST + [n for n in _ALL if n not in _CHECK_FIRST]
 
