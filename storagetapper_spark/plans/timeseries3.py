@@ -1,0 +1,170 @@
+"""Query batch: time-series completeness (round 4) — gap-filled daily
+rollups with LOCF, event-type transition matrix, rank-distribution
+windows, and regression aggregates.
+
+Scale notes: the gap-fill spine is generated per GROUP with
+``sequence()`` + ``explode`` (array bounded by the date range — never a
+driver loop, never a cross join against a materialized calendar table);
+LOCF is one window per group ordered by day.  Transitions are a single
+``lag`` window partitioned by user — state is one row.  The
+distribution windows run per returnflag partition with a total
+ordering, so ranks are engine-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from storagetapper_spark.plans.common import t
+
+
+# --- gap-filled daily rollup with LOCF -----------------------------------
+
+def gapfill_daily_locf(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily event counts per type over a complete calendar spine
+    (days with no events appear with n_events=0), with the average
+    value carried forward from the last non-empty day (LOCF) — the
+    canonical time-series 'make the series dense' operator
+    (hypertable/rollup-style engines ship this as time_bucket_gapfill +
+    locf)."""
+    ev = t(spark, sf, "events")
+    daily = (ev.groupBy("event_type",
+                        F.to_date(F.date_trunc("DAY", F.col("ts"))).alias("day"))
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.round(F.avg("value"), 4).alias("avg_value")))
+    bounds = ev.agg(F.to_date(F.min("ts")).alias("d0"),
+                    F.to_date(F.max("ts")).alias("d1"))
+    types = ev.select("event_type").distinct()
+    spine = (types.crossJoin(F.broadcast(bounds))
+                  .select("event_type",
+                          F.explode(F.sequence(
+                              F.col("d0"), F.col("d1"),
+                              F.expr("INTERVAL 1 DAY"))).alias("day")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    return (spine.join(daily, ["event_type", "day"], "left")
+                 .select("event_type", "day",
+                         F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                         F.last("avg_value", ignorenulls=True).over(w)
+                          .alias("locf_avg_value"))
+                 .orderBy("event_type", "day"))
+
+
+GAPFILL_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(avg(value), 4) AS avg_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(ts)::DATE AS d0, max(ts)::DATE AS d1 FROM events
+), spine AS (
+  SELECT t.event_type, unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE AS day
+  FROM (SELECT DISTINCT event_type FROM events) t, bounds b
+)
+SELECT s.event_type, s.day,
+       CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+       last_value(d.avg_value IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_avg_value
+FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
+ORDER BY s.event_type, s.day
+"""
+
+
+# --- event-type transition matrix ----------------------------------------
+
+def event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order transition counts between consecutive events of the
+    same user (the Markov-chain view of user behavior).  One lag window
+    per user — the shuffle is keyed on user_id and each partition holds
+    one user's ordered events."""
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select("user_id", "ts", "event_id", "event_type")
+              .withColumn("prev_type", F.lag("event_type").over(w))
+              .filter(F.col("prev_type").isNotNull())
+              .groupBy("prev_type", F.col("event_type").alias("next_type"))
+              .agg(F.count(F.lit(1)).alias("n_transitions"))
+              .orderBy("prev_type", "next_type"))
+
+
+TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+"""
+
+
+# --- rank-distribution window functions ----------------------------------
+
+def window_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over a TOTAL ordering (price,
+    then PK) per returnflag — the remaining §2.6 window-function family.
+    The total ordering makes every rank engine-deterministic."""
+    li = t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"))
+
+
+WINDOW_DIST_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+       CAST(ntile(4) OVER w AS INTEGER) AS price_quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+"""
+
+
+# --- regression / correlation aggregates ---------------------------------
+
+def agg_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear-regression aggregates (slope/intercept/r2/corr) of price
+    vs quantity per returnflag — single-pass partial-aggregable moments
+    (each is a combination of sums Spark computes map-side)."""
+    li = t(spark, sf, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (li.groupBy("l_returnflag")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.corr(x, y), 4).alias("corr_qty_price"),
+                   F.round(F.regr_slope(y, x), 4).alias("slope"),
+                   F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+                   F.round(F.regr_r2(y, x), 4).alias("r2"))
+              .orderBy("l_returnflag"))
+
+
+AGG_REGRESSION_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+QUERIES = {
+    "gapfill_daily_locf": (gapfill_daily_locf, GAPFILL_SQL),
+    "event_transitions": (event_transitions, TRANSITIONS_SQL),
+    "window_distribution": (window_distribution, WINDOW_DIST_SQL),
+    "agg_regression": (agg_regression, AGG_REGRESSION_SQL),
+}

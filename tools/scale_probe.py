@@ -34,6 +34,12 @@ PROBES = [
     "ann_brute_force",         # broadcast query set
     "text_quality",            # narrow projections
     "sessionize",              # window over users
+    # round-4 additions
+    "q9_product_profit",       # widest dim join in the TPC-H suite
+    "q21_last_shippers",       # semi+anti non-equi self-joins
+    "contamination_check",     # explode + broadcast semi-probe
+    "quality_gate",            # composite single-scan filter
+    "ann_srp",                 # bucketed LSH serving path
 ]
 
 
