@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "sample_deterministic", "sample_stratified",
     "text_lang_id", "text_quality", "text_tokens", "text_fingerprint",
     "text_pii_flags", "text_repetition", "text_ngram_freq",
+    # round-4 additions
+    "gapfill_daily_locf", "event_transitions", "window_distribution",
+    "agg_regression", "contamination_check", "quality_gate",
+    "ann_srp", "dedup_embedding_srp",
 ]
 
 
