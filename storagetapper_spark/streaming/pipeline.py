@@ -318,6 +318,40 @@ def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
     return lw.join(rw, cond, how)
 
 
+def enriched_sink(stream: DataFrame, dim_path: str, key: str,
+                  out_dir: str, checkpoint_dir: str,
+                  dim_key: str | None = None,
+                  trigger_available_now: bool = True):
+    """Stream enrichment against a slowly-changing dimension that is
+    RE-READ every micro-batch (foreachBatch + fresh ``spark.read``).
+
+    The naive form — joining the stream against a static DataFrame
+    built once — freezes the dimension at plan time: Spark's file index
+    for the static side is resolved when the query starts, so dimension
+    updates landing mid-stream are silently ignored.  Re-reading inside
+    foreachBatch gives each batch the current dimension at its trigger
+    instant (the per-batch snapshot-consistency the reference gets from
+    reading MySQL state per event).  The dimension is broadcast: at
+    100 TB the stream side is the big one and never shuffles for this
+    join."""
+    spark = stream.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dim = spark.read.parquet(dim_path)
+        joined = batch_df.join(
+            F.broadcast(dim), batch_df[key] == dim[dim_key or key], "left")
+        (joined.drop(dim[dim_key or key])
+               .withColumn("_batch_id", F.lit(batch_id))
+               .write.mode("append").parquet(out_dir))
+
+    writer = (stream.writeStream.foreachBatch(process_batch)
+                    .option("checkpointLocation", checkpoint_dir)
+                    .outputMode("append"))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_dedup(stream: DataFrame, key_cols: list[str],
                     ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
     """At-least-once retransmit cleanup in-stream:

@@ -220,3 +220,39 @@ def test_stream_stream_left_outer_join(spark, tmp_path):
     rows = {(r.k, r.lv, r.rv) for r in spark.table("ssloj").collect()}
     assert (1, "L1", "R1") in rows          # matched pair
     assert (2, "L2", None) in rows          # outer row, null-padded
+
+
+def test_enriched_sink_sees_dimension_updates(spark, tmp_path):
+    """Each micro-batch re-reads the dimension: rows arriving after a
+    dimension update are enriched with the NEW attribute values."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from storagetapper_spark.streaming.pipeline import enriched_sink
+
+    feed = str(tmp_path / "feed")
+    dim = str(tmp_path / "dim")
+    out = str(tmp_path / "out")
+
+    spark.createDataFrame([Row(k=1, region="emea")]) \
+         .write.mode("overwrite").parquet(dim)
+    _drop(feed, "a.json", [{"k": 1, "v": "first"}])
+
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    stream = (spark.readStream.schema(sch)
+              .option("maxFilesPerTrigger", 1).json(feed))
+    q = enriched_sink(stream, dim, "k", out, str(tmp_path / "ck1"))
+    q.awaitTermination(60)
+
+    # update the dimension, then stream a second event
+    spark.createDataFrame([Row(k=1, region="apac")]) \
+         .write.mode("overwrite").parquet(dim)
+    _drop(feed, "b.json", [{"k": 1, "v": "second"}])
+    stream = (spark.readStream.schema(sch)
+              .option("maxFilesPerTrigger", 1).json(feed))
+    q = enriched_sink(stream, dim, "k", out, str(tmp_path / "ck1"))
+    q.awaitTermination(60)
+
+    rows = {(r.v, r.region) for r in spark.read.parquet(out).collect()}
+    assert rows == {("first", "emea"), ("second", "apac")}
