@@ -22,6 +22,7 @@ from storagetapper_spark.plans import (
     relational6,
     relational7,
     relational8,
+    relational9,
     timeseries,
     timeseries2,
     timeseries3,
@@ -29,8 +30,9 @@ from storagetapper_spark.plans import (
 
 _ALL: dict[str, tuple[Callable, str | None]] = {}
 for mod in (relational, relational2, relational3, relational4, relational5,
-            relational6, relational7, relational8, timeseries, timeseries2,
-            timeseries3, cdc, cdc2, datapipe, datapipe2, extensions):
+            relational6, relational7, relational8, relational9, timeseries,
+            timeseries2, timeseries3, cdc, cdc2, datapipe, datapipe2,
+            extensions):
     for name, pair in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"
         _ALL[name] = pair
