@@ -47,7 +47,9 @@ BENCH_QUERIES = [
     # round-4 additions
     "gapfill_daily_locf", "event_transitions", "window_distribution",
     "agg_regression", "contamination_check", "quality_gate",
-    "ann_srp", "dedup_embedding_srp",
+    "ann_srp", "dedup_embedding_srp", "sketch_hll_union",
+    "sample_reservoir_per_group", "time_weighted_avg",
+    "q13_customer_distribution", "q21_last_shippers",
 ]
 
 
