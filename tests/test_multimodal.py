@@ -65,3 +65,30 @@ def test_media_features_deterministic(spark):
 def test_unknown_codec_raises():
     with pytest.raises((NotImplementedError, ValueError)):
         _decode(b"??????")
+
+
+def test_media_features_compose_with_ann(spark):
+    """The multimodal embedding slot feeds similarity search unchanged:
+    extract features from binary payloads, then run the same ANN
+    operator the text/embedding pipeline uses (duplicate payloads must
+    rank as each other's top match, cosine 1.0)."""
+    from pyspark.sql import functions as F
+
+    from storagetapper_spark.operators.multimodal import make_fake_payload
+    from storagetapper_spark.operators.similarity import brute_force_topk
+
+    rows = [(i, make_fake_payload("image", 64, 64, body=bytes([i % 3])))
+            for i in range(9)]  # 3 distinct payloads, 3 copies each
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    feats = media_features(media, dim=16)
+    corpus = feats.filter(F.col("media_id") >= 3) \
+                  .withColumnRenamed("feature", "embedding") \
+                  .withColumnRenamed("media_id", "vec_id")
+    queries = feats.filter(F.col("media_id") < 3) \
+                   .select(F.col("media_id").alias("query_id"),
+                           F.col("feature").alias("embedding"))
+    top = brute_force_topk(corpus, queries, k=1)
+    for r in top.collect():
+        # top match is the same payload's other copy: seed equality
+        assert r.vec_id % 3 == r.query_id % 3
+        assert abs(r.cosine_sim - 1.0) < 1e-6
