@@ -247,7 +247,33 @@ WHERE {cos} >= 0.4
 """
 
 
+# --- one-pass column profiling -------------------------------------------
+
+def profile_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE-style stats for every documents column in one scan."""
+    from storagetapper_spark.operators.profile import profile
+    return profile(t(spark, sf, "documents"),
+                   ["doc_id", "lang", "source", "n_chars"]) \
+        .orderBy("column_name")
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in ["doc_id", "lang", "source", "n_chars"]:
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       min(CAST({c} AS VARCHAR)) AS min_val,
+       max(CAST({c} AS VARCHAR)) AS max_val,
+       round(avg(length(CAST({c} AS VARCHAR))), 4) AS avg_len
+FROM documents""")
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
 QUERIES = {
+    "profile_documents": (profile_documents, _profile_sql()),
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
     "quality_gate": (quality_gate, QUALITY_GATE_SQL),
