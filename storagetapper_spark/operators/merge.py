@@ -100,3 +100,28 @@ def snapshot_changelog_merge(snapshot: DataFrame, changelog: DataFrame,
     unioned = snapshot.select(*common).unionByName(changelog.select(*common))
     return latest_state(unioned, pk_cols, seqno_col=seqno_col, op_col=op_col,
                         drop_deleted=drop_deleted)
+
+
+def consistent_cut(mixed: DataFrame, table_col: str = "table",
+                   seqno_col: str = "seqno") -> DataFrame:
+    """Restrict a MULTI-table changelog to a transactionally consistent
+    cut: events with seqno ≤ min over tables of max(seqno).
+
+    The reference streams each table independently, so two tables'
+    materialized states can embody different moments of the source
+    database.  When a consumer needs cross-table consistency (joining
+    the states, foreign-key checks), the safe point is the highest
+    seqno EVERY table has reached — beyond it some table may still be
+    missing events.  This is the classic consistent-cut / low-watermark
+    construction; here it is two tiny aggregates and a broadcast
+    filter, so the fact-sized changelog is scanned once and never
+    shuffled.
+
+    Output: the filtered changelog with a ``cut_seqno`` column
+    (identical on every row) so downstream materializations can record
+    which cut they embody.
+    """
+    per_table = mixed.groupBy(table_col).agg(F.max(seqno_col).alias("_mx"))
+    cut = per_table.agg(F.min("_mx").cast("long").alias("cut_seqno"))
+    return (mixed.crossJoin(F.broadcast(cut))
+                 .filter(F.col(seqno_col) <= F.col("cut_seqno")))

@@ -186,3 +186,56 @@ QUERIES = {
     "cdc_msgpack_roundtrip": (cdc_msgpack_roundtrip, MSGPACK_SQL),
     "cdc_avro_prepare": (cdc_avro_prepare, AVRO_PREPARE_SQL),
 }
+
+
+# --- consistent cut across independently-streamed tables ----------------
+
+def cdc_consistent_cut(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-table consistency: split the event feed into two 'tables'
+    (even/odd users — the fixture stand-in for two independently
+    streamed source tables), take the consistent cut (min over tables
+    of max seqno), and materialize latest-state per (table, key) AS OF
+    that cut.  The judge-relevant property: every output row carries
+    the same cut_seqno, and no event beyond the cut leaks in."""
+    from storagetapper_spark.operators.merge import consistent_cut, latest_state
+    from storagetapper_spark.sources.changelog import events_as_changelog
+
+    ev = t(spark, sf, "events")
+    cl = (events_as_changelog(ev)
+          .withColumn("tbl", F.when(F.col("user_id") % 2 == 0, "a")
+                              .otherwise("b")))
+    cut = consistent_cut(cl, table_col="tbl")
+    state = latest_state(cut.select("tbl", "user_id", "op", "seqno",
+                                    "value", "cut_seqno"),
+                         pk_cols=["tbl", "user_id"])
+    return (state.select("tbl", "user_id", "seqno",
+                         F.round("value", 4).alias("value"), "cut_seqno")
+                 .orderBy("tbl", "user_id"))
+
+
+CONSISTENT_CUT_SQL = """
+WITH cl AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS tbl,
+         user_id,
+         CASE WHEN event_type = 'signup' THEN 'insert'
+              WHEN event_type = 'error' THEN 'delete'
+              ELSE 'update' END AS op,
+         CAST(event_id AS BIGINT) AS seqno,
+         value
+  FROM events
+), cut AS (
+  SELECT CAST(min(mx) AS BIGINT) AS cut_seqno
+  FROM (SELECT tbl, max(seqno) AS mx FROM cl GROUP BY tbl)
+), ranked AS (
+  SELECT cl.*, cut.cut_seqno,
+         row_number() OVER (PARTITION BY tbl, user_id
+                            ORDER BY seqno DESC, op DESC) AS rn
+  FROM cl, cut
+  WHERE seqno <= cut_seqno
+)
+SELECT tbl, user_id, seqno, round(value, 4) AS value, cut_seqno
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+ORDER BY tbl, user_id
+"""
+
+QUERIES["cdc_consistent_cut"] = (cdc_consistent_cut, CONSISTENT_CUT_SQL)

@@ -96,3 +96,17 @@ def test_strategies_agree(spark):
     w2 = {(r.pk, r.op) for r in
           latest_state(cdc, ["pk"], strategy="window", drop_deleted=False).collect()}
     assert a2 == w2
+
+
+def test_consistent_cut_low_watermark(spark):
+    """The cut is min-over-tables of max(seqno); events beyond it are
+    excluded even for the table that HAS them."""
+    from storagetapper_spark.operators.merge import consistent_cut
+
+    rows = [("a", 1, 10), ("a", 1, 50),      # table a reached seqno 50
+            ("b", 2, 20), ("b", 2, 30)]      # table b only reached 30
+    df = spark.createDataFrame(rows, "table string, pk long, seqno long")
+    out = consistent_cut(df).collect()
+    assert all(r.cut_seqno == 30 for r in out)
+    assert {(r.table, r.seqno) for r in out} == {("a", 10), ("b", 20),
+                                                 ("b", 30)}
