@@ -44,30 +44,32 @@ for mod in (relational, relational2, relational3, relational4, relational5,
 # text surface) plus the 3 queries whose oracles were fixed this round
 # into the window.  Previously-green queries keep their recorded rows.
 _CHECK_FIRST = [
-    # round-4 additions (no driver row yet): the TPC-H completion batch…
+    # round-4 additions (no driver row anywhere): TPC-H completion…
     "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
     "q11_important_parts", "q12_priority_by_status",
     "q13_customer_distribution", "q15_top_supplier", "q16_supplier_counts",
     "q20_dominant_suppliers", "q21_last_shippers",
-    # …and the training-data hygiene batch
+    # …training-data hygiene + profiling…
     "contamination_check", "decontaminate", "quality_gate",
-    "ann_srp", "dedup_embedding_srp",
-    # the 6 queries never inside any round's window so far
+    "ann_srp", "dedup_embedding_srp", "profile_documents",
+    # …time-series batch, sketches, sampling, consistent cut
+    "gapfill_daily_locf", "event_transitions", "window_distribution",
+    "agg_regression", "sketch_hll_union", "sample_reservoir_per_group",
+    "time_weighted_avg", "cdc_consistent_cut",
+    # the 6 queries never inside ANY round's window (r1-r3)
     "agg_percentiles_approx", "cdc_latest_state_agg", "dedup_corpus_summary",
     "sample_weighted", "text_ngram_freq", "window_sliding",
-    # re-checks: the CDC reference-parity surface (keep fresh rows every
-    # round — this is the literal gate) and the r3 oracle fixes
+    # red rows in r2 (oracles fixed in r3) — must land green rows
+    "conditional_agg", "sessionize", "approx_distinct",
+    # the CDC reference-parity surface (r3-window; re-secure rows in case
+    # r3's correctness file never materialized — it is absent on disk)
     "cdc_snapshot_scan", "cdc_snapshot_filtered", "cdc_decompose_updates",
     "cdc_latest_state", "cdc_snapshot_changelog_merge", "cdc_json_roundtrip",
     "cdc_row_key", "cdc_sql_encoder", "cdc_sql_encoder_idempotent",
     "cdc_dedup_retransmit", "cdc_type_coercion", "cdc_avro_roundtrip",
     "cdc_seqno_derivation", "cdc_msgpack_roundtrip", "cdc_avro_prepare",
-    "conditional_agg", "sessionize", "approx_distinct",
-    # re-checks: dedup/ANN/text headliners
-    "dedup_exact", "dedup_minhash_signature", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_clusters",
-    "ann_brute_force", "ann_ivf", "text_lang_id",
-    "training_data_pipeline", "asof_state_at_event",
+    # dedup headliners (same rationale)
+    "dedup_minhash_lsh", "dedup_clusters",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 assert all(n in _ALL for n in _CHECK_FIRST), "unknown name in _CHECK_FIRST"
