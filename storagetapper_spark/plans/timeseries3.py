@@ -162,7 +162,61 @@ ORDER BY l_returnflag
 """
 
 
+# --- trailing-window anomaly detection -----------------------------------
+
+def anomaly_daily_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Volume-anomaly detection: flag days whose event count deviates
+    from the trailing 7-day mean by more than 2 trailing standard
+    deviations (the ops-alerting staple).  The trailing stats are one
+    ROWS-frame window per event_type ordered by day — partial sums, no
+    self-join, no cross-day shuffle beyond the per-type partition.
+    The flag compares round-4 values so boundary membership is
+    engine-deterministic."""
+    ev = t(spark, sf, "events")
+    daily = (ev.groupBy("event_type",
+                        F.to_date(F.date_trunc("DAY", F.col("ts"))).alias("day"))
+               .agg(F.count(F.lit(1)).alias("n_events")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+               .rowsBetween(-7, -1))
+    mu = F.avg("n_events").over(w)
+    sd = F.stddev_samp("n_events").over(w)
+    n_prior = F.count("n_events").over(w)
+    return (daily.select(
+                "event_type", "day", "n_events",
+                F.round(mu, 4).alias("trailing_mean"),
+                F.round(sd, 4).alias("trailing_std"),
+                ((n_prior >= 7) & (sd > 0)
+                 & (F.abs(F.col("n_events") - F.round(mu, 4))
+                    > 2 * F.round(sd, 4))).alias("is_anomaly"))
+            .orderBy("event_type", "day"))
+
+
+ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, day, n_events,
+         avg(n_events) OVER w AS mu,
+         stddev_samp(n_events) OVER w AS sd,
+         count(n_events) OVER w AS n_prior
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n_events,
+       round(mu, 4) AS trailing_mean,
+       round(sd, 4) AS trailing_std,
+       (n_prior >= 7 AND sd > 0
+        AND abs(n_events - round(mu, 4)) > 2 * round(sd, 4)) AS is_anomaly
+FROM stats
+ORDER BY event_type, day
+"""
+
+
 QUERIES = {
+    "anomaly_daily_counts": (anomaly_daily_counts, ANOMALY_SQL),
     "gapfill_daily_locf": (gapfill_daily_locf, GAPFILL_SQL),
     "event_transitions": (event_transitions, TRANSITIONS_SQL),
     "window_distribution": (window_distribution, WINDOW_DIST_SQL),
