@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "ann_srp", "dedup_embedding_srp", "sketch_hll_union",
     "sample_reservoir_per_group", "time_weighted_avg",
     "q13_customer_distribution", "q21_last_shippers",
+    "anomaly_daily_counts", "profile_documents", "cdc_consistent_cut",
 ]
 
 
