@@ -135,3 +135,42 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         bpe_est.alias("bpe_tokens_est"),
         F.round(F.length(t) / F.greatest(ws_tokens, F.lit(1)), 4).alias("chars_per_token"),
     )
+
+
+def chunk_fixed(df: DataFrame, text_col: str = "text", size: int = 200,
+                stride: int = 150, id_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Split documents into fixed-width character chunks with overlap
+    (``size`` chars every ``stride`` — the standard pre-tokenization
+    windowing for embedding / training-context prep).
+
+    ``posexplode(sequence(...))`` generates start offsets JVM-side — the
+    fan-out is a narrow generator, no shuffle, no Python.  Only the
+    (ids, text) projection feeds the generator so nothing else is
+    re-evaluated per chunk (see SCALE.md on generator re-evaluation)."""
+    starts = F.sequence(F.lit(1),
+                        F.greatest(F.lit(1), F.length(F.col(text_col))),
+                        F.lit(stride))
+    exploded = df.select(*id_cols, F.col(text_col),
+                         F.posexplode(starts).alias("chunk_id", "chunk_start"))
+    chunk = F.expr(f"substring({text_col}, chunk_start, {size})")
+    return exploded.select(*id_cols, "chunk_id", "chunk_start",
+                           F.length(chunk).cast("long").alias("chunk_len"),
+                           F.md5(chunk).alias("chunk_md5"))
+
+
+def chunk_tokens(df: DataFrame, text_col: str = "text", tokens: int = 64,
+                 id_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Split documents into non-overlapping ``tokens``-whitespace-token
+    chunks (LLM-context-budget windowing).  Same narrow generator shape
+    as chunk_fixed; the token array is built once per row."""
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(1),
+                        F.greatest(F.lit(1), F.size(toks)),
+                        F.lit(tokens))
+    exploded = df.select(*id_cols, toks.alias("_toks"),
+                         F.posexplode(starts).alias("chunk_id", "tok_start"))
+    piece = F.slice(F.col("_toks"), F.col("tok_start"), tokens)
+    chunk = F.concat_ws(" ", piece)
+    return exploded.select(*id_cols, "chunk_id", "tok_start",
+                           F.size(piece).cast("long").alias("n_tokens"),
+                           F.md5(chunk).alias("chunk_md5"))

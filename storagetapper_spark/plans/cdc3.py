@@ -1,0 +1,189 @@
+"""CDC warehouse-maintenance plans: SCD Type-2 history, incremental
+aggregate maintenance (IVM), field-level audit, and seqno time travel.
+
+The reference ships only latest-state materialization (encoder/sql.go
+MERGE path); these are the standard downstream products a warehouse
+builds from the same changelog.  All bind the ``events`` fixture as the
+binlog feed (FIXTURES.md §F6) with exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storagetapper_spark.operators.history import (
+    column_audit,
+    delta_stream,
+    scd2_history,
+)
+from storagetapper_spark.operators.merge import latest_state
+from storagetapper_spark.plans.common import events_t
+from storagetapper_spark.sources.changelog import (
+    decompose_updates,
+    events_as_changelog,
+)
+
+QUERIES: dict = {}
+
+
+def _changelog(spark: SparkSession, sf: str) -> DataFrame:
+    ev = events_t(spark, sf).select("event_id", "user_id", "event_type",
+                                    F.round("value", 2).alias("value"))
+    return events_as_changelog(ev)
+
+
+_CL_SQL = """
+  SELECT event_id, user_id, event_type, round(value, 2) AS value,
+         CASE WHEN event_type = 'signup' THEN 'insert'
+              WHEN event_type = 'error' THEN 'delete'
+              ELSE 'update' END AS op,
+         CAST(event_id AS BIGINT) AS seqno
+  FROM events
+"""
+
+
+# --- SCD Type-2 dimension history ---------------------------------------
+
+def cdc_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """Full version history as an SCD2 table: each non-delete changelog
+    row is a version valid over [valid_from, valid_to) in seqno space; a
+    delete closes the last version.  One window shuffle on the PK."""
+    hist = scd2_history(_changelog(spark, sf), pk_cols=["user_id"])
+    return hist.select("user_id", "valid_from", "valid_to", "is_current",
+                       "event_type", "value")
+
+
+SCD2_SQL = f"""
+WITH cl AS ({_CL_SQL}),
+v AS (
+  SELECT user_id, event_type, value, op,
+         seqno AS valid_from,
+         lead(seqno) OVER (PARTITION BY user_id ORDER BY seqno, op)
+           AS valid_to
+  FROM cl
+)
+SELECT user_id, valid_from, valid_to,
+       valid_to IS NULL AS is_current, event_type, value
+FROM v WHERE op <> 'delete'
+"""
+
+
+# --- incremental aggregate maintenance (delta folding == recompute) -----
+
+def cdc_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Maintain SUM(value)/COUNT(live) per group *incrementally*: fold the
+    changelog's signed deltas with a plain SUM instead of re-scanning the
+    latest state.  The oracle computes the same aggregate the direct way
+    (latest state per key, then GROUP BY) — equality IS the IVM
+    invariant.  Deltas are decimal so the fold is order-independent; the exact decimal total is surfaced as
+    double (both engines derive the identical bits from the same exact
+    decimal, so the check is still bit-exact)."""
+    d = delta_stream(_changelog(spark, sf), pk_cols=["user_id"],
+                     value_col="value", decimal_type="decimal(18,2)")
+    return (d.groupBy((F.col("user_id") % 10).alias("bucket"))
+             .agg(F.sum("value_delta").cast("decimal(18,2)")
+                    .cast("double").alias("sum_value"),
+                  F.sum("live_delta").alias("n_live")))
+
+
+INCREMENTAL_AGG_SQL = f"""
+WITH cl AS ({_CL_SQL}),
+ranked AS (
+  SELECT cl.*, row_number() OVER (PARTITION BY user_id
+                                  ORDER BY seqno DESC, op DESC) AS rn
+  FROM cl
+),
+state AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'delete')
+SELECT b.bucket,
+       CAST(CAST(COALESCE(s.sum_value, 0) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value,
+       COALESCE(s.n_live, 0) AS n_live
+FROM (SELECT DISTINCT user_id % 10 AS bucket FROM events) b
+LEFT JOIN (
+  SELECT user_id % 10 AS bucket,
+         sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+         count(*) AS n_live
+  FROM state GROUP BY user_id % 10
+) s USING (bucket)
+"""
+
+
+# --- field-level change audit -------------------------------------------
+
+def cdc_column_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Which tracked columns changed at each seqno, per key (null-safe
+    consecutive-version diff); no-change rows dropped."""
+    audit = column_audit(_changelog(spark, sf), pk_cols=["user_id"],
+                         tracked_cols=["event_type", "value"])
+    return audit.select("user_id", "seqno", "changed_cols", "n_changed")
+
+
+COLUMN_AUDIT_SQL = f"""
+WITH cl AS ({_CL_SQL}),
+d AS (
+  SELECT user_id, seqno,
+         concat_ws(',',
+           CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+                THEN 'event_type' END,
+           CASE WHEN value IS DISTINCT FROM lag(value) OVER w
+                THEN 'value' END) AS changed_cols,
+         (CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+               THEN 1 ELSE 0 END
+          + CASE WHEN value IS DISTINCT FROM lag(value) OVER w
+                 THEN 1 ELSE 0 END) AS n_changed
+  FROM cl
+  WINDOW w AS (PARTITION BY user_id ORDER BY seqno)
+)
+SELECT user_id, seqno, changed_cols, n_changed FROM d WHERE n_changed > 0
+"""
+
+
+# --- time travel: state at a seqno cut ----------------------------------
+
+def cdc_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Reconstruct table state as of a past seqno (the reference's
+    resume-from-GTID position, replayed as a query): filter the
+    decomposed changelog to seqno <= cut, then latest-state.  The cut
+    (60% of max event_id) is a broadcast scalar, not a driver collect."""
+    cdc = decompose_updates(_changelog(spark, sf))
+    cut = (events_t(spark, sf)
+           .agg((F.expr("max(event_id) * 3 div 5") * 2 + 1)
+                .cast("long").alias("cut_seqno")))
+    at_cut = (cdc.crossJoin(F.broadcast(cut))
+                 .where(F.col("seqno") <= F.col("cut_seqno")))
+    state = latest_state(at_cut, pk_cols=["user_id"])
+    return state.select("user_id", "event_id", "op", "seqno", "value",
+                        "cut_seqno")
+
+
+TIME_TRAVEL_SQL = f"""
+WITH cl AS ({_CL_SQL}),
+dec AS (
+  SELECT event_id, user_id, event_type, value,
+         'delete' AS op, seqno * 2 AS seqno
+  FROM cl WHERE op = 'update'
+  UNION ALL
+  SELECT event_id, user_id, event_type, value,
+         CASE WHEN op = 'update' THEN 'insert' ELSE op END AS op,
+         seqno * 2 + 1 AS seqno
+  FROM cl
+),
+cut AS (SELECT CAST((max(event_id) * 3) // 5 * 2 + 1 AS BIGINT) AS cut_seqno
+        FROM events),
+ranked AS (
+  SELECT dec.*, cut.cut_seqno,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY seqno DESC, op DESC) AS rn
+  FROM dec, cut WHERE seqno <= cut_seqno
+)
+SELECT user_id, event_id, op, seqno, value, cut_seqno
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+QUERIES.update({
+    "cdc_scd2_history": (cdc_scd2_history, SCD2_SQL),
+    "cdc_incremental_agg": (cdc_incremental_agg, INCREMENTAL_AGG_SQL),
+    "cdc_column_audit": (cdc_column_audit, COLUMN_AUDIT_SQL),
+    "cdc_time_travel": (cdc_time_travel, TIME_TRAVEL_SQL),
+})

@@ -12,8 +12,10 @@ from storagetapper_spark.plans import (
     cdc,
     extensions,
     cdc2,
+    cdc3,
     datapipe,
     datapipe2,
+    datapipe3,
     relational,
     relational2,
     relational3,
@@ -31,8 +33,8 @@ from storagetapper_spark.plans import (
 _ALL: dict[str, tuple[Callable, str | None]] = {}
 for mod in (relational, relational2, relational3, relational4, relational5,
             relational6, relational7, relational8, relational9, timeseries,
-            timeseries2, timeseries3, cdc, cdc2, datapipe, datapipe2,
-            extensions):
+            timeseries2, timeseries3, cdc, cdc2, cdc3, datapipe, datapipe2,
+            datapipe3, extensions):
     for name, pair in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"
         _ALL[name] = pair

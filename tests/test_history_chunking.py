@@ -1,0 +1,121 @@
+"""Semantic invariants of the SCD2/IVM/audit/time-travel/chunking batch
+(the DuckDB oracle checks value equality; these check the MEANING)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from storagetapper_spark.operators.merge import latest_state
+from storagetapper_spark.plans.common import events_t, t
+from storagetapper_spark.plans.registry import QUERIES
+from storagetapper_spark.sources.changelog import (
+    decompose_updates,
+    events_as_changelog,
+)
+
+
+def test_scd2_intervals_are_contiguous_and_single_current(spark, sf_dir):
+    rows = QUERIES["cdc_scd2_history"](spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, versions in by_user.items():
+        versions.sort(key=lambda r: r.valid_from)
+        n_current = sum(1 for r in versions if r.is_current)
+        assert n_current <= 1, user
+        for r in versions:
+            # half-open interval: a closed version ends strictly later
+            assert r.valid_to is None or r.valid_to > r.valid_from
+            assert r.is_current == (r.valid_to is None)
+        # versions never overlap: next valid_from >= previous valid_to
+        for a, b in zip(versions, versions[1:]):
+            assert a.valid_to is not None and b.valid_from >= a.valid_to
+
+
+def test_scd2_deleted_users_have_no_current(spark, sf_dir):
+    ev = events_t(spark, sf_dir)
+    last = (ev.groupBy("user_id")
+              .agg(F.max_by("event_type", "event_id").alias("last_type")))
+    deleted = {r.user_id for r in last.where("last_type = 'error'").collect()}
+    current = {r.user_id
+               for r in QUERIES["cdc_scd2_history"](spark, sf_dir)
+                          .where("is_current").collect()}
+    assert deleted.isdisjoint(current)
+
+
+def test_incremental_agg_equals_direct_recompute(spark, sf_dir):
+    """The IVM invariant, checked against Spark's own latest_state (the
+    DuckDB oracle re-checks it against a second engine)."""
+    out = {r.bucket: (r.sum_value, r.n_live)
+           for r in QUERIES["cdc_incremental_agg"](spark, sf_dir).collect()}
+    ev = events_t(spark, sf_dir).select(
+        "event_id", "user_id", "event_type",
+        F.round("value", 2).alias("value"))
+    state = latest_state(events_as_changelog(ev), pk_cols=["user_id"])
+    direct = {r.bucket: (r.s, r.n) for r in
+              state.groupBy((F.col("user_id") % 10).alias("bucket"))
+                   .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                         .cast("double").alias("s"),
+                        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(out) == set(direct)
+    for b in out:
+        assert out[b][1] == direct[b][1]
+        assert math.isclose(out[b][0], direct[b][0], abs_tol=1e-9)
+
+
+def test_column_audit_counts_match_names(spark, sf_dir):
+    rows = QUERIES["cdc_column_audit"](spark, sf_dir).collect()
+    ev_users = events_t(spark, sf_dir).select("user_id").distinct().count()
+    assert len({r.user_id for r in rows}) == ev_users  # first row always audits
+    for r in rows:
+        assert r.n_changed == len(r.changed_cols.split(","))
+        assert set(r.changed_cols.split(",")) <= {"event_type", "value"}
+
+
+def test_time_travel_equals_replay_of_prefix(spark, sf_dir):
+    out = QUERIES["cdc_time_travel"](spark, sf_dir)
+    cut_seqno = out.select("cut_seqno").first().cut_seqno
+    cut_event = (cut_seqno - 1) // 2
+    ev = events_t(spark, sf_dir).select(
+        "event_id", "user_id", "event_type",
+        F.round("value", 2).alias("value"))
+    prefix = ev.where(F.col("event_id") <= cut_event)
+    expected = latest_state(
+        decompose_updates(events_as_changelog(prefix)), pk_cols=["user_id"])
+    got = {(r.user_id, r.event_id, r.seqno, r.value) for r in out.collect()}
+    want = {(r.user_id, r.event_id, r.seqno, r.value)
+            for r in expected.collect()}
+    assert got == want
+
+
+def test_chunk_fixed_covers_every_char(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", F.length("text").alias("n"))
+    lens = {r.doc_id: r.n for r in docs.collect()}
+    chunks = QUERIES["text_chunk_fixed"](spark, sf_dir).collect()
+    per_doc: dict = {}
+    for c in chunks:
+        per_doc.setdefault(c.doc_id, []).append(c)
+    assert set(per_doc) == set(lens)
+    for doc_id, cs in per_doc.items():
+        n = lens[doc_id]
+        assert len(cs) == (max(n, 1) - 1) // 150 + 1
+        cs.sort(key=lambda c: c.chunk_start)
+        covered = 0
+        for c in cs:
+            assert c.chunk_start <= covered + 1  # overlap or adjacency
+            assert c.chunk_len <= 200
+            covered = max(covered, c.chunk_start + c.chunk_len - 1)
+        assert covered == n
+
+
+def test_chunk_tokens_partitions_the_token_stream(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    toks = {r.doc_id: r.n_tok for r in docs.collect()}
+    chunks = QUERIES["text_chunk_tokens"](spark, sf_dir).collect()
+    per_doc: dict = {}
+    for c in chunks:
+        per_doc.setdefault(c.doc_id, 0)
+        per_doc[c.doc_id] += c.n_tokens
+        assert 1 <= c.n_tokens <= 64
+    assert per_doc == toks  # non-overlapping chunks partition the stream
