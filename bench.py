@@ -49,8 +49,10 @@ BENCH_QUERIES = [
     "agg_regression", "contamination_check", "quality_gate",
     "ann_srp", "dedup_embedding_srp", "sketch_hll_union",
     "sample_reservoir_per_group", "time_weighted_avg",
-    "q13_customer_distribution", "q21_last_shippers",
     "anomaly_daily_counts", "profile_documents", "cdc_consistent_cut",
+    # warehouse-maintenance + chunking batch
+    "cdc_scd2_history", "cdc_incremental_agg", "cdc_column_audit",
+    "cdc_time_travel", "text_chunk_fixed", "text_chunk_tokens",
 ]
 
 
