@@ -132,3 +132,41 @@ def apply_delta_batch(agg: DataFrame | None, keystate: DataFrame | None,
         F.when(F.col(op_col) == "delete", F.lit(0)).otherwise(F.lit(1))
          .cast("int").alias("live"))
     return agg_next, keystate_next
+
+
+def scd2_sink(cdc_stream: DataFrame, history_dir: str, checkpoint_dir: str,
+              pk_cols: list[str], seqno_col: str = "seqno",
+              op_col: str = "op", trigger_available_now: bool = True):
+    """foreachBatch maintenance of an SCD2 history table (the streaming
+    form of ``scd2_apply_batch``), same write-new + swap state protocol
+    as ``pipeline.incremental_upsert_sink``; replay-safe because
+    ``scd2_apply_batch`` is idempotent per batch."""
+    import os
+
+    spark = cdc_stream.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cur_path = os.path.join(history_dir, "current")
+        cur = (spark.read.parquet(cur_path)
+               if os.path.exists(cur_path) else None)
+        merged = scd2_apply_batch(cur, batch_df, pk_cols,
+                                  seqno_col=seqno_col, op_col=op_col)
+        nxt = os.path.join(history_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(nxt)
+        spark.read.parquet(nxt).write.mode("overwrite").parquet(cur_path)
+
+    writer = (cdc_stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_history(spark, history_dir: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(history_dir, "current"))

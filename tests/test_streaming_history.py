@@ -104,3 +104,52 @@ def test_keystate_tracks_latest_per_key(spark, sf_dir):
             assert (lv, live) == (0.0, 0)
         else:
             assert live == 1 and math.isclose(lv, r.value, abs_tol=1e-9)
+
+
+def test_scd2_sink_end_to_end(spark, sf_dir, tmp_path):
+    """File-source micro-batches → scd2_sink → history table (the
+    streaming form; mirrors test_streaming.test_incremental_upsert)."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from storagetapper_spark.streaming.history import read_history, scd2_sink
+    from storagetapper_spark.streaming.pipeline import read_changelog_stream
+
+    schema = T.StructType([
+        T.StructField("pk", T.LongType()),
+        T.StructField("val", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("seqno", T.LongType()),
+    ])
+    src, hist, ckpt = (str(tmp_path / d) for d in ("feed", "hist", "ckpt"))
+
+    def drop(name, events):
+        os.makedirs(src, exist_ok=True)
+        with open(os.path.join(src, name), "w") as f:
+            for e in events:
+                f.write(json.dumps(e) + "\n")
+
+    drop("b1.json", [
+        {"pk": 1, "val": "a", "op": "insert", "seqno": 1},
+        {"pk": 2, "val": "b", "op": "insert", "seqno": 2},
+    ])
+    scd2_sink(read_changelog_stream(spark, src, schema), hist, ckpt,
+              pk_cols=["pk"]).awaitTermination(60)
+    cur = {r.pk: r.val for r in read_history(spark, hist)
+           .where("is_current").collect()}
+    assert cur == {1: "a", 2: "b"}
+
+    # update pk=1 (new version), delete pk=2 (closes without current)
+    drop("b2.json", [
+        {"pk": 1, "val": "a2", "op": "update", "seqno": 3},
+        {"pk": 2, "val": None, "op": "delete", "seqno": 4},
+    ])
+    scd2_sink(read_changelog_stream(spark, src, schema), hist, ckpt,
+              pk_cols=["pk"]).awaitTermination(60)
+    rows = read_history(spark, hist).collect()
+    cur = {r.pk: r.val for r in rows if r.is_current}
+    assert cur == {1: "a2"}
+    versions = sorted((r.pk, r.valid_from, r.valid_to) for r in rows)
+    assert versions == [(1, 1, 3), (1, 3, None), (2, 2, 4)]
