@@ -40,6 +40,10 @@ PROBES = [
     "contamination_check",     # explode + broadcast semi-probe
     "quality_gate",            # composite single-scan filter
     "ann_srp",                 # bucketed LSH serving path
+    # warehouse-maintenance + chunking batch
+    "cdc_scd2_history",        # full-version PK window (no group-limit)
+    "cdc_incremental_agg",     # delta fold (window + final group-by)
+    "text_chunk_fixed",        # narrow generator fan-out
 ]
 
 
