@@ -177,12 +177,23 @@ def lsh_plan(threshold: float, num_hashes: int,
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 8,
-                      bands: int = 4, shingle_n: int = 3) -> DataFrame:
+                      bands: int = 4, shingle_n: int = 3,
+                      star_threshold: int | None = None) -> DataFrame:
     """LSH candidate pairs: band the signature (bands × rows_per_band),
     bucket-join on (band, band_key), emit distinct (id_a < id_b) pairs
     with the estimated Jaccard = fraction of matching signature slots.
 
     The self-join shuffles only (band_key, id, signature) — never text.
+
+    ``star_threshold``: buckets larger than this emit STAR edges (every
+    member paired to the bucket's min id, computed with one window —
+    no join at all) instead of all pairs.  Per-bucket cost drops from
+    quadratic to linear while downstream connected-components clustering
+    is provably unchanged — a star spans exactly the same bucket the
+    clique did (tested).  This is the guard that keeps a 100 TB corpus
+    with million-member duplicate buckets from emitting 10^12 pairs;
+    the emitted jaccard_est is then the similarity to the hub, not to
+    every sibling.
     """
     assert num_hashes % bands == 0
     rpb = num_hashes // bands
@@ -202,6 +213,26 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         F.explode(F.array(*band_rows)).alias("bk"),
     ).select(id_col, *[f"mh_{i}" for i in range(num_hashes)],
              "bk.band", "bk.band_key")
+    if star_threshold is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_key")
+        sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        small = sized.where(F.col("_bsz") <= star_threshold).drop("_bsz")
+        large = (sized.where(F.col("_bsz") > star_threshold)
+                 .select("*", F.expr(f"min({id_col})").over(w).alias("_hub"),
+                         *[F.expr(f"min_by(mh_{i}, {id_col})").over(w)
+                            .alias(f"_hub_mh_{i}") for i in range(num_hashes)])
+                 .where(F.col(id_col) != F.col("_hub")))
+        star_eqs = sum(
+            [(F.col(f"mh_{i}") == F.col(f"_hub_mh_{i}")).cast("int")
+             for i in range(num_hashes)], F.lit(0))
+        star_pairs = large.select(
+            F.col("_hub").alias("id_a"), F.col(id_col).alias("id_b"),
+            F.round(star_eqs / F.lit(float(num_hashes)), 4).alias("jaccard_est"))
+        banded = small
+    else:
+        star_pairs = None
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, on=["band", "band_key"])
@@ -213,8 +244,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
          .distinct()
     )
     est = sum([F.col(f"eq_{i}") for i in range(num_hashes)], F.lit(0)) / F.lit(float(num_hashes))
-    return pairs.select("id_a", "id_b", F.round(est, 4).alias("jaccard_est")) \
-                .groupBy("id_a", "id_b").agg(F.max("jaccard_est").alias("jaccard_est"))
+    pairs = pairs.select("id_a", "id_b", F.round(est, 4).alias("jaccard_est"))
+    if star_pairs is not None:
+        pairs = pairs.unionByName(star_pairs)
+    return pairs.groupBy("id_a", "id_b").agg(F.max("jaccard_est").alias("jaccard_est"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, bucket_cols: list[str],

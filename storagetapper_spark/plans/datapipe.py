@@ -72,6 +72,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
                                shingle_n=_SHINGLE_N)
 
 
+def dedup_minhash_lsh_star(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB-guard variant: buckets >3 members emit linear star
+    edges to the bucket-min hub instead of quadratic all-pairs
+    (operators/dedup.minhash_lsh_pairs star_threshold); clustering is
+    provably unchanged (test_dedup)."""
+    return D.minhash_lsh_pairs(t(spark, sf, "documents"),
+                               num_hashes=_MH_HASHES, bands=4,
+                               shingle_n=_SHINGLE_N, star_threshold=3)
+
+
+def _lsh_star_sql(threshold: int = 3) -> str:
+    rpb = _MH_HASHES // 4
+    bands = []
+    for b in range(4):
+        cols = " || '|' || ".join(f"mh_{b * rpb + j}" for j in range(rpb))
+        bands.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key, "
+                     + ", ".join(f"mh_{i}" for i in range(_MH_HASHES))
+                     + " FROM sig")
+    banded = "\nUNION ALL\n".join(bands)
+    eqs = " + ".join(
+        f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(_MH_HASHES))
+    star_eqs = " + ".join(
+        f"(CASE WHEN mh_{i} = hub_mh_{i} THEN 1 ELSE 0 END)" for i in range(_MH_HASHES))
+    hub_cols = ", ".join(
+        f"arg_min(mh_{i}, doc_id) OVER w AS hub_mh_{i}" for i in range(_MH_HASHES))
+    return f"""
+WITH sig AS ({_mh_sql()}),
+banded AS ({banded}),
+sized AS (
+  SELECT *, count(*) OVER w AS bsz, min(doc_id) OVER w AS hub, {hub_cols}
+  FROM banded
+  WINDOW w AS (PARTITION BY band, band_key)
+),
+small_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(({eqs}) / {float(_MH_HASHES)}, 4) AS jaccard_est
+  FROM sized a JOIN sized b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.bsz <= {threshold} AND b.bsz <= {threshold} AND a.doc_id < b.doc_id
+),
+star_pairs AS (
+  SELECT hub AS id_a, doc_id AS id_b,
+         round(({star_eqs}) / {float(_MH_HASHES)}, 4) AS jaccard_est
+  FROM sized WHERE bsz > {threshold} AND doc_id <> hub
+)
+SELECT id_a, id_b, max(jaccard_est) AS jaccard_est
+FROM (SELECT * FROM small_pairs UNION ALL SELECT * FROM star_pairs)
+GROUP BY id_a, id_b
+"""
+
+
 def _lsh_sql() -> str:
     rpb = _MH_HASHES // 4
     bands = []
@@ -669,6 +719,7 @@ QUERIES = {
     "training_data_pipeline": (training_data_pipeline, TRAINING_PIPELINE_SQL),
     "dedup_minhash_signature": (dedup_minhash_signature, _mh_sql()),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _lsh_sql()),
+    "dedup_minhash_lsh_star": (dedup_minhash_lsh_star, _lsh_star_sql()),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "ann_brute_force": (ann_brute_force, ANN_BRUTE_SQL),

@@ -104,3 +104,27 @@ def test_minhash_jvm_arrow_parity(spark):
     arrow = {r.doc_id: tuple(r[f"mh_{i}"] for i in range(8))
              for r in minhash_signature_arrow(docs).collect()}
     assert jvm == arrow
+
+
+def test_lsh_star_capping_preserves_clusters(spark, sf_dir):
+    """star_threshold caps quadratic buckets with linear star edges;
+    connected-components clustering must be IDENTICAL to all-pairs."""
+    from storagetapper_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from storagetapper_spark.plans.common import t
+
+    docs = t(spark, sf_dir, "documents")
+    full = minhash_lsh_pairs(docs)
+    star = minhash_lsh_pairs(docs, star_threshold=3)
+    n_full, n_star = full.count(), star.count()
+    assert n_star <= n_full
+    comp_full = {(r.node, r.comp) for r in
+                 connected_components(full, "id_a", "id_b").collect()}
+    comp_star = {(r.node, r.comp) for r in
+                 connected_components(star, "id_a", "id_b").collect()}
+    assert comp_full == comp_star
+    # star pairs always include the hub (bucket min id) on the left
+    for r in star.collect():
+        assert r.id_a < r.id_b
