@@ -128,8 +128,12 @@ def main() -> int:
         src = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
         # best-of-N like the query sweep: the measured path is encode+
         # write throughput, not first-run codegen/FS warmup
+        # one extra rep vs the query sweep: the encode path's codegen +
+        # gzip JIT warms over ~3 runs (measured 76k → 265k rows/s across
+        # 4 consecutive runs); a long-lived snapshot job runs at the
+        # steady-state rate, which is what best-of should capture
         snap_sec, manifest = float("inf"), None
-        for r in range(max(1, reps)):
+        for r in range(max(2, reps + 1)):
             out_dir = os.path.join(tmp, f"out{r}")
             t0 = time.time()
             manifest = run_snapshot_job(spark, reg_store, reg, src, out_dir)
