@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "cdc_msgpack_roundtrip", "cdc_avro_prepare", "cdc_seqno_derivation",
     "snapshot_diff_changelog",
     # training-data ops
-    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_lsh_star", "dedup_ngram_jaccard",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_lsh_star", "dedup_minhash_lsh_incr", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_corpus_summary", "dedup_embedding_cosine",
     "ann_brute_force",
     "ann_vectorized", "ann_ivf", "embedding_stats",

@@ -175,6 +175,68 @@ def lsh_plan(threshold: float, num_hashes: int,
     return b, r
 
 
+def _band_signature(sig: DataFrame, id_col: str, num_hashes: int,
+                    bands: int) -> DataFrame:
+    """Explode a signature table into (id, mh_*, band, band_key) rows —
+    one md5 band key per ``rows_per_band`` signature slots."""
+    rpb = num_hashes // bands
+    band_rows = []
+    for b in range(bands):
+        key = F.md5(F.concat_ws("|", *[F.col(f"mh_{b * rpb + j}")
+                                       for j in range(rpb)]))
+        band_rows.append(F.struct(F.lit(b).alias("band"),
+                                  key.alias("band_key")))
+    return sig.select(
+        F.col(id_col), *[F.col(f"mh_{i}") for i in range(num_hashes)],
+        F.explode(F.array(*band_rows)).alias("bk"),
+    ).select(id_col, *[f"mh_{i}" for i in range(num_hashes)],
+             "bk.band", "bk.band_key")
+
+
+def minhash_lsh_incremental(corpus_sig: DataFrame, new_docs: DataFrame,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            num_hashes: int = 8, bands: int = 4,
+                            shingle_n: int = 3) -> DataFrame:
+    """Candidate pairs for a NEW ingest batch against an existing corpus
+    — the production streaming-ingest shape: the corpus contributes only
+    its (checkpointed) signature table, its text is never re-read, and
+    corpus×corpus pairs are never re-derived.  Cost per batch is
+    O(|new| + matching buckets), not O(|corpus|²).
+
+    Emits new×corpus and new×new pairs; unioned with the corpus's own
+    historical pairs this equals ``minhash_lsh_pairs`` over the combined
+    corpus exactly (tested) — so repeated ingests maintain the pair set
+    incrementally.
+
+    ``corpus_sig`` is the output of ``minhash_signature`` (id + mh_*),
+    normally persisted parquet updated per ingest.
+    """
+    assert num_hashes % bands == 0
+    new_sig = minhash_signature(new_docs, text_col, id_col, num_hashes,
+                                shingle_n).persist()
+    new_sig.count()
+    mh = [f"mh_{i}" for i in range(num_hashes)]
+    new_b = _band_signature(new_sig, id_col, num_hashes, bands) \
+        .withColumn("_new", F.lit(True))
+    all_b = (_band_signature(corpus_sig.select(id_col, *mh), id_col,
+                             num_hashes, bands)
+             .withColumn("_new", F.lit(False))
+             .unionByName(new_b))
+    a, b = new_b.alias("a"), all_b.alias("b")
+    keep = F.when(F.col("b._new"),
+                  F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) \
+            .otherwise(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+    eqs = sum([(F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("int")
+               for i in range(num_hashes)], F.lit(0))
+    pairs = (a.join(b, on=["band", "band_key"]).filter(keep)
+              .select(F.least(f"a.{id_col}", f"b.{id_col}").alias("id_a"),
+                      F.greatest(f"a.{id_col}", f"b.{id_col}").alias("id_b"),
+                      F.round(eqs / F.lit(float(num_hashes)), 4)
+                       .alias("jaccard_est")))
+    return pairs.groupBy("id_a", "id_b") \
+                .agg(F.max("jaccard_est").alias("jaccard_est"))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 8,
                       bands: int = 4, shingle_n: int = 3,
@@ -196,7 +258,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     every sibling.
     """
     assert num_hashes % bands == 0
-    rpb = num_hashes // bands
     # Materialize signatures before anything fans out over them: a
     # generator (explode) or self-join whose child is the expensive
     # signature expression re-evaluates it per emitted row (measured
@@ -204,15 +265,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # signature table.
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n).persist()
     sig.count()
-    band_rows = []
-    for b in range(bands):
-        key = F.md5(F.concat_ws("|", *[F.col(f"mh_{b * rpb + j}") for j in range(rpb)]))
-        band_rows.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
-    banded = sig.select(
-        F.col(id_col), *[F.col(f"mh_{i}") for i in range(num_hashes)],
-        F.explode(F.array(*band_rows)).alias("bk"),
-    ).select(id_col, *[f"mh_{i}" for i in range(num_hashes)],
-             "bk.band", "bk.band_key")
+    banded = _band_signature(sig, id_col, num_hashes, bands)
     if star_threshold is not None:
         from pyspark.sql import Window
 

@@ -82,6 +82,29 @@ def dedup_minhash_lsh_star(spark: SparkSession, sf: str) -> DataFrame:
                                shingle_n=_SHINGLE_N, star_threshold=3)
 
 
+def dedup_minhash_lsh_incr(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingest dedup: docs with doc_id % 5 == 0 arrive as the
+    new batch; the rest are the existing corpus contributing only its
+    signature table.  Output = every candidate pair involving a new doc
+    (oracle: the full-corpus LSH filtered to those pairs — equality IS
+    the incremental-maintenance invariant)."""
+    docs = t(spark, sf, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corpus_sig = D.minhash_signature(corpus, num_hashes=_MH_HASHES,
+                                     shingle_n=_SHINGLE_N)
+    return D.minhash_lsh_incremental(corpus_sig, new,
+                                     num_hashes=_MH_HASHES, bands=4,
+                                     shingle_n=_SHINGLE_N)
+
+
+def _lsh_incr_sql() -> str:
+    return f"""
+WITH full_pairs AS ({_lsh_sql()})
+SELECT * FROM full_pairs WHERE id_a % 5 = 0 OR id_b % 5 = 0
+"""
+
+
 def _lsh_star_sql(threshold: int = 3) -> str:
     rpb = _MH_HASHES // 4
     bands = []
@@ -720,6 +743,7 @@ QUERIES = {
     "dedup_minhash_signature": (dedup_minhash_signature, _mh_sql()),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _lsh_sql()),
     "dedup_minhash_lsh_star": (dedup_minhash_lsh_star, _lsh_star_sql()),
+    "dedup_minhash_lsh_incr": (dedup_minhash_lsh_incr, _lsh_incr_sql()),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "ann_brute_force": (ann_brute_force, ANN_BRUTE_SQL),

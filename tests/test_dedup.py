@@ -128,3 +128,33 @@ def test_lsh_star_capping_preserves_clusters(spark, sf_dir):
     # star pairs always include the hub (bucket min id) on the left
     for r in star.collect():
         assert r.id_a < r.id_b
+
+
+def test_lsh_incremental_maintains_pair_set(spark, sf_dir):
+    """incremental(new vs corpus) ∪ lsh(corpus) == lsh(corpus ∪ new):
+    repeated ingests maintain the pair set without re-pairing the
+    corpus."""
+    from pyspark.sql import functions as F
+
+    from storagetapper_spark.operators.dedup import (
+        minhash_lsh_incremental,
+        minhash_lsh_pairs,
+        minhash_signature,
+    )
+    from storagetapper_spark.plans.common import t
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+
+    incr = minhash_lsh_incremental(minhash_signature(corpus), new)
+    corpus_pairs = minhash_lsh_pairs(corpus)
+    full_pairs = minhash_lsh_pairs(docs)
+
+    def keyset(df):
+        return {(r.id_a, r.id_b, r.jaccard_est) for r in df.collect()}
+
+    assert keyset(incr) | keyset(corpus_pairs) == keyset(full_pairs)
+    # incremental pairs always involve a new doc
+    for r in incr.collect():
+        assert r.id_a % 5 == 0 or r.id_b % 5 == 0
