@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     "dedup_simhash", "dedup_corpus_summary", "dedup_embedding_cosine",
     "ann_brute_force",
     "ann_vectorized", "ann_ivf", "embedding_stats",
-    "sample_deterministic", "sample_stratified",
+    "sample_deterministic", "sample_stratified", "sample_split", "sample_mixture",
     "text_lang_id", "text_quality", "text_tokens", "text_fingerprint",
     "text_pii_flags", "text_repetition", "text_ngram_freq",
     # round-4 additions

@@ -107,3 +107,55 @@ def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
 
     return (slim.groupBy("_part").applyInPandas(pack, out_schema)
                 .withColumnRenamed("_part", "pack_partition"))
+
+
+def split_assign(df: DataFrame, key_col: str,
+                 fractions: dict[str, float] | None = None,
+                 salt: str = "split") -> DataFrame:
+    """Disjoint, exhaustive train/val/test assignment: the hash-uniform
+    falls into cumulative fraction bands, so every row gets EXACTLY one
+    label, membership is reproducible across runs/engines, and adding
+    rows never reshuffles existing assignments (the property RNG splits
+    lack).  Pure projection — no shuffle."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    u = _uniform_from_hash(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    items = list(fractions.items())
+    expr = F.lit(items[-1][0])  # remainder absorbs float slack
+    cum = 0.0
+    branches = []
+    for name, frac in items[:-1]:
+        cum += frac
+        branches.append((name, cum))
+    for name, bound in reversed(branches):
+        expr = F.when(u < bound, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def mixture_rebalance(df: DataFrame, stratum_col: str,
+                      targets: dict[str, float], key_col: str,
+                      salt: str = "mix") -> DataFrame:
+    """Downsample-only rebalancing to a target stratum mixture (the
+    corpus-composition primitive: 'make the training set 30% en, 17.5%
+    each of the rest').
+
+    The maximum corpus size reachable without upsampling is
+    M = min_s n_s / target_s; each stratum keeps rate_s = target_s * M /
+    n_s of its rows (the binding stratum keeps 100%).  Rates derive from
+    exact group counts via two tiny aggregations (broadcast back — no
+    driver collect); membership is hash-deterministic per key.
+    """
+    tcol = F.lit(None).cast("double")
+    for s, tgt in targets.items():
+        tcol = F.when(F.col(stratum_col) == s, F.lit(tgt)).otherwise(tcol)
+    counts = (df.groupBy(stratum_col)
+                .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+                .withColumn("_t", tcol)
+                .where(F.col("_t").isNotNull()))
+    m = counts.agg(F.min(F.col("_n") / F.col("_t")).alias("_m"))
+    rates = (counts.crossJoin(F.broadcast(m))
+             .select(stratum_col,
+                     (F.col("_t") * F.col("_m") / F.col("_n")).alias("_rate")))
+    u = _uniform_from_hash(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    return (df.join(F.broadcast(rates), stratum_col)
+              .where(u < F.col("_rate"))
+              .drop("_rate"))

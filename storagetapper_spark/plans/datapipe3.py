@@ -52,7 +52,58 @@ FROM toks t,
 """
 
 
+
+
+def sample_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10): exactly one
+    label per doc, stable under corpus growth."""
+    from storagetapper_spark.operators.sampling import split_assign
+
+    docs = t(spark, sf, "documents")
+    return split_assign(docs, "doc_id").select("doc_id", "lang", "split")
+
+
+_U = ("CAST(('0x' || substring(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+      "AS BIGINT) / 1152921504606846976.0")
+
+SAMPLE_SPLIT_SQL = f"""
+SELECT doc_id, lang,
+       CASE WHEN {_U.format(salt='split')} < 0.8 THEN 'train'
+            WHEN {_U.format(salt='split')} < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def sample_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Downsample-only rebalance of the lang mixture to 30% en / 17.5%
+    each other lang; rates derive from exact counts (no driver collect),
+    membership is hash-deterministic."""
+    from storagetapper_spark.operators.sampling import mixture_rebalance
+
+    docs = t(spark, sf, "documents")
+    targets = {"en": 0.3, "de": 0.175, "zh": 0.175, "fr": 0.175,
+               "es": 0.175}
+    return mixture_rebalance(docs, "lang", targets, "doc_id") \
+        .select("doc_id", "lang", "source")
+
+
+SAMPLE_MIXTURE_SQL = f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+         CASE WHEN lang = 'en' THEN 0.3 ELSE 0.175 END AS t
+  FROM documents GROUP BY lang
+), m AS (SELECT min(n / t) AS m FROM counts),
+rates AS (SELECT lang, (t * m.m / n) AS rate FROM counts, m)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE {_U.format(salt='mix').replace('doc_id', 'd.doc_id')} < r.rate
+"""
+
+
 QUERIES = {
     "text_chunk_fixed": (text_chunk_fixed, CHUNK_FIXED_SQL),
     "text_chunk_tokens": (text_chunk_tokens, CHUNK_TOKENS_SQL),
+    "sample_split": (sample_split, SAMPLE_SPLIT_SQL),
+    "sample_mixture": (sample_mixture, SAMPLE_MIXTURE_SQL),
 }

@@ -119,3 +119,43 @@ def test_chunk_tokens_partitions_the_token_stream(spark, sf_dir):
         per_doc[c.doc_id] += c.n_tokens
         assert 1 <= c.n_tokens <= 64
     assert per_doc == toks  # non-overlapping chunks partition the stream
+
+
+def test_split_assign_is_disjoint_and_exhaustive(spark, sf_dir):
+    rows = QUERIES["sample_split"](spark, sf_dir).collect()
+    docs = t(spark, sf_dir, "documents").count()
+    assert len(rows) == docs  # every doc labeled exactly once
+    by = {}
+    for r in rows:
+        assert r.split in ("train", "val", "test")
+        by[r.split] = by.get(r.split, 0) + 1
+    # proportions near 80/10/10 (hash-uniform; loose bounds at 500 docs)
+    assert 0.7 < by["train"] / docs < 0.9
+    # growth stability: re-assign over a subset — labels never change
+    from storagetapper_spark.operators.sampling import split_assign
+    sub = t(spark, sf_dir, "documents").where("doc_id % 3 = 0")
+    sub_labels = {r.doc_id: r.split
+                  for r in split_assign(sub, "doc_id").collect()}
+    full_labels = {r.doc_id: r.split for r in rows}
+    for did, lab in sub_labels.items():
+        assert full_labels[did] == lab
+
+
+def test_mixture_rebalance_hits_target_shares(spark, sf_dir):
+    rows = QUERIES["sample_mixture"](spark, sf_dir).collect()
+    by = {}
+    for r in rows:
+        by[r.lang] = by.get(r.lang, 0) + 1
+    total = sum(by.values())
+    targets = {"en": 0.3, "de": 0.175, "zh": 0.175, "fr": 0.175,
+               "es": 0.175}
+    # binding stratum (smallest n/t) keeps ~everything; every share
+    # lands near target (Bernoulli noise at fixture size)
+    for lang, tgt in targets.items():
+        assert abs(by[lang] / total - tgt) < 0.07, (lang, by)
+    # downsample-only: never more rows than the source had
+    src = {r.lang: r.n for r in
+           t(spark, sf_dir, "documents").groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang in by:
+        assert by[lang] <= src[lang]
