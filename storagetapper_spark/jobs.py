@@ -30,7 +30,8 @@ def run_snapshot_job(spark: SparkSession, registry: Registry,
                      output_columns: list[str] | None = None,
                      sort_within_files: bool = True,
                      compression: str | None = "gzip",
-                     max_records_per_file: int = 0) -> dict:
+                     max_records_per_file: int = 0,
+                     config: dict | None = None) -> dict:
     """The §3.2 snapshot path, end-to-end:
 
     1. snapshot scan: op='insert', seqno=-1, row_key (S1)
@@ -42,7 +43,17 @@ def run_snapshot_job(spark: SparkSession, registry: Registry,
     6. registry bookkeeping: ClearNeedSnapshot (O7)
 
     Returns the sink manifest.
+
+    ``config``: a merged layered config (storagetapper_spark.config);
+    per-table params (reg.params) are applied on top here, and the
+    pipe knobs (compression, rotation bytes) override the keyword
+    defaults — the config/config.go → per-registration flow.
     """
+    if config is not None:
+        from storagetapper_spark.config import for_table, spark_writer_options
+
+        opts = spark_writer_options(for_table(config, reg.params))
+        compression = ("gzip" if opts["compression"] == "gzip" else None)
     if reg.output_format not in ("json",):
         raise NotImplementedError(
             f"snapshot output format {reg.output_format!r}: json is the "

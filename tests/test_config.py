@@ -54,3 +54,25 @@ def test_spark_translations():
     cfg = load_config(env={})
     assert spark_writer_options(cfg)["compression"] == "gzip"
     assert spark_trigger(cfg) == {"processingTime": "1.0 seconds"}
+
+
+def test_config_drives_snapshot_job(spark, tmp_path, sf_dir):
+    """Per-table params flow through the layered config into the sink
+    (uncompressed output when the table's params turn compression off)."""
+    import glob
+    import os
+
+    from storagetapper_spark.jobs import run_snapshot_job
+    from storagetapper_spark.state import Registry, TableRegistration
+
+    reg_store = Registry(str(tmp_path / "reg.json"))
+    reg = reg_store.register(TableRegistration(
+        service="s", cluster="c", db="tpch", table="nation",
+        pk_cols=["n_nationkey"],
+        params={"pipe": {"compression": False}}))
+    src = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    cfg = load_config(env={})
+    out = str(tmp_path / "out")
+    run_snapshot_job(spark, reg_store, reg, src, out, config=cfg)
+    files = glob.glob(os.path.join(out, "**", "part-*"), recursive=True)
+    assert files and not any(f.endswith(".gz") for f in files)
