@@ -1,11 +1,13 @@
-"""Query batch: document chunking for training-context preparation —
-fixed-width character windows with overlap and whitespace-token-budget
-windows.  Both are narrow generator fan-outs (no shuffle) with exact
-DuckDB oracles via generate_series."""
+"""Query batch: dataset assembly for training — document chunking
+(fixed-width char windows with overlap; whitespace-token budgets),
+train/val/test splitting, corpus-mixture rebalancing, and the
+multimodal manifest.  All narrow or broadcast-only plans with exact
+DuckDB oracles."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from storagetapper_spark.operators import text as X
 from storagetapper_spark.plans.common import t
@@ -101,9 +103,37 @@ WHERE {_U.format(salt='mix').replace('doc_id', 'd.doc_id')} < r.rate
 """
 
 
+def multimodal_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """The JVM-side half of the media pipeline (operators/multimodal.py):
+    opaque payload bytes -> typed manifest (modality, byte size, content
+    hash) with zero Python; the codec half (decode) is the mapInPandas
+    stage behind MEDIA_CODECS.  Document text stands in for payload
+    bytes (no binary fixture); modality is a deterministic doc_id hash."""
+    docs = t(spark, sf, "documents")
+    modality = (F.when(F.col("doc_id") % 3 == 0, "image")
+                 .when(F.col("doc_id") % 3 == 1, "audio")
+                 .otherwise("video"))
+    return docs.select(
+        "doc_id", modality.alias("modality"),
+        F.octet_length("text").cast("long").alias("byte_size"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"))
+
+
+MULTIMODAL_MANIFEST_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
+       sha256(text) AS content_sha256
+FROM documents
+"""
+
+
 QUERIES = {
     "text_chunk_fixed": (text_chunk_fixed, CHUNK_FIXED_SQL),
     "text_chunk_tokens": (text_chunk_tokens, CHUNK_TOKENS_SQL),
     "sample_split": (sample_split, SAMPLE_SPLIT_SQL),
     "sample_mixture": (sample_mixture, SAMPLE_MIXTURE_SQL),
+    "multimodal_manifest": (multimodal_manifest, MULTIMODAL_MANIFEST_SQL),
 }
