@@ -1,0 +1,91 @@
+"""Physical-plan shape guards for scale-critical queries: these
+properties are WHY the operators survive 100 TB (see SCALE.md and
+PLANS_AUDIT.md); a regression here is a scale bug even when results
+stay correct."""
+
+import pytest
+
+from storagetapper_spark.plans.registry import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+NO_CARTESIAN = [
+    # every registered dedup/similarity pair generator that must stay
+    # bucket/block-joined (ann_brute_force is separately asserted: its
+    # broadcast nested-loop cross join is the intended scoring plan)
+    "dedup_minhash_lsh", "dedup_minhash_lsh_star", "dedup_minhash_lsh_incr",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
+    "ann_ivf", "ann_srp",
+]
+
+
+@pytest.mark.parametrize("name", NO_CARTESIAN)
+def test_pair_generators_never_go_cartesian(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_brute_force_ann_broadcasts_the_query_side(spark, sf_dir):
+    """Brute force = score every (query, corpus) combination; the right
+    plan replicates the TINY query set (BuildRight broadcast) while the
+    corpus streams map-side.  A non-broadcast cartesian here would ship
+    the corpus instead."""
+    plan = _plan(spark, sf_dir, "ann_brute_force")
+    assert "CartesianProduct" not in plan
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "BroadcastNestedLoopJoin BuildRight" in plan
+
+
+def test_latest_state_is_one_exchange_with_group_limit(spark, sf_dir):
+    """The signature merge: map-side WindowGroupLimit before ONE shuffle
+    (≤1 row per key per partition crosses the network)."""
+    plan = _plan(spark, sf_dir, "cdc_latest_state")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_chunking_is_a_pure_generator(spark, sf_dir):
+    """Chunk fan-out must stay narrow: no shuffle, no Python stage."""
+    for name in ("text_chunk_fixed", "text_chunk_tokens"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange hashpartitioning" not in plan, name
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, (name, marker)
+        assert "Generate" in plan, name
+
+
+def test_text_surface_has_no_python_stages(spark, sf_dir):
+    """Dedup signatures + text analysis are codegen'd Column expressions;
+    row-Python here was the r1 perf bug (250s vs <1s)."""
+    for name in ("dedup_minhash_signature", "text_quality", "text_lang_id",
+                 "text_fingerprint", "dedup_simhash"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_scan_pushdown_reaches_parquet(spark, sf_dir):
+    """Filtered snapshot scan must push predicates into the reader."""
+    plan = _plan(spark, sf_dir, "cdc_snapshot_filtered")
+    # a non-empty pushed list (Spark truncates long plan strings, so
+    # don't require the closing bracket)
+    assert "PushedFilters: [" in plan
+    assert "PushedFilters: []" not in plan
+
+
+def test_tfidf_topk_avoids_global_window(spark, sf_dir):
+    """Final ranking must be TakeOrderedAndProject (per-partition top-k
+    + merge), not a single-partition global Window sort."""
+    plan = _plan(spark, sf_dir, "text_tfidf_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_small_dims_broadcast_in_tpch_joins(spark, sf_dir):
+    for name in ("q3_shipping_priority", "q9_product_profit"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
