@@ -153,3 +153,85 @@ def test_scd2_sink_end_to_end(spark, sf_dir, tmp_path):
     assert cur == {1: "a2"}
     versions = sorted((r.pk, r.valid_from, r.valid_to) for r in rows)
     assert versions == [(1, 1, 3), (1, 3, None), (2, 2, 4)]
+
+
+def test_one_feed_three_consistent_products(spark, sf_dir, tmp_path):
+    """One scripted changelog drives all three warehouse products —
+    latest state, SCD2 history, maintained aggregate — and they must
+    agree: state == open SCD2 versions; aggregate == SUM over state."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from storagetapper_spark.streaming.history import read_history, scd2_sink
+    from storagetapper_spark.streaming.pipeline import (
+        incremental_upsert_sink,
+        read_changelog_stream,
+        read_state,
+    )
+
+    schema = T.StructType([
+        T.StructField("pk", T.LongType()),
+        T.StructField("grp", T.LongType()),
+        T.StructField("val", T.DoubleType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("seqno", T.LongType()),
+    ])
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    script = [
+        {"pk": 1, "grp": 0, "val": 10.0, "op": "insert", "seqno": 1},
+        {"pk": 2, "grp": 1, "val": 20.0, "op": "insert", "seqno": 2},
+        {"pk": 3, "grp": 0, "val": 30.0, "op": "insert", "seqno": 3},
+        {"pk": 1, "grp": 0, "val": 15.0, "op": "update", "seqno": 4},
+        {"pk": 2, "grp": 1, "val": None, "op": "delete", "seqno": 5},
+        {"pk": 4, "grp": 1, "val": 40.0, "op": "insert", "seqno": 6},
+        {"pk": 3, "grp": 0, "val": 35.0, "op": "update", "seqno": 7},
+    ]
+    # two micro-batches, split mid-script
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for e in script[:4]:
+            f.write(json.dumps(e) + "\n")
+
+    state_dir, hist_dir = str(tmp_path / "state"), str(tmp_path / "hist")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+
+    def drain():
+        incremental_upsert_sink(
+            read_changelog_stream(spark, src, schema), state_dir, ck1,
+            pk_cols=["pk"]).awaitTermination(60)
+        scd2_sink(read_changelog_stream(spark, src, schema), hist_dir, ck2,
+                  pk_cols=["pk"]).awaitTermination(60)
+
+    drain()
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        for e in script[4:]:
+            f.write(json.dumps(e) + "\n")
+    drain()
+
+    state = {r.pk: (r.grp, r.val) for r in read_state(spark, state_dir).collect()}
+    assert state == {1: (0, 15.0), 3: (0, 35.0), 4: (1, 40.0)}
+
+    hist = read_history(spark, hist_dir).collect()
+    open_versions = {r.pk: (r.grp, r.val) for r in hist if r.is_current}
+    assert open_versions == state  # product consistency #1
+
+    # maintained aggregate from the same feed (batch-incremental fold)
+    from pyspark.sql import functions as F
+
+    from storagetapper_spark.streaming.history import apply_delta_batch
+
+    feed = (spark.read.schema(schema).json(src)
+                 .withColumn("grp", F.coalesce("grp", F.lit(-1))))
+    agg = None
+    keystate = None
+    for lo, hi in ((1, 4), (5, 7)):
+        b = feed.where(F.col("seqno").between(lo, hi))
+        agg, keystate = apply_delta_batch(
+            agg, keystate, b, pk_cols=["pk"], value_col="val",
+            group_col="grp")
+    folded = {r.grp: (float(r.sum_value), r.n_live) for r in agg.collect()}
+    # product consistency #2: aggregate == SUM/COUNT over latest state
+    assert folded[0] == (50.0, 2)
+    assert folded[1] == (40.0, 1)
