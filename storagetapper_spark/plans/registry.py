@@ -54,10 +54,12 @@ _CHECK_FIRST = [
     # …training-data hygiene + profiling…
     "contamination_check", "decontaminate", "quality_gate",
     "ann_srp", "dedup_embedding_srp", "profile_documents",
-    # …time-series batch, sketches, sampling, consistent cut
-    "gapfill_daily_locf", "event_transitions", "window_distribution",
-    "agg_regression", "sketch_hll_union", "sample_reservoir_per_group",
-    "time_weighted_avg", "cdc_consistent_cut",
+    # …sketches + consistent cut…
+    "sketch_hll_union", "cdc_consistent_cut",
+    # …and the warehouse-maintenance + LSH-scale batch (newest, no row
+    # anywhere; the time-series batch it displaces rotates into r4)
+    "cdc_scd2_history", "cdc_incremental_agg", "cdc_column_audit",
+    "cdc_time_travel", "dedup_minhash_lsh_star", "dedup_minhash_lsh_incr",
     # the 6 queries never inside ANY round's window (r1-r3)
     "agg_percentiles_approx", "cdc_latest_state_agg", "dedup_corpus_summary",
     "sample_weighted", "text_ngram_freq", "window_sliding",
