@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from storagetapper_spark.operators import text as X
-from storagetapper_spark.plans.common import t
+from storagetapper_spark.plans.common import events_t, t
 
 _SIZE, _STRIDE, _TOKENS = 200, 150, 64
 
@@ -130,10 +130,36 @@ FROM documents
 """
 
 
+def agg_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.salted_agg) over the
+    skewed event_type distribution; the oracle is the PLAIN group-by —
+    equality proves salting never changes results.  Sums in decimal so
+    the two-phase fold is order-independent."""
+    from storagetapper_spark.operators.skew import salted_agg
+
+    ev = events_t(spark, sf).select(
+        "event_id", "event_type",
+        F.col("value").cast("decimal(18,6)").alias("value"))
+    out = salted_agg(ev, ["event_type"],
+                     {"value": "sum", "event_id": "count"}, n_salts=16)
+    return out.select("event_type",
+                      F.col("sum_value").cast("double").alias("sum_value"),
+                      F.col("count_event_id").alias("n_events"))
+
+
+AGG_SALTED_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "text_chunk_fixed": (text_chunk_fixed, CHUNK_FIXED_SQL),
     "text_chunk_tokens": (text_chunk_tokens, CHUNK_TOKENS_SQL),
     "sample_split": (sample_split, SAMPLE_SPLIT_SQL),
     "sample_mixture": (sample_mixture, SAMPLE_MIXTURE_SQL),
     "multimodal_manifest": (multimodal_manifest, MULTIMODAL_MANIFEST_SQL),
+    "agg_salted_skew": (agg_salted_skew, AGG_SALTED_SQL),
 }
