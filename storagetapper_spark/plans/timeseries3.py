@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from storagetapper_spark.plans.common import t
+from storagetapper_spark.plans.common import events_t, t
 
 
 # --- gap-filled daily rollup with LOCF -----------------------------------
@@ -215,10 +215,64 @@ ORDER BY event_type, day
 """
 
 
+
+
+def session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Behavioral path analysis: the ordered event-type journey of each
+    session (30-min-gap sessionization, same derivation as `sessionize`),
+    frequency-ranked.  The ordered per-session path is built JVM-side by
+    sorting (ts, event_id, type) structs inside the group — no window
+    re-shuffle beyond the sessionize one, no Python."""
+    ev = events_t(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double"), 1).over(w)
+    tagged = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = tagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    paths = (sess.groupBy("user_id", "session_id")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct(
+                         F.col("ts").cast("double").alias("t"),
+                         F.col("event_id").alias("e"),
+                         F.col("event_type").alias("y")))),
+                     lambda x: x["y"]),
+                 ">").alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+SESSION_PATHS_SQL = """
+WITH tagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM tagged
+), paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT path, count(*) AS n_sessions,
+       count(DISTINCT user_id) AS n_users
+FROM paths GROUP BY path
+"""
+
+
 QUERIES = {
     "anomaly_daily_counts": (anomaly_daily_counts, ANOMALY_SQL),
     "gapfill_daily_locf": (gapfill_daily_locf, GAPFILL_SQL),
     "event_transitions": (event_transitions, TRANSITIONS_SQL),
     "window_distribution": (window_distribution, WINDOW_DIST_SQL),
     "agg_regression": (agg_regression, AGG_REGRESSION_SQL),
+    "session_paths": (session_paths, SESSION_PATHS_SQL),
 }
