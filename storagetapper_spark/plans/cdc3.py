@@ -9,7 +9,7 @@ binlog feed (FIXTURES.md §F6) with exact DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from storagetapper_spark.operators.history import (
@@ -181,9 +181,69 @@ FROM ranked WHERE rn = 1 AND op <> 'delete'
 """
 
 
+
+
+# --- feed integrity: seqno gap / duplicate detection --------------------
+
+def cdc_seqno_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Operational check on the at-least-once feed: per stream shard
+    (user_id % 4 stands in for the binlog/Kafka partition), find seqno
+    gaps (lost events) and duplicate seqnos (retransmits).  The
+    reference trusts seqno monotonicity (changelog/mysql.go:396-402);
+    this is the audit that verifies it.  The fixture feed is dense, so
+    loss and retransmit are injected deterministically (drop
+    event_id%97==13, duplicate event_id%101==7) — the query must
+    recover exactly those injections."""
+    base = events_t(spark, sf).select(
+        (F.col("event_id") % 4).alias("shard"),
+        F.col("event_id").cast("long").alias("seqno"))
+    lossy = base.where(F.col("seqno") % 97 != 13)
+    retrans = base.where(F.col("seqno") % 101 == 7)
+    ev = lossy.unionByName(retrans)
+    w = Window.partitionBy("shard").orderBy("seqno")
+    nxt = F.lead("seqno").over(w)
+    gaps = (ev.withColumn("next_seqno", nxt)
+              .where(F.col("next_seqno").isNotNull()
+                     & (F.col("next_seqno") - F.col("seqno") > 4))
+              .select("shard", F.col("seqno").alias("gap_after"),
+                      F.col("next_seqno").alias("resumes_at"),
+                      ((F.col("next_seqno") - F.col("seqno")) / 4 - 1)
+                      .cast("long").alias("missing")))
+    dups = (ev.groupBy("shard", "seqno").agg(F.count(F.lit(1)).alias("n"))
+              .where(F.col("n") > 1)
+              .select("shard", F.col("seqno").alias("gap_after"),
+                      F.col("seqno").alias("resumes_at"),
+                      (-F.col("n") + 1).alias("missing")))
+    return gaps.unionByName(dups)
+
+
+SEQNO_GAPS_SQL = """
+WITH base AS (
+  SELECT event_id % 4 AS shard, CAST(event_id AS BIGINT) AS seqno
+  FROM events
+), ev AS (
+  SELECT * FROM base WHERE seqno % 97 <> 13
+  UNION ALL
+  SELECT * FROM base WHERE seqno % 101 = 7
+), gaps AS (
+  SELECT shard, seqno AS gap_after,
+         lead(seqno) OVER (PARTITION BY shard ORDER BY seqno) AS resumes_at
+  FROM ev
+)
+SELECT shard, gap_after, resumes_at,
+       CAST((resumes_at - gap_after) / 4 - 1 AS BIGINT) AS missing
+FROM gaps
+WHERE resumes_at IS NOT NULL AND resumes_at - gap_after > 4
+UNION ALL
+SELECT shard, seqno, seqno, CAST(1 - count(*) AS BIGINT)
+FROM ev GROUP BY shard, seqno HAVING count(*) > 1
+"""
+
+
 QUERIES.update({
     "cdc_scd2_history": (cdc_scd2_history, SCD2_SQL),
     "cdc_incremental_agg": (cdc_incremental_agg, INCREMENTAL_AGG_SQL),
     "cdc_column_audit": (cdc_column_audit, COLUMN_AUDIT_SQL),
     "cdc_time_travel": (cdc_time_travel, TIME_TRAVEL_SQL),
+    "cdc_seqno_gaps": (cdc_seqno_gaps, SEQNO_GAPS_SQL),
 })

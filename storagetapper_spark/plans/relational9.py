@@ -128,3 +128,51 @@ QUERIES = {
                                    SAMPLE_RESERVOIR_SQL),
     "time_weighted_avg": (time_weighted_avg, TIME_WEIGHTED_SQL),
 }
+
+
+def integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit across the star schema — the
+    validation half of the reference's watchdog (streaming/monitor.py
+    checks liveness; this checks CONTENT): orphaned FKs and childless
+    parents per relationship, one row per (relationship, issue)."""
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    checks = [
+        ("lineitem->orders", "orphan_child",
+         li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")),
+        ("orders->lineitem", "childless_parent",
+         o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")),
+        ("orders->customer", "orphan_child",
+         o.join(c, o.o_custkey == c.c_custkey, "left_anti")),
+        ("customer->orders", "childless_parent",
+         c.join(o, c.c_custkey == o.o_custkey, "left_anti")),
+    ]
+    out = None
+    for rel, issue, df in checks:
+        row = df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(rel).alias("relationship"), F.lit(issue).alias("issue"),
+            "n_rows")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+INTEGRITY_SQL = """
+SELECT 'lineitem->orders' AS relationship, 'orphan_child' AS issue,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_rows
+UNION ALL
+SELECT 'orders->lineitem', 'childless_parent',
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+UNION ALL
+SELECT 'orders->customer', 'orphan_child',
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'customer->orders', 'childless_parent',
+       (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+"""
+
+QUERIES["integrity_audit"] = (integrity_audit, INTEGRITY_SQL)

@@ -159,3 +159,39 @@ def test_mixture_rebalance_hits_target_shares(spark, sf_dir):
            .agg(F.count(F.lit(1)).alias("n")).collect()}
     for lang in by:
         assert by[lang] <= src[lang]
+
+
+def test_seqno_gap_detector_recovers_injections(spark, sf_dir):
+    """The detector must report exactly the injected losses (seqno%97==13)
+    and retransmits (seqno%101==7), nothing else."""
+    rows = QUERIES["cdc_seqno_gaps"](spark, sf_dir).collect()
+    max_id = events_t(spark, sf_dir).agg(F.max("event_id")).first()[0]
+    expected_lost = {s for s in range(max_id + 1) if s % 97 == 13}
+    expected_dup = {s for s in range(max_id + 1) if s % 101 == 7
+                    and s % 97 != 13}
+    lost, dup = set(), set()
+    for r in rows:
+        if r.missing > 0:
+            assert r.missing == 1  # injections never remove 2 in a row/shard
+            lost.add(r.gap_after + 4)  # shard stride
+        else:
+            assert r.missing == -1  # one extra copy
+            dup.add(r.gap_after)
+    # boundary losses (last seqno of a shard) are undetectable by gaps —
+    # exclude ids beyond each shard's last surviving seqno
+    assert lost <= expected_lost
+    assert len(expected_lost - lost) <= 4  # at most one tail per shard
+    assert dup == expected_dup
+
+
+def test_integrity_audit_matches_direct_antijoin(spark, sf_dir):
+    """FK orphans must be 0 on the fixture (it IS intact); childless
+    counts must equal a directly-computed anti-join."""
+    rows = {(r.relationship, r.issue): r.n_rows
+            for r in QUERIES["integrity_audit"](spark, sf_dir).collect()}
+    assert rows[("lineitem->orders", "orphan_child")] == 0
+    assert rows[("orders->customer", "orphan_child")] == 0
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    childless = o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").count()
+    assert rows[("orders->lineitem", "childless_parent")] == childless
