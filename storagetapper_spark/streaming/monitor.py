@@ -36,6 +36,20 @@ class ProgressRecorder(StreamingQueryListener):
         p["batches"] += 1
         p["rows"] += event.progress.numInputRows or 0
         p["input_rows_per_sec"] = event.progress.inputRowsPerSecond
+        # content metrics attached via with_feed_metrics (df.observe)
+        try:
+            om = event.progress.observedMetrics or {}
+        except Exception:  # pragma: no cover - py4j shape drift
+            om = {}
+        for mname, row in dict(om).items():
+            agg = p.setdefault("observed", {}).setdefault(
+                mname, {"rows": 0, "max_seqno": None, "deletes": 0})
+            d = row.asDict()
+            agg["rows"] += d.get("rows") or 0
+            agg["deletes"] += d.get("deletes") or 0
+            if d.get("max_seqno") is not None:
+                agg["max_seqno"] = max(agg["max_seqno"] or d["max_seqno"],
+                                       d["max_seqno"])
         # stateful-operator telemetry (conflation/evolution sinks):
         # state rows + memory bound the applyInPandasWithState store;
         # output/input ratio is the conflation ratio (1.0 = no benefit)
@@ -90,3 +104,20 @@ class Watchdog:
                 q.stop()
                 stopped.append(str(q.id))
         return stopped
+
+
+def with_feed_metrics(stream, name: str = "feed",
+                      seqno_col: str = "seqno", op_col: str = "op"):
+    """Attach content-level observed metrics to a changelog stream —
+    the validation half of O9 (the Watchdog checks liveness; this checks
+    WHAT flowed): rows, max seqno (progress position), delete share.
+    Metrics ride the micro-batch (df.observe — aggregated on executors,
+    no extra pass) and surface in each progress event's observedMetrics,
+    captured by ProgressRecorder."""
+    from pyspark.sql import functions as F
+
+    return stream.observe(
+        name,
+        F.count(F.lit(1)).alias("rows"),
+        F.max(F.col(seqno_col)).alias("max_seqno"),
+        F.sum((F.col(op_col) == "delete").cast("long")).alias("deletes"))

@@ -105,3 +105,56 @@ def test_stateful_metrics_in_recorder(spark, tmp_path):
         assert p["conflation_ratio"] == 0.2    # 10 events -> 2 outputs
     finally:
         spark.streams.removeListener(rec)
+
+
+def test_observed_feed_metrics(spark, tmp_path):
+    """df.observe content metrics reach the recorder: rows, max seqno,
+    delete count must match what was actually written to the feed."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from storagetapper_spark.streaming.monitor import (
+        ProgressRecorder,
+        with_feed_metrics,
+    )
+    from storagetapper_spark.streaming.pipeline import read_changelog_stream
+
+    schema = T.StructType([
+        T.StructField("pk", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("seqno", T.LongType()),
+    ])
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    events = [{"pk": i, "op": "delete" if i % 3 == 0 else "insert",
+               "seqno": 100 + i} for i in range(30)]
+    with open(os.path.join(src, "b.json"), "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        stream = with_feed_metrics(read_changelog_stream(spark, src, schema))
+        q = (stream.writeStream.format("noop")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        # listener delivery is async — poll briefly
+        deadline = time.time() + 20
+        obs = None
+        while time.time() < deadline:
+            p = rec.progress.get(str(q.id), {})
+            obs = p.get("observed", {}).get("feed")
+            if obs and obs["rows"] >= 30:
+                break
+            time.sleep(0.5)
+        assert obs is not None
+        assert obs["rows"] == 30
+        assert obs["max_seqno"] == 129
+        assert obs["deletes"] == sum(1 for e in events if e["op"] == "delete")
+    finally:
+        spark.streams.removeListener(rec)
