@@ -30,6 +30,8 @@ PROBES = [
     "cdc_snapshot_changelog_merge",
     "dedup_exact",
     "dedup_minhash_lsh",       # banded self-join
+    "dedup_minhash_lsh_star",  # star-capped: must beat plain LSH at 10x
+    "dedup_minhash_lsh_incr",  # per-batch ingest shape
     "dedup_simhash",
     "ann_brute_force",         # broadcast query set
     "text_quality",            # narrow projections
