@@ -264,3 +264,59 @@ def decrypt_file(fp: str, key: bytes) -> bytes:
     with open(fp, "rb") as f:
         blob = f.read()
     return AESGCM(key).decrypt(blob[:12], blob[12:], None)
+
+
+def verify_manifest(spark, path: str) -> dict:
+    """Consumer-side integrity check (the reference consumer validates
+    the EndOfStreamMark before trusting a file batch): recompute every
+    file's sha256/bytes/records IN EXECUTORS and diff against _DONE.
+
+    Returns {"ok": bool, "checked": n, "mismatched": [rel...],
+    "missing": [rel...], "extra": [rel...]}.  Scale: the re-hash is the
+    same distributed binaryFile job the manifest writer ran — no
+    driver-side file loop.
+
+    On a local FS Hadoop's own .crc sidecars may fail the read before
+    this check runs — equally loud corruption detection; this function
+    is the path for stores without sidecars (s3a, raw copies)."""
+    manifest = read_manifest(path)
+    expected = manifest["files"]
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("rel", T.StringType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("bytes", T.LongType()),
+    ])
+
+    def stat_files(batches):
+        import io  # noqa: F401  (parity with writer; hashing only here)
+
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                fp = p[len("file:"):] if p.startswith("file:") else p
+                base = os.path.basename(fp)
+                if base.startswith(("_", ".")):
+                    continue
+                data = bytes(content)
+                rows.append((os.path.relpath(fp, path),
+                             hashlib.sha256(data).hexdigest(), len(data)))
+            yield pd.DataFrame(rows, columns=["rel", "sha256", "bytes"])
+
+    actual = {r.rel: (r.sha256, r.bytes) for r in
+              (spark.read.format("binaryFile")
+               .option("recursiveFileLookup", "true").load(path)
+               .select("path", "content")
+               .mapInPandas(stat_files, out_schema).collect())}
+    mismatched = [rel for rel, meta in expected.items()
+                  if rel in actual
+                  and (actual[rel][0] != meta["sha256"]
+                       or actual[rel][1] != meta["bytes"])]
+    missing = [rel for rel in expected if rel not in actual]
+    extra = [rel for rel in actual if rel not in expected]
+    return {"ok": not (mismatched or missing or extra),
+            "checked": len(expected), "mismatched": sorted(mismatched),
+            "missing": sorted(missing), "extra": sorted(extra)}

@@ -121,3 +121,44 @@ def test_resolve_fs_uri_forms():
     f3, p3 = _resolve_fs("/tmp/x/part-0.gz")
     assert p1 == p2 == p3 == "/tmp/x/part-0.gz"
     assert all(isinstance(f, pafs.LocalFileSystem) for f in (f1, f2, f3))
+
+
+def test_verify_manifest_detects_corruption(spark, sf_dir, tmp_path):
+    """Clean batch verifies ok; a flipped byte, a deleted file, and a
+    stray file are each reported by name."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from storagetapper_spark.sinks.files import verify_manifest, write_files
+
+    df = (spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+          .select(F.to_json(F.struct("*")).alias("value")))
+    out = str(tmp_path / "batch")
+    write_files(df, out, fmt="text", compression=None)
+
+    rep = verify_manifest(spark, out)
+    assert rep["ok"] and rep["checked"] >= 1
+
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    victim = os.path.join(out, parts[0])
+    data = bytearray(open(victim, "rb").read())
+    data[0] ^= 0xFF
+    open(victim, "wb").write(bytes(data))
+    # drop Hadoop's local-FS CRC sidecar: on object stores there is none,
+    # and with it present Hadoop fails the read loudly before our check
+    # (also corruption detection — just not the path under test)
+    crc = os.path.join(out, f".{parts[0]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    stray = os.path.join(out, "stray.txt")
+    open(stray, "w").write("not in manifest\n")
+
+    rep = verify_manifest(spark, out)
+    assert not rep["ok"]
+    assert parts[0] in rep["mismatched"]
+    assert "stray.txt" in rep["extra"]
+
+    os.remove(victim)
+    rep = verify_manifest(spark, out)
+    assert parts[0] in rep["missing"]
