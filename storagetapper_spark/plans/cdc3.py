@@ -240,10 +240,66 @@ FROM ev GROUP BY shard, seqno HAVING count(*) > 1
 """
 
 
+
+
+def cdc_scd2_bitemporal(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitemporal SCD2: every version carries BOTH validity axes —
+    system seqno (when the warehouse learned it) and event time (when
+    it was true in the world).  Same single PK window; lead() computed
+    once per axis."""
+    ev = events_t(spark, sf).select(
+        "event_id", "user_id", "event_type", "ts",
+        F.round("value", 2).alias("value"))
+    cdc = events_as_changelog(ev)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("seqno").asc(),
+                                         F.col("op").asc())
+    out = (cdc.withColumn("valid_from", F.col("seqno"))
+              .withColumn("valid_to", F.lead("seqno").over(w))
+              .withColumn("valid_from_ts", F.col("ts"))
+              .withColumn("valid_to_ts", F.lead("ts").over(w))
+              .where(F.col("op") != "delete")
+              .withColumn("is_current", F.col("valid_to").isNull()))
+    # event-time bounds emitted as formatted strings: a NULL open bound
+    # stays SQL NULL (portable), where a NaT timestamp is harness-hostile
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "user_id", "valid_from", "valid_to",
+        F.date_format("valid_from_ts", fmt).alias("valid_from_ts"),
+        F.date_format("valid_to_ts", fmt).alias("valid_to_ts"),
+        "is_current", "event_type", "value")
+
+
+SCD2_BITEMPORAL_SQL = f"""
+WITH cl AS (
+  SELECT event_id, user_id, event_type, ts, round(value, 2) AS value,
+         CASE WHEN event_type = 'signup' THEN 'insert'
+              WHEN event_type = 'error' THEN 'delete'
+              ELSE 'update' END AS op,
+         CAST(event_id AS BIGINT) AS seqno
+  FROM events
+),
+v AS (
+  SELECT user_id, event_type, value, op,
+         seqno AS valid_from,
+         lead(seqno) OVER w AS valid_to,
+         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS valid_from_ts,
+         lead(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')) OVER w AS valid_to_ts
+  FROM cl
+  WINDOW w AS (PARTITION BY user_id ORDER BY seqno, op)
+)
+SELECT user_id, valid_from, valid_to, valid_from_ts, valid_to_ts,
+       valid_to IS NULL AS is_current, event_type, value
+FROM v WHERE op <> 'delete'
+"""
+
+
 QUERIES.update({
     "cdc_scd2_history": (cdc_scd2_history, SCD2_SQL),
     "cdc_incremental_agg": (cdc_incremental_agg, INCREMENTAL_AGG_SQL),
     "cdc_column_audit": (cdc_column_audit, COLUMN_AUDIT_SQL),
     "cdc_time_travel": (cdc_time_travel, TIME_TRAVEL_SQL),
     "cdc_seqno_gaps": (cdc_seqno_gaps, SEQNO_GAPS_SQL),
+    "cdc_scd2_bitemporal": (cdc_scd2_bitemporal, SCD2_BITEMPORAL_SQL),
 })

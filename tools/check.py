@@ -25,6 +25,8 @@ def _norm_cell(v) -> str:
     import math
     if v is None:
         return "NULL"
+    if v != v and not isinstance(v, float):  # pandas NaT (NaT != NaT)
+        return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
