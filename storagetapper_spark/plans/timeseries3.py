@@ -268,6 +268,47 @@ FROM paths GROUP BY path
 """
 
 
+
+
+def feed_freshness(spark: SparkSession, sf: str) -> DataFrame:
+    """Operational freshness per stream shard: each shard's high-water
+    event time vs the global high-water, lag in seconds — the first
+    thing an on-call checks when one binlog worker falls behind
+    (validity/monitoring family, the content-level analog of the O9
+    watchdog)."""
+    ev = events_t(spark, sf).select(
+        (F.col("user_id") % 8).alias("shard"), "ts", "event_id")
+    per_shard = ev.groupBy("shard").agg(
+        F.max("ts").alias("shard_high_water"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("event_id").alias("last_event_id"))
+    glob = ev.agg(F.max("ts").alias("_global"))
+    return (per_shard.crossJoin(F.broadcast(glob))
+            .select("shard",
+                    F.date_format("shard_high_water",
+                                  "yyyy-MM-dd HH:mm:ss").alias("high_water"),
+                    (F.col("_global").cast("long")
+                     - F.col("shard_high_water").cast("long"))
+                    .alias("lag_sec"),
+                    "n_events", "last_event_id"))
+
+
+FEED_FRESHNESS_SQL = """
+WITH ev AS (
+  SELECT user_id % 8 AS shard, ts, event_id FROM events
+), per_shard AS (
+  SELECT shard, max(ts) AS hw, count(*) AS n_events,
+         max(event_id) AS last_event_id
+  FROM ev GROUP BY shard
+), hw_all AS (SELECT max(ts) AS g FROM ev)
+SELECT shard,
+       strftime(hw, '%Y-%m-%d %H:%M:%S') AS high_water,
+       CAST(floor(epoch(g)) - floor(epoch(hw)) AS BIGINT) AS lag_sec,
+       n_events, last_event_id
+FROM per_shard, hw_all
+"""
+
+
 QUERIES = {
     "anomaly_daily_counts": (anomaly_daily_counts, ANOMALY_SQL),
     "gapfill_daily_locf": (gapfill_daily_locf, GAPFILL_SQL),
@@ -275,4 +316,5 @@ QUERIES = {
     "window_distribution": (window_distribution, WINDOW_DIST_SQL),
     "agg_regression": (agg_regression, AGG_REGRESSION_SQL),
     "session_paths": (session_paths, SESSION_PATHS_SQL),
+    "feed_freshness": (feed_freshness, FEED_FRESHNESS_SQL),
 }
