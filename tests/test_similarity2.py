@@ -50,3 +50,34 @@ def test_ivf_topk_recall(spark):
     overlap = sum(len(got.get(q, set()) & set(v)) for q, v in exact.items())
     total = sum(len(v) for v in exact.values())
     assert overlap / total >= 0.4  # 3/8 cells probed on random vectors
+
+
+def test_ivf_centroids_persist_and_reload(spark, sf_dir, tmp_path):
+    """Serving contract: centroids trained once, saved as parquet, and
+    reloaded must reproduce the exact same IVF results (no retrain at
+    query time)."""
+    import os
+
+    from storagetapper_spark.operators.similarity import ivf_topk, train_centroids
+    from storagetapper_spark.plans.common import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.where("vec_id % 10 != 0")
+    queries = (emb.where("vec_id % 10 = 0").limit(3)
+               .selectExpr("vec_id AS query_id", "embedding"))
+
+    cents = train_centroids(corpus, n_centroids=8)
+    idx_path = str(tmp_path / "ivf_index")
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "centroid_id INT, centroid ARRAY<DOUBLE>",
+    ).write.parquet(idx_path)
+
+    reloaded = [r.centroid for r in
+                spark.read.parquet(idx_path).orderBy("centroid_id").collect()]
+    a = ivf_topk(corpus, queries, k=5, centroids=cents)
+    b = ivf_topk(corpus, queries, k=5, centroids=reloaded)
+    ra = {(r.query_id, r.vec_id, r.cosine_sim) for r in a.collect()}
+    rb = {(r.query_id, r.vec_id, r.cosine_sim) for r in b.collect()}
+    assert ra == rb and len(ra) > 0
+    assert os.path.exists(idx_path)
