@@ -481,3 +481,49 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
          .distinct()
          .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def ngram_containment_pairs(df: DataFrame, bucket_cols: list[str],
+                            text_col: str = "text", id_col: str = "doc_id",
+                            shingle_n: int = 3,
+                            threshold: float = 0.0) -> DataFrame:
+    """Asymmetric near-dup: n-gram CONTAINMENT |A∩B| / min(|A|,|B|) —
+    catches quotes/excerpts/supersets that Jaccard misses (a 100-line
+    doc fully contained in a 10000-line doc has tiny Jaccard but
+    containment 1.0).  Same blocked posting-list shape (and cost) as
+    ``ngram_jaccard_pairs``; emits both directional containments plus
+    the max."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    norm = normalize_text(F.col(text_col))
+    pat = "(?<!\\S)(?=(" + " ".join(["\\S+"] * shingle_n) + "))"
+    grams = df.select(
+        *[F.col(c) for c in bucket_cols], F.col(id_col),
+        F.explode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias("sh"))
+    shorts = (df.select(*[F.col(c) for c in bucket_cols], F.col(id_col),
+                        norm.alias("sh"))
+                .filter(F.size(F.split("sh", " ")) < shingle_n))
+    sh = grams.unionByName(shorts).distinct().persist()
+    sh.count()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on=[*bucket_cols, "sh"])
+         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+         .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                  F.col(f"b.{id_col}").alias("id_b"))
+         .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+             .select("id_a", "id_b",
+                     F.round(F.col("n_inter") / F.col("sz_a"), 4)
+                      .alias("containment_a"),
+                     F.round(F.col("n_inter") / F.col("sz_b"), 4)
+                      .alias("containment_b"),
+                     F.round(F.col("n_inter")
+                             / F.least("sz_a", "sz_b"), 4)
+                      .alias("containment"))
+             .filter(F.col("containment") >= threshold)
+    )

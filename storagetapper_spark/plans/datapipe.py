@@ -211,6 +211,50 @@ WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.1
 """
 
 
+def dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric near-dup: containment catches excerpts/supersets that
+    Jaccard misses (operators/dedup.ngram_containment_pairs)."""
+    return D.ngram_containment_pairs(t(spark, sf, "documents"),
+                                     bucket_cols=["lang", "source"],
+                                     shingle_n=_SHINGLE_N, threshold=0.05)
+
+
+NGRAM_CONTAINMENT_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, lang, source,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT doc_id, lang, source, string_split(nt, ' ') AS w FROM norm
+), sh AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN len(w) < {_SHINGLE_N} THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(w) - {_SHINGLE_N - 1} + 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         END AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, lang, source, unnest(shingles) AS s FROM sh
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.lang = b.lang AND a.source = b.source AND a.s = b.s
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(n_inter / sa.sz, 4) AS containment_a,
+       round(n_inter / sb.sz, 4) AS containment_b,
+       round(n_inter / least(sa.sz, sb.sz), 4) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_inter / least(sa.sz, sb.sz), 4) >= 0.05
+"""
+
+
 # --- duplicate-cluster resolution (connected components over pairs) ----
 
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
@@ -745,6 +789,7 @@ QUERIES = {
     "dedup_minhash_lsh_star": (dedup_minhash_lsh_star, _lsh_star_sql()),
     "dedup_minhash_lsh_incr": (dedup_minhash_lsh_incr, _lsh_incr_sql()),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_ngram_containment": (dedup_ngram_containment, NGRAM_CONTAINMENT_SQL),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "ann_brute_force": (ann_brute_force, ANN_BRUTE_SQL),
     "ann_vectorized": (ann_vectorized, ANN_BRUTE_SQL),

@@ -309,6 +309,35 @@ FROM per_shard, hw_all
 """
 
 
+
+
+def ewma_daily_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-weighted daily volume (alpha=1/2, 8-term window) per
+    event type — the smoothed signal the anomaly detector's mean/std
+    compares against.  Weights are exact powers of two over integer
+    counts, so every term and the left-associated sum are exact dyadic
+    doubles — bit-equal across engines with no rounding tolerance."""
+    ev = events_t(spark, sf)
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+               .agg(F.count(F.lit(1)).alias("n_events")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    ewma = F.coalesce(F.lag("n_events", 0).over(w), F.lit(0)) / 1 + F.coalesce(F.lag("n_events", 1).over(w), F.lit(0)) / 2 + F.coalesce(F.lag("n_events", 2).over(w), F.lit(0)) / 4 + F.coalesce(F.lag("n_events", 3).over(w), F.lit(0)) / 8 + F.coalesce(F.lag("n_events", 4).over(w), F.lit(0)) / 16 + F.coalesce(F.lag("n_events", 5).over(w), F.lit(0)) / 32 + F.coalesce(F.lag("n_events", 6).over(w), F.lit(0)) / 64 + F.coalesce(F.lag("n_events", 7).over(w), F.lit(0)) / 128
+    return daily.select("event_type", "day", "n_events",
+                        ewma.alias("ewma8"))
+
+
+EWMA_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT event_type, day, n_events,
+       COALESCE(lag(n_events, 0) OVER w, 0) / 1 + COALESCE(lag(n_events, 1) OVER w, 0) / 2 + COALESCE(lag(n_events, 2) OVER w, 0) / 4 + COALESCE(lag(n_events, 3) OVER w, 0) / 8 + COALESCE(lag(n_events, 4) OVER w, 0) / 16 + COALESCE(lag(n_events, 5) OVER w, 0) / 32 + COALESCE(lag(n_events, 6) OVER w, 0) / 64 + COALESCE(lag(n_events, 7) OVER w, 0) / 128 AS ewma8
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
 QUERIES = {
     "anomaly_daily_counts": (anomaly_daily_counts, ANOMALY_SQL),
     "gapfill_daily_locf": (gapfill_daily_locf, GAPFILL_SQL),
@@ -317,4 +346,5 @@ QUERIES = {
     "agg_regression": (agg_regression, AGG_REGRESSION_SQL),
     "session_paths": (session_paths, SESSION_PATHS_SQL),
     "feed_freshness": (feed_freshness, FEED_FRESHNESS_SQL),
+    "ewma_daily_counts": (ewma_daily_counts, EWMA_SQL),
 }
