@@ -18,7 +18,7 @@ from storagetapper_spark.operators.history import (
     scd2_history,
 )
 from storagetapper_spark.operators.merge import latest_state
-from storagetapper_spark.plans.common import events_t
+from storagetapper_spark.plans.common import events_t, t
 from storagetapper_spark.sources.changelog import (
     decompose_updates,
     events_as_changelog,
@@ -295,6 +295,51 @@ FROM v WHERE op <> 'delete'
 """
 
 
+
+
+# --- portable table checksum (migration validation) ---------------------
+
+def cdc_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-independent, engine-portable table checksum — the
+    constant-size validation a migration runs on BOTH systems to prove
+    the copy (snapshot_diff's cousin with O(groups) output, so two
+    100 TB systems exchange bytes, not rows).  Row hash = md5 over a
+    canonical string rendering; group fold = bit_xor + count (both
+    commutative — partitioning and order can't change the result)."""
+    li = t(spark, sf, "lineitem")
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_shipdate").cast("date").cast("string"),
+        F.col("l_quantity").cast("decimal(12,2)").cast("string"))
+    hashed = li.select(
+        "l_returnflag",
+        F.conv(F.substring(F.md5(canon), 1, 15), 16, 10)
+         .cast("long").alias("_h"))
+    return (hashed.groupBy("l_returnflag")
+                  .agg(F.count(F.lit(1)).alias("n_rows"),
+                       F.expr("bit_xor(_h)").alias("xor_hash")))
+
+
+TABLE_CHECKSUM_SQL = """
+WITH hashed AS (
+  SELECT l_returnflag,
+         CAST(('0x' || substring(md5(
+            CAST(l_orderkey AS VARCHAR) || '|' ||
+            CAST(l_linenumber AS VARCHAR) || '|' ||
+            l_returnflag || '|' ||
+            strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') || '|' ||
+            CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR)
+         ), 1, 15)) AS BIGINT) AS h
+  FROM lineitem
+)
+SELECT l_returnflag, count(*) AS n_rows, bit_xor(h) AS xor_hash
+FROM hashed GROUP BY l_returnflag
+"""
+
+
 QUERIES.update({
     "cdc_scd2_history": (cdc_scd2_history, SCD2_SQL),
     "cdc_incremental_agg": (cdc_incremental_agg, INCREMENTAL_AGG_SQL),
@@ -302,4 +347,5 @@ QUERIES.update({
     "cdc_time_travel": (cdc_time_travel, TIME_TRAVEL_SQL),
     "cdc_seqno_gaps": (cdc_seqno_gaps, SEQNO_GAPS_SQL),
     "cdc_scd2_bitemporal": (cdc_scd2_bitemporal, SCD2_BITEMPORAL_SQL),
+    "cdc_table_checksum": (cdc_table_checksum, TABLE_CHECKSUM_SQL),
 })
