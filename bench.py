@@ -50,7 +50,7 @@ BENCH_QUERIES = [
     "ann_srp", "dedup_embedding_srp", "sketch_hll_union",
     "sample_reservoir_per_group", "time_weighted_avg",
     "anomaly_daily_counts", "profile_documents", "cdc_consistent_cut",
-    "multimodal_manifest", "agg_salted_skew", "session_paths", "cdc_seqno_gaps", "integrity_audit", "cdc_scd2_bitemporal", "cdc_table_checksum", "feed_freshness", "ewma_daily_counts",
+    "multimodal_manifest", "agg_salted_skew", "session_paths", "cdc_seqno_gaps", "integrity_audit", "cdc_scd2_bitemporal", "cdc_table_checksum", "feed_freshness", "ewma_daily_counts", "drift_psi",
     "dedup_ngram_containment",
     # warehouse-maintenance + chunking batch
     "cdc_scd2_history", "cdc_incremental_agg", "cdc_column_audit",

@@ -338,6 +338,73 @@ WINDOW w AS (PARTITION BY event_type ORDER BY day)
 """
 
 
+
+
+def drift_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """Population-stability-index drift between the first and second
+    half of the order history (fixed price bins): the standard check
+    that a feature's distribution didn't shift between two snapshots /
+    training runs.  PSI = sum((p-q) * ln(p/q)); bins with zero mass get
+    the conventional 1e-6 floor."""
+    o = t(spark, sf, "orders").select(
+        F.to_date("o_orderdate").alias("d"), "o_totalprice")
+    mid = o.agg(F.expr(
+        "to_date(date_add(min(d), CAST(datediff(max(d), min(d)) / 2 AS INT)))")
+        .alias("mid"))
+    binned = (o.crossJoin(F.broadcast(mid))
+              .select(F.when(F.col("d") < F.col("mid"), "p").otherwise("q")
+                       .alias("period"),
+                      F.least(F.lit(9),
+                              F.floor(F.col("o_totalprice") / 60000)
+                               .cast("int")).alias("bin")))
+    counts = binned.groupBy("period", "bin").agg(
+        F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("period").agg(F.sum("n").alias("tot"))
+    frac = (counts.join(tot, "period")
+            .select("period", "bin",
+                    (F.col("n") / F.col("tot")).alias("f")))
+    p = frac.where("period = 'p'").select("bin", F.col("f").alias("fp"))
+    q = frac.where("period = 'q'").select("bin", F.col("f").alias("fq"))
+    both = (p.join(q, "bin", "full_outer")
+            .select("bin",
+                    F.coalesce("fp", F.lit(1e-6)).alias("fp"),
+                    F.coalesce("fq", F.lit(1e-6)).alias("fq")))
+    term = (F.col("fp") - F.col("fq")) * F.log(F.col("fp") / F.col("fq"))
+    return both.select("bin", F.round("fp", 6).alias("share_first"),
+                       F.round("fq", 6).alias("share_second"),
+                       F.round(term, 6).alias("psi_term"))
+
+
+DRIFT_PSI_SQL = """
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, o_totalprice FROM orders
+), mid AS (
+  SELECT min(d) + CAST(CAST(date_diff('day', min(d), max(d)) / 2 AS INT)
+         AS INTEGER) AS mid FROM o
+), binned AS (
+  SELECT CASE WHEN o.d < mid.mid THEN 'p' ELSE 'q' END AS period,
+         least(9, CAST(floor(o_totalprice / 60000) AS INT)) AS bin
+  FROM o, mid
+), counts AS (
+  SELECT period, bin, count(*) AS n FROM binned GROUP BY period, bin
+), tot AS (
+  SELECT period, sum(n) AS tot FROM counts GROUP BY period
+), frac AS (
+  SELECT c.period, c.bin, c.n / t.tot AS f
+  FROM counts c JOIN tot t ON c.period = t.period
+), p AS (SELECT bin, f AS fp FROM frac WHERE period = 'p'),
+q AS (SELECT bin, f AS fq FROM frac WHERE period = 'q'),
+b2 AS (
+  SELECT COALESCE(p.bin, q.bin) AS bin,
+         COALESCE(fp, 1e-6) AS fp, COALESCE(fq, 1e-6) AS fq
+  FROM p FULL OUTER JOIN q ON p.bin = q.bin
+)
+SELECT bin, round(fp, 6) AS share_first, round(fq, 6) AS share_second,
+       round((fp - fq) * ln(fp / fq), 6) AS psi_term
+FROM b2
+"""
+
+
 QUERIES = {
     "anomaly_daily_counts": (anomaly_daily_counts, ANOMALY_SQL),
     "gapfill_daily_locf": (gapfill_daily_locf, GAPFILL_SQL),
@@ -347,4 +414,5 @@ QUERIES = {
     "session_paths": (session_paths, SESSION_PATHS_SQL),
     "feed_freshness": (feed_freshness, FEED_FRESHNESS_SQL),
     "ewma_daily_counts": (ewma_daily_counts, EWMA_SQL),
+    "drift_psi": (drift_psi, DRIFT_PSI_SQL),
 }
