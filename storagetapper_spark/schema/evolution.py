@@ -97,3 +97,57 @@ def conform(df: DataFrame, schema: T.StructType) -> DataFrame:
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols)
+
+
+def schema_diff(old: T.StructType, new: T.StructType,
+                table: str = "") -> list[SchemaChange]:
+    """The DDL-capture INVERSE: infer the change list from two observed
+    schema versions — drift detection for feeds with no DDL events
+    (parquet drops, API exports).  Emits adds, drops, and retypes (a
+    retype surfaces as drop+add of the same column so ``apply_change``
+    can replay it); column order is not a change (the common format is
+    name-addressed, like the reference's CommonFormatEvent).
+
+    Invariant (tested): replaying the returned changes through
+    ``apply_change`` on ``old`` yields a schema equal to ``new`` up to
+    field order and the mysql↔spark type mapping's granularity.
+    """
+    old_f = {f.name: f for f in old.fields}
+    new_f = {f.name: f for f in new.fields}
+    changes: list[SchemaChange] = []
+    for name in old_f:
+        if name not in new_f:
+            changes.append(SchemaChange(kind="drop", table=table, column=name))
+    for name, f in new_f.items():
+        if name not in old_f:
+            changes.append(SchemaChange(kind="add", table=table, column=name,
+                                        mysql_type=_spark_to_mysqlish(f.dataType)))
+        elif old_f[name].dataType != f.dataType:
+            changes.append(SchemaChange(kind="drop", table=table, column=name))
+            changes.append(SchemaChange(kind="add", table=table, column=name,
+                                        mysql_type=_spark_to_mysqlish(f.dataType)))
+    return changes
+
+
+def _spark_to_mysqlish(dt: T.DataType) -> str:
+    """Inverse-ish of mysql_to_spark_type, good enough that
+    add(column, type) replays to the same Spark type."""
+    if isinstance(dt, T.LongType):
+        return "bigint"
+    if isinstance(dt, T.IntegerType):
+        return "int"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.BooleanType):
+        return "tinyint(1)"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.TimestampType):
+        return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.BinaryType):
+        return "blob"
+    return "text"

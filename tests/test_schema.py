@@ -97,3 +97,46 @@ def test_primary_key_ordering():
         ColumnSchema("c", "int", "int", 3),
     ])
     assert ts.primary_key == ["a", "b"]
+
+
+def test_schema_diff_replays_to_target():
+    from pyspark.sql import types as T
+
+    from storagetapper_spark.schema.evolution import apply_change, schema_diff
+
+    old = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.IntegerType()),
+        T.StructField("gone", T.DateType()),
+    ])
+    new = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),      # retyped
+        T.StructField("added_at", T.TimestampType()),  # added
+    ])
+    changes = schema_diff(old, new)
+    kinds = sorted((c.kind, c.column) for c in changes)
+    assert ("drop", "gone") in kinds
+    assert ("add", "added_at") in kinds
+    assert ("drop", "score") in kinds and ("add", "score") in kinds
+
+    cur = old
+    for c in changes:
+        cur = apply_change(cur, c)
+    assert {f.name: f.dataType for f in cur.fields} == \
+        {f.name: f.dataType for f in new.fields}
+
+
+def test_schema_diff_identical_schemas_is_empty():
+    from pyspark.sql import types as T
+
+    from storagetapper_spark.schema.evolution import schema_diff
+
+    s = T.StructType([T.StructField("a", T.LongType()),
+                      T.StructField("b", T.StringType())])
+    reordered = T.StructType([T.StructField("b", T.StringType()),
+                              T.StructField("a", T.LongType())])
+    assert schema_diff(s, s) == []
+    assert schema_diff(s, reordered) == []  # order is not drift
