@@ -170,3 +170,45 @@ def read_history(spark, history_dir: str) -> DataFrame:
     import os
 
     return spark.read.parquet(os.path.join(history_dir, "current"))
+
+
+def ivm_sink(cdc_stream: DataFrame, state_dir: str, checkpoint_dir: str,
+             pk_cols: list[str], value_col: str, group_col: str,
+             trigger_available_now: bool = True):
+    """foreachBatch maintenance of a materialized SUM/COUNT aggregate
+    (the streaming form of ``apply_delta_batch``): per micro-batch, fold
+    the batch's signed deltas into the stored aggregate and refresh the
+    per-key lag-seed table, write-new + swap both.  The aggregate and
+    keystate are group-/key-cardinality sized, so state IO stays small
+    no matter how large the fact stream is."""
+    import os
+
+    spark = cdc_stream.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        agg_cur = os.path.join(state_dir, "agg", "current")
+        key_cur = os.path.join(state_dir, "keystate", "current")
+        agg = spark.read.parquet(agg_cur) if os.path.exists(agg_cur) else None
+        ks = spark.read.parquet(key_cur) if os.path.exists(key_cur) else None
+        agg2, ks2 = apply_delta_batch(agg, ks, batch_df, pk_cols, value_col,
+                                      group_col)
+        for df, cur in ((agg2, agg_cur), (ks2, key_cur)):
+            nxt = cur.replace("current", f"v{batch_id}")
+            df.write.mode("overwrite").parquet(nxt)
+            spark.read.parquet(nxt).write.mode("overwrite").parquet(cur)
+
+    writer = (cdc_stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_aggregate(spark, state_dir: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(state_dir, "agg", "current"))

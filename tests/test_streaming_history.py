@@ -235,3 +235,52 @@ def test_one_feed_three_consistent_products(spark, sf_dir, tmp_path):
     # product consistency #2: aggregate == SUM/COUNT over latest state
     assert folded[0] == (50.0, 2)
     assert folded[1] == (40.0, 1)
+
+
+def test_ivm_sink_end_to_end(spark, tmp_path):
+    """File-source micro-batches → ivm_sink → maintained aggregate."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from storagetapper_spark.streaming.history import ivm_sink, read_aggregate
+    from storagetapper_spark.streaming.pipeline import read_changelog_stream
+
+    schema = T.StructType([
+        T.StructField("pk", T.LongType()),
+        T.StructField("grp", T.LongType()),
+        T.StructField("val", T.DoubleType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("seqno", T.LongType()),
+    ])
+    src, state, ck = (str(tmp_path / d) for d in ("feed", "state", "ck"))
+    os.makedirs(src)
+
+    def drop(name, events):
+        with open(os.path.join(src, name), "w") as f:
+            for e in events:
+                f.write(json.dumps(e) + "\n")
+
+    drop("b1.json", [
+        {"pk": 1, "grp": 0, "val": 10.0, "op": "insert", "seqno": 1},
+        {"pk": 2, "grp": 1, "val": 20.0, "op": "insert", "seqno": 2},
+    ])
+    ivm_sink(read_changelog_stream(spark, src, schema), state, ck,
+             pk_cols=["pk"], value_col="val",
+             group_col="grp").awaitTermination(60)
+    agg = {r.grp: (float(r.sum_value), r.n_live)
+           for r in read_aggregate(spark, state).collect()}
+    assert agg == {0: (10.0, 1), 1: (20.0, 1)}
+
+    drop("b2.json", [
+        {"pk": 1, "grp": 0, "val": 15.0, "op": "update", "seqno": 3},
+        {"pk": 2, "grp": 1, "val": None, "op": "delete", "seqno": 4},
+        {"pk": 3, "grp": 1, "val": 7.0, "op": "insert", "seqno": 5},
+    ])
+    ivm_sink(read_changelog_stream(spark, src, schema), state, ck,
+             pk_cols=["pk"], value_col="val",
+             group_col="grp").awaitTermination(60)
+    agg = {r.grp: (float(r.sum_value), r.n_live)
+           for r in read_aggregate(spark, state).collect()}
+    assert agg == {0: (15.0, 1), 1: (7.0, 1)}
