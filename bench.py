@@ -51,7 +51,7 @@ BENCH_QUERIES = [
     "sample_reservoir_per_group", "time_weighted_avg",
     "anomaly_daily_counts", "profile_documents", "cdc_consistent_cut",
     "multimodal_manifest", "agg_salted_skew", "session_paths", "cdc_seqno_gaps", "integrity_audit", "cdc_scd2_bitemporal", "cdc_table_checksum", "feed_freshness", "ewma_daily_counts", "drift_psi",
-    "dedup_ngram_containment",
+    "dedup_ngram_containment", "dedup_survivorship",
     # warehouse-maintenance + chunking batch
     "cdc_scd2_history", "cdc_incremental_agg", "cdc_column_audit",
     "cdc_time_travel", "text_chunk_fixed", "text_chunk_tokens",

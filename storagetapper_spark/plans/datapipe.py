@@ -344,6 +344,57 @@ GROUP BY d.lang
 """
 
 
+def dedup_survivorship(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivorship policy: within each duplicate cluster elect the
+    canonical doc by QUALITY (longest text, doc_id as tiebreak) — the
+    production rule, vs corpus_summary's min-id bookkeeping rule.  Emits
+    one row per non-canonical member (doc_id -> canonical_id)."""
+    from pyspark.sql import Window
+
+    from storagetapper_spark.operators.dedup import connected_components
+
+    docs = t(spark, sf, "documents").select("doc_id", "n_chars")
+    pairs = D.ngram_jaccard_pairs(t(spark, sf, "documents"),
+                                  bucket_cols=["lang", "source"],
+                                  shingle_n=_SHINGLE_N, threshold=0.1)
+    comp = connected_components(pairs, "id_a", "id_b")
+    members = (comp.join(docs, comp.node == docs.doc_id)
+                   .select("comp", "doc_id", "n_chars"))
+    w = Window.partitionBy("comp")
+    canon = F.expr("max_by(doc_id, n_chars * 10000000 - doc_id)").over(w)
+    return (members.select("doc_id",
+                           canon.alias("canonical_id"),
+                           "n_chars")
+                   .where(F.col("doc_id") != F.col("canonical_id")))
+
+
+def _survivorship_sql() -> str:
+    return f"""
+WITH RECURSIVE edges AS (
+  {NGRAM_JACCARD_SQL}
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+), reach(a, b) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+), comp AS (
+  SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a
+), members AS (
+  SELECT c.comp, d.doc_id, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+), canon AS (
+  SELECT comp, arg_max(doc_id, n_chars * 10000000 - doc_id) AS canonical_id
+  FROM members GROUP BY comp
+)
+SELECT m.doc_id, c.canonical_id, m.n_chars
+FROM members m JOIN canon c ON m.comp = c.comp
+WHERE m.doc_id <> c.canonical_id
+"""
+
+
 # --- embedding-cosine near-dup (label-blocked exact; SRP variant in
 # --- tests — blocking column is the only difference) --------------------
 
@@ -790,6 +841,7 @@ QUERIES = {
     "dedup_minhash_lsh_incr": (dedup_minhash_lsh_incr, _lsh_incr_sql()),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_ngram_containment": (dedup_ngram_containment, NGRAM_CONTAINMENT_SQL),
+    "dedup_survivorship": (dedup_survivorship, _survivorship_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "ann_brute_force": (ann_brute_force, ANN_BRUTE_SQL),
     "ann_vectorized": (ann_vectorized, ANN_BRUTE_SQL),
