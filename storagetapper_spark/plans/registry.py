@@ -25,6 +25,7 @@ from storagetapper_spark.plans import (
     relational7,
     relational8,
     relational9,
+    relational10,
     timeseries,
     timeseries2,
     timeseries3,
@@ -32,7 +33,8 @@ from storagetapper_spark.plans import (
 
 _ALL: dict[str, tuple[Callable, str | None]] = {}
 for mod in (relational, relational2, relational3, relational4, relational5,
-            relational6, relational7, relational8, relational9, timeseries,
+            relational6, relational7, relational8, relational9, relational10,
+            timeseries,
             timeseries2, timeseries3, cdc, cdc2, cdc3, datapipe, datapipe2,
             datapipe3, extensions):
     for name, pair in mod.QUERIES.items():

@@ -1,0 +1,389 @@
+"""Query batch 10: approximate string matching (blocked fuzzy join),
+k-means cluster assignment over embeddings, distribution analytics
+(Gini concentration, Benford leading digits, MAD outliers), interval
+self-overlap joins, and an A/B conversion z-test.
+
+All Spark sides are pure Column expressions (zero Python in the row
+path); every oracle follows the house rules (explicit rounding at
+engine boundaries, BIGINT casts for counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from storagetapper_spark.plans.common import t
+from storagetapper_spark.operators.similarity import cosine
+
+QUERIES: dict = {}
+
+
+# --- blocked fuzzy join (approximate string matching) -------------------
+
+def fuzzy_match_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Record-linkage primitive: find exact and near-duplicate part
+    names with a BLOCKED levenshtein self-join — pairs are generated
+    only inside a block (first name token), never all-pairs, so the
+    cost is sum(block^2) not N^2.  At 100 TB the block key gets a
+    second component (token2 or a length band) to bound the largest
+    block, and AQE skew-join splits any residual hot block; the output
+    here is the per-block match summary, which is what a dedup report
+    consumes.  levenshtein() is whole-stage-codegen'd JVM-side."""
+    p = (t(spark, sf, "part")
+         .select("p_partkey", "p_name",
+                 F.split(F.col("p_name"), " ").getItem(0).alias("blk")))
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                    & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+             .select(F.col("a.blk").alias("blk"),
+                     F.levenshtein(F.col("a.p_name"),
+                                   F.col("b.p_name")).alias("lev")))
+    return (pairs.groupBy("blk")
+            .agg(F.sum(F.when(F.col("lev") == 0, 1).otherwise(0))
+                  .alias("n_exact"),
+                 F.sum(F.when(F.col("lev").between(1, 4), 1).otherwise(0))
+                  .alias("n_near"))
+            .orderBy("blk"))
+
+
+FUZZY_MATCH_SQL = """
+WITH p AS (SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+           FROM part)
+SELECT a.blk,
+       CAST(sum(CASE WHEN levenshtein(a.p_name, b.p_name) = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_near
+FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+GROUP BY a.blk ORDER BY a.blk
+"""
+
+QUERIES["fuzzy_match_parts"] = (fuzzy_match_parts, FUZZY_MATCH_SQL)
+
+
+# --- k-means assignment pass over embeddings ----------------------------
+
+_KMEANS_K = 8
+
+
+def embedding_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """One Lloyd assignment pass: K deterministic seed centroids (the
+    embeddings with vec_id < K) broadcast to every executor; each
+    vector scores K cosine similarities JVM-side (zip_with+aggregate,
+    no Python) and keeps its argmax.  This is the inner loop of
+    distributed k-means and of IVF index builds (operators/
+    similarity.py trains full k-means|| on the same kernel): corpus
+    never shuffles, only the K×dim centroid table moves.  Rounding to
+    6dp before the argmax makes the winner engine-portable; ties break
+    on centroid_id."""
+    emb = t(spark, sf, "embeddings")
+    cent = (emb.filter(F.col("vec_id") < _KMEANS_K)
+            .select(F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("cvec")))
+    scored = (emb.crossJoin(F.broadcast(cent))
+              .select("vec_id", "centroid_id",
+                      F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
+                       .alias("sim")))
+    w = (Window.partitionBy("vec_id")
+         .orderBy(F.col("sim").desc(), F.col("centroid_id").asc()))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "centroid_id", "sim")
+            .orderBy("vec_id"))
+
+
+_KM_COS = ("round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec) / "
+           "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+           "CAST(e.embedding AS DOUBLE[]))) * c.cnorm), 6)")
+
+KMEANS_ASSIGN_SQL = f"""
+WITH c AS (SELECT vec_id AS centroid_id,
+                  CAST(embedding AS DOUBLE[]) AS cvec,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) AS cnorm
+           FROM embeddings WHERE vec_id < {_KMEANS_K}),
+scored AS (SELECT e.vec_id, c.centroid_id, {_KM_COS} AS sim
+           FROM embeddings e CROSS JOIN c)
+SELECT vec_id, centroid_id, sim
+FROM (SELECT vec_id, centroid_id, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, centroid_id) AS rn
+      FROM scored)
+WHERE rn = 1 ORDER BY vec_id
+"""
+
+QUERIES["embedding_kmeans_assign"] = (embedding_kmeans_assign,
+                                      KMEANS_ASSIGN_SQL)
+
+
+# --- Gini revenue concentration per region ------------------------------
+
+def gini_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """How concentrated is customer revenue inside each region?  Gini
+    via the rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
+    revenue sorted ascending (ties broken by custkey, so the rank is
+    total and engine-portable).  One shuffle for the per-customer sum,
+    one per-region window; regions are few, so at scale the window
+    partitions are coarse but each is a single sort — the same shape
+    as any per-tenant ranking."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    n_o = t(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf, "region").select("r_regionkey", "r_name")
+    rev = (o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+           .join(c.select("c_custkey", "c_nationkey"),
+                 F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(n_o), F.col("c_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("r_name", "o_custkey", "revenue"))
+    w = (Window.partitionBy("r_name")
+         .orderBy(F.col("revenue").asc(), F.col("o_custkey").asc()))
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    return (ranked.groupBy("r_name")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(
+                     2.0 * F.sum(F.col("i") * F.col("revenue"))
+                     / (F.count(F.lit(1)) * F.sum("revenue"))
+                     - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+                     6).alias("gini"))
+            .orderBy("r_name"))
+
+
+GINI_SQL = """
+WITH rev AS (SELECT r.r_name, o.o_custkey,
+                    sum(o.o_totalprice) AS revenue
+             FROM orders o
+             JOIN customer c ON o.o_custkey = c.c_custkey
+             JOIN nation n ON c.c_nationkey = n.n_nationkey
+             JOIN region r ON n.n_regionkey = r.r_regionkey
+             GROUP BY r.r_name, o.o_custkey),
+ranked AS (SELECT r_name, revenue,
+                  row_number() OVER (PARTITION BY r_name
+                                     ORDER BY revenue, o_custkey) AS i
+           FROM rev)
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
+       round(2.0 * sum(i * revenue) / (count(*) * sum(revenue))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked GROUP BY r_name ORDER BY r_name
+"""
+
+QUERIES["gini_revenue"] = (gini_revenue, GINI_SQL)
+
+
+# --- Benford leading-digit analysis -------------------------------------
+
+def benford_digits(spark: SparkSession, sf: str) -> DataFrame:
+    """Fraud-screening classic: the leading-digit distribution of order
+    totals vs the Benford expectation log10(1+1/d).  The digit is
+    extracted from the DECIMAL string form (not via log10/floor, whose
+    exact-power-of-ten edge rounds differently across engines).  Pure
+    map + one 9-group aggregate — embarrassingly scalable."""
+    o = t(spark, sf, "orders")
+    digit = F.substring(
+        F.regexp_replace(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            "[^1-9]", ""),
+        1, 1).cast("int").alias("digit")
+    total = o.count()
+    return (o.select(digit)
+            .groupBy("digit")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("digit", "n",
+                    F.round(F.col("n") / F.lit(float(total)), 6)
+                     .alias("share"),
+                    F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6)
+                     .alias("benford"))
+            .withColumn("abs_delta",
+                        F.round(F.abs(F.col("share") - F.col("benford")), 6))
+            .orderBy("digit"))
+
+
+BENFORD_SQL = """
+WITH d AS (SELECT CAST(substr(regexp_replace(
+                    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                    '[^1-9]', '', 'g'), 1, 1) AS INT) AS digit
+           FROM orders),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM orders),
+g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit)
+SELECT digit, n,
+       round(n / t.n_total, 6) AS share,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford,
+       round(abs(round(n / t.n_total, 6)
+                 - round(log10(1.0 + 1.0 / digit), 6)), 6) AS abs_delta
+FROM g CROSS JOIN tot t ORDER BY digit
+"""
+
+QUERIES["benford_digits"] = (benford_digits, BENFORD_SQL)
+
+
+# --- interval self-overlap join -----------------------------------------
+
+_OVERLAP_DAYS = 30
+
+
+def overlapping_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval self-overlap: pairs of orders from the same customer
+    whose 30-day fulfilment windows intersect ("concurrent open
+    orders"), rolled up per market segment.  The equi-key (custkey)
+    carries the join — the interval predicate is a post-join filter
+    inside each (small) per-customer group, so this stays a hash join
+    on a high-cardinality key at any scale; no interval index needed
+    when a natural blocking key exists."""
+    o = (t(spark, sf, "orders")
+         .select("o_orderkey", "o_custkey", "o_orderdate"))
+    a, b = o.alias("a"), o.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        & (F.col("a.o_orderdate")
+           <= F.date_add(F.col("b.o_orderdate"), _OVERLAP_DAYS))
+        & (F.col("b.o_orderdate")
+           <= F.date_add(F.col("a.o_orderdate"), _OVERLAP_DAYS)))
+    c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    return (pairs.select(F.col("a.o_custkey").alias("cust"))
+            .join(c, F.col("cust") == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_overlap_pairs"),
+                 F.countDistinct("cust").alias("n_customers"))
+            .orderBy("c_mktsegment"))
+
+
+OVERLAP_SQL = f"""
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_overlap_pairs,
+       CAST(count(DISTINCT a.o_custkey) AS BIGINT) AS n_customers
+FROM orders a
+JOIN orders b ON a.o_custkey = b.o_custkey
+            AND a.o_orderkey < b.o_orderkey
+            AND a.o_orderdate <= b.o_orderdate + INTERVAL {_OVERLAP_DAYS} DAY
+            AND b.o_orderdate <= a.o_orderdate + INTERVAL {_OVERLAP_DAYS} DAY
+JOIN customer c ON a.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+QUERIES["overlapping_orders"] = (overlapping_orders, OVERLAP_SQL)
+
+
+# --- robust (MAD) outlier detection -------------------------------------
+
+def price_outliers_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-brand price outliers: median + MAD (median absolute
+    deviation) instead of mean + stddev, so the fences themselves are
+    not dragged by the outliers being hunted.  Two grouped exact
+    percentiles and a broadcast join back (25 brands — the stats side
+    is always tiny relative to the fact side).  At 100 TB swap
+    percentile → approx_percentile(…, 1e-5) and the shape is
+    unchanged; the exact form is kept here for the oracle."""
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
+    p = t(spark, sf, "part").select("p_partkey", "p_brand")
+    priced = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    med = (priced.groupBy("p_brand")
+           .agg(F.percentile("l_extendedprice", 0.5).alias("med")))
+    dev = (priced.join(F.broadcast(med), "p_brand")
+           .withColumn("adev", F.abs(F.col("l_extendedprice") - F.col("med"))))
+    mad = dev.groupBy("p_brand").agg(F.percentile("adev", 0.5).alias("mad"),
+                                     F.first("med").alias("med"))
+    flagged = (dev.drop("med")
+               .join(F.broadcast(mad), "p_brand")
+               .groupBy("p_brand")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.round(F.first("med"), 2).alias("median_price"),
+                    F.round(F.first("mad"), 2).alias("mad"),
+                    F.sum(F.when(F.abs(F.col("l_extendedprice")
+                                       - F.col("med"))
+                                 > 3.0 * F.col("mad"), 1).otherwise(0))
+                     .alias("n_outliers")))
+    return flagged.orderBy("p_brand")
+
+
+MAD_SQL = """
+WITH priced AS (SELECT p.p_brand, l.l_extendedprice
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+med AS (SELECT p_brand, median(l_extendedprice) AS med
+        FROM priced GROUP BY p_brand),
+dev AS (SELECT priced.p_brand, l_extendedprice, med,
+               abs(l_extendedprice - med) AS adev
+        FROM priced JOIN med USING (p_brand)),
+mad AS (SELECT p_brand, median(adev) AS mad FROM dev GROUP BY p_brand)
+SELECT dev.p_brand,
+       CAST(count(*) AS BIGINT) AS n,
+       round(any_value(dev.med), 2) AS median_price,
+       round(any_value(mad.mad), 2) AS mad,
+       CAST(sum(CASE WHEN abs(l_extendedprice - dev.med) > 3.0 * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad ON dev.p_brand = mad.p_brand
+GROUP BY dev.p_brand ORDER BY dev.p_brand
+"""
+
+QUERIES["price_outliers_mad"] = (price_outliers_mad, MAD_SQL)
+
+
+# --- A/B conversion z-test ----------------------------------------------
+
+def ab_test_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Experimentation primitive: split users into two variants by a
+    deterministic hash (user_id % 2 here) and compare USER-DAY-level
+    view→purchase conversion (a user-day with a view converts if the
+    same user purchased that day — a proper proportion, so p ∈ [0,1]
+    by construction, and non-degenerate at any corpus density) with a
+    pooled two-proportion z statistic.  One per-user-day conditional
+    aggregate then a 2-group rollup — two shuffles, single-row output;
+    the z math runs on exact BIGINT counts so it is engine-portable to
+    the last bit before rounding."""
+    e = t(spark, sf, "events")
+    per_user = (e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+         .alias("viewed"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+         .alias("purchased")))
+    agg = per_user.filter(F.col("viewed") == 1).agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+         .alias("n0"),
+        F.sum(F.when((F.col("user_id") % 2 == 0)
+                     & (F.col("purchased") == 1), 1).otherwise(0))
+         .alias("c0"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+         .alias("n1"),
+        F.sum(F.when((F.col("user_id") % 2 == 1)
+                     & (F.col("purchased") == 1), 1).otherwise(0))
+         .alias("c1"))
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pool = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(pool * (1.0 - pool)
+                           * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    return agg.select(
+        "n0", "c0", "n1", "c1",
+        F.round(p0, 6).alias("conv0"),
+        F.round(p1, 6).alias("conv1"),
+        F.round(z, 6).alias("z_score"))
+
+
+AB_TEST_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN user_id % 2 = 0 AND purchased = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN user_id % 2 = 1 AND purchased = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM per_user WHERE viewed = 1)
+SELECT n0, c0, n1, c1,
+       round(c0 / CAST(n0 AS DOUBLE), 6) AS conv0,
+       round(c1 / CAST(n1 AS DOUBLE), 6) AS conv1,
+       round((c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE))
+             / sqrt(((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 / n0 + 1.0 / n1)), 6) AS z_score
+FROM agg
+"""
+
+QUERIES["ab_test_conversion"] = (ab_test_conversion, AB_TEST_SQL)

@@ -1,0 +1,89 @@
+"""Semantic invariants of the batch-10 queries (the DuckDB oracle checks
+value equality; these check the MEANING holds on the fixture)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from storagetapper_spark.plans.common import t
+from storagetapper_spark.plans.registry import QUERIES
+
+
+def test_fuzzy_match_blocks_cover_all_first_words(spark, sf_dir):
+    out = QUERIES["fuzzy_match_parts"](spark, sf_dir).collect()
+    part = t(spark, sf_dir, "part")
+    blocks = {r.blk for r in
+              part.select(F.split("p_name", " ").getItem(0).alias("blk"))
+                  .distinct().collect()}
+    # every block with >=2 members appears; counts are non-negative
+    assert {r.blk for r in out} <= blocks
+    assert all(r.n_exact >= 0 and r.n_near >= 0 for r in out)
+    # exact pairs exist in this corpus (limited name vocabulary)
+    assert sum(r.n_exact for r in out) > 0
+
+
+def test_kmeans_assign_covers_every_vector_once(spark, sf_dir):
+    out = QUERIES["embedding_kmeans_assign"](spark, sf_dir).collect()
+    n_vecs = t(spark, sf_dir, "embeddings").count()
+    assert len(out) == n_vecs                       # one row per vector
+    assert len({r.vec_id for r in out}) == n_vecs   # no vector twice
+    assert all(0 <= r.centroid_id < 8 for r in out)
+    # seed vectors are their own nearest centroid with sim == 1
+    for r in out:
+        if r.vec_id < 8:
+            assert r.centroid_id == r.vec_id and r.sim == 1.0
+
+
+def test_gini_in_unit_interval(spark, sf_dir):
+    out = QUERIES["gini_revenue"](spark, sf_dir).collect()
+    assert len(out) == 5  # one row per region
+    for r in out:
+        assert 0.0 <= r.gini < 1.0
+        assert r.n_customers > 0
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    out = QUERIES["benford_digits"](spark, sf_dir).collect()
+    assert {r.digit for r in out} <= set(range(1, 10))
+    assert math.isclose(sum(r.share for r in out), 1.0, abs_tol=1e-4)
+    assert math.isclose(sum(r.benford for r in out), 1.0, abs_tol=1e-4)
+    n_orders = t(spark, sf_dir, "orders").count()
+    assert sum(r.n for r in out) == n_orders
+
+
+def test_overlap_pairs_match_brute_force(spark, sf_dir):
+    out = QUERIES["overlapping_orders"](spark, sf_dir)
+    total = out.agg(F.sum("n_overlap_pairs")).collect()[0][0]
+    rows = (t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderdate").collect())
+    by_cust: dict = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    brute = 0
+    for grp in by_cust.values():
+        for i in range(len(grp)):
+            for j in range(i + 1, len(grp)):
+                a, b = grp[i], grp[j]
+                if (abs((a.o_orderdate - b.o_orderdate).days) <= 30):
+                    brute += 1
+    assert total == brute
+
+
+def test_mad_outliers_bounded(spark, sf_dir):
+    out = QUERIES["price_outliers_mad"](spark, sf_dir).collect()
+    for r in out:
+        assert 0 <= r.n_outliers <= r.n
+        assert r.mad >= 0 and r.median_price > 0
+        # MAD-based outliers are a strict minority by construction
+        assert r.n_outliers < 0.5 * r.n
+
+
+def test_ab_test_z_matches_manual(spark, sf_dir):
+    r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
+    assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions
+    p0, p1 = r.c0 / r.n0, r.c1 / r.n1
+    pool = (r.c0 + r.c1) / (r.n0 + r.n1)
+    z = (p1 - p0) / math.sqrt(pool * (1 - pool) * (1 / r.n0 + 1 / r.n1))
+    assert math.isclose(r.z_score, round(z, 6), abs_tol=1e-6)
+    assert math.isclose(r.conv0, round(p0, 6), abs_tol=1e-6)
+    assert math.isclose(r.conv1, round(p1, 6), abs_tol=1e-6)
