@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     # warehouse-maintenance + chunking batch
     "cdc_scd2_history", "cdc_incremental_agg", "cdc_column_audit",
     "cdc_time_travel", "text_chunk_fixed", "text_chunk_tokens",
+    # batch 10: fuzzy matching + distribution analytics
+    "fuzzy_match_parts", "embedding_kmeans_assign", "gini_revenue",
+    "benford_digits", "overlapping_orders", "price_outliers_mad",
+    "ab_test_conversion",
 ]
 
 

@@ -9,14 +9,12 @@ from storagetapper_spark.plans.common import t
 from storagetapper_spark.plans.registry import QUERIES
 
 
-def test_fuzzy_match_blocks_cover_all_first_words(spark, sf_dir):
+def test_fuzzy_match_blocks_cover_all_brands(spark, sf_dir):
     out = QUERIES["fuzzy_match_parts"](spark, sf_dir).collect()
     part = t(spark, sf_dir, "part")
-    blocks = {r.blk for r in
-              part.select(F.split("p_name", " ").getItem(0).alias("blk"))
-                  .distinct().collect()}
-    # every block with >=2 members appears; counts are non-negative
-    assert {r.blk for r in out} <= blocks
+    brands = {r.p_brand for r in part.select("p_brand").distinct().collect()}
+    # every reported group is a real brand; counts are non-negative
+    assert {r.p_brand for r in out} <= brands
     assert all(r.n_exact >= 0 and r.n_near >= 0 for r in out)
     # exact pairs exist in this corpus (limited name vocabulary)
     assert sum(r.n_exact for r in out) > 0
