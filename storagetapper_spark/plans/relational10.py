@@ -396,3 +396,58 @@ FROM agg
 """
 
 QUERIES["ab_test_conversion"] = (ab_test_conversion, AB_TEST_SQL)
+
+
+# --- char-bigram LM cross-entropy (perplexity-proxy quality filter) -----
+
+def text_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """The perplexity-proxy quality filter every LLM-data pipeline
+    runs (cf. CCNet): train a character-bigram language model on the
+    corpus itself, then score each document by its cross-entropy under
+    that model — gibberish and boilerplate land far from the corpus
+    mean.  ONE explode pass builds the sparse doc×bigram count matrix
+    (persisted eagerly — both the model and the scoring derive from
+    it, and the house rule is never to let a generator recompute under
+    a self-referencing lineage); the model (~|alphabet|² rows) folds
+    out of the matrix and broadcasts back; the per-doc score is then
+    the count-weighted average of -ln p.  The corpus never shuffles by
+    content; only bigram counts and per-doc partials move.  Bigram
+    generation is a JVM generator (transform over sequence) — zero
+    Python."""
+    docs = t(spark, sf, "documents")
+    norm = docs.select("doc_id", F.lower(F.col("text")).alias("txt"))
+    bigram = F.explode(F.expr(
+        "transform(sequence(1, length(txt) - 1),"
+        " i -> substring(txt, i, 2))")).alias("bg")
+    mat = (norm.select("doc_id", bigram)
+           .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+           .persist())
+    mat.count()  # eager: one explode feeds both branches below
+    model = mat.groupBy("bg").agg(F.sum("c").alias("n"))
+    total = model.agg(F.sum("n").cast("double").alias("t"))
+    scored = (mat.join(F.broadcast(model), "bg")
+              .crossJoin(F.broadcast(total))
+              .groupBy("doc_id")
+              .agg(F.sum("c").alias("n_bigrams"),
+                   F.round(-(F.sum(F.col("c")
+                                   * F.log(F.col("n") / F.col("t")))
+                             / F.sum("c")), 4).alias("xent")))
+    return scored.orderBy("doc_id")
+
+
+TEXT_LM_SQL = """
+WITH norm AS (SELECT doc_id, lower(text) AS txt FROM documents),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, length(txt)),
+                                    i -> substr(txt, i, 2))) AS bg
+       FROM norm),
+model AS (SELECT bg, count(*) AS n FROM bg GROUP BY bg),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM model)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-avg(ln(model.n / tot.t)), 4) AS xent
+FROM bg JOIN model USING (bg) CROSS JOIN tot
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["text_lm_score"] = (text_lm_score, TEXT_LM_SQL)

@@ -76,6 +76,22 @@ def test_mad_outliers_bounded(spark, sf_dir):
         assert r.n_outliers < 0.5 * r.n
 
 
+def test_lm_score_bounds_and_coverage(spark, sf_dir):
+    out = QUERIES["text_lm_score"](spark, sf_dir).collect()
+    docs = t(spark, sf_dir, "documents")
+    assert len(out) == docs.count()          # every document scored once
+    lens = {r.doc_id: r.n for r in
+            docs.select("doc_id",
+                        (F.length(F.lower("text")) - 1).alias("n")).collect()}
+    for r in out:
+        assert r.n_bigrams == lens[r.doc_id]  # all bigrams scored
+    # cross-entropy is bounded by the least/most probable model bigram
+    xs = [r.xent for r in out]
+    assert all(x > 0 for x in xs)
+    import statistics
+    assert statistics.pstdev(xs) > 0          # scores discriminate
+
+
 def test_ab_test_z_matches_manual(spark, sf_dir):
     r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions
