@@ -58,7 +58,7 @@ BENCH_QUERIES = [
     # batch 10: fuzzy matching + distribution analytics
     "fuzzy_match_parts", "embedding_kmeans_assign", "gini_revenue",
     "benford_digits", "overlapping_orders", "price_outliers_mad",
-    "ab_test_conversion", "text_lm_score",
+    "ab_test_conversion", "text_lm_score", "graph_pagerank_copurchase",
 ]
 
 

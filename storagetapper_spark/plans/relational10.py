@@ -451,3 +451,69 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 QUERIES["text_lm_score"] = (text_lm_score, TEXT_LM_SQL)
+
+
+# --- PageRank over the co-purchase graph --------------------------------
+
+_PR_ITERS = 5
+
+
+def graph_pagerank_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Link-analysis scoring (the corpus-quality-weighting primitive:
+    rank items by co-occurrence structure, as web pipelines rank
+    domains by citation before sampling).  Graph: parts are nodes,
+    an edge joins parts bought in the same order (lineitem self-join
+    on orderkey — co-partitioned, pairs bounded by per-order basket
+    size, never all-pairs).  operators/graph.pagerank runs a fixed
+    5-iteration push: each round shuffles only the edge list, each
+    rank generation persisted before the last is retired.  Output is
+    pr scaled by node count (≈1.0 at uniform) rounded to 5dp — the
+    fixed iteration count keeps it deterministic and oracle-checkable
+    against a 5×-unrolled SQL recursion."""
+    from storagetapper_spark.operators.graph import pagerank
+
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .select(F.col("a.l_partkey").alias("id_a"),
+                     F.col("b.l_partkey").alias("id_b"))
+             .distinct())
+    # pairs are distinct with strict id_a < id_b, so the symmetrized
+    # edge set is unique by construction → dedup=False skips a shuffle;
+    # fixed 5 iterations → lazy single-plan mode (see pagerank docstring)
+    pr = pagerank(pairs, iterations=_PR_ITERS, damping=0.85,
+                  dedup=False, eager=False, scaled=True)
+    return (pr.select(F.col("node").alias("part"),
+                      F.round(F.col("pr"), 5).alias("pr_scaled"))
+            .orderBy("part"))
+
+
+def _pagerank_sql(iters: int) -> str:
+    head = """
+WITH pairs AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+               FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+edges AS (SELECT pa AS src, pb AS dst FROM pairs
+          UNION SELECT pb, pa FROM pairs),
+deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+adj AS (SELECT e.src, e.dst, d.out_deg FROM edges e JOIN deg d USING (src)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+pr0 AS (SELECT src AS node, 1.0 / nn.n AS pr FROM deg CROSS JOIN nn)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+pr{k} AS (SELECT adj.dst AS node,
+               (1.0 - 0.85) / any_value(nn.n)
+               + 0.85 * sum(p.pr / adj.out_deg) AS pr
+          FROM adj JOIN pr{k - 1} p ON adj.src = p.node CROSS JOIN nn
+          GROUP BY adj.dst)""")
+    tail = f"""
+SELECT node AS part, round(pr * nn.n, 5) AS pr_scaled
+FROM pr{iters} CROSS JOIN nn ORDER BY part"""
+    return head + "," + ",".join(steps) + tail
+
+
+QUERIES["graph_pagerank_copurchase"] = (graph_pagerank_copurchase,
+                                        _pagerank_sql(_PR_ITERS))
