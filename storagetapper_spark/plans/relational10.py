@@ -517,3 +517,173 @@ FROM pr{iters} CROSS JOIN nn ORDER BY part"""
 
 QUERIES["graph_pagerank_copurchase"] = (graph_pagerank_copurchase,
                                         _pagerank_sql(_PR_ITERS))
+
+
+# --- market-basket association rules ------------------------------------
+
+def market_basket_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Association-rule mining (the 2-itemset core of Apriori/FP-growth,
+    and NPMI — the phrase-mining co-occurrence score): for every part
+    pair bought together in ≥2 orders, emit support, both directed
+    confidences, lift, and normalized PMI.  Baskets dedup to distinct
+    (order, part) first; the pair counts come from the same
+    co-partitioned orderkey self-join as the PageRank graph (bounded
+    by basket size, never all-pairs); item counts broadcast back.  All
+    metrics are closed-form doubles over exact BIGINT counts —
+    engine-portable to the last bit before rounding."""
+    li = (t(spark, sf, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    n_orders = (li.agg(F.countDistinct("l_orderkey")
+                       .cast("double").alias("n_orders")))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("pa"),
+                      F.col("b.l_partkey").alias("pb"))
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .filter(F.col("n_ab") >= 2))
+    na = item.select(F.col("l_partkey").alias("pa"),
+                     F.col("n_item").alias("n_a"))
+    nb = item.select(F.col("l_partkey").alias("pb"),
+                     F.col("n_item").alias("n_b"))
+    joined = (pairs.join(F.broadcast(na), "pa")
+              .join(F.broadcast(nb), "pb")
+              .crossJoin(F.broadcast(n_orders)))
+    p_ab = F.col("n_ab") / F.col("n_orders")
+    p_a = F.col("n_a") / F.col("n_orders")
+    p_b = F.col("n_b") / F.col("n_orders")
+    return joined.select(
+        "pa", "pb", "n_ab",
+        F.round(p_ab, 6).alias("support"),
+        F.round(F.col("n_ab") / F.col("n_a"), 6).alias("conf_a_b"),
+        F.round(F.col("n_ab") / F.col("n_b"), 6).alias("conf_b_a"),
+        F.round(p_ab / (p_a * p_b), 4).alias("lift"),
+        F.round(F.log(p_ab / (p_a * p_b)) / -F.log(p_ab), 4).alias("npmi"),
+    ).orderBy("pa", "pb")
+
+
+BASKET_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM li),
+item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+         FROM li GROUP BY l_partkey),
+pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                 CAST(count(*) AS BIGINT) AS n_ab
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                            AND a.l_partkey < b.l_partkey
+          GROUP BY pa, pb HAVING count(*) >= 2)
+SELECT pa, pb, n_ab,
+       round(n_ab / n.n_orders, 6) AS support,
+       round(n_ab / CAST(ia.n_item AS DOUBLE), 6) AS conf_a_b,
+       round(n_ab / CAST(ib.n_item AS DOUBLE), 6) AS conf_b_a,
+       round((n_ab / n.n_orders)
+             / ((ia.n_item / n.n_orders) * (ib.n_item / n.n_orders)), 4)
+         AS lift,
+       round(ln((n_ab / n.n_orders)
+                / ((ia.n_item / n.n_orders) * (ib.n_item / n.n_orders)))
+             / -ln(n_ab / n.n_orders), 4) AS npmi
+FROM pairs
+JOIN item ia ON pairs.pa = ia.l_partkey
+JOIN item ib ON pairs.pb = ib.l_partkey
+CROSS JOIN n
+ORDER BY pa, pb
+"""
+
+QUERIES["market_basket_rules"] = (market_basket_rules, BASKET_SQL)
+
+
+# --- CUSUM changepoint detection ----------------------------------------
+
+def anomaly_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential drift detection: two-sided CUSUM over each event
+    type's daily-count series — the streaming-monitoring classic that
+    catches slow drifts a pointwise z-score (anomaly_daily_counts)
+    misses, because deviations ACCUMULATE: S⁺ₜ = max(0, S⁺ₜ₋₁ + xₜ - μ
+    - k), S⁻ mirrored, alarm at 4σ.  max(0,·) makes the recursion
+    nonlinear — not window/prefix-sum expressible — so this is the
+    canonical per-group stateful applyInPandas: series are tiny
+    (days × 1 row) and independent, the heavy daily aggregation stays
+    JVM-side, and one Arrow batch per group runs the Python loop.  μ,σ
+    derive from exact integer sums in BOTH engines (sum, sumsq — not
+    each engine's streaming variance), and the recursion replays the
+    identical IEEE op sequence, so values are bit-exact vs the
+    recursive-CTE oracle before the boundary rounding."""
+    import pandas as pd
+
+    from storagetapper_spark.plans.common import events_t
+
+    ev = events_t(spark, sf)
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("d"))
+             .agg(F.count(F.lit(1)).alias("x")))
+    stats = (daily.groupBy("event_type")
+             .agg(F.sum("x").alias("sx"), F.sum(F.col("x") * F.col("x"))
+                  .alias("sxx"), F.count(F.lit(1)).alias("cnt")))
+    withstats = daily.join(F.broadcast(stats), "event_type")
+
+    schema = ("event_type string, d date, x bigint, "
+              "sp double, sn double, alarm_up boolean, alarm_down boolean")
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        mu = float(pdf.sx.iloc[0]) / float(pdf.cnt.iloc[0])
+        sigma = (float(pdf.sxx.iloc[0]) / float(pdf.cnt.iloc[0])
+                 - mu * mu) ** 0.5
+        k, h = 0.5 * sigma, 4.0 * sigma
+        sp = sn = 0.0
+        sps, sns = [], []
+        for x in pdf.x:
+            sp = max(0.0, sp + x - mu - k)
+            sn = max(0.0, sn + mu - k - x)
+            sps.append(sp)
+            sns.append(sn)
+        out = pdf[["event_type", "d", "x"]].copy()
+        out["sp"], out["sn"] = sps, sns
+        out["alarm_up"] = [v > h for v in sps]
+        out["alarm_down"] = [v > h for v in sns]
+        return out
+
+    res = withstats.groupBy("event_type").applyInPandas(cusum, schema)
+    return (res.select("event_type", "d", "x",
+                       F.round("sp", 6).alias("sp"),
+                       F.round("sn", 6).alias("sn"),
+                       "alarm_up", "alarm_down")
+            .orderBy("event_type", "d"))
+
+
+CUSUM_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+stats AS (
+  SELECT event_type,
+         CAST(sum(x) AS DOUBLE) / count(*) AS mu,
+         sqrt(CAST(sum(x * x) AS DOUBLE) / count(*)
+              - (CAST(sum(x) AS DOUBLE) / count(*))
+                * (CAST(sum(x) AS DOUBLE) / count(*))) AS sigma
+  FROM daily GROUP BY event_type),
+seq AS (
+  SELECT event_type, d, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+  FROM daily),
+cus AS (
+  SELECT s.event_type, s.d, s.x, s.rn,
+         greatest(0.0, 0.0 + s.x - st.mu - 0.5 * st.sigma) AS sp,
+         greatest(0.0, 0.0 + st.mu - 0.5 * st.sigma - s.x) AS sn
+  FROM seq s JOIN stats st USING (event_type) WHERE s.rn = 1
+  UNION ALL
+  SELECT s.event_type, s.d, s.x, s.rn,
+         greatest(0.0, c.sp + s.x - st.mu - 0.5 * st.sigma),
+         greatest(0.0, c.sn + st.mu - 0.5 * st.sigma - s.x)
+  FROM cus c
+  JOIN seq s ON s.event_type = c.event_type AND s.rn = c.rn + 1
+  JOIN stats st ON st.event_type = s.event_type)
+SELECT c.event_type, c.d, c.x,
+       round(c.sp, 6) AS sp, round(c.sn, 6) AS sn,
+       c.sp > 4.0 * st.sigma AS alarm_up,
+       c.sn > 4.0 * st.sigma AS alarm_down
+FROM cus c JOIN stats st USING (event_type)
+ORDER BY c.event_type, c.d
+"""
+
+QUERIES["anomaly_cusum"] = (anomaly_cusum, CUSUM_SQL)

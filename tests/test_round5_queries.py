@@ -92,6 +92,43 @@ def test_lm_score_bounds_and_coverage(spark, sf_dir):
     assert statistics.pstdev(xs) > 0          # scores discriminate
 
 
+def test_basket_metrics_internally_consistent(spark, sf_dir):
+    out = QUERIES["market_basket_rules"](spark, sf_dir).collect()
+    li = (t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    n_orders = li.select("l_orderkey").distinct().count()
+    assert all(r.n_ab >= 2 for r in out)
+    for r in out[:50]:
+        assert math.isclose(r.support, round(r.n_ab / n_orders, 6),
+                            abs_tol=1e-6)
+        # lift == conf(a→b) / p(b): recover n_b from the emitted metrics
+        n_b = r.n_ab / r.conf_b_a
+        assert math.isclose(r.lift, round(r.conf_a_b * n_orders / n_b, 4),
+                            rel_tol=1e-3)
+        assert -1.0 <= r.npmi <= 1.0
+
+
+def test_cusum_replays_recursion(spark, sf_dir):
+    rows = QUERIES["anomaly_cusum"](spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, series in by_type.items():
+        series.sort(key=lambda r: r.d)
+        xs = [r.x for r in series]
+        mu = sum(xs) / len(xs)
+        sigma = (sum(v * v for v in xs) / len(xs) - mu * mu) ** 0.5
+        k, h = 0.5 * sigma, 4.0 * sigma
+        sp = sn = 0.0
+        for r, x in zip(series, xs):
+            sp = max(0.0, sp + x - mu - k)
+            sn = max(0.0, sn + mu - k - x)
+            assert math.isclose(r.sp, round(sp, 6), abs_tol=1e-6)
+            assert math.isclose(r.sn, round(sn, 6), abs_tol=1e-6)
+            assert r.alarm_up == (sp > h)
+            assert r.alarm_down == (sn > h)
+
+
 def test_ab_test_z_matches_manual(spark, sf_dir):
     r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions
