@@ -59,7 +59,7 @@ BENCH_QUERIES = [
     "fuzzy_match_parts", "embedding_kmeans_assign", "gini_revenue",
     "benford_digits", "overlapping_orders", "price_outliers_mad",
     "ab_test_conversion", "text_lm_score", "graph_pagerank_copurchase",
-    "market_basket_rules", "anomaly_cusum",
+    "market_basket_rules", "anomaly_cusum", "entity_resolution_parts",
 ]
 
 

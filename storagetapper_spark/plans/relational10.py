@@ -687,3 +687,80 @@ ORDER BY c.event_type, c.d
 """
 
 QUERIES["anomaly_cusum"] = (anomaly_cusum, CUSUM_SQL)
+
+
+# --- end-to-end entity resolution ---------------------------------------
+
+def entity_resolution_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """The full record-linkage composition: blocked fuzzy candidate
+    pairs (same brand×token blocking + length prefilter as
+    fuzzy_match_parts, edit distance ≤ 4) → connected components →
+    every part labeled with its entity id (min reachable partkey;
+    unmatched parts are their own entity) and a canonical flag.  This
+    is dedup_corpus_summary's shape applied to structured records
+    instead of documents — pairs shuffle, label propagation iterates
+    over the edge list only, the part table itself never moves until
+    the final left join."""
+    from storagetapper_spark.operators.dedup import connected_components
+
+    p = (t(spark, sf, "part")
+         .select("p_partkey", "p_name",
+                 F.concat_ws("|", F.col("p_brand"),
+                             F.split(F.col("p_name"), " ").getItem(0))
+                  .alias("blk")))
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                    & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+                    & (F.abs(F.length(F.col("a.p_name"))
+                             - F.length(F.col("b.p_name"))) <= 4))
+             .filter(F.levenshtein(F.col("a.p_name"),
+                                   F.col("b.p_name")) <= 4)
+             .select(F.col("a.p_partkey").alias("id_a"),
+                     F.col("b.p_partkey").alias("id_b")))
+    comp = connected_components(pairs, "id_a", "id_b")
+    base = t(spark, sf, "part").select("p_partkey")
+    labeled = (base.join(comp, base.p_partkey == comp.node, "left")
+               .select("p_partkey",
+                       F.coalesce(F.col("comp"), F.col("p_partkey"))
+                        .alias("entity_id")))
+    w = Window.partitionBy("entity_id")
+    return (labeled.select(
+        "p_partkey", "entity_id",
+        (F.col("p_partkey") == F.col("entity_id")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).alias("n_members"))
+        .orderBy("p_partkey"))
+
+
+ENTITY_RES_SQL = """
+WITH RECURSIVE p AS (
+  SELECT p_partkey, p_name,
+         p_brand || '|' || string_split(p_name, ' ')[1] AS blk
+  FROM part),
+edges AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+  FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+              AND abs(len(a.p_name) - len(b.p_name)) <= 4
+  WHERE levenshtein(a.p_name, b.p_name) <= 4),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges),
+reach(a, b) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+comp AS (
+  SELECT a AS node, least(a, min(b)) AS comp
+  FROM reach GROUP BY a)
+SELECT pt.p_partkey,
+       coalesce(c.comp, pt.p_partkey) AS entity_id,
+       coalesce(c.comp, pt.p_partkey) = pt.p_partkey AS is_canonical,
+       CAST(count(*) OVER (
+         PARTITION BY coalesce(c.comp, pt.p_partkey)) AS BIGINT)
+         AS n_members
+FROM part pt LEFT JOIN comp c ON pt.p_partkey = c.node
+ORDER BY pt.p_partkey
+"""
+
+QUERIES["entity_resolution_parts"] = (entity_resolution_parts,
+                                      ENTITY_RES_SQL)

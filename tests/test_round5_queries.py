@@ -129,6 +129,26 @@ def test_cusum_replays_recursion(spark, sf_dir):
             assert r.alarm_down == (sn > h)
 
 
+def test_entity_resolution_partition_properties(spark, sf_dir):
+    out = QUERIES["entity_resolution_parts"](spark, sf_dir).collect()
+    n_parts = t(spark, sf_dir, "part").count()
+    assert len(out) == n_parts                    # every record labeled once
+    assert all(r.entity_id <= r.p_partkey for r in out)  # min-label comp
+    assert all(r.is_canonical == (r.p_partkey == r.entity_id) for r in out)
+    # canonicals partition the table: their member counts sum to N
+    assert sum(r.n_members for r in out if r.is_canonical) == n_parts
+    # member counts are consistent within an entity
+    sizes: dict = {}
+    for r in out:
+        sizes.setdefault(r.entity_id, set()).add(r.n_members)
+    assert all(len(s) == 1 for s in sizes.values())
+    # entity sizes count their members
+    from collections import Counter
+    counted = Counter(r.entity_id for r in out)
+    for r in out:
+        assert counted[r.entity_id] == r.n_members
+
+
 def test_ab_test_z_matches_manual(spark, sf_dir):
     r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions

@@ -46,6 +46,11 @@ PROBES = [
     "cdc_scd2_history",        # full-version PK window (no group-limit)
     "cdc_incremental_agg",     # delta fold (window + final group-by)
     "text_chunk_fixed",        # narrow generator fan-out
+    # batch 10
+    "fuzzy_match_parts",       # blocked levenshtein self-join
+    "text_lm_score",           # explode -> sparse matrix -> broadcast model
+    "graph_pagerank_copurchase",  # 5-round iterative edge-list push
+    "market_basket_rules",     # basket self-join + broadcast item counts
 ]
 
 
