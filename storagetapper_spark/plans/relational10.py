@@ -764,3 +764,142 @@ ORDER BY pt.p_partkey
 
 QUERIES["entity_resolution_parts"] = (entity_resolution_parts,
                                       ENTITY_RES_SQL)
+
+
+# --- weekday seasonal decomposition -------------------------------------
+
+def seasonality_weekday(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-index decomposition (the multiplicative-STL lite every
+    volume monitor needs before alerting): daily event totals → per-
+    weekday mean → index = weekday mean / overall mean.  An index far
+    from 1.0 is the weekly rhythm; dividing a day's count by its index
+    deseasonalizes the series so CUSUM/z-score monitors don't alarm
+    every weekend.  Two tiny aggregates over the daily rollup —
+    nothing here grows with raw event volume except the first
+    map-side-combined groupBy."""
+    from storagetapper_spark.plans.common import events_t
+
+    daily = (events_t(spark, sf)
+             .groupBy(F.to_date("ts").alias("d"))
+             .agg(F.count(F.lit(1)).alias("x")))
+    overall = daily.agg((F.sum("x") / F.count(F.lit(1))).alias("mu"))
+    return (daily.groupBy(F.weekday("d").alias("dow"))
+            .agg(F.count(F.lit(1)).alias("n_days"),
+                 (F.sum("x") / F.count(F.lit(1))).alias("_avg"))
+            .crossJoin(F.broadcast(overall))
+            .select("dow", "n_days",
+                    F.round("_avg", 6).alias("avg_count"),
+                    F.round(F.col("_avg") / F.col("mu"), 6)
+                     .alias("seasonal_index"))
+            .orderBy("dow"))
+
+
+SEASONALITY_SQL = """
+WITH daily AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+               FROM events GROUP BY CAST(ts AS DATE)),
+overall AS (SELECT sum(x) / count(*) AS mu FROM daily)
+SELECT isodow(d) - 1 AS dow,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(sum(x) / count(*), 6) AS avg_count,
+       round((sum(x) / count(*)) / any_value(overall.mu), 6)
+         AS seasonal_index
+FROM daily CROSS JOIN overall
+GROUP BY isodow(d) - 1 ORDER BY dow
+"""
+
+QUERIES["seasonality_weekday"] = (seasonality_weekday, SEASONALITY_SQL)
+
+
+# --- int8 quantization recall audit -------------------------------------
+
+_QR_QUERIES, _QR_K = 5, 10
+
+
+def ann_quantized_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """The memory-compression audit a 100 TB vector corpus runs before
+    committing to int8 storage (4× smaller, GEMM-friendlier): quantize
+    each embedding to int8 by symmetric per-vector max-abs scaling,
+    retrieve top-k by cosine in BOTH precisions, and report per-query
+    recall overlap.  Cosine is scale-invariant, so the quantized score
+    needs no dequantization — it is the cosine of the integer vectors,
+    whose dot products are EXACT in doubles (|q|≤127, dim 64 ≪ 2⁵³) —
+    making the whole audit engine-portable.  Same broadcast-queries /
+    corpus-never-shuffles shape as ann_brute_force."""
+    emb = t(spark, sf, "embeddings")
+    m = F.greatest(F.array_max(F.expr(
+        "transform(embedding, x -> abs(CAST(x AS DOUBLE)))")), F.lit(1e-12))
+    qvec = F.expr(
+        "transform(embedding, x -> round(CAST(x AS DOUBLE) * 127.0 / _m))")
+    both = emb.withColumn("_m", m).select(
+        "vec_id", "embedding", qvec.alias("qv"))
+    qs = (both.filter(F.col("vec_id") < _QR_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("q_emb"),
+                  F.col("qv").alias("q_qv")))
+    corpus = both.filter(F.col("vec_id") >= _QR_QUERIES)
+    scored = (corpus.crossJoin(F.broadcast(qs))
+              .select("query_id", "vec_id",
+                      F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
+                       .alias("sim_f"),
+                      F.round(cosine(F.col("qv"), F.col("q_qv")), 6)
+                       .alias("sim_q")))
+    wf = (Window.partitionBy("query_id")
+          .orderBy(F.col("sim_f").desc(), F.col("vec_id").asc()))
+    wq = (Window.partitionBy("query_id")
+          .orderBy(F.col("sim_q").desc(), F.col("vec_id").asc()))
+    topf = (scored.withColumn("r", F.row_number().over(wf))
+            .filter(F.col("r") <= _QR_K).select("query_id", "vec_id"))
+    topq = (scored.withColumn("r", F.row_number().over(wq))
+            .filter(F.col("r") <= _QR_K).select("query_id", "vec_id"))
+    common = (topf.join(topq, ["query_id", "vec_id"])
+              .groupBy("query_id")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    return (common.select(
+        "query_id", "n_common",
+        F.round(F.col("n_common") / float(_QR_K), 2).alias("recall"))
+        .orderBy("query_id"))
+
+
+_QR_COS_F = ("round(list_dot_product(CAST(c.embedding AS DOUBLE[]), "
+             "CAST(q.q_emb AS DOUBLE[])) / "
+             "(sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), "
+             "CAST(c.embedding AS DOUBLE[]))) * "
+             "sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), "
+             "CAST(q.q_emb AS DOUBLE[])))), 6)")
+_QR_COS_Q = ("round(list_dot_product(c.qv, q.q_qv) / "
+             "(sqrt(list_dot_product(c.qv, c.qv)) * "
+             "sqrt(list_dot_product(q.q_qv, q.q_qv))), 6)")
+
+QUANT_RECALL_SQL = f"""
+WITH bq AS (
+  SELECT vec_id, embedding,
+         list_transform(CAST(embedding AS DOUBLE[]),
+            x -> round(x * 127.0
+                       / greatest(list_max(list_transform(
+                             CAST(embedding AS DOUBLE[]), y -> abs(y))),
+                           1e-12))) AS qv
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, qv AS q_qv
+      FROM bq WHERE vec_id < {_QR_QUERIES}),
+c AS (SELECT vec_id, embedding, qv FROM bq WHERE vec_id >= {_QR_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         {_QR_COS_F} AS sim_f,
+         {_QR_COS_Q} AS sim_q
+  FROM c CROSS JOIN q),
+topf AS (SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim_f DESC, vec_id) AS r
+    FROM scored) WHERE r <= {_QR_K}),
+topq AS (SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim_q DESC, vec_id) AS r
+    FROM scored) WHERE r <= {_QR_K})
+SELECT topf.query_id,
+       CAST(count(*) AS BIGINT) AS n_common,
+       round(count(*) / {float(_QR_K)}, 2) AS recall
+FROM topf JOIN topq USING (query_id, vec_id)
+GROUP BY topf.query_id ORDER BY query_id
+"""
+
+QUERIES["ann_quantized_recall"] = (ann_quantized_recall, QUANT_RECALL_SQL)

@@ -149,6 +149,26 @@ def test_entity_resolution_partition_properties(spark, sf_dir):
         assert counted[r.entity_id] == r.n_members
 
 
+def test_seasonality_indices_weighted_mean_one(spark, sf_dir):
+    out = QUERIES["seasonality_weekday"](spark, sf_dir).collect()
+    assert {r.dow for r in out} <= set(range(7))
+    total_days = sum(r.n_days for r in out)
+    # weighted mean of the seasonal index is 1 by construction
+    weighted = sum(r.seasonal_index * r.n_days for r in out) / total_days
+    assert math.isclose(weighted, 1.0, abs_tol=1e-4)
+    assert all(r.seasonal_index > 0 for r in out)
+
+
+def test_quantized_recall_bounds(spark, sf_dir):
+    out = QUERIES["ann_quantized_recall"](spark, sf_dir).collect()
+    assert len(out) == 5                      # one row per query vector
+    for r in out:
+        assert 0 <= r.n_common <= 10
+        assert math.isclose(r.recall, r.n_common / 10.0, abs_tol=1e-9)
+    # int8 max-abs quantization preserves most of the top-10 ranking
+    assert sum(r.recall for r in out) / len(out) >= 0.5
+
+
 def test_ab_test_z_matches_manual(spark, sf_dir):
     r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions
