@@ -60,7 +60,7 @@ BENCH_QUERIES = [
     "benford_digits", "overlapping_orders", "price_outliers_mad",
     "ab_test_conversion", "text_lm_score", "graph_pagerank_copurchase",
     "market_basket_rules", "anomaly_cusum", "entity_resolution_parts",
-    "seasonality_weekday", "ann_quantized_recall",
+    "seasonality_weekday", "ann_quantized_recall", "hybrid_search_rrf",
 ]
 
 

@@ -903,3 +903,136 @@ GROUP BY topf.query_id ORDER BY query_id
 """
 
 QUERIES["ann_quantized_recall"] = (ann_quantized_recall, QUANT_RECALL_SQL)
+
+
+# --- hybrid search: reciprocal-rank fusion ------------------------------
+
+_RRF_Q, _RRF_K, _RRF_C = 3, 10, 60
+
+
+def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval, the pattern every modern search/RAG stack
+    runs: rank the corpus lexically (distinct-token Jaccard to the
+    query doc) AND semantically (embedding cosine, doc_id ≡ vec_id in
+    this corpus), then fuse with reciprocal-rank fusion
+    RRF = Σ 1/(C + rank_modality).  Ranks are integers, so the fused
+    score is bit-exact across engines — float risk exists only inside
+    each modality's ranking, handled the house way (round 6 +
+    doc_id tiebreak).  Query docs broadcast everywhere; the corpus is
+    scanned once per modality and never self-joins: the lexical leg is
+    a posting-list probe against the tiny query vocabulary, the
+    semantic leg the ann_brute_force shape.  Top-10 per query by
+    fused score."""
+    docs = t(spark, sf, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim(F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+            " +", " ")), " ")).alias("ws"))
+    qtok = (norm.filter(F.col("doc_id") < _RRF_Q)
+            .select(F.col("doc_id").alias("qid"),
+                    F.size("ws").alias("n_q"),
+                    F.explode("ws").alias("w")))
+    ctok = (norm.filter(F.col("doc_id") >= _RRF_Q)
+            .select("doc_id", F.size("ws").alias("n_d"),
+                    F.explode("ws").alias("w")))
+    inter = (ctok.join(F.broadcast(qtok), "w")
+             .groupBy("qid", "doc_id")
+             .agg(F.count(F.lit(1)).alias("inter"),
+                  F.first("n_d").alias("n_d"), F.first("n_q").alias("n_q")))
+    jac = inter.select(
+        "qid", "doc_id",
+        F.round(F.col("inter")
+                / (F.col("n_d") + F.col("n_q") - F.col("inter")), 6)
+         .alias("jac"))
+    # every (query, corpus-doc) pair needs a lexical rank — zero-overlap
+    # docs come from the cross of queries × corpus with jac 0
+    corpus_ids = docs.filter(F.col("doc_id") >= _RRF_Q).select("doc_id")
+    qids = docs.filter(F.col("doc_id") < _RRF_Q).select(
+        F.col("doc_id").alias("qid"))
+    allpairs = corpus_ids.crossJoin(F.broadcast(qids))
+    lex = (allpairs.join(jac, ["qid", "doc_id"], "left")
+           .select("qid", "doc_id",
+                   F.coalesce("jac", F.lit(0.0)).alias("jac")))
+    emb = t(spark, sf, "embeddings")
+    qemb = (emb.filter(F.col("vec_id") < _RRF_Q)
+            .select(F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("qv")))
+    sem = (emb.filter(F.col("vec_id") >= _RRF_Q)
+           .crossJoin(F.broadcast(qemb))
+           .select("qid", F.col("vec_id").alias("doc_id"),
+                   F.round(cosine(F.col("embedding"), F.col("qv")), 6)
+                    .alias("sim")))
+    wl = (Window.partitionBy("qid")
+          .orderBy(F.col("jac").desc(), F.col("doc_id").asc()))
+    ws = (Window.partitionBy("qid")
+          .orderBy(F.col("sim").desc(), F.col("doc_id").asc()))
+    fused = (lex.withColumn("r_lex", F.row_number().over(wl))
+             .join(sem.withColumn("r_sem", F.row_number().over(ws)),
+                   ["qid", "doc_id"])
+             .select("qid", "doc_id", "r_lex", "r_sem",
+                     F.round(1.0 / (_RRF_C + F.col("r_lex"))
+                             + 1.0 / (_RRF_C + F.col("r_sem")), 6)
+                      .alias("rrf")))
+    wf = (Window.partitionBy("qid")
+          .orderBy(F.col("rrf").desc(), F.col("doc_id").asc()))
+    return (fused.withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= _RRF_K)
+            .orderBy("qid", "rank"))
+
+
+HYBRID_RRF_SQL = f"""
+WITH norm AS (
+  SELECT doc_id,
+         list_distinct(string_split(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g')), ' ')) AS ws
+  FROM documents),
+qtok AS (SELECT doc_id AS qid, len(ws) AS n_q, unnest(ws) AS w
+         FROM norm WHERE doc_id < {_RRF_Q}),
+ctok AS (SELECT doc_id, len(ws) AS n_d, unnest(ws) AS w
+         FROM norm WHERE doc_id >= {_RRF_Q}),
+inter AS (SELECT q.qid, c.doc_id, count(*) AS inter,
+                 any_value(c.n_d) AS n_d, any_value(q.n_q) AS n_q
+          FROM ctok c JOIN qtok q USING (w)
+          GROUP BY q.qid, c.doc_id),
+lex AS (
+  SELECT q.qid, d.doc_id,
+         coalesce(round(i.inter / CAST(i.n_d + i.n_q - i.inter AS DOUBLE),
+                        6), 0.0) AS jac
+  FROM (SELECT doc_id FROM documents WHERE doc_id >= {_RRF_Q}) d
+  CROSS JOIN (SELECT doc_id AS qid FROM documents
+              WHERE doc_id < {_RRF_Q}) q
+  LEFT JOIN inter i ON i.qid = q.qid AND i.doc_id = d.doc_id),
+sem AS (
+  SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+         round(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])))),
+               6) AS sim
+  FROM embeddings c CROSS JOIN embeddings q
+  WHERE c.vec_id >= {_RRF_Q} AND q.vec_id < {_RRF_Q}),
+ranked AS (
+  SELECT l.qid, l.doc_id,
+         row_number() OVER (PARTITION BY l.qid
+                            ORDER BY l.jac DESC, l.doc_id) AS r_lex,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY s.sim DESC, s.doc_id) AS r_sem
+  FROM lex l JOIN sem s ON l.qid = s.qid AND l.doc_id = s.doc_id),
+fused AS (
+  SELECT qid, doc_id, r_lex, r_sem,
+         round(1.0 / ({_RRF_C} + r_lex) + 1.0 / ({_RRF_C} + r_sem), 6)
+           AS rrf
+  FROM ranked)
+SELECT qid, doc_id, r_lex, r_sem, rrf,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY rrf DESC, doc_id) AS rank
+      FROM fused)
+WHERE rank <= {_RRF_K} ORDER BY qid, rank
+"""
+
+QUERIES["hybrid_search_rrf"] = (hybrid_search_rrf, HYBRID_RRF_SQL)

@@ -169,6 +169,22 @@ def test_quantized_recall_bounds(spark, sf_dir):
     assert sum(r.recall for r in out) / len(out) >= 0.5
 
 
+def test_hybrid_rrf_fusion_consistent(spark, sf_dir):
+    out = QUERIES["hybrid_search_rrf"](spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r)
+    assert len(by_q) == 3
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, 11))
+        for r in rows:
+            expect = 1.0 / (60 + r.r_lex) + 1.0 / (60 + r.r_sem)
+            assert math.isclose(r.rrf, round(expect, 6), abs_tol=1e-6)
+        # fused score is non-increasing down the ranking
+        assert all(a.rrf >= b.rrf for a, b in zip(rows, rows[1:]))
+
+
 def test_ab_test_z_matches_manual(spark, sf_dir):
     r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions
