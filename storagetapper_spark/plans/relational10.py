@@ -1036,3 +1036,55 @@ WHERE rank <= {_RRF_K} ORDER BY qid, rank
 """
 
 QUERIES["hybrid_search_rrf"] = (hybrid_search_rrf, HYBRID_RRF_SQL)
+
+
+# --- rolling distinct users via mergeable sketches ----------------------
+
+def rolling_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day active users — THE query that motivates mergeable
+    sketches at 100 TB: exact sliding distinct counts re-scan every
+    overlapping window (7× the data), but one Datasketches HLL per day
+    merges in O(days × sketch_size), pre-aggregated and reusable for
+    any window length.  Here each day's sketch unions across a 7-day
+    range join on the day spine (rows moved: days × 7 sketches, not
+    events).  Checkable contract mirrors sketch_hll_union: the exact
+    count (computed for the oracle via the same range join over raw
+    events) plus a flag that the sketch estimate lands within 5%
+    (Spark HLL is deterministic)."""
+    from storagetapper_spark.plans.common import events_t
+
+    ev = (events_t(spark, sf)
+          .select(F.to_date("ts").alias("d"), "user_id"))
+    daily_sk = (ev.groupBy("d")
+                .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    spine = daily_sk.select(F.col("d").alias("day"))
+    rolled = (spine.join(
+        daily_sk,
+        (F.col("d") >= F.date_sub(F.col("day"), 6))
+        & (F.col("d") <= F.col("day")))
+        .groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")))
+    exact = (spine.join(
+        ev, (F.col("d") >= F.date_sub(F.col("day"), 6))
+        & (F.col("d") <= F.col("day")))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_users")))
+    return (exact.join(rolled, "day")
+            .select("day", "exact_users",
+                    (F.abs(F.col("est") - F.col("exact_users"))
+                     <= 0.05 * F.col("exact_users")).alias("within_5pct"))
+            .orderBy("day"))
+
+
+ROLLING_DISTINCT_SQL = """
+WITH ev AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+spine AS (SELECT DISTINCT d AS day FROM ev)
+SELECT s.day,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_5pct
+FROM spine s JOIN ev e ON e.d >= s.day - INTERVAL 6 DAY AND e.d <= s.day
+GROUP BY s.day ORDER BY s.day
+"""
+
+QUERIES["rolling_distinct_users"] = (rolling_distinct_users,
+                                     ROLLING_DISTINCT_SQL)

@@ -185,6 +185,23 @@ def test_hybrid_rrf_fusion_consistent(spark, sf_dir):
         assert all(a.rrf >= b.rrf for a, b in zip(rows, rows[1:]))
 
 
+def test_rolling_distinct_window_bounds(spark, sf_dir):
+    out = QUERIES["rolling_distinct_users"](spark, sf_dir).collect()
+    from storagetapper_spark.plans.common import events_t
+    ev = events_t(spark, sf_dir)
+    total_users = ev.select("user_id").distinct().count()
+    daily = {r.d: r.n for r in
+             ev.groupBy(F.to_date("ts").alias("d"))
+               .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert len(out) == len(daily)            # one row per active day
+    for r in out:
+        # a 7-day window is at least its own day, at most all users
+        assert daily[r.day] <= r.exact_users <= total_users
+        assert r.within_5pct                 # sketch estimate in tolerance
+    # windows are wider than single days somewhere in the corpus
+    assert any(r.exact_users > daily[r.day] for r in out)
+
+
 def test_ab_test_z_matches_manual(spark, sf_dir):
     r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions
