@@ -61,7 +61,7 @@ BENCH_QUERIES = [
     "ab_test_conversion", "text_lm_score", "graph_pagerank_copurchase",
     "market_basket_rules", "anomaly_cusum", "entity_resolution_parts",
     "seasonality_weekday", "ann_quantized_recall", "hybrid_search_rrf",
-    "rolling_distinct_users",
+    "rolling_distinct_users", "pareto_frontier_parts", "activity_streaks",
 ]
 
 

@@ -1088,3 +1088,97 @@ GROUP BY s.day ORDER BY s.day
 
 QUERIES["rolling_distinct_users"] = (rolling_distinct_users,
                                      ROLLING_DISTINCT_SQL)
+
+
+# --- Pareto frontier (skyline) ------------------------------------------
+
+def pareto_frontier_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Skyline query: parts not dominated on (price ↓, size ↑) — no
+    other part is both cheaper-or-equal and larger-or-equal (with one
+    strict).  The naive formulation is a quadratic NOT EXISTS
+    (a BroadcastNestedLoopJoin trap); the scalable form used here is
+    the sort-scan identity: after ordering by (price asc, size desc),
+    a row is on the frontier iff its size strictly exceeds every
+    earlier row's — one window running-max, O(n log n), zero joins.
+    Ties on both dims keep the lowest partkey as witness.
+
+    Scale shape: only the cheapest part per size value can make the
+    frontier, so a map-side-combined groupBy(p_size) min_by reduces
+    the global-sort input from N rows to |size domain| rows (~50)
+    BEFORE the single-partition window — the window never sees the
+    fact table.  (The oracle keeps the naive full-scan window as the
+    semantic spec; both produce identical rows.)"""
+    p = (t(spark, sf, "part")
+         .select("p_partkey", "p_retailprice", "p_size"))
+    reduced = (p.groupBy("p_size")
+               .agg(F.min(F.struct("p_retailprice", "p_partkey"))
+                     .alias("b"))
+               .select(F.col("b.p_partkey").alias("p_partkey"),
+                       F.col("b.p_retailprice").alias("p_retailprice"),
+                       "p_size"))
+    w = (Window.orderBy(F.col("p_retailprice").asc(),
+                        F.col("p_size").desc(),
+                        F.col("p_partkey").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (reduced.withColumn("prev_max", F.max("p_size").over(w))
+            .filter(F.col("prev_max").isNull()
+                    | (F.col("p_size") > F.col("prev_max")))
+            .select("p_partkey", "p_retailprice", "p_size")
+            .orderBy("p_partkey"))
+
+
+PARETO_SQL = """
+SELECT p_partkey, p_retailprice, p_size
+FROM (SELECT p_partkey, p_retailprice, p_size,
+             max(p_size) OVER (
+               ORDER BY p_retailprice ASC, p_size DESC, p_partkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM part)
+WHERE prev_max IS NULL OR p_size > prev_max
+ORDER BY p_partkey
+"""
+
+QUERIES["pareto_frontier_parts"] = (pareto_frontier_parts, PARETO_SQL)
+
+
+# --- gaps-and-islands activity streaks ----------------------------------
+
+def activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: longest run of CONSECUTIVE active calendar
+    days per user (the engagement-streak metric; distinct from
+    sessionize's time-gap sessions).  The classic trick — group by
+    date - row_number(), which is constant exactly while days are
+    consecutive — needs only two windows and two aggregates, all
+    partitioned by user: embarrassingly parallel at any user count."""
+    from storagetapper_spark.plans.common import events_t
+
+    days = (events_t(spark, sf)
+            .select("user_id", F.to_date("ts").alias("d"))
+            .distinct())
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w)))
+    streaks = (grouped.groupBy("user_id", "grp")
+               .agg(F.count(F.lit(1)).alias("len")))
+    return (streaks.groupBy("user_id")
+            .agg(F.max("len").alias("longest_streak"),
+                 F.count(F.lit(1)).alias("n_streaks"))
+            .orderBy("user_id"))
+
+
+STREAKS_SQL = """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+grouped AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY d) AS INT) AS grp
+  FROM days),
+streaks AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+            FROM grouped GROUP BY user_id, grp)
+SELECT user_id, max(len) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM streaks GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["activity_streaks"] = (activity_streaks, STREAKS_SQL)

@@ -202,6 +202,62 @@ def test_rolling_distinct_window_bounds(spark, sf_dir):
     assert any(r.exact_users > daily[r.day] for r in out)
 
 
+def test_pareto_frontier_is_mutually_nondominated(spark, sf_dir):
+    out = QUERIES["pareto_frontier_parts"](spark, sf_dir).collect()
+    assert out
+    # no frontier point dominates another (cheaper-or-equal AND
+    # larger-or-equal with one strict)
+    for a in out:
+        for b in out:
+            if a.p_partkey == b.p_partkey:
+                continue
+            dominates = (a.p_retailprice <= b.p_retailprice
+                         and a.p_size >= b.p_size
+                         and (a.p_retailprice < b.p_retailprice
+                              or a.p_size > b.p_size))
+            assert not dominates
+    # every non-frontier part is dominated by some frontier point
+    allp = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size").collect()
+    front_keys = {r.p_partkey for r in out}
+    import random
+    rng = random.Random(7)
+    for b in rng.sample(allp, 50):
+        if b.p_partkey in front_keys:
+            continue
+        assert any(a.p_retailprice <= b.p_retailprice
+                   and a.p_size >= b.p_size
+                   and (a.p_retailprice < b.p_retailprice
+                        or a.p_size > b.p_size or a.p_partkey < b.p_partkey)
+                   for a in out)
+
+
+def test_streaks_match_bruteforce(spark, sf_dir):
+    out = {r.user_id: (r.longest_streak, r.n_streaks)
+           for r in QUERIES["activity_streaks"](spark, sf_dir).collect()}
+    from storagetapper_spark.plans.common import events_t
+    days = (events_t(spark, sf_dir)
+            .select("user_id", F.to_date("ts").alias("d"))
+            .distinct().collect())
+    by_user: dict = {}
+    for r in days:
+        by_user.setdefault(r.user_id, set()).add(r.d)
+    assert set(out) == set(by_user)
+    import datetime
+    one = datetime.timedelta(days=1)
+    for u, ds in by_user.items():
+        longest, streaks, cur = 0, 0, 0
+        for d in sorted(ds):
+            if cur and d - prev == one:
+                cur += 1
+            else:
+                streaks += 1
+                cur = 1
+            prev = d
+            longest = max(longest, cur)
+        assert out[u] == (longest, streaks)
+
+
 def test_ab_test_z_matches_manual(spark, sf_dir):
     r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions
