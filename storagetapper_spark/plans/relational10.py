@@ -1182,3 +1182,109 @@ FROM streaks GROUP BY user_id ORDER BY user_id
 """
 
 QUERIES["activity_streaks"] = (activity_streaks, STREAKS_SQL)
+
+
+# --- view→purchase conversion latency -----------------------------------
+
+def conversion_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-to-convert: for every purchase, the gap to the same user's
+    most recent PRIOR view (the per-row as-of lookup, expressed as a
+    running max over the user's ordered history — one window, no
+    self-join), then the latency distribution.  Latencies are exact
+    integer microseconds (unix_micros both engines) so only the final
+    percentile interpolation is float, rounded at the boundary."""
+    from storagetapper_spark.plans.common import events_t
+
+    ev = (events_t(spark, sf)
+          .filter(F.col("event_type").isin("view", "purchase"))
+          .select("user_id", "event_id", "event_type",
+                  F.unix_micros("ts").alias("us")))
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("us").asc(), F.col("event_id").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    lat = (ev.withColumn(
+        "last_view_us",
+        F.max(F.when(F.col("event_type") == "view", F.col("us"))).over(w))
+        .filter((F.col("event_type") == "purchase")
+                & F.col("last_view_us").isNotNull())
+        .select((F.col("us") - F.col("last_view_us")).alias("lat_us")))
+    day_us = 86400.0 * 1e6
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.percentile("lat_us", 0.5) / day_us, 6).alias("median_days"),
+        F.round(F.percentile("lat_us", 0.9) / day_us, 6).alias("p90_days"),
+        F.round(F.max("lat_us") / day_us, 6).alias("max_days"))
+
+
+CONVERSION_LATENCY_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+  FROM events WHERE event_type IN ('view', 'purchase')),
+lat AS (
+  SELECT us - last_view_us AS lat_us
+  FROM (SELECT event_type, us,
+               max(CASE WHEN event_type = 'view' THEN us END) OVER (
+                 PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_view_us
+        FROM ev)
+  WHERE event_type = 'purchase' AND last_view_us IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+       round(quantile_cont(lat_us, 0.5) / (86400.0 * 1e6), 6)
+         AS median_days,
+       round(quantile_cont(lat_us, 0.9) / (86400.0 * 1e6), 6) AS p90_days,
+       round(max(lat_us) / (86400.0 * 1e6), 6) AS max_days
+FROM lat
+"""
+
+QUERIES["conversion_latency"] = (conversion_latency, CONVERSION_LATENCY_SQL)
+
+
+# --- categorical entropy profiling --------------------------------------
+
+_ENTROPY_COLS = ["p_brand", "p_type", "p_size", "p_name"]
+
+
+def profile_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-level Shannon entropy for the categorical part
+    attributes — the data-profiling signal that ranks columns by
+    information content (near-zero ⇒ constant column, near ln(k) ⇒
+    uniform).  One groupBy per column (map-side combined; value
+    domains are tiny) unioned into a single report with the
+    normalized entropy H / ln(n_distinct)."""
+    p = t(spark, sf, "part")
+    total = p.count()
+    out = None
+    for col in _ENTROPY_COLS:
+        counts = p.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+        prob = F.col("n") / F.lit(float(total))
+        row = (counts.agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            (-F.sum(prob * F.log(prob))).alias("_h"))
+            .select(F.lit(col).alias("column_name"), "n_distinct",
+                    F.round("_h", 6).alias("entropy"),
+                    F.round(F.log(F.col("n_distinct")
+                                  .cast("double")), 6).alias("max_entropy"),
+                    F.round(F.col("_h")
+                            / F.log(F.col("n_distinct").cast("double")), 6)
+                     .alias("normalized")))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("column_name")
+
+
+def _entropy_sql() -> str:
+    parts = []
+    for col in _ENTROPY_COLS:
+        parts.append(f"""
+SELECT '{col}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(-sum((n / t.total) * ln(n / t.total)), 6) AS entropy,
+       round(ln(CAST(count(*) AS DOUBLE)), 6) AS max_entropy,
+       round(-sum((n / t.total) * ln(n / t.total))
+             / ln(CAST(count(*) AS DOUBLE)), 6) AS normalized
+FROM (SELECT {col}, CAST(count(*) AS BIGINT) AS n FROM part GROUP BY {col})
+CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS total FROM part) t""")
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+QUERIES["profile_entropy"] = (profile_entropy, _entropy_sql())

@@ -258,6 +258,25 @@ def test_streaks_match_bruteforce(spark, sf_dir):
         assert out[u] == (longest, streaks)
 
 
+def test_conversion_latency_ordering(spark, sf_dir):
+    r = QUERIES["conversion_latency"](spark, sf_dir).collect()[0]
+    assert r.n_conversions > 0
+    assert 0 <= r.median_days <= r.p90_days <= r.max_days
+
+
+def test_entropy_bounds(spark, sf_dir):
+    out = QUERIES["profile_entropy"](spark, sf_dir).collect()
+    assert len(out) == 4
+    for r in out:
+        assert 0.0 <= r.entropy <= r.max_entropy + 1e-6
+        assert 0.0 <= r.normalized <= 1.0 + 1e-6
+        assert math.isclose(r.max_entropy, round(math.log(r.n_distinct), 6),
+                            abs_tol=1e-6)
+    by_col = {r.column_name: r for r in out}
+    # near-unique p_name is close to uniform; low-cardinality brand less so
+    assert by_col["p_name"].normalized > 0.9
+
+
 def test_ab_test_z_matches_manual(spark, sf_dir):
     r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions
