@@ -62,7 +62,7 @@ BENCH_QUERIES = [
     "market_basket_rules", "anomaly_cusum", "entity_resolution_parts",
     "seasonality_weekday", "ann_quantized_recall", "hybrid_search_rrf",
     "rolling_distinct_users", "pareto_frontier_parts", "activity_streaks",
-    "conversion_latency", "profile_entropy",
+    "conversion_latency", "profile_entropy", "graph_triangles",
 ]
 
 

@@ -1288,3 +1288,62 @@ CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS total FROM part) t""")
 
 
 QUERIES["profile_entropy"] = (profile_entropy, _entropy_sql())
+
+
+# --- triangle counting over the strong co-purchase graph ----------------
+
+def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census (the graph-cohesion metric behind community
+    detection and recommendation confidence), via the oriented
+    wedge-join algorithm: with every edge stored low→high id, wedges
+    are (a<b)⋈(b<c) and a triangle is a wedge whose closing edge (a,c)
+    exists — two equi-joins, no cartesian, each wedge generated exactly
+    once.  At 100 TB the orientation key switches from id to DEGREE
+    (then id), which provably bounds per-vertex wedge fan-out by
+    out-degree ≤ √(2|E|); the id orientation here keeps the oracle
+    simple on the thresholded (n_ab ≥ 2) basket graph."""
+    li = (t(spark, sf, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    e = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+         .groupBy(F.col("a.l_partkey").alias("pa"),
+                  F.col("b.l_partkey").alias("pb"))
+         .agg(F.count(F.lit(1)).alias("n_ab"))
+         .filter(F.col("n_ab") >= 2)
+         .select("pa", "pb")
+         .persist())
+    n_edges = e.count()  # eager: three branches below reuse the cache
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+    n_wedges = wedges.count()
+    tri = wedges.join(
+        e3, (F.col("e3.pa") == F.col("e1.pa"))
+        & (F.col("e3.pb") == F.col("e2.pb")))
+    n_tri = tri.count()
+    ratio = round(n_tri / n_wedges, 6) if n_wedges else 0.0
+    return spark.createDataFrame(
+        [(n_edges, n_wedges, n_tri, ratio)],
+        "n_edges bigint, n_wedges bigint, n_triangles bigint, "
+        "closure_ratio double")
+
+
+TRIANGLES_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= 2),
+w AS (SELECT e1.pa, e1.pb, e2.pb AS pc
+      FROM e e1 JOIN e e2 ON e1.pb = e2.pa),
+tr AS (SELECT count(*) AS n_tri
+       FROM w JOIN e e3 ON e3.pa = w.pa AND e3.pb = w.pc)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+       CAST(tr.n_tri AS BIGINT) AS n_triangles,
+       round(tr.n_tri / CAST((SELECT count(*) FROM w) AS DOUBLE), 6)
+         AS closure_ratio
+FROM tr
+"""
+
+QUERIES["graph_triangles"] = (graph_triangles, TRIANGLES_SQL)

@@ -277,6 +277,37 @@ def test_entropy_bounds(spark, sf_dir):
     assert by_col["p_name"].normalized > 0.9
 
 
+def test_triangles_match_bruteforce(spark, sf_dir):
+    r = QUERIES["graph_triangles"](spark, sf_dir).collect()[0]
+    li = (t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct().collect())
+    from collections import Counter, defaultdict
+    per_order: dict = defaultdict(list)
+    for row in li:
+        per_order[row.l_orderkey].append(row.l_partkey)
+    pair_n: Counter = Counter()
+    for parts in per_order.values():
+        parts.sort()
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                pair_n[(parts[i], parts[j])] += 1
+    edges = {p for p, n in pair_n.items() if n >= 2}
+    assert r.n_edges == len(edges)
+    fwd: dict = defaultdict(set)
+    for a, b in edges:
+        fwd[a].add(b)
+    wedges = tris = 0
+    for a, bs in fwd.items():
+        for b in bs:
+            for c in fwd.get(b, ()):
+                wedges += 1
+                if c in fwd[a]:
+                    tris += 1
+    assert (r.n_wedges, r.n_triangles) == (wedges, tris)
+    assert math.isclose(r.closure_ratio, round(tris / wedges, 6),
+                        abs_tol=1e-6)
+
+
 def test_ab_test_z_matches_manual(spark, sf_dir):
     r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions
