@@ -71,12 +71,48 @@ def _merge_segment(spark: SparkSession, rows: DataFrame,
     spark.read.parquet(tmp).write.mode("overwrite").parquet(cur_path)
 
 
+class SchemaCompatError(ValueError):
+    """A mid-stream DDL violates the feed's compatibility policy."""
+
+    def __init__(self, report, ddl: str):
+        self.report, self.ddl = report, ddl
+        details = "; ".join(f"{f.column} {f.change}: {f.reason}"
+                            for f in report.findings)
+        super().__init__(
+            f"DDL {ddl!r} is {report.level} but the feed policy requires "
+            f"more ({details})")
+
+
+def _check_policy(old_schema, new_schema, policy: str | None,
+                  ddl: str) -> None:
+    if policy is None:
+        return
+    from storagetapper_spark.schema.compat import classify
+
+    rep = classify(old_schema, new_schema)
+    ok = {"backward": rep.backward or rep.level == "NONE",
+          "forward": rep.forward or rep.level == "NONE",
+          "full": rep.level in ("FULL", "NONE")}[policy]
+    if not ok:
+        raise SchemaCompatError(rep, ddl)
+
+
 def apply_evolving_batch(spark: SparkSession, batch_df: DataFrame,
                          registry: Registry, table_key: str,
-                         state_path: str, pk_cols: list[str]) -> None:
+                         state_path: str, pk_cols: list[str],
+                         compat_policy: str | None = None) -> None:
     """One micro-batch of the evolving pipeline (pure batch function —
     the streaming sink calls this per trigger; tests/fuzzers call it
-    directly)."""
+    directly).
+
+    ``compat_policy`` ('backward' | 'forward' | 'full' | None) gates
+    each mid-stream DDL with schema/compat.classify BEFORE it is
+    applied or any of its segment's rows merge — the schema-registry
+    deployment gate, enforced at the point the evolving feed actually
+    changes shape.  A violating DDL raises SchemaCompatError carrying
+    the per-change findings; the batch is not partially applied past
+    that DDL, so the checkpoint replays cleanly after the feed owner
+    intervenes."""
     reg = registry.get(table_key)
     schema = (T.StructType.fromJson(json.loads(reg.schema_json))
               if reg and reg.schema_json else None)
@@ -91,13 +127,17 @@ def apply_evolving_batch(spark: SparkSession, batch_df: DataFrame,
 
     lo = None
     for ev in ddl_events:
+        change = parse_ddl(ev.ddl)
+        new_schema = schema
+        if change is not None and change.kind in ("add", "drop"):
+            new_schema = apply_change(schema, change)
+            _check_policy(schema, new_schema, compat_policy, ev.ddl)
         seg = rows.filter(F.col("seqno") < ev.seqno)
         if lo is not None:
             seg = seg.filter(F.col("seqno") >= lo)
         _merge_segment(spark, seg, schema, state_path, pk_cols)
-        change = parse_ddl(ev.ddl)
-        if change is not None and change.kind in ("add", "drop"):
-            schema = apply_change(schema, change)
+        if new_schema is not schema:
+            schema = new_schema
             registry.update_schema(table_key, schema.json())
         lo = ev.seqno
     tail = rows if lo is None else rows.filter(F.col("seqno") >= lo)
@@ -107,7 +147,8 @@ def apply_evolving_batch(spark: SparkSession, batch_df: DataFrame,
 def evolving_upsert_sink(stream: DataFrame, registry: Registry,
                          table_key: str, state_path: str,
                          checkpoint_dir: str, pk_cols: list[str],
-                         trigger_available_now: bool = True):
+                         trigger_available_now: bool = True,
+                         compat_policy: str | None = None):
     """Materialize an evolving CDC stream: rows upsert (max-seqno-wins),
     schema events ALTER the target shape mid-stream.
 
@@ -118,7 +159,8 @@ def evolving_upsert_sink(stream: DataFrame, registry: Registry,
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         apply_evolving_batch(spark, batch_df, registry, table_key,
-                             state_path, pk_cols)
+                             state_path, pk_cols,
+                             compat_policy=compat_policy)
 
     writer = (stream.writeStream
               .foreachBatch(process_batch)

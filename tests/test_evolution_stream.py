@@ -79,3 +79,51 @@ def test_add_column_mid_stream(spark, tmp_path):
     got2 = {r.pk: (r.op, r.f2) for r in cur2.collect()}
     assert got2[3][0] == "delete"
     assert got2[4] == ("insert", "d")
+
+
+def test_compat_policy_blocks_breaking_ddl(spark, tmp_path):
+    """A feed pinned to 'full' compatibility must reject dropping a
+    non-nullable column (old readers of new data cannot null-fill), and
+    the state must not advance past the offending DDL."""
+    import pytest
+
+    from storagetapper_spark.streaming.evolution import (
+        SchemaCompatError,
+        apply_evolving_batch,
+    )
+
+    strict = T.StructType([
+        T.StructField("f2", T.StringType(), True),
+        T.StructField("f3", T.DoubleType(), False),   # required
+    ])
+    registry = Registry(str(tmp_path / "reg.json"))
+    registry.register(TableRegistration(
+        service="svc", cluster="c1", db="db1", table="t1",
+        pk_cols=["pk"], schema_json=strict.json()))
+    state = str(tmp_path / "state")
+
+    rows = [
+        _ev(1, "insert", 1, f2="a", f3=1.5),
+        _ev(0, "schema", 2, ddl="ALTER TABLE t1 DROP COLUMN f3"),
+        _ev(2, "insert", 3, f2="b"),
+    ]
+    batch = spark.createDataFrame(
+        [tuple(r[k] for k in ("pk", "op", "seqno", "ddl", "payload"))
+         for r in rows], EVOLVING_CDC_SCHEMA)
+
+    with pytest.raises(SchemaCompatError) as ei:
+        apply_evolving_batch(spark, batch, registry,
+                             "svc.c1.db1.t1.v0", state, ["pk"],
+                             compat_policy="full")
+    assert ei.value.report.level == "BACKWARD"
+    # registry schema unchanged — the DDL was gated before application
+    reg = registry.get("svc.c1.db1.t1.v0")
+    assert T.StructType.fromJson(json.loads(reg.schema_json)) == strict
+
+    # a permissive feed (backward policy) accepts the same transition
+    apply_evolving_batch(spark, batch, registry,
+                         "svc.c1.db1.t1.v0", state, ["pk"],
+                         compat_policy="backward")
+    reg2 = registry.get("svc.c1.db1.t1.v0")
+    assert "f3" not in {f.name for f in T.StructType.fromJson(
+        json.loads(reg2.schema_json)).fields}
