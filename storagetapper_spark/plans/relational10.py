@@ -1347,3 +1347,60 @@ FROM tr
 """
 
 QUERIES["graph_triangles"] = (graph_triangles, TRIANGLES_SQL)
+
+
+# --- vocabulary coverage curve ------------------------------------------
+
+_VOCAB_KS = [1, 2, 4, 8, 16, 32]
+
+
+def vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-sizing analytic: rank corpus tokens by frequency and
+    report, for candidate vocabulary sizes K, what share of all token
+    OCCURRENCES the top-K types cover — the curve that decides vocab
+    size before training a tokenizer.  One explode → one map-side-
+    combined count per type → a window cumulative sum over the (tiny)
+    type table; the corpus itself is read once and never re-shuffled.
+    Rank ties break lexicographically, so the curve is engine-exact."""
+    docs = t(spark, sf, "documents")
+    toks = docs.select(F.explode(F.split(F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+        " +", " ")), " ")).alias("w"))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").cast("double").alias("tot"))
+    w = (Window.orderBy(F.col("n").desc(), F.col("w").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = (counts.crossJoin(F.broadcast(total))
+              .withColumn("rank", F.row_number().over(
+                  Window.orderBy(F.col("n").desc(), F.col("w").asc())))
+              .withColumn("cum", F.sum("n").over(w)))
+    return (ranked.filter(F.col("rank").isin(_VOCAB_KS))
+            .select(F.col("rank").alias("vocab_size"),
+                    F.round(F.col("cum") / F.col("tot"), 6)
+                     .alias("coverage"))
+            .orderBy("vocab_size"))
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g')), ' ')) AS w
+  FROM documents),
+counts AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY w),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM counts),
+ranked AS (
+  SELECT w, n,
+         row_number() OVER (ORDER BY n DESC, w) AS rank,
+         sum(n) OVER (ORDER BY n DESC, w
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM counts)
+SELECT CAST(rank AS BIGINT) AS vocab_size,
+       round(cum / tot.tot, 6) AS coverage
+FROM ranked CROSS JOIN tot
+WHERE rank IN ({", ".join(str(k) for k in _VOCAB_KS)})
+ORDER BY vocab_size
+"""
+
+QUERIES["vocab_coverage"] = (vocab_coverage, VOCAB_COVERAGE_SQL)

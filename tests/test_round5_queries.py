@@ -308,6 +308,18 @@ def test_triangles_match_bruteforce(spark, sf_dir):
                         abs_tol=1e-6)
 
 
+def test_vocab_coverage_monotone(spark, sf_dir):
+    out = QUERIES["vocab_coverage"](spark, sf_dir).collect()
+    assert out
+    sizes = [r.vocab_size for r in out]
+    covs = [r.coverage for r in out]
+    assert sizes == sorted(sizes)
+    assert all(a <= b + 1e-9 for a, b in zip(covs, covs[1:]))  # monotone
+    assert all(0 < c <= 1.0 for c in covs)
+    # top-1 type alone cannot cover everything in a multi-word corpus
+    assert covs[0] < 1.0
+
+
 def test_ab_test_z_matches_manual(spark, sf_dir):
     r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions
