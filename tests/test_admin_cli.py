@@ -46,3 +46,33 @@ def test_admin_cli_lifecycle(tmp_path, capsys):
 
     # registry is plain JSON on disk — shared-state contract
     assert os.path.exists(regp)
+
+
+def test_admin_schema_compat_gate(tmp_path, capsys):
+    regp = str(tmp_path / "reg.json")
+    _run(capsys, regp, "table-add", "--service", "svc", "--cluster", "c1",
+         "--db", "d", "--table", "t", "--pk", "id")
+    key = "svc.c1.d.t.v0"
+    base = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+        {"name": "v", "type": "string", "nullable": True, "metadata": {}}]}
+    rc, out = _run(capsys, regp, "schema-set", key, json.dumps(base))
+    assert rc == 0 and out["level"] == "NONE"
+
+    # dropping the required id column is BACKWARD-only
+    dropped = {"type": "struct", "fields": base["fields"][1:]}
+    rc, out = _run(capsys, regp, "schema-check", key, json.dumps(dropped))
+    assert rc == 0 and out["level"] == "BACKWARD"
+    assert out["findings"][0]["column"] == "id"
+
+    # a feed requiring FULL refuses it; registry version unchanged
+    rc, out = _run(capsys, regp, "schema-set", key, json.dumps(dropped),
+                   "--require", "full")
+    assert rc == 1 and out["error"] == "incompatible"
+    rc, out = _run(capsys, regp, "schema-get", key)
+    assert out["schema_version"] == 1
+
+    # backward policy accepts and bumps the version
+    rc, out = _run(capsys, regp, "schema-set", key, json.dumps(dropped),
+                   "--require", "backward")
+    assert rc == 0 and out["schema_version"] == 2

@@ -54,6 +54,14 @@ def main(argv: list[str] | None = None) -> int:
     s_set = sub.add_parser("schema-set")
     s_set.add_argument("key")
     s_set.add_argument("schema_json")
+    s_set.add_argument("--require", default=None,
+                       choices=("backward", "forward", "full"),
+                       help="reject the update unless the old->new "
+                            "transition meets this compatibility level")
+
+    s_chk = sub.add_parser("schema-check")
+    s_chk.add_argument("key")
+    s_chk.add_argument("schema_json")
 
     sub.add_parser("due")
 
@@ -83,9 +91,42 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"key": args.key,
                           "schema_version": r.schema_version,
                           "schema_json": r.schema_json}))
-    elif args.cmd == "schema-set":
+    elif args.cmd in ("schema-set", "schema-check"):
+        from pyspark.sql import types as T
+
+        from storagetapper_spark.schema.compat import classify
+
+        r = reg.get(args.key)
+        if r is None:
+            print(json.dumps({"error": "not_found"}))
+            return 1
+        report = None
+        if r.schema_json:
+            old = T.StructType.fromJson(json.loads(r.schema_json))
+            new = T.StructType.fromJson(json.loads(args.schema_json))
+            report = classify(old, new)
+        if args.cmd == "schema-check":
+            print(json.dumps({
+                "key": args.key,
+                "level": report.level if report else "NONE",
+                "findings": [
+                    {"column": f.column, "change": f.change,
+                     "verdict": f.verdict, "reason": f.reason}
+                    for f in (report.findings if report else [])]}))
+            return 0
+        require = getattr(args, "require", None)
+        if require and report is not None:
+            ok = {"backward": report.backward or report.level == "NONE",
+                  "forward": report.forward or report.level == "NONE",
+                  "full": report.level in ("FULL", "NONE")}[require]
+            if not ok:
+                print(json.dumps({"error": "incompatible",
+                                  "level": report.level,
+                                  "required": require}))
+                return 1
         v = reg.update_schema(args.key, args.schema_json)
-        print(json.dumps({"key": args.key, "schema_version": v}))
+        print(json.dumps({"key": args.key, "schema_version": v,
+                          "level": report.level if report else "NONE"}))
     elif args.cmd == "due":
         print(json.dumps([r.key for r in reg.tables_needing_snapshot()]))
     return 0
