@@ -63,7 +63,7 @@ BENCH_QUERIES = [
     "seasonality_weekday", "ann_quantized_recall", "hybrid_search_rrf",
     "rolling_distinct_users", "pareto_frontier_parts", "activity_streaks",
     "conversion_latency", "profile_entropy", "graph_triangles",
-    "vocab_coverage",
+    "vocab_coverage", "peak_concurrency", "graph_ppr_brand",
 ]
 
 

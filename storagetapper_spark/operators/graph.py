@@ -23,7 +23,9 @@ from pyspark.sql import functions as F
 def pagerank(edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
              iterations: int = 5, damping: float = 0.85,
              directed: bool = False, dedup: bool = True,
-             eager: bool = True, scaled: bool = False) -> DataFrame:
+             eager: bool = True, scaled: bool = False,
+             weight_col: str | None = None,
+             personalization: DataFrame | None = None) -> DataFrame:
     """PageRank over an edge list → (node, pr).
 
     ``directed=False`` (default) symmetrizes the edges first, which
@@ -51,36 +53,72 @@ def pagerank(edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
     (≈1.0 under a uniform distribution) — done here because only the
     operator knows n without forcing callers to recount the lineage.
 
+    ``weight_col`` names an edge-weight column: contributions become
+    pr·w/strength(src) (strength = Σ out-weights) — co-occurrence
+    counts, affinity scores, etc.
+
+    ``personalization`` is a (node, p0) DataFrame for PERSONALIZED
+    PageRank: the restart mass (1−d) lands on p0 (normalized here)
+    instead of uniformly — the recommendation/seed-expansion form.
+    Nodes outside the seed set start at 0 and only earn rank through
+    link mass.  It must be small (it broadcasts into every iteration).
+
     Returns pr at full precision — callers round at the boundary.
     """
-    sym = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    cols = [F.col(a_col).alias("src"), F.col(b_col).alias("dst")] + (
+        [F.col(weight_col).cast("double").alias("w")] if weight_col else [])
+    rcols = [F.col(b_col).alias("src"), F.col(a_col).alias("dst")] + (
+        [F.col(weight_col).cast("double").alias("w")] if weight_col else [])
+    sym = edges.select(*cols)
     if not directed:
-        sym = sym.unionByName(
-            edges.select(F.col(b_col).alias("src"),
-                         F.col(a_col).alias("dst")))
+        sym = sym.unionByName(edges.select(*rcols))
     if dedup:
         sym = sym.distinct()
-    # out-degree folded onto each edge once, outside the loop — the
+    if not weight_col:
+        sym = sym.withColumn("w", F.lit(1.0))
+    # out-strength folded onto each edge once, outside the loop — the
     # loop then joins rank → edge on src only
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    deg = sym.groupBy("src").agg(F.sum("w").alias("out_w"))
     adj = sym.join(deg, "src").persist()
     n_nodes = adj.select("src").distinct().count()  # hits the adj cache
-    base = (1.0 - damping) / n_nodes
+    nodes = adj.select("src").distinct()
 
-    ranks = (adj.select("src").distinct()
-             .select(F.col("src").alias("node"),
-                     F.lit(1.0 / n_nodes).alias("pr")))
+    if personalization is not None:
+        p0 = personalization.select(F.col(personalization.columns[0])
+                                    .alias("node"),
+                                    F.col(personalization.columns[1])
+                                    .cast("double").alias("p0"))
+        tot = p0.agg(F.sum("p0").alias("t")).collect()[0].t
+        p0 = F.broadcast(p0.select(
+            "node", (F.col("p0") / F.lit(float(tot))).alias("p0")).persist())
+        ranks = (nodes.join(p0, nodes.src == p0.node, "left")
+                 .select(F.col("src").alias("node"),
+                         F.coalesce("p0", F.lit(0.0)).alias("pr")))
+        restart = F.lit(1.0 - damping) * F.coalesce(F.col("p0"), F.lit(0.0))
+    else:
+        p0 = None
+        ranks = nodes.select(F.col("src").alias("node"),
+                             F.lit(1.0 / n_nodes).alias("pr"))
+        restart = F.lit((1.0 - damping) / n_nodes)
     if eager:
         ranks = ranks.persist()
         ranks.count()
     for _ in range(iterations):
         contribs = (adj.join(ranks, adj.src == ranks.node)
-                    .select("dst", (F.col("pr") / F.col("out_deg"))
-                            .alias("contrib")))
-        new_ranks = (contribs.groupBy("dst")
-                     .agg((F.lit(base)
-                           + F.lit(damping) * F.sum("contrib")).alias("pr"))
-                     .select(F.col("dst").alias("node"), "pr"))
+                    .select("dst", (F.col("pr") * F.col("w")
+                                    / F.col("out_w")).alias("contrib")))
+        summed = (contribs.groupBy("dst")
+                  .agg((F.lit(damping) * F.sum("contrib")).alias("_link")))
+        if p0 is not None:
+            new_ranks = (nodes.join(summed, nodes.src == summed.dst, "left")
+                         .join(p0, nodes.src == p0.node, "left")
+                         .select(F.col("src").alias("node"),
+                                 (restart
+                                  + F.coalesce("_link", F.lit(0.0)))
+                                 .alias("pr")))
+        else:
+            new_ranks = summed.select(F.col("dst").alias("node"),
+                                      (restart + F.col("_link")).alias("pr"))
         if eager:
             new_ranks = new_ranks.persist()
             new_ranks.count()  # materialize gen k before retiring k-1

@@ -1404,3 +1404,153 @@ ORDER BY vocab_size
 """
 
 QUERIES["vocab_coverage"] = (vocab_coverage, VOCAB_COVERAGE_SQL)
+
+
+# --- peak concurrency (sweep line) --------------------------------------
+
+def peak_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Capacity-planning classic: the maximum number of SIMULTANEOUS
+    user sessions per day, via the sweep line — explode each session
+    interval into (+1 at start, −1 after end) boundary events, running-
+    sum in time order, take the daily max.  Sessions are the same
+    30-min-gap construction the `sessionize` row proves.  Boundary ties
+    order starts before ends (delta desc) so touching sessions count as
+    overlapping.  The global running sum here is one window over
+    2·|sessions| tiny rows; at 100 TB it becomes the standard two-pass
+    sweep (range-partition by time, local cumsum, broadcast per-
+    partition carry-in offsets) — same math, no single-partition sort."""
+    from storagetapper_spark.plans.common import events_t
+
+    ev = events_t(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts").cast("double")
+           - F.lag(F.col("ts").cast("double"), 1).over(w))
+    sess = (ev.withColumn("new_sess",
+                          F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+            .withColumn("session_id", F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("user_id", "session_id")
+            .agg(F.unix_micros(F.min("ts")).alias("s_us"),
+                 F.unix_micros(F.max("ts")).alias("e_us")))
+    bounds = (sess.select(F.col("s_us").alias("t"), F.lit(1).alias("delta"))
+              .unionByName(sess.select(F.col("e_us").alias("t"),
+                                       F.lit(-1).alias("delta"))))
+    sweep = Window.orderBy(F.col("t").asc(), F.col("delta").desc()) \
+                  .rowsBetween(Window.unboundedPreceding, 0)
+    running = bounds.withColumn("conc", F.sum("delta").over(sweep))
+    return (running
+            .select(F.to_date(F.timestamp_micros("t")).alias("day"), "conc")
+            .groupBy("day")
+            .agg(F.max("conc").alias("peak_concurrency"))
+            .orderBy("day"))
+
+
+PEAK_CONCURRENCY_SQL = """
+WITH tagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id,
+         ts
+  FROM tagged),
+iv AS (SELECT user_id, session_id,
+              epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+       FROM sess GROUP BY user_id, session_id),
+bounds AS (
+  SELECT s_us AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT e_us AS t, -1 AS delta FROM iv),
+running AS (
+  SELECT t, sum(delta) OVER (ORDER BY t, delta DESC
+                             ROWS UNBOUNDED PRECEDING) AS conc
+  FROM bounds)
+SELECT CAST(make_timestamp(t) AS DATE) AS day,
+       CAST(max(conc) AS BIGINT) AS peak_concurrency
+FROM running GROUP BY CAST(make_timestamp(t) AS DATE) ORDER BY day
+"""
+
+QUERIES["peak_concurrency"] = (peak_concurrency, PEAK_CONCURRENCY_SQL)
+
+
+# --- personalized weighted PageRank -------------------------------------
+
+_PPR_ITERS, _PPR_BRAND = 3, "Brand#11"
+
+
+def graph_ppr_brand(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank — the seed-expansion / recommendation
+    form: restart mass lands only on a seed set (all parts of one
+    brand) and spreads over the WEIGHTED co-purchase graph (edge weight
+    = co-occurrence count), so high scores mean "strongly co-bought
+    with this brand".  Same lazy fixed-iteration engine as the global
+    query; weights change contributions to pr·w/strength(src).  Edge
+    weights are integer-valued doubles, so strengths are exact and the
+    oracle recursion replays bit-for-bit."""
+    from storagetapper_spark.operators.graph import pagerank
+
+    li = (t(spark, sf, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("id_a"),
+                      F.col("b.l_partkey").alias("id_b"))
+             .agg(F.count(F.lit(1)).cast("double").alias("w")))
+    seeds = (t(spark, sf, "part")
+             .filter(F.col("p_brand") == _PPR_BRAND)
+             .select(F.col("p_partkey").alias("node"),
+                     F.lit(1.0).alias("p0")))
+    pr = pagerank(pairs, iterations=_PPR_ITERS, damping=0.85,
+                  dedup=False, eager=False, weight_col="w",
+                  personalization=seeds)
+    return (pr.select(F.col("node").alias("part"),
+                      F.round(F.col("pr"), 6).alias("ppr"))
+            .orderBy("part"))
+
+
+def _ppr_sql(iters: int, brand: str) -> str:
+    head = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                 CAST(count(*) AS DOUBLE) AS w
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+          GROUP BY pa, pb),
+edges AS (SELECT pa AS src, pb AS dst, w FROM pairs
+          UNION ALL SELECT pb, pa, w FROM pairs),
+stg AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+adj AS (SELECT e.src, e.dst, e.w, s.out_w FROM edges e JOIN stg s USING (src)),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+seeds AS (SELECT p_partkey AS node, 1.0 AS p0m FROM part
+          WHERE p_brand = '{brand}'),
+p0 AS (SELECT node, p0m / t.t AS p0
+       FROM seeds CROSS JOIN (SELECT sum(p0m) AS t FROM seeds) t),
+pr0 AS (SELECT n.node, coalesce(p0.p0, 0.0) AS pr
+        FROM nodes n LEFT JOIN p0 USING (node))"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+pr{k} AS (SELECT n.node,
+               (1.0 - 0.85) * coalesce(p0.p0, 0.0)
+               + coalesce(l.link, 0.0) AS pr
+          FROM nodes n
+          LEFT JOIN p0 USING (node)
+          LEFT JOIN (SELECT adj.dst AS node,
+                            0.85 * sum(p.pr * adj.w / adj.out_w) AS link
+                     FROM adj JOIN pr{k - 1} p ON adj.src = p.node
+                     GROUP BY adj.dst) l USING (node))""")
+    tail = f"""
+SELECT node AS part, round(pr, 6) AS ppr
+FROM pr{iters} ORDER BY part"""
+    return head + "," + ",".join(steps) + tail
+
+
+QUERIES["graph_ppr_brand"] = (graph_ppr_brand,
+                              _ppr_sql(_PPR_ITERS, _PPR_BRAND))

@@ -320,6 +320,36 @@ def test_vocab_coverage_monotone(spark, sf_dir):
     assert covs[0] < 1.0
 
 
+def test_peak_concurrency_bounds(spark, sf_dir):
+    out = QUERIES["peak_concurrency"](spark, sf_dir).collect()
+    from storagetapper_spark.plans.common import events_t
+    ev = events_t(spark, sf_dir)
+    users = ev.select("user_id").distinct().count()
+    assert out
+    for r in out:
+        # at most one concurrent session per user; at least one active
+        assert 1 <= r.peak_concurrency <= users
+
+
+def test_ppr_concentrates_on_seed_brand(spark, sf_dir):
+    out = QUERIES["graph_ppr_brand"](spark, sf_dir).collect()
+    seeds = {r.p_partkey for r in
+             t(spark, sf_dir, "part")
+             .filter(F.col("p_brand") == "Brand#11")
+             .select("p_partkey").collect()}
+    total = sum(r.ppr for r in out)
+    # restart mass may leak to seeds outside the graph, never exceed 1
+    # (up to the 6dp per-node rounding, which accumulates over nodes)
+    assert 0 < total <= 1.0 + 5e-7 * len(out)
+    seed_mass = sum(r.ppr for r in out if r.part in seeds)
+    other_mass = total - seed_mass
+    n_seeds = len(seeds)
+    n_other = len(out) - sum(1 for r in out if r.part in seeds)
+    # per-node average mass is markedly higher on the seed set (the
+    # small dense fixture graph diffuses fast — 3x is the stable bound)
+    assert seed_mass / max(n_seeds, 1) > 3 * other_mass / max(n_other, 1)
+
+
 def test_ab_test_z_matches_manual(spark, sf_dir):
     r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions
