@@ -1554,3 +1554,209 @@ FROM pr{iters} ORDER BY part"""
 
 QUERIES["graph_ppr_brand"] = (graph_ppr_brand,
                               _ppr_sql(_PPR_ITERS, _PPR_BRAND))
+
+
+# --- Holt linear-trend forecasting --------------------------------------
+
+_HOLT_ALPHA, _HOLT_BETA, _HOLT_H = 0.5, 0.25, 7
+
+
+def forecast_holt(spark: SparkSession, sf: str) -> DataFrame:
+    """Short-horizon volume forecasting: Holt's linear-trend double
+    exponential smoothing over each event type's daily counts —
+    level lₜ = αxₜ + (1−α)(lₜ₋₁+bₜ₋₁), trend bₜ = β(lₜ−lₜ₋₁) +
+    (1−β)bₜ₋₁ — reporting the fitted end state, a 7-day-ahead linear
+    forecast, and the in-sample one-step MAE.  Like CUSUM this is a
+    coupled nonlinear-in-data recursion → per-series applyInPandas
+    with the daily rollup JVM-side.  Smoothing constants are DYADIC
+    (0.5, 0.25 — exact binary), so the recursion replays bit-for-bit
+    against the recursive-CTE oracle (the EWMA precedent)."""
+    import pandas as pd
+
+    from storagetapper_spark.plans.common import events_t
+
+    daily = (events_t(spark, sf)
+             .groupBy("event_type", F.to_date("ts").alias("d"))
+             .agg(F.count(F.lit(1)).alias("x")))
+    a, b_ = _HOLT_ALPHA, _HOLT_BETA
+    schema = ("event_type string, n_days bigint, level double, "
+              "trend double, forecast_7d double, mae double")
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        xs = [float(v) for v in pdf.x]
+        lvl, tr = xs[0], 0.0
+        abs_err_sum = 0.0
+        for x in xs[1:]:
+            pred = lvl + tr
+            abs_err_sum += abs(x - pred)
+            new_lvl = a * x + (1.0 - a) * (lvl + tr)
+            tr = b_ * (new_lvl - lvl) + (1.0 - b_) * tr
+            lvl = new_lvl
+        return pd.DataFrame([{
+            "event_type": pdf.event_type.iloc[0], "n_days": len(xs),
+            "level": lvl, "trend": tr,
+            "forecast_7d": lvl + _HOLT_H * tr,
+            "mae": abs_err_sum / (len(xs) - 1) if len(xs) > 1 else 0.0}])
+
+    res = daily.groupBy("event_type").applyInPandas(holt, schema)
+    return (res.select("event_type", "n_days",
+                       F.round("level", 6).alias("level"),
+                       F.round("trend", 6).alias("trend"),
+                       F.round("forecast_7d", 6).alias("forecast_7d"),
+                       F.round("mae", 6).alias("mae"))
+            .orderBy("event_type"))
+
+
+FORECAST_HOLT_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+seq AS (
+  SELECT event_type, d, CAST(x AS DOUBLE) AS x,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+  FROM daily),
+n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY event_type),
+holt AS (
+  SELECT event_type, rn, x AS lvl, CAST(0.0 AS DOUBLE) AS tr,
+         CAST(0.0 AS DOUBLE) AS abs_err_sum
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.rn,
+         {_HOLT_ALPHA} * s.x + (1.0 - {_HOLT_ALPHA}) * (h.lvl + h.tr),
+         {_HOLT_BETA} * (({_HOLT_ALPHA} * s.x
+                          + (1.0 - {_HOLT_ALPHA}) * (h.lvl + h.tr)) - h.lvl)
+           + (1.0 - {_HOLT_BETA}) * h.tr,
+         h.abs_err_sum + abs(s.x - (h.lvl + h.tr))
+  FROM holt h JOIN seq s ON s.event_type = h.event_type
+                        AND s.rn = h.rn + 1)
+SELECT h.event_type, n.n_days,
+       round(h.lvl, 6) AS level,
+       round(h.tr, 6) AS trend,
+       round(h.lvl + {_HOLT_H} * h.tr, 6) AS forecast_7d,
+       round(CASE WHEN n.n_days > 1
+                  THEN h.abs_err_sum / (n.n_days - 1) ELSE 0.0 END, 6)
+         AS mae
+FROM holt h JOIN n USING (event_type)
+WHERE h.rn = n.n_days
+ORDER BY h.event_type
+"""
+
+QUERIES["forecast_holt"] = (forecast_holt, FORECAST_HOLT_SQL)
+
+
+# --- Kaplan-Meier survival of session durations -------------------------
+
+def survival_km(spark: SparkSession, sf: str) -> DataFrame:
+    """Engagement analytics: the Kaplan-Meier survival estimator over
+    SESSION durations (same 30-min-gap sessions the `sessionize` row
+    proves; duration in whole minutes).  Sessions still open at the
+    corpus end (last event within the session gap of the horizon) are
+    right-CENSORED — the estimator's whole point is using them
+    correctly instead of dropping them.  S(t) = prod over t_j<=t of
+    (1 - d_j/n_j), computed as exp(sum ln(1-d/n)) with ONE ordered
+    window over the distinct-duration table (tiny); at-risk counts are
+    a reverse cumulative sum, so nothing scales with raw event volume
+    after the per-session rollup.  The ordered prefix sum runs in the
+    same sequence in both engines, so the product is engine-exact
+    before rounding."""
+    from storagetapper_spark.plans.common import events_t
+
+    ev = events_t(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts").cast("double")
+           - F.lag(F.col("ts").cast("double"), 1).over(w))
+    sess = (ev.withColumn("new_sess",
+                          F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+            .withColumn("session_id", F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("user_id", "session_id")
+            .agg(F.unix_micros(F.min("ts")).alias("s_us"),
+                 F.unix_micros(F.max("ts")).alias("e_us")))
+    horizon = ev.agg(F.unix_micros(F.max("ts")).alias("end_us"))
+    items = (sess.crossJoin(F.broadcast(horizon))
+             .select(F.floor((F.col("e_us") - F.col("s_us")) / 60000000)
+                     .alias("duration"),
+                     ((F.col("end_us") - F.col("e_us")) >= 1800 * 1000000)
+                     .cast("int").alias("event")))
+    per_t = (items.groupBy("duration")
+             .agg(F.sum("event").alias("d"),
+                  F.count(F.lit(1)).alias("c")))
+    total = items.count()
+    w_before = (Window.orderBy("duration")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    at_risk = per_t.withColumn(
+        "n_risk", F.lit(total) - F.coalesce(F.sum("c").over(w_before),
+                                            F.lit(0)))
+    w_cum = (Window.orderBy("duration")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    # at the last event time d == n_risk (everyone at risk dies) →
+    # survival hits exactly 0; ln(0) is clamped via an explicit flag
+    term = F.when(F.col("d") < F.col("n_risk"),
+                  F.log(1.0 - F.col("d") / F.col("n_risk")))
+    dead = F.max(F.when(F.col("d") >= F.col("n_risk"), 1)
+                  .otherwise(0)).over(w_cum)
+    surv = at_risk.withColumn(
+        "survival",
+        F.when(dead == 1, F.lit(0.0)).otherwise(
+            F.exp(F.coalesce(F.sum(term).over(w_cum), F.lit(0.0)))))
+    return (surv.filter(F.col("d") > 0)
+            .select("duration", F.col("d").alias("n_events"),
+                    F.col("n_risk").cast("long").alias("n_at_risk"),
+                    F.round("survival", 6).alias("survival"))
+            .orderBy("duration"))
+
+
+SURVIVAL_KM_SQL = """
+WITH tagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id,
+         ts
+  FROM tagged),
+iv AS (SELECT user_id, session_id,
+              epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+       FROM sess GROUP BY user_id, session_id),
+horizon AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
+items AS (
+  SELECT CAST(floor((e_us - s_us) / 60000000) AS BIGINT) AS duration,
+         CASE WHEN (SELECT end_us FROM horizon) - e_us >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS event
+  FROM iv),
+per_t AS (SELECT duration, CAST(sum(event) AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM items GROUP BY duration),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM items),
+at_risk AS (
+  SELECT duration, d, c,
+         tot.n - coalesce(sum(c) OVER (
+           ORDER BY duration
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM per_t CROSS JOIN tot),
+surv AS (
+  SELECT duration, d, n_risk,
+         CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (
+                ORDER BY duration
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+              THEN 0.0
+              ELSE exp(coalesce(sum(CASE WHEN d < n_risk
+                       THEN ln(1.0 - d / CAST(n_risk AS DOUBLE)) END) OVER (
+                ORDER BY duration
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0))
+         END AS survival
+  FROM at_risk)
+SELECT duration, d AS n_events, CAST(n_risk AS BIGINT) AS n_at_risk,
+       round(survival, 6) AS survival
+FROM surv WHERE d > 0 ORDER BY duration
+"""
+
+QUERIES["survival_km"] = (survival_km, SURVIVAL_KM_SQL)

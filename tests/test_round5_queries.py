@@ -350,6 +350,38 @@ def test_ppr_concentrates_on_seed_brand(spark, sf_dir):
     assert seed_mass / max(n_seeds, 1) > 3 * other_mass / max(n_other, 1)
 
 
+def test_holt_internal_consistency(spark, sf_dir):
+    out = QUERIES["forecast_holt"](spark, sf_dir).collect()
+    from storagetapper_spark.plans.common import events_t
+    ev = events_t(spark, sf_dir)
+    days = {r.event_type: r.n for r in
+            ev.groupBy("event_type")
+              .agg(F.countDistinct(F.to_date("ts")).alias("n")).collect()}
+    assert {r.event_type for r in out} == set(days)
+    for r in out:
+        assert r.n_days == days[r.event_type]
+        assert math.isclose(r.forecast_7d, round(r.level + 7 * r.trend, 6),
+                            abs_tol=2e-5)  # rounded components recombined
+        assert r.mae >= 0
+
+
+def test_km_curve_shape(spark, sf_dir):
+    out = QUERIES["survival_km"](spark, sf_dir).collect()
+    assert out
+    rows = sorted(out, key=lambda r: r.duration)
+    assert all(0.0 <= r.survival <= 1.0 for r in rows)
+    # survival is non-increasing; at-risk counts shrink over time
+    assert all(a.survival >= b.survival - 1e-9
+               for a, b in zip(rows, rows[1:]))
+    assert all(a.n_at_risk > b.n_at_risk
+               for a, b in zip(rows, rows[1:]))
+    # first step is exactly 1 - d1/n1
+    f = rows[0]
+    assert math.isclose(f.survival,
+                        round(1.0 - f.n_events / f.n_at_risk, 6),
+                        abs_tol=1e-6)
+
+
 def test_ab_test_z_matches_manual(spark, sf_dir):
     r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions
