@@ -64,7 +64,7 @@ BENCH_QUERIES = [
     "rolling_distinct_users", "pareto_frontier_parts", "activity_streaks",
     "conversion_latency", "profile_entropy", "graph_triangles",
     "vocab_coverage", "peak_concurrency", "graph_ppr_brand",
-    "forecast_holt", "survival_km",
+    "forecast_holt", "survival_km", "attribution_linear",
 ]
 
 

@@ -1760,3 +1760,85 @@ FROM surv WHERE d > 0 ORDER BY duration
 """
 
 QUERIES["survival_km"] = (survival_km, SURVIVAL_KM_SQL)
+
+
+# --- multi-touch attribution --------------------------------------------
+
+def attribution_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Marketing's linear multi-touch attribution: each purchase's
+    value is split equally across the user's touches (views/clicks)
+    since their previous purchase; touchless purchases credit
+    '(direct)'.  The touch→conversion association is pure windows —
+    p_idx = running count of PRIOR purchases partitions each user's
+    history into inter-purchase episodes, and (user, episode) joins
+    touches to their conversion with no self-join over raw events.
+    Episode groups are user-local, so everything shuffles once by
+    user and once by the final channel rollup."""
+    from storagetapper_spark.plans.common import events_t
+
+    ev = (events_t(spark, sf)
+          .filter(F.col("event_type").isin("view", "click", "purchase"))
+          .select("user_id", "event_id", "event_type", "ts", "value"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ep = ev.withColumn(
+        "p_idx",
+        F.coalesce(F.sum(F.when(F.col("event_type") == "purchase", 1)
+                         .otherwise(0)).over(w), F.lit(0)))
+    touches = (ep.filter(F.col("event_type") != "purchase")
+               .groupBy("user_id", "p_idx")
+               .agg(F.count(F.lit(1)).alias("n_touches")))
+    purchases = (ep.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "p_idx",
+                         F.col("value").alias("purchase_value")))
+    joined = purchases.join(touches, ["user_id", "p_idx"], "left")
+    credited = (ep.filter(F.col("event_type") != "purchase")
+                .join(purchases, ["user_id", "p_idx"])
+                .join(touches, ["user_id", "p_idx"])
+                .select(F.col("event_type").alias("channel"),
+                        (F.col("purchase_value") / F.col("n_touches"))
+                        .alias("credit")))
+    direct = (joined.filter(F.col("n_touches").isNull())
+              .select(F.lit("(direct)").alias("channel"),
+                      F.col("purchase_value").alias("credit")))
+    return (credited.unionByName(direct)
+            .groupBy("channel")
+            .agg(F.count(F.lit(1)).alias("n_credits"),
+                 F.round(F.sum(F.col("credit").cast("decimal(30,10)")), 2)
+                  .cast("double").alias("attributed_value"))
+            .orderBy("channel"))
+
+
+ATTRIBUTION_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, ts, value,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS p_idx
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+touches AS (SELECT user_id, p_idx, CAST(count(*) AS BIGINT) AS n_touches
+            FROM ev WHERE event_type <> 'purchase'
+            GROUP BY user_id, p_idx),
+purchases AS (SELECT user_id, p_idx, value AS purchase_value
+              FROM ev WHERE event_type = 'purchase'),
+credited AS (
+  SELECT e.event_type AS channel,
+         p.purchase_value / t.n_touches AS credit
+  FROM ev e
+  JOIN purchases p ON e.user_id = p.user_id AND e.p_idx = p.p_idx
+  JOIN touches t ON e.user_id = t.user_id AND e.p_idx = t.p_idx
+  WHERE e.event_type <> 'purchase'),
+direct AS (
+  SELECT '(direct)' AS channel, p.purchase_value AS credit
+  FROM purchases p LEFT JOIN touches t
+    ON p.user_id = t.user_id AND p.p_idx = t.p_idx
+  WHERE t.n_touches IS NULL),
+unioned AS (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+       CAST(round(sum(CAST(credit AS DECIMAL(30,10))), 2) AS DOUBLE)
+         AS attributed_value
+FROM unioned GROUP BY channel ORDER BY channel
+"""
+
+QUERIES["attribution_linear"] = (attribution_linear, ATTRIBUTION_SQL)

@@ -382,6 +382,19 @@ def test_km_curve_shape(spark, sf_dir):
                         abs_tol=1e-6)
 
 
+def test_attribution_conserves_purchase_value(spark, sf_dir):
+    out = QUERIES["attribution_linear"](spark, sf_dir).collect()
+    from storagetapper_spark.plans.common import events_t
+    ev = events_t(spark, sf_dir)
+    total_purchase = (ev.filter(F.col("event_type") == "purchase")
+                      .agg(F.sum("value")).collect()[0][0])
+    attributed = sum(r.attributed_value for r in out)
+    # linear attribution redistributes value, never creates or loses it
+    assert math.isclose(attributed, total_purchase, rel_tol=1e-6)
+    assert {r.channel for r in out} <= {"view", "click", "(direct)"}
+    assert all(r.attributed_value >= 0 for r in out)
+
+
 def test_ab_test_z_matches_manual(spark, sf_dir):
     r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions

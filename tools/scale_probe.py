@@ -51,6 +51,10 @@ PROBES = [
     "text_lm_score",           # explode -> sparse matrix -> broadcast model
     "graph_pagerank_copurchase",  # 5-round iterative edge-list push
     "market_basket_rules",     # basket self-join + broadcast item counts
+    "graph_ppr_brand",         # weighted personalized restart
+    "peak_concurrency",        # sweep-line running sum
+    "survival_km",             # per-session rollup -> duration table
+    "forecast_holt",           # per-series applyInPandas recursion
 ]
 
 
