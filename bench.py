@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "conversion_latency", "profile_entropy", "graph_triangles",
     "vocab_coverage", "peak_concurrency", "graph_ppr_brand",
     "forecast_holt", "survival_km", "attribution_linear",
+    "sample_neyman_allocation",
 ]
 
 

@@ -1842,3 +1842,65 @@ FROM unioned GROUP BY channel ORDER BY channel
 """
 
 QUERIES["attribution_linear"] = (attribution_linear, ATTRIBUTION_SQL)
+
+
+# --- Neyman-allocation sample design ------------------------------------
+
+_NEYMAN_BUDGET = 1000
+
+
+def sample_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical sample DESIGN, the step before stratified sampling:
+    Neyman allocation assigns a fixed label budget to strata
+    proportionally to N_h·σ_h (stratum size × within-stratum spread of
+    the target metric — here order totalprice by market segment), the
+    allocation that minimizes estimator variance.  σ derives from
+    exact sums (Σx, Σx², n) so the design is engine-portable; one
+    aggregate per stratum plus a broadcast normalizer.  Allocations
+    round half-up and are capped at the stratum size."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    strat = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+             .groupBy("c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("n_h"),
+                  F.sum("o_totalprice").alias("sx"),
+                  F.sum(F.col("o_totalprice") * F.col("o_totalprice"))
+                   .alias("sxx")))
+    sigma = F.sqrt(F.col("sxx") / F.col("n_h")
+                   - (F.col("sx") / F.col("n_h"))
+                   * (F.col("sx") / F.col("n_h")))
+    weighted = strat.select("c_mktsegment", "n_h",
+                            (F.col("n_h") * sigma).alias("w"),
+                            F.round(sigma, 2).alias("sigma"))
+    tot = weighted.agg(F.sum("w").alias("tw"))
+    return (weighted.crossJoin(F.broadcast(tot))
+            .select("c_mktsegment", "n_h", "sigma",
+                    F.least(
+                        F.col("n_h"),
+                        F.round(F.lit(_NEYMAN_BUDGET)
+                                * F.col("w") / F.col("tw"), 0)
+                        .cast("long")).alias("n_alloc"))
+            .orderBy("c_mktsegment"))
+
+
+NEYMAN_SQL = f"""
+WITH strat AS (
+  SELECT c.c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n_h,
+         sum(o.o_totalprice) AS sx,
+         sum(o.o_totalprice * o.o_totalprice) AS sxx
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment),
+weighted AS (
+  SELECT c_mktsegment, n_h,
+         n_h * sqrt(sxx / n_h - (sx / n_h) * (sx / n_h)) AS w,
+         round(sqrt(sxx / n_h - (sx / n_h) * (sx / n_h)), 2) AS sigma
+  FROM strat),
+tot AS (SELECT sum(w) AS tw FROM weighted)
+SELECT c_mktsegment, n_h, sigma,
+       least(n_h, CAST(round({_NEYMAN_BUDGET} * w / tot.tw, 0) AS BIGINT))
+         AS n_alloc
+FROM weighted CROSS JOIN tot ORDER BY c_mktsegment
+"""
+
+QUERIES["sample_neyman_allocation"] = (sample_neyman_allocation, NEYMAN_SQL)

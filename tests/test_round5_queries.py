@@ -395,6 +395,21 @@ def test_attribution_conserves_purchase_value(spark, sf_dir):
     assert all(r.attributed_value >= 0 for r in out)
 
 
+def test_neyman_allocation_properties(spark, sf_dir):
+    out = QUERIES["sample_neyman_allocation"](spark, sf_dir).collect()
+    assert len(out) == 5  # one row per market segment
+    total_alloc = sum(r.n_alloc for r in out)
+    # rounding can drift the total by at most one per stratum
+    assert abs(total_alloc - 1000) <= len(out)
+    for r in out:
+        assert 0 <= r.n_alloc <= r.n_h
+        assert r.sigma > 0
+    # allocation follows N_h * sigma_h ordering
+    by_w = sorted(out, key=lambda r: r.n_h * r.sigma)
+    allocs = [r.n_alloc for r in by_w]
+    assert allocs == sorted(allocs)
+
+
 def test_ab_test_z_matches_manual(spark, sf_dir):
     r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions
