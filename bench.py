@@ -65,7 +65,8 @@ BENCH_QUERIES = [
     "conversion_latency", "profile_entropy", "graph_triangles",
     "vocab_coverage", "peak_concurrency", "graph_ppr_brand",
     "forecast_holt", "survival_km", "attribution_linear",
-    "sample_neyman_allocation",
+    "sample_neyman_allocation", "rfm_segments", "market_concentration_hhi",
+    "cohort_ltv",
 ]
 
 

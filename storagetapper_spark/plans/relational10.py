@@ -1904,3 +1904,175 @@ FROM weighted CROSS JOIN tot ORDER BY c_mktsegment
 """
 
 QUERIES["sample_neyman_allocation"] = (sample_neyman_allocation, NEYMAN_SQL)
+
+
+# --- RFM segmentation ----------------------------------------------------
+
+def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer-base segmentation by Recency / Frequency / Monetary
+    quintiles — the marketing workhorse.  Per customer: days since
+    last order (vs corpus max date), order count, total spend; each
+    scored 1-5 by ntile over a TOTAL order (metric + custkey tiebreak,
+    so the quintile boundaries are engine-exact); output is the
+    segment-size matrix.  Two shuffles (per-customer rollup, ntile
+    windows over customers) — both scale with customers, not orders."""
+    o = t(spark, sf, "orders")
+    horizon = o.agg(F.max("o_orderdate").alias("end_d"))
+    cust = (o.groupBy("o_custkey")
+            .agg(F.max("o_orderdate").alias("last_o"),
+                 F.count(F.lit(1)).alias("frequency"),
+                 F.round(F.sum(F.col("o_totalprice")
+                               .cast("decimal(30,10)")), 2)
+                  .cast("double").alias("monetary"))
+            .crossJoin(F.broadcast(horizon))
+            .select("o_custkey", "frequency", "monetary",
+                    F.datediff("end_d", "last_o").alias("recency_days")))
+    # recency: FEWER days = better → ascending ntile gives 1=best
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    scored = (cust.withColumn("r_score", F.ntile(5).over(wr))
+              .withColumn("f_score", F.ntile(5).over(wf))
+              .withColumn("m_score", F.ntile(5).over(wm)))
+    return (scored.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.avg("monetary"), 2).alias("avg_monetary"))
+            .orderBy("r_score", "f_score", "m_score"))
+
+
+RFM_SQL = """
+WITH horizon AS (SELECT max(o_orderdate) AS end_d FROM orders),
+cust AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2)
+              AS DOUBLE) AS monetary,
+         date_diff('day', max(o_orderdate),
+                   (SELECT end_d FROM horizon)) AS recency_days
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT o_custkey, monetary,
+         ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM cust)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(avg(monetary), 2) AS avg_monetary
+FROM scored GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+QUERIES["rfm_segments"] = (rfm_segments, RFM_SQL)
+
+
+# --- market concentration (HHI) -----------------------------------------
+
+def market_concentration_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-concentration screening: the Herfindahl-Hirschman index
+    (Σ share²·10000) of supplier revenue within each nation — the
+    antitrust-style metric that flags single-supplier dependence in a
+    supply chain.  One revenue rollup, one window for shares, one
+    aggregate; shares divide exact decimal sums so the index is
+    engine-portable."""
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(30,10)"))
+                .alias("rev"))
+           .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("n_name", F.col("rev").cast("double").alias("rev")))
+    w = Window.partitionBy("n_name")
+    shared = rev.withColumn("share", F.col("rev") / F.sum("rev").over(w))
+    return (shared.groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                 F.round(F.sum(F.col("share") * F.col("share")) * 10000, 2)
+                  .alias("hhi"),
+                 F.round(F.max("share"), 4).alias("top_share"))
+            .orderBy("n_name"))
+
+
+HHI_SQL = """
+WITH rev AS (
+  SELECT n.n_name,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+           AS rev
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, l.l_suppkey),
+shared AS (
+  SELECT n_name, rev,
+         rev / sum(rev) OVER (PARTITION BY n_name) AS share
+  FROM rev)
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(sum(share * share) * 10000, 2) AS hhi,
+       round(max(share), 4) AS top_share
+FROM shared GROUP BY n_name ORDER BY n_name
+"""
+
+QUERIES["market_concentration_hhi"] = (market_concentration_hhi, HHI_SQL)
+
+
+# --- cohort LTV curves ---------------------------------------------------
+
+def cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Finance's cohort lifetime-value curve: customers grouped by
+    first-order month, cumulative revenue per customer tracked by
+    month offset since acquisition — the complement of
+    retention_cohorts (activity) with money attached.  Cumulative sums
+    run per cohort over month offsets (tiny table after the rollup);
+    revenue sums use exact decimals before the boundary round."""
+    o = t(spark, sf, "orders")
+    first = (o.groupBy("o_custkey")
+             .agg(F.min(F.trunc("o_orderdate", "MM")).alias("cohort")))
+    monthly = (o.join(F.broadcast(first), "o_custkey")
+               .groupBy("cohort",
+                        (F.months_between(
+                            F.trunc("o_orderdate", "MM"),
+                            F.col("cohort"))).cast("int")
+                        .alias("month_offset"))
+               .agg(F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+                    .alias("rev")))
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_cust"))
+    w = (Window.partitionBy("cohort").orderBy("month_offset")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    # per-customer LTV divides exact cumulative CENTS with integer
+    # division — a double division can land exactly on a half-cent and
+    # round differently per engine (observed at 2/1845 rows)
+    cents = (F.sum("rev").over(w) * 100).cast("long")
+    return (monthly.join(F.broadcast(sizes), "cohort")
+            .withColumn("_cents", cents)
+            .select(F.date_format("cohort", "yyyy-MM").alias("cohort"),
+                    "month_offset", "n_cust",
+                    (F.expr("_cents DIV n_cust") / 100.0)
+                    .alias("cum_ltv_per_customer"))
+            .orderBy("cohort", "month_offset"))
+
+
+COHORT_LTV_SQL = """
+WITH first AS (
+  SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey),
+monthly AS (
+  SELECT f.cohort,
+         CAST(datediff('month', f.cohort,
+                       date_trunc('month', o.o_orderdate)) AS INT)
+           AS month_offset,
+         sum(CAST(o.o_totalprice AS DECIMAL(30,10))) AS rev
+  FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+  GROUP BY f.cohort, month_offset),
+sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cust
+          FROM first GROUP BY cohort)
+SELECT strftime(m.cohort, '%Y-%m') AS cohort, m.month_offset, s.n_cust,
+       (CAST(sum(m.rev) OVER (
+                PARTITION BY m.cohort ORDER BY m.month_offset
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
+             AS BIGINT) // s.n_cust) / 100.0 AS cum_ltv_per_customer
+FROM monthly m JOIN sizes s ON m.cohort = s.cohort
+ORDER BY cohort, month_offset
+"""
+
+QUERIES["cohort_ltv"] = (cohort_ltv, COHORT_LTV_SQL)

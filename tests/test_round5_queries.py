@@ -410,6 +410,48 @@ def test_neyman_allocation_properties(spark, sf_dir):
     assert allocs == sorted(allocs)
 
 
+def test_rfm_partitions_customer_base(spark, sf_dir):
+    out = QUERIES["rfm_segments"](spark, sf_dir).collect()
+    n_cust = (t(spark, sf_dir, "orders")
+              .select("o_custkey").distinct().count())
+    assert sum(r.n_customers for r in out) == n_cust
+    for r in out:
+        assert 1 <= r.r_score <= 5
+        assert 1 <= r.f_score <= 5
+        assert 1 <= r.m_score <= 5
+    # higher monetary score means higher average spend
+    by_m: dict = {}
+    for r in out:
+        tot, n = by_m.get(r.m_score, (0.0, 0))
+        by_m[r.m_score] = (tot + r.avg_monetary * r.n_customers,
+                           n + r.n_customers)
+    means = [by_m[m][0] / by_m[m][1] for m in sorted(by_m)]
+    assert all(a >= b for a, b in zip(means, means[1:]))  # 1=best
+
+
+def test_hhi_bounds(spark, sf_dir):
+    out = QUERIES["market_concentration_hhi"](spark, sf_dir).collect()
+    # one row per nation that HAS suppliers (the tiny fixture covers 10)
+    assert 1 <= len(out) <= 25
+    for r in out:
+        # HHI ranges from 10000/n (uniform) to 10000 (monopoly)
+        assert 10000 / r.n_suppliers - 1 <= r.hhi <= 10000 + 1
+        assert 0 < r.top_share <= 1.0
+        assert r.hhi >= 10000 * r.top_share ** 2 - 1
+
+
+def test_cohort_ltv_monotone(spark, sf_dir):
+    out = QUERIES["cohort_ltv"](spark, sf_dir).collect()
+    by_cohort: dict = {}
+    for r in out:
+        by_cohort.setdefault(r.cohort, []).append(r)
+    for cohort, rows in by_cohort.items():
+        rows.sort(key=lambda r: r.month_offset)
+        assert rows[0].month_offset == 0  # acquisition month present
+        ltvs = [r.cum_ltv_per_customer for r in rows]
+        assert all(a <= b + 1e-9 for a, b in zip(ltvs, ltvs[1:]))
+
+
 def test_ab_test_z_matches_manual(spark, sf_dir):
     r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions
