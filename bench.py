@@ -66,7 +66,8 @@ BENCH_QUERIES = [
     "vocab_coverage", "peak_concurrency", "graph_ppr_brand",
     "forecast_holt", "survival_km", "attribution_linear",
     "sample_neyman_allocation", "rfm_segments", "market_concentration_hhi",
-    "cohort_ltv",
+    "cohort_ltv", "wow_movers", "abc_classification",
+    "cycle_time_percentiles",
 ]
 
 

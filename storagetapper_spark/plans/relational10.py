@@ -2076,3 +2076,144 @@ ORDER BY cohort, month_offset
 """
 
 QUERIES["cohort_ltv"] = (cohort_ltv, COHORT_LTV_SQL)
+
+
+# --- week-over-week movers ----------------------------------------------
+
+def wow_movers(spark: SparkSession, sf: str) -> DataFrame:
+    """Operational reporting staple: week-over-week volume change per
+    event type with the relative delta — the feed behind "top movers"
+    dashboards and alert thresholds.  Weekly rollup (map-side
+    combined) then one lag window per series; percent change divides
+    exact BIGINT counts."""
+    from storagetapper_spark.plans.common import events_t
+
+    weekly = (events_t(spark, sf)
+              .groupBy("event_type",
+                       F.date_trunc("week", "ts").alias("week"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("event_type").orderBy("week")
+    return (weekly
+            .withColumn("prev_n", F.lag("n").over(w))
+            .filter(F.col("prev_n").isNotNull())
+            .select("event_type", F.to_date("week").alias("week"),
+                    "n", "prev_n",
+                    F.round((F.col("n") - F.col("prev_n"))
+                            / F.col("prev_n"), 6).alias("wow_change"))
+            .orderBy("event_type", "week"))
+
+
+WOW_SQL = """
+WITH weekly AS (
+  SELECT event_type, date_trunc('week', ts) AS week,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, date_trunc('week', ts))
+SELECT event_type, CAST(week AS DATE) AS week, n, prev_n,
+       round((n - prev_n) / CAST(prev_n AS DOUBLE), 6) AS wow_change
+FROM (SELECT event_type, week, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+      FROM weekly)
+WHERE prev_n IS NOT NULL
+ORDER BY event_type, week
+"""
+
+QUERIES["wow_movers"] = (wow_movers, WOW_SQL)
+
+
+# --- ABC (80/15/5) revenue classification -------------------------------
+
+def abc_classification(spark: SparkSession, sf: str) -> DataFrame:
+    """Inventory's ABC analysis (the discrete Pareto-80/20 cousin of
+    gini_revenue): rank parts by revenue, classify by cumulative
+    share — A up to 80%, B to 95%, C the tail — and report each
+    class's item and revenue share.  One rollup, one ordered
+    cumulative window over the part-level table, one 3-row aggregate;
+    the classification threshold compares a cumulative share rounded
+    identically in both engines."""
+    li = t(spark, sf, "lineitem")
+    rev = (li.groupBy("l_partkey")
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(30,10)"))
+                .alias("rev")))
+    tot = rev.agg(F.sum("rev").alias("t"))
+    w = (Window.orderBy(F.col("rev").desc(), F.col("l_partkey"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    shared = (rev.crossJoin(F.broadcast(tot))
+              .withColumn("cum_share",
+                          F.round((F.sum("rev").over(w) / F.col("t"))
+                                  .cast("double"), 9)))
+    classed = shared.withColumn(
+        "abc_class",
+        F.when(F.col("cum_share") <= 0.80, "A")
+         .when(F.col("cum_share") <= 0.95, "B").otherwise("C"))
+    return (classed.groupBy("abc_class")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.round((F.sum("rev") / F.first("t")).cast("double"), 6)
+                  .alias("revenue_share"))
+            .orderBy("abc_class"))
+
+
+ABC_SQL = """
+WITH rev AS (SELECT l_partkey,
+                    sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS rev
+             FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT sum(rev) AS t FROM rev),
+shared AS (
+  SELECT l_partkey, rev,
+         round(CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / tot.t AS DOUBLE), 9) AS cum_share,
+         tot.t AS t
+  FROM rev CROSS JOIN tot),
+classed AS (
+  SELECT *, CASE WHEN cum_share <= 0.80 THEN 'A'
+                 WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+  FROM shared)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(rev) / any_value(t) AS DOUBLE), 6) AS revenue_share
+FROM classed GROUP BY abc_class ORDER BY abc_class
+"""
+
+QUERIES["abc_classification"] = (abc_classification, ABC_SQL)
+
+
+# --- order-to-ship cycle times ------------------------------------------
+
+def cycle_time_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Fulfilment-ops metric: order-to-first-ship latency percentiles
+    by order priority (p50/p90/max days from o_orderdate to the
+    order's earliest l_shipdate).  The per-order min-ship rollup rides
+    the natural join key; exact percentiles over integer day gaps are
+    engine-portable (the approx_percentile swap-in is the 100 TB
+    form, as with price_outliers_mad)."""
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_orderpriority")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    first_ship = (li.groupBy("l_orderkey")
+                  .agg(F.min("l_shipdate").alias("first_ship")))
+    gaps = (o.join(first_ship, o.o_orderkey == first_ship.l_orderkey)
+            .select("o_orderpriority",
+                    F.datediff("first_ship", "o_orderdate").alias("days")))
+    return (gaps.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.percentile("days", 0.5), 2).alias("p50_days"),
+                 F.round(F.percentile("days", 0.9), 2).alias("p90_days"),
+                 F.max("days").alias("max_days"))
+            .orderBy("o_orderpriority"))
+
+
+CYCLE_TIME_SQL = """
+WITH first_ship AS (
+  SELECT l_orderkey, min(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY l_orderkey),
+gaps AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', o.o_orderdate, f.first_ship) AS days
+  FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       round(quantile_cont(days, 0.5), 2) AS p50_days,
+       round(quantile_cont(days, 0.9), 2) AS p90_days,
+       CAST(max(days) AS BIGINT) AS max_days
+FROM gaps GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES["cycle_time_percentiles"] = (cycle_time_percentiles, CYCLE_TIME_SQL)

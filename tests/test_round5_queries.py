@@ -452,6 +452,39 @@ def test_cohort_ltv_monotone(spark, sf_dir):
         assert all(a <= b + 1e-9 for a, b in zip(ltvs, ltvs[1:]))
 
 
+def test_wow_movers_recompute(spark, sf_dir):
+    out = QUERIES["wow_movers"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert math.isclose(r.wow_change,
+                            round((r.n - r.prev_n) / r.prev_n, 6),
+                            abs_tol=1e-6)
+
+
+def test_abc_classes_partition_revenue(spark, sf_dir):
+    out = {r.abc_class: r for r in
+           QUERIES["abc_classification"](spark, sf_dir).collect()}
+    n_parts = (t(spark, sf_dir, "lineitem")
+               .select("l_partkey").distinct().count())
+    assert sum(r.n_parts for r in out.values()) == n_parts
+    assert math.isclose(sum(r.revenue_share for r in out.values()), 1.0,
+                        abs_tol=1e-4)
+    if "A" in out and "C" in out:
+        # A-parts carry far more revenue per item than C-parts
+        a = out["A"].revenue_share / out["A"].n_parts
+        c = out["C"].revenue_share / out["C"].n_parts
+        assert a > c
+
+
+def test_cycle_time_ordering(spark, sf_dir):
+    out = QUERIES["cycle_time_percentiles"](spark, sf_dir).collect()
+    n_orders_with_items = (t(spark, sf_dir, "lineitem")
+                           .select("l_orderkey").distinct().count())
+    assert sum(r.n_orders for r in out) == n_orders_with_items
+    for r in out:
+        assert 0 <= r.p50_days <= r.p90_days <= r.max_days
+
+
 def test_ab_test_z_matches_manual(spark, sf_dir):
     r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions
