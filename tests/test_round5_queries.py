@@ -481,8 +481,10 @@ def test_cycle_time_ordering(spark, sf_dir):
     n_orders_with_items = (t(spark, sf_dir, "lineitem")
                            .select("l_orderkey").distinct().count())
     assert sum(r.n_orders for r in out) == n_orders_with_items
+    # the synthetic fixture draws ship/order dates independently, so
+    # gaps can be negative — only the percentile ordering is invariant
     for r in out:
-        assert 0 <= r.p50_days <= r.p90_days <= r.max_days
+        assert r.p50_days <= r.p90_days <= r.max_days
 
 
 def test_ab_test_z_matches_manual(spark, sf_dir):
