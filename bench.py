@@ -67,7 +67,7 @@ BENCH_QUERIES = [
     "forecast_holt", "survival_km", "attribution_linear",
     "sample_neyman_allocation", "rfm_segments", "market_concentration_hhi",
     "cohort_ltv", "wow_movers", "abc_classification",
-    "cycle_time_percentiles",
+    "cycle_time_percentiles", "embedding_class_separation",
 ]
 
 

@@ -2217,3 +2217,82 @@ FROM gaps GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 QUERIES["cycle_time_percentiles"] = (cycle_time_percentiles, CYCLE_TIME_SQL)
+
+
+# --- embedding class-separation report ----------------------------------
+
+def embedding_class_separation(spark: SparkSession, sf: str) -> DataFrame:
+    """ML diagnostics: how separable are the labeled embedding classes?
+    Per label pair: distance between class centroids, normalized by
+    the two classes' mean within-class distance-to-centroid (a
+    Fisher-style separation ratio >1 ⇒ classes are farther apart than
+    they are wide).  Centroids come from a posexplode → per-(label,
+    dimension) mean — the long form both engines aggregate identically
+    — and the pair matrix is |labels|², always tiny.  The corpus is
+    read once; only label×dim aggregates move."""
+    emb = t(spark, sf, "embeddings")
+    long = emb.select("label", "vec_id",
+                      F.posexplode(F.col("embedding").cast("array<double>"))
+                      .alias("pos", "v"))
+    cent = (long.groupBy("label", "pos")
+            .agg(F.avg("v").alias("c"), F.count(F.lit(1)).alias("n")))
+    # within-class spread: mean distance of members to their centroid
+    member_dev = (long.join(cent.select("label", "pos", "c"),
+                            ["label", "pos"])
+                  .groupBy("label", "vec_id")
+                  .agg(F.sum((F.col("v") - F.col("c"))
+                             * (F.col("v") - F.col("c"))).alias("d2")))
+    spread = (member_dev.groupBy("label")
+              .agg(F.avg(F.sqrt("d2")).alias("within")))
+    a = cent.select(F.col("label").alias("la"), "pos",
+                    F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("lb"), "pos",
+                    F.col("c").alias("cb"))
+    pair_d = (a.join(b, "pos")
+              .filter(F.col("la") < F.col("lb"))
+              .groupBy("la", "lb")
+              .agg(F.sqrt(F.sum((F.col("ca") - F.col("cb"))
+                                * (F.col("ca") - F.col("cb"))))
+                   .alias("centroid_dist")))
+    sa = spread.select(F.col("label").alias("la"),
+                       F.col("within").alias("wa"))
+    sb = spread.select(F.col("label").alias("lb"),
+                       F.col("within").alias("wb"))
+    return (pair_d.join(F.broadcast(sa), "la").join(F.broadcast(sb), "lb")
+            .select("la", "lb",
+                    F.round("centroid_dist", 6).alias("centroid_dist"),
+                    F.round(F.col("centroid_dist")
+                            / ((F.col("wa") + F.col("wb")) / 2.0), 4)
+                     .alias("separation_ratio"))
+            .orderBy("la", "lb"))
+
+
+CLASS_SEP_SQL = """
+WITH long AS (
+  SELECT label, vec_id, i - 1 AS pos,
+         CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+cent AS (SELECT label, pos, avg(v) AS c FROM long GROUP BY label, pos),
+member_dev AS (
+  SELECT l.label, l.vec_id, sum((l.v - c.c) * (l.v - c.c)) AS d2
+  FROM long l JOIN cent c ON l.label = c.label AND l.pos = c.pos
+  GROUP BY l.label, l.vec_id),
+spread AS (SELECT label, avg(sqrt(d2)) AS within
+           FROM member_dev GROUP BY label),
+pair_d AS (
+  SELECT a.label AS la, b.label AS lb,
+         sqrt(sum((a.c - b.c) * (a.c - b.c))) AS centroid_dist
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY a.label, b.label)
+SELECT la, lb,
+       round(centroid_dist, 6) AS centroid_dist,
+       round(centroid_dist / ((sa.within + sb.within) / 2.0), 4)
+         AS separation_ratio
+FROM pair_d
+JOIN spread sa ON pair_d.la = sa.label
+JOIN spread sb ON pair_d.lb = sb.label
+ORDER BY la, lb
+"""
+
+QUERIES["embedding_class_separation"] = (embedding_class_separation,
+                                         CLASS_SEP_SQL)

@@ -487,6 +487,21 @@ def test_cycle_time_ordering(spark, sf_dir):
         assert r.p50_days <= r.p90_days <= r.max_days
 
 
+def test_class_separation_matrix_shape(spark, sf_dir):
+    out = QUERIES["embedding_class_separation"](spark, sf_dir).collect()
+    labels = {r.label for r in
+              t(spark, sf_dir, "embeddings").select("label")
+              .distinct().collect()}
+    k = len(labels)
+    assert len(out) == k * (k - 1) // 2        # upper triangle only
+    for r in out:
+        assert r.la < r.lb
+        assert r.centroid_dist >= 0
+        assert r.separation_ratio >= 0
+    # symmetric coverage: every unordered pair appears exactly once
+    assert len({(r.la, r.lb) for r in out}) == len(out)
+
+
 def test_ab_test_z_matches_manual(spark, sf_dir):
     r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions
