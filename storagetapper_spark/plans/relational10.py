@@ -2296,3 +2296,107 @@ ORDER BY la, lb
 
 QUERIES["embedding_class_separation"] = (embedding_class_separation,
                                          CLASS_SEP_SQL)
+
+
+# --- audience overlap matrix --------------------------------------------
+
+def audience_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Audience analytics: pairwise Jaccard overlap of the user sets
+    behind each event type ("do clickers also purchase?").  Exact
+    distinct (event_type, user) pairs feed a self-join on user — the
+    intersection counts arrive via one co-partitioned join, set sizes
+    broadcast back, |A∪B| = |A|+|B|−|A∩B|.  The matrix is
+    event-type² — always tiny; at 100 TB the exact sets swap for the
+    per-type HLL sketches (streaming/sketches) with the same shape."""
+    from storagetapper_spark.plans.common import events_t
+
+    ev = (events_t(spark, sf)
+          .select("event_type", "user_id").distinct())
+    sizes = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ev.alias("a"), ev.alias("b")
+    inter = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                    & (F.col("a.event_type") < F.col("b.event_type")))
+             .groupBy(F.col("a.event_type").alias("ta"),
+                      F.col("b.event_type").alias("tb"))
+             .agg(F.count(F.lit(1)).alias("n_both")))
+    na = sizes.select(F.col("event_type").alias("ta"),
+                      F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("event_type").alias("tb"),
+                      F.col("n").alias("n_b"))
+    return (inter.join(F.broadcast(na), "ta").join(F.broadcast(nb), "tb")
+            .select("ta", "tb", "n_both", "n_a", "n_b",
+                    F.round(F.col("n_both")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_both")), 6).alias("jaccard"))
+            .orderBy("ta", "tb"))
+
+
+AUDIENCE_OVERLAP_SQL = """
+WITH ev AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          FROM ev GROUP BY event_type),
+inter AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ev a JOIN ev b ON a.user_id = b.user_id
+                     AND a.event_type < b.event_type
+  GROUP BY ta, tb)
+SELECT ta, tb, n_both, sa.n AS n_a, sb.n AS n_b,
+       round(n_both / CAST(sa.n + sb.n - n_both AS DOUBLE), 6) AS jaccard
+FROM inter JOIN sizes sa ON inter.ta = sa.event_type
+           JOIN sizes sb ON inter.tb = sb.event_type
+ORDER BY ta, tb
+"""
+
+QUERIES["audience_overlap"] = (audience_overlap, AUDIENCE_OVERLAP_SQL)
+
+
+# --- winsorized robust means --------------------------------------------
+
+def winsorized_prices(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust-statistics companion to the MAD fences: per part type, compare the raw mean of extended prices with the winsorized
+    mean (values clamped to [p05, p95] before averaging) — the spread
+    between them measures how much tail mass distorts the plain
+    average.  Exact grouped percentiles broadcast back; a clamp and a
+    second pass.  Sums run in decimal so both engines agree before
+    the boundary round."""
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
+    p = t(spark, sf, "part").select("p_partkey", "p_type")
+    priced = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    fences = (priced.groupBy("p_type")
+              .agg(F.percentile("l_extendedprice", 0.05).alias("lo"),
+                   F.percentile("l_extendedprice", 0.95).alias("hi")))
+    clamped = (priced.join(F.broadcast(fences), "p_type")
+               .withColumn("wx", F.least(F.greatest(
+                   F.col("l_extendedprice"), F.col("lo")), F.col("hi"))))
+    return (clamped.groupBy("p_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg(F.col("l_extendedprice")
+                               .cast("decimal(30,10)")), 2)
+                  .cast("double").alias("raw_mean"),
+                 F.round(F.avg(F.col("wx").cast("decimal(30,10)")), 2)
+                  .cast("double").alias("winsorized_mean"))
+            .orderBy("p_type"))
+
+
+WINSOR_SQL = """
+WITH priced AS (
+  SELECT p.p_type, l.l_extendedprice
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+fences AS (
+  SELECT p_type,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM priced GROUP BY p_type)
+SELECT priced.p_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(avg(CAST(l_extendedprice AS DECIMAL(30,10))), 2)
+            AS DOUBLE) AS raw_mean,
+       CAST(round(avg(CAST(least(greatest(l_extendedprice, lo), hi)
+                           AS DECIMAL(30,10))), 2) AS DOUBLE)
+         AS winsorized_mean
+FROM priced JOIN fences ON priced.p_type = fences.p_type
+GROUP BY priced.p_type ORDER BY priced.p_type
+"""
+
+QUERIES["winsorized_prices"] = (winsorized_prices, WINSOR_SQL)

@@ -502,6 +502,32 @@ def test_class_separation_matrix_shape(spark, sf_dir):
     assert len({(r.la, r.lb) for r in out}) == len(out)
 
 
+def test_audience_overlap_complete_and_bounded(spark, sf_dir):
+    out = QUERIES["audience_overlap"](spark, sf_dir).collect()
+    from storagetapper_spark.plans.common import events_t
+    types = sorted(r.event_type for r in
+                   events_t(spark, sf_dir).select("event_type")
+                   .distinct().collect())
+    k = len(types)
+    assert len(out) == k * (k - 1) // 2
+    for r in out:
+        assert r.ta < r.tb
+        assert 0 <= r.n_both <= min(r.n_a, r.n_b)
+        union = r.n_a + r.n_b - r.n_both
+        assert math.isclose(r.jaccard, round(r.n_both / union, 6),
+                            abs_tol=1e-6)
+
+
+def test_winsorized_mean_shrinks_toward_center(spark, sf_dir):
+    out = QUERIES["winsorized_prices"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r.n > 0 and r.winsorized_mean > 0
+        # clamping the tails cannot move the mean beyond the raw extremes
+        # and typically shrinks right-skewed price data downward
+        assert abs(r.winsorized_mean - r.raw_mean) < r.raw_mean
+
+
 def test_ab_test_z_matches_manual(spark, sf_dir):
     r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions
