@@ -68,7 +68,8 @@ BENCH_QUERIES = [
     "sample_neyman_allocation", "rfm_segments", "market_concentration_hhi",
     "cohort_ltv", "wow_movers", "abc_classification",
     "cycle_time_percentiles", "embedding_class_separation",
-    "audience_overlap", "winsorized_prices",
+    "audience_overlap", "winsorized_prices", "dedup_savings",
+    "slo_burn_rate",
 ]
 
 

@@ -2400,3 +2400,97 @@ GROUP BY priced.p_type ORDER BY priced.p_type
 """
 
 QUERIES["winsorized_prices"] = (winsorized_prices, WINSOR_SQL)
+
+
+# --- dedup savings accounting -------------------------------------------
+
+def dedup_savings(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup business case in one table: per source, how many
+    documents are exact duplicates (by content hash) and how many
+    BYTES disappear when each duplicate group keeps one canonical copy
+    — the number that justifies the pipeline stage.  One hash rollup
+    (map-side combined), no text in the shuffle beyond the 32-byte
+    digest."""
+    docs = t(spark, sf, "documents")
+    groups = (docs.groupBy("source", F.md5("text").alias("h"))
+              .agg(F.count(F.lit(1)).alias("copies"),
+                   F.sum("n_chars").alias("grp_chars"),
+                   F.min("n_chars").alias("keep_chars")))
+    return (groups.groupBy("source")
+            .agg(F.sum("copies").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_unique"),
+                 (F.sum("copies") - F.count(F.lit(1))).alias("n_dropped"),
+                 F.sum(F.col("grp_chars") - F.col("keep_chars"))
+                  .alias("chars_saved"))
+            .orderBy("source"))
+
+
+DEDUP_SAVINGS_SQL = """
+WITH groups AS (
+  SELECT source, md5(text) AS h,
+         CAST(count(*) AS BIGINT) AS copies,
+         CAST(sum(n_chars) AS BIGINT) AS grp_chars,
+         CAST(min(n_chars) AS BIGINT) AS keep_chars
+  FROM documents GROUP BY source, md5(text))
+SELECT source,
+       CAST(sum(copies) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(sum(copies) - count(*) AS BIGINT) AS n_dropped,
+       CAST(sum(grp_chars - keep_chars) AS BIGINT) AS chars_saved
+FROM groups GROUP BY source ORDER BY source
+"""
+
+QUERIES["dedup_savings"] = (dedup_savings, DEDUP_SAVINGS_SQL)
+
+
+# --- SLO error-budget burn rate -----------------------------------------
+
+_SLO_BUDGET = 0.25  # error share the SLO tolerates
+
+
+def slo_burn_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """SRE error-budget accounting: daily error share vs the SLO
+    budget, the burn rate (share/budget — >1 means the budget depletes
+    faster than it accrues), and the 7-day rolling burn that pages
+    before a slow leak exhausts the month.  Daily conditional
+    aggregate then two windows over the (tiny) day table; exact
+    BIGINT counts divide at the boundary."""
+    from storagetapper_spark.plans.common import events_t
+
+    daily = (events_t(spark, sf)
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n_total"),
+                  F.sum(F.when(F.col("event_type") == "error", 1)
+                        .otherwise(0)).alias("n_err")))
+    w7 = (Window.orderBy("day").rowsBetween(-6, 0))
+    return (daily
+            .withColumn("share", F.col("n_err") / F.col("n_total"))
+            .withColumn("r7_err", F.sum("n_err").over(w7))
+            .withColumn("r7_tot", F.sum("n_total").over(w7))
+            .select("day", "n_total", "n_err",
+                    F.round(F.col("share") / _SLO_BUDGET, 6)
+                     .alias("burn_rate"),
+                    F.round((F.col("r7_err") / F.col("r7_tot"))
+                            / _SLO_BUDGET, 6).alias("burn_rate_7d"))
+            .orderBy("day"))
+
+
+SLO_BURN_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err
+  FROM events GROUP BY CAST(ts AS DATE))
+SELECT day, n_total, n_err,
+       round((n_err / CAST(n_total AS DOUBLE)) / {_SLO_BUDGET}, 6)
+         AS burn_rate,
+       round((sum(n_err) OVER (ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+              / CAST(sum(n_total) OVER (ORDER BY day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE))
+             / {_SLO_BUDGET}, 6) AS burn_rate_7d
+FROM daily ORDER BY day
+"""
+
+QUERIES["slo_burn_rate"] = (slo_burn_rate, SLO_BURN_SQL)

@@ -528,6 +528,34 @@ def test_winsorized_mean_shrinks_toward_center(spark, sf_dir):
         assert abs(r.winsorized_mean - r.raw_mean) < r.raw_mean
 
 
+def test_dedup_savings_accounting(spark, sf_dir):
+    out = QUERIES["dedup_savings"](spark, sf_dir).collect()
+    docs = t(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in out) == docs.count()
+    n_unique_global = docs.select("source", F.md5("text")).distinct().count()
+    assert sum(r.n_unique for r in out) == n_unique_global
+    for r in out:
+        assert r.n_dropped == r.n_docs - r.n_unique
+        assert r.chars_saved >= 0
+        if r.n_dropped == 0:
+            assert r.chars_saved == 0
+
+
+def test_slo_burn_consistency(spark, sf_dir):
+    out = QUERIES["slo_burn_rate"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        share = r.n_err / r.n_total
+        assert math.isclose(r.burn_rate, round(share / 0.25, 6),
+                            abs_tol=1e-6)
+        assert 0 <= r.n_err <= r.n_total
+    # the 7-day burn smooths: its range is within the daily extremes
+    daily = [r.burn_rate for r in out]
+    rolling = [r.burn_rate_7d for r in out]
+    assert min(daily) - 1e-9 <= min(rolling)
+    assert max(rolling) <= max(daily) + 1e-9
+
+
 def test_ab_test_z_matches_manual(spark, sf_dir):
     r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions
