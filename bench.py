@@ -69,7 +69,7 @@ BENCH_QUERIES = [
     "cohort_ltv", "wow_movers", "abc_classification",
     "cycle_time_percentiles", "embedding_class_separation",
     "audience_overlap", "winsorized_prices", "dedup_savings",
-    "slo_burn_rate",
+    "slo_burn_rate", "single_source_parts", "text_length_lognormal",
 ]
 
 

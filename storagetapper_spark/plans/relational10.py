@@ -2494,3 +2494,89 @@ FROM daily ORDER BY day
 """
 
 QUERIES["slo_burn_rate"] = (slo_burn_rate, SLO_BURN_SQL)
+
+
+# --- single-source supply risk ------------------------------------------
+
+def single_source_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Supply-chain risk screening: per brand, how many shipped parts
+    depend on exactly ONE supplier (no fallback if it fails), with the
+    share of brand revenue those parts carry.  Two rollups on the
+    natural keys; the supplier-count distinct rides the same shuffle
+    as the revenue sum."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").select("p_partkey", "p_brand")
+    per_part = (li.groupBy("l_partkey")
+                .agg(F.countDistinct("l_suppkey").alias("n_suppliers"),
+                     F.sum(F.col("l_extendedprice").cast("decimal(30,10)"))
+                      .alias("rev")))
+    branded = per_part.join(F.broadcast(p),
+                            F.col("l_partkey") == F.col("p_partkey"))
+    single = F.when(F.col("n_suppliers") == 1, 1).otherwise(0)
+    return (branded.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.sum(single).alias("n_single_source"),
+                 F.round((F.sum(F.when(F.col("n_suppliers") == 1,
+                                       F.col("rev")).otherwise(0))
+                          / F.sum("rev")).cast("double"), 6)
+                  .alias("single_source_rev_share"))
+            .orderBy("p_brand"))
+
+
+SINGLE_SOURCE_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+         sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS rev
+  FROM lineitem GROUP BY l_partkey)
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_single_source,
+       round(CAST(sum(CASE WHEN n_suppliers = 1 THEN rev ELSE 0 END)
+                  / sum(rev) AS DOUBLE), 6) AS single_source_rev_share
+FROM per_part pp JOIN part p ON pp.l_partkey = p.p_partkey
+GROUP BY p.p_brand ORDER BY p.p_brand
+"""
+
+QUERIES["single_source_parts"] = (single_source_parts, SINGLE_SOURCE_SQL)
+
+
+# --- log-normal text-length fit -----------------------------------------
+
+def text_length_lognormal(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution fitting for corpus QA: document lengths are
+    classically log-normal, so fit (μ, σ) of ln(n_chars) per language
+    and report the implied median (e^μ) next to the EMPIRICAL median —
+    a large gap flags a mixture (two populations in one language
+    bucket, e.g. boilerplate + prose).  μ, σ from exact-formula sums
+    of ln values; one grouped pass plus an exact percentile."""
+    docs = t(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    lx = F.log(F.col("n_chars").cast("double"))
+    return (docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg(lx), 6).alias("mu"),
+                 F.round(F.sqrt(F.avg(lx * lx) - F.avg(lx) * F.avg(lx)), 6)
+                  .alias("sigma"),
+                 F.round(F.exp(F.avg(lx)), 2).alias("fitted_median"),
+                 F.round(F.percentile("n_chars", 0.5), 2)
+                  .alias("empirical_median"))
+            .orderBy("lang"))
+
+
+TEXT_LOGNORMAL_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(ln(CAST(n_chars AS DOUBLE))), 6) AS mu,
+       round(sqrt(avg(ln(CAST(n_chars AS DOUBLE))
+                      * ln(CAST(n_chars AS DOUBLE)))
+                  - avg(ln(CAST(n_chars AS DOUBLE)))
+                    * avg(ln(CAST(n_chars AS DOUBLE)))), 6) AS sigma,
+       round(exp(avg(ln(CAST(n_chars AS DOUBLE)))), 2) AS fitted_median,
+       round(quantile_cont(n_chars, 0.5), 2) AS empirical_median
+FROM documents WHERE n_chars > 0
+GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["text_length_lognormal"] = (text_length_lognormal,
+                                    TEXT_LOGNORMAL_SQL)

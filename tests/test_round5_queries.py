@@ -556,6 +556,30 @@ def test_slo_burn_consistency(spark, sf_dir):
     assert max(rolling) <= max(daily) + 1e-9
 
 
+def test_single_source_bounds(spark, sf_dir):
+    out = QUERIES["single_source_parts"](spark, sf_dir).collect()
+    n_parts_shipped = (t(spark, sf_dir, "lineitem")
+                       .select("l_partkey").distinct().count())
+    assert sum(r.n_parts for r in out) == n_parts_shipped
+    for r in out:
+        assert 0 <= r.n_single_source <= r.n_parts
+        assert 0.0 <= r.single_source_rev_share <= 1.0
+        if r.n_single_source == 0:
+            assert r.single_source_rev_share == 0.0
+
+
+def test_lognormal_fit_sanity(spark, sf_dir):
+    out = QUERIES["text_length_lognormal"](spark, sf_dir).collect()
+    docs = t(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in out) == docs.filter("n_chars > 0").count()
+    for r in out:
+        assert r.sigma >= 0
+        # e^mu is the geometric mean = log-normal median; for the
+        # roughly symmetric-in-log fixture it tracks the empirical one
+        assert 0.5 * r.empirical_median < r.fitted_median \
+            < 2.0 * r.empirical_median
+
+
 def test_ab_test_z_matches_manual(spark, sf_dir):
     r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions
