@@ -89,3 +89,58 @@ def test_small_dims_broadcast_in_tpch_joins(spark, sf_dir):
     for name in ("q3_shipping_priority", "q9_product_profit"):
         plan = _plan(spark, sf_dir, name)
         assert "BroadcastHashJoin" in plan, name
+
+
+BATCH10_NO_CARTESIAN = [
+    # blocked/equi-keyed pair generators from the batch-10 families
+    "fuzzy_match_parts", "entity_resolution_parts",
+    "overlapping_orders", "graph_triangles", "audience_overlap",
+]
+
+
+@pytest.mark.parametrize("name", BATCH10_NO_CARTESIAN)
+def test_batch10_pair_generators_never_go_cartesian(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+@pytest.mark.parametrize("name", ["market_basket_rules",
+                                  "hybrid_search_rrf"])
+def test_batch10_tiny_side_crossjoins_are_broadcast(spark, sf_dir, name):
+    """These queries intentionally cross-join a SINGLE-ROW aggregate
+    (order count / normalizer) or a few-row query set — acceptable
+    only as a broadcast nested-loop, never a real cartesian."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    if "BroadcastNestedLoopJoin" in plan:
+        assert ("BroadcastNestedLoopJoin BuildRight" in plan
+                or "BroadcastNestedLoopJoin BuildLeft" in plan), name
+
+
+def test_fuzzy_join_pushes_scan_filters_and_broadcasts(spark, sf_dir):
+    """The blocked fuzzy join must hash-join on the block key (never
+    sort-merge the whole part table for an 8-way block) and keep its
+    levenshtein OUT of the join condition's shuffle side."""
+    plan = _plan(spark, sf_dir, "fuzzy_match_parts")
+    assert "BroadcastHashJoin" in plan
+    assert "levenshtein" in plan  # computed post-join, JVM-side
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
+    """The assignment pass replicates the K-row centroid table; the
+    corpus must stream map-side without a shuffle by content."""
+    plan = _plan(spark, sf_dir, "embedding_kmeans_assign")
+    assert ("BroadcastNestedLoopJoin BuildRight" in plan
+            or "BroadcastHashJoin" in plan
+            or "BroadcastExchange" in plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_lm_score_single_generate_feeds_both_branches(spark, sf_dir):
+    """text_lm_score persists the doc×bigram matrix so the explode runs
+    once; the executed plan must read the cache (InMemory) rather than
+    re-deriving two Generate branches from the raw scan."""
+    df = QUERIES["text_lm_score"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
