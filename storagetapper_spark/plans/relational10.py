@@ -2580,3 +2580,45 @@ GROUP BY lang ORDER BY lang
 
 QUERIES["text_length_lognormal"] = (text_length_lognormal,
                                     TEXT_LOGNORMAL_SQL)
+
+
+# --- monthly revenue seasonality ----------------------------------------
+
+def seasonality_month(spark: SparkSession, sf: str) -> DataFrame:
+    """The order-revenue companion to seasonality_weekday: per calendar
+    month (1-12), mean monthly revenue vs the all-months mean — the
+    multiplicative index a forecaster divides out before trending.
+    Revenue sums stay decimal-exact until the boundary; the month
+    rollup is two tiny aggregates over the per-(year, month) table."""
+    o = t(spark, sf, "orders")
+    ym = (o.groupBy(F.year("o_orderdate").alias("y"),
+                    F.month("o_orderdate").alias("m"))
+          .agg(F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+               .alias("rev")))
+    overall = ym.agg((F.sum("rev") / F.count(F.lit(1))).alias("mu"))
+    return (ym.groupBy("m")
+            .agg(F.count(F.lit(1)).alias("n_months"),
+                 (F.sum("rev") / F.count(F.lit(1))).alias("_avg"))
+            .crossJoin(F.broadcast(overall))
+            .select(F.col("m").alias("month"), "n_months",
+                    F.round(F.col("_avg").cast("double"), 2)
+                     .alias("avg_revenue"),
+                    F.round((F.col("_avg") / F.col("mu")).cast("double"), 6)
+                     .alias("seasonal_index"))
+            .orderBy("month"))
+
+
+SEASONALITY_MONTH_SQL = """
+WITH ym AS (
+  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+         sum(CAST(o_totalprice AS DECIMAL(30,10))) AS rev
+  FROM orders GROUP BY year(o_orderdate), month(o_orderdate)),
+overall AS (SELECT sum(rev) / count(*) AS mu FROM ym)
+SELECT m AS month, CAST(count(*) AS BIGINT) AS n_months,
+       round(CAST(sum(rev) / count(*) AS DOUBLE), 2) AS avg_revenue,
+       round(CAST((sum(rev) / count(*)) / any_value(overall.mu)
+             AS DOUBLE), 6) AS seasonal_index
+FROM ym CROSS JOIN overall GROUP BY m ORDER BY month
+"""
+
+QUERIES["seasonality_month"] = (seasonality_month, SEASONALITY_MONTH_SQL)

@@ -580,6 +580,15 @@ def test_lognormal_fit_sanity(spark, sf_dir):
             < 2.0 * r.empirical_median
 
 
+def test_month_seasonality_weighted_mean_one(spark, sf_dir):
+    out = QUERIES["seasonality_month"](spark, sf_dir).collect()
+    assert {r.month for r in out} <= set(range(1, 13))
+    total_months = sum(r.n_months for r in out)
+    weighted = sum(r.seasonal_index * r.n_months for r in out) / total_months
+    assert math.isclose(weighted, 1.0, abs_tol=1e-3)
+    assert all(r.seasonal_index > 0 and r.avg_revenue > 0 for r in out)
+
+
 def test_ab_test_z_matches_manual(spark, sf_dir):
     r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions
