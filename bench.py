@@ -70,7 +70,8 @@ BENCH_QUERIES = [
     "cycle_time_percentiles", "embedding_class_separation",
     "audience_overlap", "winsorized_prices", "dedup_savings",
     "slo_burn_rate", "single_source_parts", "text_length_lognormal",
-    "seasonality_month",
+    "seasonality_month", "repeat_purchase_intervals",
+    "discount_effectiveness",
 ]
 
 

@@ -2622,3 +2622,86 @@ FROM ym CROSS JOIN overall GROUP BY m ORDER BY month
 """
 
 QUERIES["seasonality_month"] = (seasonality_month, SEASONALITY_MONTH_SQL)
+
+
+# --- repeat-purchase intervals ------------------------------------------
+
+def repeat_purchase_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Replenishment analytics: the distribution of days between a
+    customer's consecutive orders (median / p90 per market segment) —
+    the number that sets reorder-reminder timing and churn-risk
+    windows.  One lag window per customer over order dates, exact
+    integer day gaps, grouped percentiles."""
+    o = t(spark, sf, "orders").select("o_custkey", "o_orderkey",
+                                      "o_orderdate")
+    c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (o.withColumn("prev_d", F.lag("o_orderdate").over(w))
+            .filter(F.col("prev_d").isNotNull())
+            .select("o_custkey",
+                    F.datediff("o_orderdate", "prev_d").alias("gap_days")))
+    return (gaps.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_intervals"),
+                 F.round(F.percentile("gap_days", 0.5), 2).alias("p50_days"),
+                 F.round(F.percentile("gap_days", 0.9), 2).alias("p90_days"))
+            .orderBy("c_mktsegment"))
+
+
+REPEAT_INTERVALS_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day', lag(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS gap_days
+  FROM orders)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       round(quantile_cont(gap_days, 0.5), 2) AS p50_days,
+       round(quantile_cont(gap_days, 0.9), 2) AS p90_days
+FROM gaps JOIN customer c ON gaps.o_custkey = c.c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+QUERIES["repeat_purchase_intervals"] = (repeat_purchase_intervals,
+                                        REPEAT_INTERVALS_SQL)
+
+
+# --- discount-band effectiveness ----------------------------------------
+
+def discount_effectiveness(spark: SparkSession, sf: str) -> DataFrame:
+    """Pricing analytics: does a deeper discount move more units?  Per
+    discount band (exact cents — l_discount is 0.00-0.10 in 0.01
+    steps): line count, average quantity, and revenue per line — the
+    elasticity read-out behind promotion planning (q6/q19's decision
+    support cousin, aggregated instead of filtered).  Single scan, one
+    small-group aggregate; money stays decimal to the boundary."""
+    li = t(spark, sf, "lineitem")
+    band = F.round(F.col("l_discount") * 100).cast("int").alias("discount_pct")
+    return (li.groupBy(band)
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.round(F.avg(F.col("l_quantity")
+                               .cast("decimal(30,10)")), 4)
+                  .cast("double").alias("avg_quantity"),
+                 F.round(F.avg(F.col("l_extendedprice")
+                               .cast("decimal(30,10)")
+                               * (1 - F.col("l_discount")
+                                  .cast("decimal(12,4)"))), 2)
+                  .cast("double").alias("avg_net_revenue"))
+            .orderBy("discount_pct"))
+
+
+DISCOUNT_SQL = """
+SELECT CAST(round(l_discount * 100) AS INT) AS discount_pct,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(round(avg(CAST(l_quantity AS DECIMAL(30,10))), 4) AS DOUBLE)
+         AS avg_quantity,
+       CAST(round(avg(CAST(l_extendedprice AS DECIMAL(30,10))
+                      * (1 - CAST(l_discount AS DECIMAL(12,4)))), 2)
+            AS DOUBLE) AS avg_net_revenue
+FROM lineitem
+GROUP BY CAST(round(l_discount * 100) AS INT) ORDER BY discount_pct
+"""
+
+QUERIES["discount_effectiveness"] = (discount_effectiveness, DISCOUNT_SQL)

@@ -589,6 +589,25 @@ def test_month_seasonality_weighted_mean_one(spark, sf_dir):
     assert all(r.seasonal_index > 0 and r.avg_revenue > 0 for r in out)
 
 
+def test_repeat_intervals_counting(spark, sf_dir):
+    out = QUERIES["repeat_purchase_intervals"](spark, sf_dir).collect()
+    o = t(spark, sf_dir, "orders")
+    n_orders = o.count()
+    n_custs = o.select("o_custkey").distinct().count()
+    # every customer contributes (orders - 1) intervals
+    assert sum(r.n_intervals for r in out) == n_orders - n_custs
+    for r in out:
+        assert 0 <= r.p50_days <= r.p90_days
+
+
+def test_discount_bands_cover_all_lines(spark, sf_dir):
+    out = QUERIES["discount_effectiveness"](spark, sf_dir).collect()
+    li = t(spark, sf_dir, "lineitem")
+    assert sum(r.n_lines for r in out) == li.count()
+    assert all(0 <= r.discount_pct <= 100 for r in out)
+    assert all(r.avg_quantity > 0 and r.avg_net_revenue > 0 for r in out)
+
+
 def test_ab_test_z_matches_manual(spark, sf_dir):
     r = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1  # proper proportions
