@@ -166,14 +166,31 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
-    print(json.dumps({
+    payload = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
         "snapshot_rows_per_sec": snap_rows_per_sec,
-    }))
+    }
+    # Full per-query result on disk: the driver's stdout capture keeps
+    # only the LAST 2000 chars, so a 148-query JSON line gets its head
+    # truncated and fails to parse (BENCH_r03.json `parsed: null`).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    # stdout: same shape, but the queries map is budgeted (in
+    # BENCH_QUERIES priority order) so the whole line fits the capture.
+    shown: dict[str, float] = {}
+    out = dict(payload, queries=shown, queries_total=len(timings),
+               full="BENCH_LOCAL.json")
+    for name, sec in timings.items():
+        shown[name] = round(sec, 2)
+        if len(json.dumps(out, separators=(",", ":"))) > 1800:
+            del shown[name]
+            break
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
     return 0
 

@@ -1,0 +1,77 @@
+"""Two-pass global ranking — exact rank/ntile/percent_rank/cume_dist
+over a TOTAL ordering without an unpartitioned window over the data.
+
+The naive form `Window.partitionBy(<low-cardinality>).orderBy(...)` (or
+no partition at all) funnels the whole corpus through one task per
+partition value — a ~33 TB single-task sort at 100 TB.  The scale-safe
+classic is the two-pass rank:
+
+1. range-bucket rows by an expression MONOTONE in the leading sort key
+   (equal keys must share a bucket, so bucket order followed by
+   in-bucket order is exactly the total order);
+2. pass 1: `row_number` per (partition, bucket) — parallel across
+   buckets;
+3. pass 2: per-bucket counts -> running carry-in offsets, a window over
+   #partitions x #buckets rows (thousands at worst, never the data),
+   broadcast-joined back.  rank = offset + local row_number.
+
+Because callers use a total ordering (PK tiebreak), every row is its
+own peer group, so percent_rank = (rank-1)/(n-1) and cume_dist =
+rank/n are exact, and ntile is the standard ceil/floor split computed
+arithmetically from rank — bit-identical to the window-function forms.
+
+Used by `window_distribution` (plans/timeseries3.py) and
+`rfm_segments` (plans/relational10.py); pattern shared with the
+`peak_concurrency` two-pass sweep line (plans/relational10.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["two_pass_rank", "ntile_from_rank"]
+
+
+def two_pass_rank(df: DataFrame, order: Sequence[Column | str],
+                  bucket: Column,
+                  partition: Sequence[str] = ()) -> DataFrame:
+    """Append `_rank` (1-based global row_number within `partition`
+    under the total ordering `order`) and `_n` (partition row count).
+
+    `bucket` MUST be monotone non-decreasing in the leading sort key
+    and map equal keys to equal buckets (e.g. `floor(key / width)` for
+    an ascending sort, `-key` or `floor(-key / width)` for descending).
+    Internal columns `_b`, `_rn`, `_off` are dropped from the result.
+    """
+    part = list(partition)
+    b = df.withColumn("_b", bucket)
+    loc_w = Window.partitionBy(*part, "_b").orderBy(*order)
+    loc = b.withColumn("_rn", F.row_number().over(loc_w))
+    cnt = b.groupBy(*part, "_b").agg(F.count(F.lit(1)).alias("_c"))
+    off_w = (Window.partitionBy(*part).orderBy("_b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = cnt.withColumn("_off",
+                          F.coalesce(F.sum("_c").over(off_w), F.lit(0)))
+    tot = cnt.groupBy(*part).agg(F.sum("_c").alias("_n")) if part \
+        else cnt.agg(F.sum("_c").alias("_n"))
+    out = loc.join(F.broadcast(offs.select(*part, "_b", "_off")),
+                   [*part, "_b"])
+    out = out.join(F.broadcast(tot), part) if part \
+        else out.crossJoin(F.broadcast(tot))
+    return (out.withColumn("_rank", F.col("_off") + F.col("_rn"))
+            .drop("_b", "_rn", "_off"))
+
+
+def ntile_from_rank(rank: Column, n: Column, tiles: int) -> Column:
+    """`ntile(tiles)` derived from a 1-based rank over `n` rows: the
+    first `n % tiles` tiles get `ceil(n/tiles)` rows, the rest get
+    `floor(n/tiles)` — Spark's (and DuckDB's) exact split.  The
+    `otherwise` branch never divides by zero: q = 0 implies r = n, so
+    every rank satisfies the first condition."""
+    q, r = F.floor(n / tiles), n % tiles
+    return (F.when(rank <= r * (q + 1), F.ceil(rank / (q + 1)))
+            .otherwise(r + F.ceil((rank - r * (q + 1)) / q))
+            .cast("int"))

@@ -48,34 +48,38 @@ for mod in (relational, relational2, relational3, relational4, relational5,
 # text surface) plus the 3 queries whose oracles were fixed this round
 # into the window.  Previously-green queries keep their recorded rows.
 _CHECK_FIRST = [
-    # round-4 additions (no driver row anywhere): TPC-H completion…
-    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
-    "q11_important_parts", "q12_priority_by_status",
-    "q13_customer_distribution", "q15_top_supplier", "q16_supplier_counts",
-    "q20_dominant_suppliers", "q21_last_shippers",
-    # …training-data hygiene + profiling…
-    "contamination_check", "decontaminate", "quality_gate",
-    "ann_srp", "dedup_embedding_srp", "profile_documents",
-    # …sketches + consistent cut…
-    "sketch_hll_union", "cdc_consistent_cut",
-    # …and the warehouse-maintenance + LSH-scale batch (newest, no row
-    # anywhere; the time-series batch it displaces rotates into r4)
-    "cdc_scd2_history", "cdc_incremental_agg", "cdc_column_audit",
-    "cdc_time_travel", "dedup_minhash_lsh_star", "dedup_minhash_lsh_incr",
-    # the 6 queries never inside ANY round's window (r1-r3)
-    "agg_percentiles_approx", "cdc_latest_state_agg", "dedup_corpus_summary",
-    "sample_weighted", "text_ngram_freq", "window_sliding",
-    # red rows in r2 (oracles fixed in r3) — must land green rows
-    "conditional_agg", "sessionize", "approx_distinct",
-    # the CDC reference-parity surface (r3-window; re-secure rows in case
-    # r3's correctness file never materialized — it is absent on disk)
-    "cdc_snapshot_scan", "cdc_snapshot_filtered", "cdc_decompose_updates",
-    "cdc_latest_state", "cdc_snapshot_changelog_merge", "cdc_json_roundtrip",
-    "cdc_row_key", "cdc_sql_encoder", "cdc_sql_encoder_idempotent",
-    "cdc_dedup_retransmit", "cdc_type_coercion", "cdc_avro_roundtrip",
-    "cdc_seqno_derivation", "cdc_msgpack_roundtrip", "cdc_avro_prepare",
-    # dedup headliners (same rationale)
-    "dedup_minhash_lsh", "dedup_clusters",
+    # Round-4 window: 50 of the 97 queries that had no driver CORRECTNESS
+    # row after r1-r3 (computed mechanically per ROADMAP.md).  Priority:
+    # the LLM-pipeline headliners (VERDICT.md r3 item #1) plus the three
+    # scale-weak windows rewritten this round (peak_concurrency,
+    # window_distribution, rfm_segments) so the fixes get driver-verified.
+    # The remaining 47 rotate into round 5.
+    # TPC-H stragglers
+    "q14_promo_effect", "q17_small_quantity", "q19_disjunctive_ranges",
+    "q22_global_sales_opportunity",
+    # analytics headliners
+    "attribution_linear", "survival_km", "graph_pagerank_copurchase",
+    "graph_triangles", "graph_ppr_brand",
+    # scale-weak windows fixed this round — fixes must hash-match
+    "peak_concurrency", "window_distribution", "rfm_segments",
+    # dedup family
+    "dedup_exact", "dedup_embedding_cosine", "dedup_minhash_signature",
+    "dedup_ngram_jaccard", "dedup_ngram_containment", "dedup_survivorship",
+    "dedup_simhash", "dedup_savings",
+    # ANN / embeddings
+    "ann_brute_force", "ann_vectorized", "ann_ivf", "ann_quantized_recall",
+    "embedding_stats", "embedding_kmeans_assign", "embedding_class_separation",
+    # text analysis
+    "text_lang_id", "text_quality", "text_tokens", "text_fingerprint",
+    "text_pii_flags", "text_repetition", "text_lm_score",
+    "text_lang_confusion", "text_length_lognormal", "text_chunk_fixed",
+    "text_chunk_tokens", "vocab_coverage",
+    # sampling / dataset assembly
+    "sample_reservoir_per_group", "sample_neyman_allocation",
+    "sample_deterministic", "sample_split", "sample_mixture",
+    # pipeline composites + UDx + skew
+    "multimodal_manifest", "training_data_pipeline", "udtf_shingles",
+    "udaf_geomean", "agg_salted_skew", "entity_resolution_parts",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 assert all(n in _ALL for n in _CHECK_FIRST), "unknown name in _CHECK_FIRST"

@@ -1415,10 +1415,17 @@ def peak_concurrency(spark: SparkSession, sf: str) -> DataFrame:
     sum in time order, take the daily max.  Sessions are the same
     30-min-gap construction the `sessionize` row proves.  Boundary ties
     order starts before ends (delta desc) so touching sessions count as
-    overlapping.  The global running sum here is one window over
-    2·|sessions| tiny rows; at 100 TB it becomes the standard two-pass
-    sweep (range-partition by time, local cumsum, broadcast per-
-    partition carry-in offsets) — same math, no single-partition sort."""
+    overlapping.
+
+    Scale design (the two-pass sweep — NO unpartitioned window over the
+    data): boundary events are range-bucketed by UTC day (floor(t/86400s)
+    is monotone in t and keeps equal-t ties in one bucket, so the global
+    (t, delta desc) order is the bucket order followed by the in-bucket
+    order); pass 1 computes a per-bucket local cumsum in parallel; pass 2
+    computes one running offset per BUCKET (a window over #days rows,
+    thousands at worst) and broadcast-joins it back.  conc = local + the
+    carry-in offset — exactly the global running sum, with every full-data
+    window partitioned by day."""
     from storagetapper_spark.plans.common import events_t
 
     ev = events_t(spark, sf)
@@ -1434,10 +1441,21 @@ def peak_concurrency(spark: SparkSession, sf: str) -> DataFrame:
                  F.unix_micros(F.max("ts")).alias("e_us")))
     bounds = (sess.select(F.col("s_us").alias("t"), F.lit(1).alias("delta"))
               .unionByName(sess.select(F.col("e_us").alias("t"),
-                                       F.lit(-1).alias("delta"))))
-    sweep = Window.orderBy(F.col("t").asc(), F.col("delta").desc()) \
-                  .rowsBetween(Window.unboundedPreceding, 0)
-    running = bounds.withColumn("conc", F.sum("delta").over(sweep))
+                                       F.lit(-1).alias("delta")))
+              .withColumn("bkt", F.floor(F.col("t") / F.lit(86_400_000_000))))
+    local_w = (Window.partitionBy("bkt")
+               .orderBy(F.col("t").asc(), F.col("delta").desc())
+               .rowsBetween(Window.unboundedPreceding, 0))
+    local = bounds.withColumn("loc", F.sum("delta").over(local_w))
+    # per-bucket carry-in: running sum of PRIOR buckets' deltas — a window
+    # over one row per day, never over the data
+    off_w = (Window.orderBy("bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (bounds.groupBy("bkt").agg(F.sum("delta").alias("tot"))
+               .withColumn("off", F.coalesce(F.sum("tot").over(off_w),
+                                             F.lit(0))))
+    running = (local.join(F.broadcast(offsets.select("bkt", "off")), "bkt")
+               .withColumn("conc", F.col("loc") + F.col("off")))
     return (running
             .select(F.to_date(F.timestamp_micros("t")).alias("day"), "conc")
             .groupBy("day")
@@ -1912,10 +1930,20 @@ def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     """Customer-base segmentation by Recency / Frequency / Monetary
     quintiles — the marketing workhorse.  Per customer: days since
     last order (vs corpus max date), order count, total spend; each
-    scored 1-5 by ntile over a TOTAL order (metric + custkey tiebreak,
-    so the quintile boundaries are engine-exact); output is the
-    segment-size matrix.  Two shuffles (per-customer rollup, ntile
-    windows over customers) — both scale with customers, not orders."""
+    scored 1-5 by quintile over a TOTAL order (metric + custkey
+    tiebreak, so the quintile boundaries are engine-exact); output is
+    the segment-size matrix.
+
+    Scale design: each score is a TWO-PASS rank (operators/ranks.py) —
+    range-bucket by the metric (negated for the descending F/M sorts so
+    the bucket id stays monotone in the sort order), parallel per-bucket
+    row_number, tiny per-bucket offset window, ntile(5) derived
+    arithmetically from the global rank.  No unpartitioned window ever
+    sees the customer base, so the plan survives 10^9 customers; the
+    shuffles scale with customers, not orders."""
+    from storagetapper_spark.operators.ranks import (ntile_from_rank,
+                                                     two_pass_rank)
+
     o = t(spark, sf, "orders")
     horizon = o.agg(F.max("o_orderdate").alias("end_d"))
     cust = (o.groupBy("o_custkey")
@@ -1927,13 +1955,20 @@ def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
             .crossJoin(F.broadcast(horizon))
             .select("o_custkey", "frequency", "monetary",
                     F.datediff("end_d", "last_o").alias("recency_days")))
-    # recency: FEWER days = better → ascending ntile gives 1=best
-    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
-    scored = (cust.withColumn("r_score", F.ntile(5).over(wr))
-              .withColumn("f_score", F.ntile(5).over(wf))
-              .withColumn("m_score", F.ntile(5).over(wm)))
+    # recency: FEWER days = better → ascending rank gives 1=best;
+    # frequency/monetary rank descending via negated sort + bucket
+    scored = cust
+    for metric, asc, width, out in (
+            ("recency_days", True, 30, "r_score"),
+            ("frequency", False, 1, "f_score"),
+            ("monetary", False, 10000.0, "m_score")):
+        key = F.col(metric) if asc else -F.col(metric)
+        scored = two_pass_rank(
+            scored, [key.asc(), F.col("o_custkey").asc()],
+            F.floor(key / F.lit(width)))
+        scored = (scored.withColumn(
+            out, ntile_from_rank(F.col("_rank"), F.col("_n"), 5))
+            .drop("_rank", "_n"))
     return (scored.groupBy("r_score", "f_score", "m_score")
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  F.round(F.avg("monetary"), 2).alias("avg_monetary"))

@@ -110,15 +110,37 @@ ORDER BY prev_type, next_type
 def window_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """ntile / percent_rank / cume_dist over a TOTAL ordering (price,
     then PK) per returnflag — the remaining §2.6 window-function family.
-    The total ordering makes every rank engine-deterministic."""
-    li = t(spark, sf, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber")
-    return li.select(
+    The total ordering makes every rank engine-deterministic.
+
+    Scale design (two-pass rank — l_returnflag has cardinality 3, so a
+    naive PARTITION BY flag window is a ~33-TB single-task sort at
+    100 TB): rows are range-bucketed by price (monotone in the leading
+    sort key; equal prices share a bucket so the (flag, bucket) order +
+    in-bucket order IS the total order), pass 1 computes row_number per
+    (flag, bucket) in parallel, pass 2 turns per-bucket counts into
+    carry-in offsets (a window over #flags x #buckets rows) and
+    broadcast-joins them back — see operators/ranks.py.  Because the
+    ordering is total (unique PK tiebreak), every row is its own peer
+    group, so percent_rank = (rank-1)/(n-1), cume_dist = rank/n, and
+    ntile(4) is the standard ceil/floor split from rank — bit-identical
+    to the window-function forms.  At 100 TB swap the fixed bucket
+    width for approx-quantile cutpoints to equalize bucket volume."""
+    from storagetapper_spark.operators.ranks import (ntile_from_rank,
+                                                     two_pass_rank)
+
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    ranked = two_pass_rank(
+        li, ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        F.floor(F.col("l_extendedprice") / F.lit(2000.0)),
+        partition=["l_returnflag"])
+    rank, n = F.col("_rank"), F.col("_n")
+    return ranked.select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
-        F.ntile(4).over(w).alias("price_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"))
+        ntile_from_rank(rank, n, 4).alias("price_quartile"),
+        F.round(F.when(n == 1, F.lit(0.0)).otherwise((rank - 1) / (n - 1)),
+                6).alias("pct_rank"),
+        F.round(rank / n, 6).alias("cume"))
 
 
 WINDOW_DIST_SQL = """
