@@ -54,10 +54,12 @@ def run_snapshot_job(spark: SparkSession, registry: Registry,
 
         opts = spark_writer_options(for_table(config, reg.params))
         compression = ("gzip" if opts["compression"] == "gzip" else None)
-    if reg.output_format not in ("json",):
-        raise NotImplementedError(
-            f"snapshot output format {reg.output_format!r}: json is the "
-            "built-in; avro/msgpack go through their codec modules")
+    # encoder.Create analog (encoder/encoder.go:91-97): resolve the
+    # registration's output format through the codec registry — any
+    # registered format (json/avro/msgpack/plugins) snapshots.
+    from storagetapper_spark.functions import registry as codecs
+
+    codec = codecs.create(reg.output_format)
     snap = snapshot_scan(source_df, pk_cols=reg.pk_cols, filters=filters,
                          output_columns=output_columns)
     if sort_within_files:
@@ -70,11 +72,53 @@ def run_snapshot_job(spark: SparkSession, registry: Registry,
         par = snap.sparkSession.sparkContext.defaultParallelism
         snap = (snap.repartitionByRange(par, *reg.pk_cols)
                     .sortWithinPartitions(*reg.pk_cols))
-    encoded = encode_json(snap, pk_cols=reg.pk_cols)
+    codec_kw: dict = {}
+    schema_doc: str | None = None
+    if codec.name == "avro":
+        import json as _json
+
+        from storagetapper_spark.schema.mysql_types import (
+            struct_to_avro_schema,
+            struct_to_table_schema,
+        )
+
+        data = snap.drop("op", "seqno", "ts", "row_key")
+        ts_schema = struct_to_table_schema(
+            data.schema, reg.db, reg.table, reg.pk_cols)
+        codec_kw["avro_schema"] = struct_to_avro_schema(ts_schema)
+        schema_doc = _json.dumps(codec_kw["avro_schema"], indent=1)
+    elif codec.name == "msgpack":
+        import json as _json
+
+        # common-format events carry field names per record; the schema
+        # doc mirrors what the reference's schema-first message conveys
+        schema_doc = _json.dumps({
+            "db": reg.db, "table": reg.table, "pk": reg.pk_cols,
+            "columns": [{"name": f.name, "type": f.dataType.simpleString()}
+                        for f in snap.drop("op", "seqno", "ts",
+                                           "row_key").schema.fields]},
+            indent=1)
+    encoded = (encode_json(snap, pk_cols=reg.pk_cols)
+               if codec.name == "json"
+               else codec.encode(snap, reg.pk_cols, **codec_kw))
     out_dir = os.path.join(output_root, reg.topic())
-    manifest = write_files(encoded, out_dir, fmt="text",
+    # json → newline text (reference file pipe shape); binary codecs →
+    # parquet binary `value` column (the splittable Spark container for
+    # opaque record bytes — each cell holds the exact codec wire bytes)
+    manifest = write_files(encoded, out_dir,
+                           fmt="text" if codec.name == "json" else "parquet",
                            compression=compression,
-                           max_records_per_file=max_records_per_file)
+                           max_records_per_file=max_records_per_file,
+                           write_manifest=False)
+    # Schema precedes consumability (streamer/snapshot.go:231-234 pushes
+    # the schema message before the first row): the _SCHEMA doc lands
+    # before _DONE, so a consumer gated on the manifest always finds it.
+    if schema_doc is not None:
+        with open(os.path.join(out_dir, "_SCHEMA"), "w") as f:
+            f.write(schema_doc)
+    from storagetapper_spark.sinks.files import _write_manifest_distributed
+
+    manifest = _write_manifest_distributed(spark, out_dir)
     registry.clear_need_snapshot(reg.key)
     return manifest
 

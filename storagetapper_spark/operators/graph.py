@@ -65,6 +65,12 @@ def pagerank(edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
 
     Returns pr at full precision — callers round at the boundary.
     """
+    if directed and not eager:
+        # a directed round references the previous generation TWICE
+        # (link contributions + the dangling-mass aggregate), so an
+        # unmaterialized lazy plan doubles per iteration — 2^k lineage.
+        # Directed mode therefore always iterates eagerly.
+        eager = True
     cols = [F.col(a_col).alias("src"), F.col(b_col).alias("dst")] + (
         [F.col(weight_col).cast("double").alias("w")] if weight_col else [])
     rcols = [F.col(b_col).alias("src"), F.col(a_col).alias("dst")] + (
@@ -80,8 +86,23 @@ def pagerank(edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
     # loop then joins rank → edge on src only
     deg = sym.groupBy("src").agg(F.sum("w").alias("out_w"))
     adj = sym.join(deg, "src").persist()
-    n_nodes = adj.select("src").distinct().count()  # hits the adj cache
-    nodes = adj.select("src").distinct()
+    if directed:
+        # the node set must include pure SINKS (dst-only nodes) — they
+        # hold rank, receive link mass, and their dangling mass is
+        # redistributed each round (ADVICE r3: building ranks only from
+        # summed dst keys dropped no-in-edge nodes after iteration 1
+        # and silently lost sink mass)
+        nodes = (sym.select("src")
+                 .unionByName(sym.select(F.col("dst").alias("src")))
+                 .distinct().persist())
+        n_nodes = nodes.count()
+        sinks = nodes.join(adj.select("src").distinct(),
+                           "src", "left_anti").persist()
+    else:
+        # symmetrized edges: src covers every node, no sinks exist
+        n_nodes = adj.select("src").distinct().count()  # hits the cache
+        nodes = adj.select("src").distinct()
+        sinks = None
 
     if personalization is not None:
         p0 = personalization.select(F.col(personalization.columns[0])
@@ -109,12 +130,39 @@ def pagerank(edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
                                     / F.col("out_w")).alias("contrib")))
         summed = (contribs.groupBy("dst")
                   .agg((F.lit(damping) * F.sum("contrib")).alias("_link")))
+        if sinks is not None:
+            # dangling mass: rank sitting on out-degree-0 nodes this
+            # round, redistributed (uniformly, or onto p0 when
+            # personalized).  Collected as ONE scalar per round off the
+            # cached rank generation (directed mode is always eager) —
+            # keeping it a lazy aggregate would re-reference ranks and
+            # double the plan every iteration.
+            dm = (ranks.join(sinks, ranks.node == sinks.src)
+                  .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm"))
+                  .collect()[0]._dm)
         if p0 is not None:
             new_ranks = (nodes.join(summed, nodes.src == summed.dst, "left")
                          .join(p0, nodes.src == p0.node, "left")
                          .select(F.col("src").alias("node"),
                                  (restart
                                   + F.coalesce("_link", F.lit(0.0)))
+                                 .alias("pr")))
+            if sinks is not None:
+                new_ranks = (nodes.join(summed, nodes.src == summed.dst,
+                                        "left")
+                             .join(p0, nodes.src == p0.node, "left")
+                             .select(F.col("src").alias("node"),
+                                     (restart
+                                      + F.coalesce("_link", F.lit(0.0))
+                                      + F.lit(damping * dm)
+                                      * F.coalesce("p0", F.lit(0.0)))
+                                     .alias("pr")))
+        elif sinks is not None:
+            new_ranks = (nodes.join(summed, nodes.src == summed.dst, "left")
+                         .select(F.col("src").alias("node"),
+                                 (restart
+                                  + F.coalesce("_link", F.lit(0.0))
+                                  + F.lit(damping * dm / n_nodes))
                                  .alias("pr")))
         else:
             new_ranks = summed.select(F.col("dst").alias("node"),
@@ -126,6 +174,9 @@ def pagerank(edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
         ranks = new_ranks
     if eager:
         adj.unpersist()
+        if directed:
+            nodes.unpersist()
+            sinks.unpersist()
     # lazy mode: adj stays persisted — the caller's single action
     # consumes it; unpersisting here would evict before execution
     if scaled:

@@ -172,3 +172,50 @@ def struct_to_avro_schema(ts: TableSchema, namespace: str = "storagetapper",
         "schema_version": schema_version,
         "fields": fields,
     }
+
+
+def spark_type_to_mysql(dt: T.DataType) -> tuple[str, str]:
+    """Spark DataType → (mysql data_type, column_type) — the inverse of
+    mysql_to_spark_type, used when a registration's source is a Spark
+    DataFrame (parquet snapshot) rather than a described MySQL table.
+    Lossless for every type the engine emits; decimal keeps its
+    precision/scale in the column_type string."""
+    if isinstance(dt, T.BooleanType):
+        return "tinyint", "tinyint(1)"
+    if isinstance(dt, T.ByteType):
+        return "tinyint", "tinyint"
+    if isinstance(dt, (T.ShortType, T.IntegerType)):
+        return "int", "int"
+    if isinstance(dt, T.LongType):
+        return "bigint", "bigint"
+    if isinstance(dt, T.FloatType):
+        return "float", "float"
+    if isinstance(dt, T.DoubleType):
+        return "double", "double"
+    if isinstance(dt, T.DecimalType):
+        return "decimal", f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.BinaryType):
+        return "blob", "blob"
+    if isinstance(dt, T.DateType):
+        return "date", "date"
+    if isinstance(dt, T.TimestampType):
+        return "datetime", "datetime"
+    return "varchar", "varchar"
+
+
+def struct_to_table_schema(schema: T.StructType, db: str, table: str,
+                           pk_cols: list[str]) -> TableSchema:
+    """Spark StructType → TableSchema, so the Avro output schema can be
+    derived for ANY registered source frame (the schema the snapshot
+    path pushes before its first row, streamer/snapshot.go:231-234)."""
+    cols = []
+    for i, f in enumerate(schema.fields, start=1):
+        data_type, column_type = spark_type_to_mysql(f.dataType)
+        prec = scale = None
+        if isinstance(f.dataType, T.DecimalType):
+            prec, scale = f.dataType.precision, f.dataType.scale
+        cols.append(ColumnSchema(
+            f.name, data_type, column_type, ordinal=i, nullable=f.nullable,
+            numeric_precision=prec, numeric_scale=scale,
+            key="PRI" if f.name in pk_cols else ""))
+    return TableSchema(db, table, cols)

@@ -160,17 +160,31 @@ def read_manifest(path: str) -> dict:
         return json.load(f)
 
 
-def encrypt_files(path: str, key: bytes, suffix: str = ".enc") -> list[str]:
+def encrypt_files(path: str, key: bytes, suffix: str = ".enc",
+                  spark=None) -> list[str]:
     """Post-write encryption step — the functional analog of the
     reference's OpenPGP encrypt+sign chain (F3, pipe/file.go:384-437),
     using AES-256-GCM (authenticated encryption covers the signing
     role).  Production parity with the reference's PGP container would
     swap this for an OpenPGP implementation; the Spark-side shape
     (post-write per-file pass, original removed after encrypt) is the
-    same.  Runs driver-side here; distribute over a binaryFile read for
-    large outputs."""
-    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+    same.
+
+    DEFAULT path is distributed: with an active (or passed) Spark
+    session the work runs as ``encrypt_files_distributed`` — at 100 TB
+    the crypto scales with the write, not the driver.  The driver-side
+    loop below is only the no-session fallback (tests, tiny local
+    outputs)."""
     import secrets
+
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    if spark is not None:
+        return encrypt_files_distributed(spark, path, key, suffix=suffix)
 
     aes = AESGCM(key)
     out = []

@@ -119,6 +119,31 @@ def attribution_sink(event_stream: DataFrame, state_dir: str,
         bspark = batch_df.sparkSession
         st_cur = os.path.join(state_dir, "episodes", "current")
         cr_cur = os.path.join(state_dir, "credits", "current")
+        st_v = st_cur.replace("current", f"v{batch_id}")
+        cr_v = cr_cur.replace("current", f"v{batch_id}")
+        cr_done = os.path.exists(os.path.join(cr_v, "_SUCCESS"))
+        st_done = os.path.exists(os.path.join(st_v, "_SUCCESS"))
+        # Replay guard (foreachBatch is at-least-once, ADVICE r3): a
+        # completed v{batch_id} already contains this batch folded in —
+        # re-folding on top of 'current' would double-count credits and
+        # re-advance episode state.  Republishing the stored version is
+        # idempotent whichever side of the swap the crash hit.
+        if cr_done and st_done:
+            bspark.read.parquet(cr_v).write.mode("overwrite").parquet(cr_cur)
+            bspark.read.parquet(st_v).write.mode("overwrite").parquet(st_cur)
+            return
+        if cr_done:
+            # crash landed between the credit publish and the state
+            # write: cr_cur may ALREADY include this batch, so never
+            # re-accumulate credits — republish cr_v, and redo only the
+            # state fold (st_cur is still pre-batch).
+            bspark.read.parquet(cr_v).write.mode("overwrite").parquet(cr_cur)
+            state = (bspark.read.parquet(st_cur)
+                     if os.path.exists(st_cur) else None)
+            new_state, _ = fold_attribution_batch(state, batch_df)
+            new_state.write.mode("overwrite").parquet(st_v)
+            bspark.read.parquet(st_v).write.mode("overwrite").parquet(st_cur)
+            return
         state = (bspark.read.parquet(st_cur)
                  if os.path.exists(st_cur) else None)
         new_state, credits = fold_attribution_batch(state, batch_df)

@@ -31,15 +31,19 @@ def train_baseline(df: DataFrame, series_col: str = "event_type",
     reference period — the frozen monitor baseline."""
     daily = (df.groupBy(series_col, F.to_date(ts_col).alias("d"))
              .agg(F.count(F.lit(1)).alias("x")))
+    # variance clamped at 0: for a constant series the exact-sum form
+    # sxx/cnt - mu*mu can round to a tiny NEGATIVE, and sqrt of that is
+    # NaN — which would then propagate NaN into every sp/sn the series
+    # ever folds (ADVICE r3)
+    var = (F.col("sxx") / F.col("cnt")
+           - (F.col("sx") / F.col("cnt")) * (F.col("sx") / F.col("cnt")))
     return (daily.groupBy(series_col)
             .agg(F.sum("x").alias("sx"),
                  F.sum(F.col("x") * F.col("x")).alias("sxx"),
                  F.count(F.lit(1)).alias("cnt"))
             .select(series_col,
                     (F.col("sx") / F.col("cnt")).alias("mu"),
-                    F.sqrt(F.col("sxx") / F.col("cnt")
-                           - (F.col("sx") / F.col("cnt"))
-                           * (F.col("sx") / F.col("cnt"))).alias("sigma")))
+                    F.sqrt(F.greatest(F.lit(0.0), var)).alias("sigma")))
 
 
 def fold_cusum_batch(state: DataFrame | None, batch_daily: DataFrame,
@@ -108,13 +112,31 @@ def cusum_sink(event_stream: DataFrame, baseline: DataFrame,
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        cur = os.path.join(state_dir, "cusum", "current")
+        nxt = os.path.join(state_dir, "cusum", f"v{batch_id}")
+        # Replay guard (foreachBatch is at-least-once): a completed
+        # v{batch_id} means this batch's days are ALREADY folded into
+        # that version — re-folding them onto 'current' would corrupt
+        # sp/sn and alarm counts (ADVICE r3).  Re-publishing the stored
+        # version is idempotent whichever side of the current-swap the
+        # crash happened on.
+        if os.path.exists(os.path.join(nxt, "_SUCCESS")):
+            spark.read.parquet(nxt).write.mode("overwrite").parquet(cur)
+            return
         daily = (batch_df.groupBy(series_col,
                                   F.to_date(ts_col).alias("d"))
                  .agg(F.count(F.lit(1)).alias("x")))
-        cur = os.path.join(state_dir, "cusum", "current")
+        # Series absent from the frozen baseline (a new event_type
+        # appearing mid-stream) can't be monitored — surface them in a
+        # side table instead of silently dropping them (ADVICE r3).
+        unmatched = (daily.select(series_col).distinct()
+                     .join(F.broadcast(base.select(series_col)),
+                           series_col, "left_anti"))
+        if not unmatched.isEmpty():
+            unmatched.write.mode("append").parquet(
+                os.path.join(state_dir, "cusum", "unmonitored"))
         state = spark.read.parquet(cur) if os.path.exists(cur) else None
         new = fold_cusum_batch(state, daily, base, series_col)
-        nxt = os.path.join(state_dir, "cusum", f"v{batch_id}")
         new.write.mode("overwrite").parquet(nxt)
         spark.read.parquet(nxt).write.mode("overwrite").parquet(cur)
 

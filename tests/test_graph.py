@@ -53,3 +53,36 @@ def test_dedup_false_requires_unique_edges(spark):
                 pagerank(uniq, iterations=3, dedup=False).collect()}
     for k in baseline:
         assert math.isclose(with_dedup[k], baseline[k], rel_tol=1e-12)
+
+
+def test_directed_pagerank_keeps_sources_sinks_and_mass(spark):
+    """ADVICE r3: directed mode used to drop no-in-edge nodes after
+    iteration 1 (losing their restart mass and out-contributions),
+    exclude pure sinks from the node set, and never redistribute
+    dangling mass.  On a chain-with-sink graph a→b→c, d→c: all four
+    nodes must appear every iteration and Σpr must stay 1."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "c")], "id_a string, id_b string")
+    for eager in (True, False):
+        out = {r.node: r.pr for r in pagerank(
+            edges, iterations=5, directed=True, eager=eager).collect()}
+        assert set(out) == {"a", "b", "c", "d"}, out
+        assert abs(sum(out.values()) - 1.0) < 1e-9
+        # sources keep exactly the restart share (+ uniform dangling)
+        assert out["a"] == out["d"]
+        # the sink accumulates the most mass
+        assert out["c"] == max(out.values())
+
+
+def test_directed_personalized_pagerank_conserves_mass(spark):
+    """Personalized directed: dangling mass restarts on the seed set;
+    Σpr stays 1 and off-seed sources hold zero rank."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string")
+    seed = spark.createDataFrame([("a", 1.0)], "node string, p0 double")
+    out = {r.node: r.pr for r in pagerank(
+        edges, iterations=8, directed=True, eager=True,
+        personalization=seed).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    assert out["a"] > out["b"] > 0 and out["c"] > 0

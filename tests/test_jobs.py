@@ -167,3 +167,64 @@ def test_run_due_snapshots_parallel_isolates_failures(spark, tmp_path, sf_dir):
     # failed table stays due for retry; successes are cleared
     due = {r.key for r in registry.tables_needing_snapshot()}
     assert due == {"svc.c1.tpch.broken.v0"}
+
+
+def test_run_snapshot_job_avro(spark, tmp_path, sf_dir):
+    """E2E avro snapshot (jobs dispatch through the codec registry,
+    encoder/encoder.go:91-97): parquet-contained binary records, a
+    _SCHEMA doc written before _DONE (the schema-first event order of
+    streamer/snapshot.go:231-234), and a lossless decode back."""
+    import pyspark.sql.types as T
+
+    from storagetapper_spark.functions.avro_codec import decode_avro_binary
+
+    registry = Registry(str(tmp_path / "reg.json"))
+    reg = registry.register(TableRegistration(
+        service="svc", cluster="c1", db="tpch", table="region",
+        pk_cols=["r_regionkey"], output_format="avro"))
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    manifest = run_snapshot_job(
+        spark, registry, reg, src, str(tmp_path / "out"), compression=None)
+    assert manifest["total_records"] == 5
+    out_dir = os.path.join(str(tmp_path / "out"), "svc.tpch.region.v0")
+    assert os.path.exists(os.path.join(out_dir, "_DONE"))
+    avsc = json.load(open(os.path.join(out_dir, "_SCHEMA")))
+    assert avsc["name"] == "region"
+    assert [f["name"] for f in avsc["fields"]][-3:] == \
+        ["row_key", "ref_key", "is_deleted"]
+    back_schema = T.StructType([
+        T.StructField("r_regionkey", T.LongType()),
+        T.StructField("r_name", T.StringType()),
+        T.StructField("row_key", T.BinaryType()),
+        T.StructField("ref_key", T.LongType()),
+        T.StructField("is_deleted", T.BooleanType()),
+    ])
+    decoded = decode_avro_binary(
+        spark.read.parquet(out_dir), avsc, back_schema)
+    rows = {r.r_regionkey: r for r in decoded.collect()}
+    assert len(rows) == 5
+    assert rows[0].ref_key == -1 and rows[0].is_deleted is False
+    assert rows[0].r_name == "AFRICA"
+
+
+def test_run_snapshot_job_msgpack(spark, tmp_path, sf_dir):
+    """E2E msgpack snapshot: binary common-format events round-trip."""
+    from storagetapper_spark.functions.msgpack_codec import decode_msgpack
+
+    registry = Registry(str(tmp_path / "reg.json"))
+    reg = registry.register(TableRegistration(
+        service="svc", cluster="c1", db="tpch", table="nation",
+        pk_cols=["n_nationkey"], output_format="msgpack"))
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    manifest = run_snapshot_job(
+        spark, registry, reg, src, str(tmp_path / "out"), compression=None)
+    assert manifest["total_records"] == 25
+    out_dir = os.path.join(str(tmp_path / "out"), "svc.tpch.nation.v0")
+    doc = json.load(open(os.path.join(out_dir, "_SCHEMA")))
+    assert doc["table"] == "nation" and doc["pk"] == ["n_nationkey"]
+    decoded = decode_msgpack(spark.read.parquet(out_dir)).select("event.*")
+    evs = decoded.collect()
+    assert len(evs) == 25
+    assert all(e.Type == "insert" and e.SeqNo == -1 for e in evs)
+    names = {f["Name"] for e in evs for f in e.Fields}
+    assert "n_name" in names

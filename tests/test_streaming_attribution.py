@@ -98,3 +98,41 @@ def test_attribution_sink_end_to_end(spark, tmp_path):
     cr = {r.channel: round(r.credit, 6)
           for r in read_credits(spark, state).collect()}
     assert cr == {"view": 45.0, "click": 45.0, "(direct)": 50.0}
+
+
+def test_attribution_sink_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: deleting the checkpoint's commit
+    marker makes the restarted stream REPLAY the last batch after its
+    state swap already happened — the exact crash window from ADVICE r3.
+    The v{batch_id} guard must keep credits and episode state identical
+    instead of double-counting."""
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.DoubleType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    src, state, ckpt = (str(tmp_path / d) for d in ("feed", "st", "ck"))
+    os.makedirs(src, exist_ok=True)
+    rows = [(1, 1, "view", 1.0, 0.0), (1, 2, "purchase", 2.0, 80.0)]
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(dict(zip(
+                ("user_id", "event_id", "event_type", "ts", "value"),
+                r))) + "\n")
+    stream = spark.readStream.schema(schema).json(src)
+    attribution_sink(stream, state, ckpt).awaitTermination(60)
+    before = {r.channel: round(r.credit, 6)
+              for r in read_credits(spark, state).collect()}
+    assert before == {"view": 80.0}
+    # simulate the crash: state published, checkpoint commit lost
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    stream = spark.readStream.schema(schema).json(src)
+    attribution_sink(stream, state, ckpt).awaitTermination(60)
+    after = {r.channel: round(r.credit, 6)
+             for r in read_credits(spark, state).collect()}
+    assert after == before, "replayed batch double-counted credits"
