@@ -72,6 +72,13 @@ BENCH_QUERIES = [
     "slo_burn_rate", "single_source_parts", "text_length_lognormal",
     "seasonality_month", "repeat_purchase_intervals",
     "discount_effectiveness",
+    # approx-percentile scale twins (VERDICT r3 #5): the 100-TB plans
+    # for the exact-percentile family, benched so the scale path has a
+    # measured number next to its oracle-green exact form
+    "price_outliers_mad_approx", "cycle_time_percentiles_approx",
+    "winsorized_prices_approx",
+    # round-4 additions
+    "cdc_debezium_normalize", "text_dup_ngram_fraction", "dedup_semantic",
 ]
 
 

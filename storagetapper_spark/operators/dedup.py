@@ -527,3 +527,42 @@ def ngram_containment_pairs(df: DataFrame, bucket_cols: list[str],
                       .alias("containment"))
              .filter(F.col("containment") >= threshold)
     )
+
+
+def dup_ngram_fraction(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       shingle_n: int = 3) -> DataFrame:
+    """Corpus-duplication quality signal (the Dolma/CCNet-style
+    "fraction of content in duplicate n-grams"): per document, the
+    share of its n-gram INSTANCES whose gram occurs in more than one
+    distinct document of the corpus.  Near-1 values mean the document
+    is mostly boilerplate the corpus already has — the per-doc filter
+    signal that pairwise dedup (jaccard/minhash) does not give you.
+
+    Returns (id, n_grams, n_dup, dup_frac).
+
+    Scale shape: one generator pass (the same JVM lookahead-regex
+    shingling as minhash_signature — zero Python), ONE distinct for the
+    doc-frequency table, gram-keyed shuffles of narrow rows only; the
+    text never shuffles.  The instance table is materialized before
+    fan-out (generator-recompute hazard, see ngram_jaccard_pairs).
+    """
+    norm = normalize_text(F.col(text_col))
+    pat = "(?<!\\S)(?=(" + " ".join(["\\S+"] * shingle_n) + "))"
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias("sh"))
+    shorts = (df.select(F.col(id_col), norm.alias("sh"))
+                .filter(F.size(F.split("sh", " ")) < shingle_n))
+    inst = grams.unionByName(shorts).persist()
+    inst.count()
+    docfreq = (inst.distinct().groupBy("sh")
+               .agg(F.count(F.lit(1)).alias("_df")))
+    return (inst.join(docfreq, "sh")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.when(F.col("_df") > 1, 1).otherwise(0))
+                  .alias("n_dup"))
+            .select(id_col, "n_grams", "n_dup",
+                    F.round(F.col("n_dup") / F.col("n_grams"), 4)
+                     .alias("dup_frac")))

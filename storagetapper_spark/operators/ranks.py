@@ -45,6 +45,15 @@ def two_pass_rank(df: DataFrame, order: Sequence[Column | str],
     and map equal keys to equal buckets (e.g. `floor(key / width)` for
     an ascending sort, `-key` or `floor(-key / width)` for descending).
     Internal columns `_b`, `_rn`, `_off` are dropped from the result.
+
+    `df` is read TWICE (local ranks + bucket counts).  For a raw
+    column-pruned scan that is the right trade at any scale (scanning
+    twice beats caching a corpus); but when the input lineage is
+    expensive (aggregations, windows, a previous rank pass), pass a
+    persisted+materialized frame — and NEVER chain rank passes on each
+    other's output (each link doubles the planned lineage; rank
+    independent passes over one cached input and join, as
+    rfm_segments does).
     """
     part = list(partition)
     b = df.withColumn("_b", bucket)

@@ -296,3 +296,70 @@ def embedding_near_dup(corpus: DataFrame, id_col: str = "vec_id",
                              "cosine_sim": S[iu, ju][keep]})
 
     return c.groupBy("_bucket").applyInPandas(block_pairs, out_schema)
+
+
+def semantic_dedup(corpus: DataFrame, n_centroids: int = 16,
+                   threshold: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   centroids=None) -> DataFrame:
+    """SemDeDup-style semantic deduplication (the published method:
+    cluster the embedding space, then drop near-cosine-duplicate
+    documents WITHIN each cluster, keeping one canonical member per
+    duplicate group — Abbas et al. 2023, arXiv:2303.09540).
+
+    Composition of this module's scale primitives: centroid assignment
+    (broadcast K×dim, mapInPandas GEMM — the ivf_topk ingest path),
+    within-cell cosine pairs ≥ threshold (embedding_near_dup's blocked
+    BLAS GEMM — never all-pairs), connected components over the pair
+    edges, canonical = min id per component.
+
+    Returns (id, cell, component, is_canonical).  Default centroids are
+    the deterministic first-``n_centroids`` vectors by id (oracle-
+    reproducible); pass ``centroids=train_centroids(...)`` for the
+    k-means|| production path.  At 100 TB the corpus is bucketed by
+    cell at ingest, so the pair stage shuffles each cell once and cell
+    size bounds executor memory."""
+    import numpy as np
+
+    from storagetapper_spark.operators.dedup import connected_components
+
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+    else:
+        cent = (corpus.orderBy(id_col).limit(n_centroids)
+                .select(id_col, vec_col).collect())
+        C = np.array([list(r[1]) for r in cent], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    assign_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(vec_col, T.ArrayType(T.FloatType())),
+        T.StructField("cell", T.IntegerType()),
+    ])
+
+    def assign(batches):
+        import pandas as pd  # noqa: F401
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                                1e-12)
+            pdf = pdf.copy()
+            pdf["cell"] = (Vn @ Cn.T).argmax(axis=1).astype("int32")
+            yield pdf[[id_col, vec_col, "cell"]]
+
+    assigned = (corpus.select(id_col, vec_col)
+                .mapInPandas(assign, assign_schema).persist())
+    assigned.count()   # materialize: pairs + decision join both read it
+    pairs = embedding_near_dup(assigned, id_col=id_col, vec_col=vec_col,
+                               threshold=threshold, block_col="cell")
+    comp = connected_components(pairs)
+    dec = (assigned.select(id_col, "cell")
+           .join(comp, F.col(id_col) == F.col("node"), "left")
+           .select(F.col(id_col), F.col("cell"),
+                   F.coalesce("comp", F.col(id_col)).alias("component"),
+                   (F.col("comp").isNull()
+                    | (F.col("comp") == F.col(id_col)))
+                   .alias("is_canonical")))
+    return dec

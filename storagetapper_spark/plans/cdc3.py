@@ -349,3 +349,66 @@ QUERIES.update({
     "cdc_scd2_bitemporal": (cdc_scd2_bitemporal, SCD2_BITEMPORAL_SQL),
     "cdc_table_checksum": (cdc_table_checksum, TABLE_CHECKSUM_SQL),
 })
+
+
+# --- Debezium envelope normalization (S2 real-world adapter) ------------
+
+def cdc_debezium_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-trip through the Debezium wire format: build envelopes
+    {before, after, op: c/u/d, ts_ms, source{gtid,pos}} from the events
+    feed with to_json (JVM-side), parse them back through
+    sources/debezium.parse_debezium (the changelog/mysql.go:530-538 op
+    mapping, seqno = binlog pos), and aggregate the normalized
+    contract.  The oracle computes the same mapping straight from the
+    raw feed — equality proves the adapter is lossless."""
+    from pyspark.sql import types as T
+
+    from storagetapper_spark.sources.debezium import parse_debezium
+
+    ev = events_t(spark, sf).select("user_id", "event_id", "event_type",
+                                    "ts", "value")
+    row = F.struct(F.col("user_id"), F.col("event_type"), F.col("value"))
+    code = (F.when(F.col("event_type") == "signup", F.lit("c"))
+            .when(F.col("event_type") == "error", F.lit("d"))
+            .otherwise(F.lit("u")))
+    envelope = F.to_json(F.struct(
+        F.when(code == "d", row).alias("before"),
+        F.when(code != "d", row).alias("after"),
+        code.alias("op"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.struct(
+            F.concat(F.lit("uuid:1-"), F.col("event_id")).alias("gtid"),
+            F.lit("binlog.000001").alias("file"),
+            F.col("event_id").cast("long").alias("pos"),
+            F.lit("app").alias("db"), F.lit("events").alias("table"),
+        ).alias("source")), {"ignoreNullFields": "false"})
+    feed = ev.select(envelope.alias("value"))
+    table_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    parsed = parse_debezium(feed, table_schema, pk_cols=["user_id"])
+    return (parsed.groupBy("op")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("seqno").alias("min_seqno"),
+                 F.max("seqno").alias("max_seqno"),
+                 F.countDistinct("row_key").alias("n_keys"))
+            .orderBy("op"))
+
+
+DEBEZIUM_SQL = """
+WITH m AS (
+  SELECT CASE WHEN event_type = 'signup' THEN 'insert'
+              WHEN event_type = 'error' THEN 'delete'
+              ELSE 'update' END AS op,
+         CAST(event_id AS BIGINT) AS seqno,
+         CAST(user_id AS VARCHAR) AS row_key
+  FROM events)
+SELECT op, CAST(count(*) AS BIGINT) AS n_events,
+       min(seqno) AS min_seqno, max(seqno) AS max_seqno,
+       CAST(count(DISTINCT row_key) AS BIGINT) AS n_keys
+FROM m GROUP BY op ORDER BY op
+"""
+
+QUERIES["cdc_debezium_normalize"] = (cdc_debezium_normalize, DEBEZIUM_SQL)

@@ -825,7 +825,148 @@ WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
 """
 
 
+# --- corpus-duplication fraction (Dolma/CCNet-style quality signal) -----
+
+def text_dup_ngram_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source rollup of operators/dedup.dup_ngram_fraction: how much
+    of each source's content is n-grams the corpus already has in
+    another document.  The share divides exact integer gram counts
+    (single division, then round) and the flag compares integers
+    (n_dup*10 >= n_grams*3, i.e. dup_frac >= 0.3) so both engines
+    agree at boundaries."""
+    docs = t(spark, sf, "documents")
+    frac = D.dup_ngram_fraction(docs, shingle_n=_SHINGLE_N)
+    per_doc = frac.join(docs.select("doc_id", "source"), "doc_id")
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_grams").alias("n_grams"),
+                 F.sum("n_dup").alias("n_dup"),
+                 F.round(F.sum("n_dup") / F.sum("n_grams"), 4)
+                  .alias("dup_instance_share"),
+                 F.sum(F.when(F.col("n_dup") * 10
+                              >= F.col("n_grams") * 3, 1).otherwise(0))
+                  .alias("n_flagged"))
+            .orderBy("source"))
+
+
+TEXT_DUP_NGRAM_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT doc_id, source, string_split(nt, ' ') AS w FROM norm
+), inst AS (
+  SELECT doc_id, source, unnest(
+           CASE WHEN len(w) < {_SHINGLE_N} THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - {_SHINGLE_N - 1} + 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+           END) AS s
+  FROM toks
+), docfreq AS (
+  SELECT s, count(*) AS df FROM (SELECT DISTINCT doc_id, s FROM inst)
+  GROUP BY s
+), per_doc AS (
+  SELECT i.doc_id, any_value(i.source) AS source,
+         count(*) AS n_grams,
+         sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM inst i JOIN docfreq d ON i.s = d.s
+  GROUP BY i.doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_grams) AS BIGINT) AS n_grams,
+       CAST(sum(n_dup) AS BIGINT) AS n_dup,
+       round(sum(n_dup) / sum(n_grams), 4) AS dup_instance_share,
+       CAST(sum(CASE WHEN n_dup * 10 >= n_grams * 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+# --- semantic dedup (SemDeDup composition) -------------------------------
+
+_SEMDEDUP_K, _SEMDEDUP_THRESH = 16, 0.35
+
+
+def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/similarity.semantic_dedup over the embeddings fixture
+    (deterministic first-K centroids; threshold 0.35 because the
+    fixture vectors are near-random — real corpora use ~0.95+), rolled
+    up per label: vectors kept vs dropped.  The oracle replicates the
+    whole chain in SQL — argmax-cosine assignment (ties to the lowest
+    cell, matching np.argmax), within-cell pair edges on round-6
+    cosine, components via recursive CTE, canonical = min id."""
+    from storagetapper_spark.operators import similarity as S2
+
+    emb = t(spark, sf, "embeddings")
+    dec = S2.semantic_dedup(emb, n_centroids=_SEMDEDUP_K,
+                            threshold=_SEMDEDUP_THRESH)
+    lab = emb.select("vec_id", "label")
+    return (dec.join(lab, "vec_id")
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.sum(F.when(F.col("is_canonical"), 1).otherwise(0))
+                  .alias("n_kept"),
+                 F.sum(F.when(F.col("is_canonical"), 0).otherwise(1))
+                  .alias("n_dropped"))
+            .orderBy("label"))
+
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH RECURSIVE cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         CAST(embedding AS DOUBLE[]) AS c
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {_SEMDEDUP_K})
+), scored AS (
+  SELECT e.vec_id, e.label, cents.cell,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cents.c)
+           AS cos
+  FROM embeddings e CROSS JOIN cents
+), assigned AS (
+  SELECT vec_id, label, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cell ASC) AS rn
+    FROM scored) WHERE rn = 1
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a
+  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])), 6)
+        >= {_SEMDEDUP_THRESH}
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+), comp AS (
+  SELECT a AS vec_id, least(a, min(b)) AS component
+  FROM reach GROUP BY a
+)
+SELECT ass.label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN comp.component IS NULL
+                     OR comp.component = ass.vec_id
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN comp.component IS NOT NULL
+                     AND comp.component <> ass.vec_id
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM assigned ass LEFT JOIN comp ON ass.vec_id = comp.vec_id
+GROUP BY ass.label ORDER BY ass.label
+"""
+
+
 QUERIES = {
+    "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
+    "text_dup_ngram_fraction": (text_dup_ngram_fraction,
+                                TEXT_DUP_NGRAM_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_COS_SQL),
     "dedup_clusters": (dedup_clusters, _clusters_sql()),

@@ -186,3 +186,30 @@ def test_two_pass_windows_never_sort_the_data_in_one_task(spark, sf_dir,
         assert has_agg_below, (
             f"{name}: unpartitioned WindowExec over raw data:\n{node}")
     assert saw_partitioned, f"{name}: expected a bucket-partitioned window"
+
+
+def test_no_registry_query_windows_raw_data_in_one_task(spark, sf_dir):
+    """Registry-wide closure of the r3 scale-killer class: NO query may
+    run an unpartitioned Window (or WindowGroupLimit) directly over
+    un-aggregated input — that is a single-task sort of the corpus at
+    100 TB.  Unpartitioned windows are allowed only above an Aggregate
+    (tiny bucket/offset tables).  The audit that motivated this found
+    exactly the three r3-flagged queries and nothing else."""
+    offenders = {}
+    for name, fn in QUERIES.items():
+        root = fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
+        hits = []
+        for node in _walk_physical(root):
+            if node.getClass().getSimpleName() not in (
+                    "WindowExec", "WindowGroupLimitExec"):
+                continue
+            if not node.partitionSpec().isEmpty():
+                continue
+            has_agg_below = any(
+                "Aggregate" in d.getClass().getSimpleName()
+                for d in _walk_physical(node.children().apply(0)))
+            if not has_agg_below:
+                hits.append(node.getClass().getSimpleName())
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders

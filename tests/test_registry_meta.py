@@ -20,8 +20,16 @@ def con(sf_dir):
     return c
 
 
+# Rows-only by design: sketch outputs are engine-specific (DuckDB can't
+# reproduce Spark's approx_percentile), so the scale twins carry no
+# oracle SQL — their numeric contract vs the exact oracle-green forms
+# lives in tests/test_approx_percentile_twins.py.
+ROWS_ONLY = {"price_outliers_mad_approx", "cycle_time_percentiles_approx",
+             "winsorized_prices_approx"}
+
+
 def test_every_query_has_an_oracle():
-    missing = set(registry.QUERIES) - set(registry.ORACLES)
+    missing = set(registry.QUERIES) - set(registry.ORACLES) - ROWS_ONLY
     assert not missing, f"queries without oracle SQL: {sorted(missing)}"
 
 

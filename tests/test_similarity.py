@@ -53,3 +53,29 @@ def test_planes_deterministic():
     p = make_planes(16, 6)
     assert len(p) == 6 and len(p[0]) == 16
     assert all(-1.0 <= x <= 1.0 for row in p for x in row)
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """SemDeDup decisions: every duplicate component lives inside ONE
+    centroid cell, the canonical member is the component min id, and
+    each component keeps exactly one canonical."""
+    from pyspark.sql import functions as F
+
+    from storagetapper_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dec = semantic_dedup(emb, n_centroids=8, threshold=0.35).persist()
+    rows = dec.collect()
+    assert len(rows) == emb.count()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        assert comp == min(m.vec_id for m in members)
+        canon = [m for m in members if m.is_canonical]
+        assert len(canon) == 1 and canon[0].vec_id == comp
+        if len(members) > 1:
+            assert len({m.cell for m in members}) == 1, comp
+    # at least one non-trivial duplicate group at this threshold
+    assert any(len(m) > 1 for m in by_comp.values())
+    dec.unpersist()
