@@ -886,13 +886,14 @@ FROM per_doc GROUP BY source ORDER BY source
 
 # --- semantic dedup (SemDeDup composition) -------------------------------
 
-_SEMDEDUP_K, _SEMDEDUP_THRESH = 16, 0.35
+_SEMDEDUP_K, _SEMDEDUP_THRESH = 16, 0.45
 
 
 def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     """operators/similarity.semantic_dedup over the embeddings fixture
-    (deterministic first-K centroids; threshold 0.35 because the
-    fixture vectors are near-random — real corpora use ~0.95+), rolled
+    (deterministic first-K centroids; threshold 0.45 because the
+    fixture vectors are near-random — real corpora use ~0.95+; 0.35
+    chains most of the corpus into ONE sprawling component), rolled
     up per label: vectors kept vs dropped.  The oracle replicates the
     whole chain in SQL — argmax-cosine assignment (ties to the lowest
     cell, matching np.argmax), within-cell pair edges on round-6

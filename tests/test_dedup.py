@@ -158,3 +158,18 @@ def test_lsh_incremental_maintains_pair_set(spark, sf_dir):
     # incremental pairs always involve a new doc
     for r in incr.collect():
         assert r.id_a % 5 == 0 or r.id_b % 5 == 0
+
+
+def test_connected_components_long_chain(spark):
+    """Regression (r4): plain per-round label propagation referenced the
+    previous generation 3x per round — the unmaterialized plan grew
+    ~3^k and OOMed an 8g heap at diameter ~17, and max_iters=20 would
+    have silently misclustered longer chains.  Pointer-jumping +
+    per-round localCheckpoint must resolve a 400-node chain exactly."""
+    from storagetapper_spark.operators.dedup import connected_components
+
+    e = spark.createDataFrame([(i, i + 1) for i in range(400)],
+                              "id_a long, id_b long")
+    rows = connected_components(e).collect()
+    assert len(rows) == 401
+    assert all(r.comp == 0 for r in rows)

@@ -52,9 +52,15 @@ PROBES = [
     "graph_pagerank_copurchase",  # 5-round iterative edge-list push
     "market_basket_rules",     # basket self-join + broadcast item counts
     "graph_ppr_brand",         # weighted personalized restart
-    "peak_concurrency",        # sweep-line running sum
+    "peak_concurrency",        # two-pass sweep-line (bucketed cumsum)
     "survival_km",             # per-session rollup -> duration table
     "forecast_holt",           # per-series applyInPandas recursion
+    # round-4 additions
+    "window_distribution",     # two-pass rank over price buckets
+    "rfm_segments",            # fused 3-metric two-pass quintiles
+    "dedup_semantic",          # centroid cells -> blocked GEMM -> CC
+    "text_dup_ngram_fraction",  # gram-keyed docfreq join
+    "cdc_debezium_normalize",  # to_json/from_json envelope round-trip
 ]
 
 
