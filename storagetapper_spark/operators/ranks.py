@@ -32,7 +32,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["two_pass_rank", "ntile_from_rank"]
+__all__ = ["two_pass_rank", "ntile_from_rank", "quantile_buckets"]
 
 
 def two_pass_rank(df: DataFrame, order: Sequence[Column | str],
@@ -84,3 +84,25 @@ def ntile_from_rank(rank: Column, n: Column, tiles: int) -> Column:
     return (F.when(rank <= r * (q + 1), F.ceil(rank / (q + 1)))
             .otherwise(r + F.ceil((rank - r * (q + 1)) / q))
             .cast("int"))
+
+
+def quantile_buckets(df: DataFrame, col: str, n_buckets: int = 64,
+                     rel_err: float = 0.001) -> Column:
+    """A bucket expression for `two_pass_rank` whose buckets hold
+    roughly equal row counts regardless of the data distribution — the
+    100 TB form the fixed-width callers reference: fixed width degrades
+    when the sort key is skewed (one hot bucket re-creates the
+    single-task sort), quantile cutpoints cannot.
+
+    One `approxQuantile` pass computes n_buckets-1 cutpoints (a
+    bounded driver-side list, broadcast into the expression); bucket =
+    count of cutpoints strictly below the value, which is monotone in
+    the sort key and maps equal keys to equal buckets — exactly the
+    contract `two_pass_rank` requires, so exactness is unaffected by
+    the approximation (only balance is approximate)."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = sorted(set(df.approxQuantile(col, probs, rel_err)))
+    out: Column = F.lit(0)
+    for c in cuts:
+        out = out + (F.col(col) > F.lit(c)).cast("int")
+    return out

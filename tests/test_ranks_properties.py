@@ -43,3 +43,25 @@ def test_two_pass_matches_window_functions(spark, data, width, tiles):
     got_by_pk = {r.pk: (r._rank, r.nt, r.pr, r.cd) for r in out}
     for r in want:
         assert got_by_pk[r.pk] == (r.rank, r.nt, r.pr, r.cd), r.pk
+
+
+@given(st.lists(st.integers(0, 5), min_size=1, max_size=40),
+       st.integers(2, 8))
+@settings(max_examples=6, deadline=None)
+def test_quantile_buckets_preserve_exactness_under_skew(spark, vals,
+                                                        n_buckets):
+    """quantile_buckets feeds two_pass_rank on HEAVILY skewed keys
+    (duplicates everywhere): ranks must still equal the window form —
+    the cutpoints only rebalance buckets, never change results."""
+    from storagetapper_spark.operators.ranks import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "v long, pk long")
+    bucket = quantile_buckets(df, "v", n_buckets=n_buckets)
+    got = two_pass_rank(df, [F.col("v").asc(), F.col("pk").asc()], bucket)
+    w = Window.orderBy(F.col("v").asc(), F.col("pk").asc())
+    want = {r.pk: r.rank
+            for r in df.select("pk",
+                               F.row_number().over(w).alias("rank")).collect()}
+    for r in got.select("pk", "_rank").collect():
+        assert want[r.pk] == r._rank
