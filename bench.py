@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "winsorized_prices_approx",
     # round-4 additions
     "cdc_debezium_normalize", "text_dup_ngram_fraction", "dedup_semantic",
+    "agg_percentiles_tpr",
 ]
 
 

@@ -106,3 +106,51 @@ def quantile_buckets(df: DataFrame, col: str, n_buckets: int = 64,
     for c in cuts:
         out = out + (F.col(col) > F.lit(c)).cast("int")
     return out
+
+
+def exact_percentiles(df: DataFrame, value_col: str,
+                      probs: Sequence[float], bucket: Column,
+                      partition: Sequence[str] = ()) -> DataFrame:
+    """EXACT interpolated percentiles (percentile_cont semantics —
+    identical to Spark's `percentile()` and DuckDB's `quantile_cont`)
+    computed via two-pass rank instead of a per-group sort.
+
+    `percentile()` sorts every group inside one task — the scale
+    ceiling the approx twins dodge by giving up exactness.  This keeps
+    exactness: rank the values with `two_pass_rank` (parallel across
+    range buckets), then for each prob p take the rows at positions
+    floor/ceil of 1 + p*(n-1) and interpolate.  Only the O(#probs)
+    boundary rows per partition survive the filter, so the final
+    aggregate is tiny.  Ties need no tiebreak: any total order
+    extending value-order puts the same VALUE at the k-th position.
+
+    Returns one row per partition key with a `p_<prob>` double column
+    per requested prob (dots stripped, e.g. p_0_5)."""
+    part = list(partition)
+    ranked = two_pass_rank(df.select(*part, value_col),
+                           [F.col(value_col).asc()], bucket,
+                           partition=part)
+    v, n, rank = F.col(value_col), F.col("_n"), F.col("_rank")
+    keep = F.lit(False)
+    for p in probs:
+        pos = 1 + F.lit(p) * (n - 1)
+        lo = F.floor(pos)
+        keep = keep | (rank == lo) | (rank == lo + 1)
+    boundary = ranked.where(keep)
+    aggs = [F.max(n).alias("_nn")]
+    for i, p in enumerate(probs):
+        pos = 1 + F.lit(p) * (n - 1)
+        lo = F.floor(pos)
+        aggs.append(F.max(F.when(rank == lo, v)).alias(f"_vlo_{i}"))
+        aggs.append(F.max(F.when(rank == lo + 1, v)).alias(f"_vhi_{i}"))
+    grouped = boundary.groupBy(*part) if part else boundary.groupBy()
+    agged = grouped.agg(*aggs)
+    sel: list[Column] = [F.col(c) for c in part]
+    for i, p in enumerate(probs):
+        pos = 1 + F.lit(p) * (F.col("_nn") - 1)
+        frac = pos - F.floor(pos)
+        v_lo, v_hi = F.col(f"_vlo_{i}"), F.col(f"_vhi_{i}")
+        name = f"p_{str(p).replace('.', '_')}"
+        sel.append((v_lo + frac * (F.coalesce(v_hi, v_lo) - v_lo))
+                   .alias(name))
+    return agged.select(*sel)

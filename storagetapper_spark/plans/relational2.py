@@ -60,6 +60,34 @@ FROM lineitem GROUP BY l_linestatus
 """
 
 
+def agg_percentiles_tpr(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME exact percentiles as agg_percentiles — same oracle SQL —
+    computed scale-safely: operators/ranks.exact_percentiles ranks the
+    values with the two-pass rank (parallel across price buckets, no
+    per-group single-task sort) and interpolates the boundary rows.
+    This retires the 'exact percentile family is scale-weak' flag with
+    an EXACT plan, not an approximation: percentile() is kept in
+    agg_percentiles as the reference form, this is the 100 TB form,
+    and both hash-match the same DuckDB quantile_cont oracle."""
+    from storagetapper_spark.operators.ranks import exact_percentiles
+
+    li = t(spark, sf, "lineitem")
+    price = exact_percentiles(
+        li, "l_extendedprice", [0.5, 0.25, 0.95],
+        F.floor(F.col("l_extendedprice") / F.lit(2000.0)),
+        partition=["l_linestatus"])
+    qty = exact_percentiles(
+        li, "l_quantity", [0.5], F.floor(F.col("l_quantity") / F.lit(5.0)),
+        partition=["l_linestatus"]) \
+        .withColumnRenamed("p_0_5", "q_0_5")
+    return (price.join(qty, "l_linestatus")
+            .select("l_linestatus",
+                    F.round("p_0_5", 4).alias("p50"),
+                    F.round("p_0_25", 4).alias("p25"),
+                    F.round("p_0_95", 4).alias("p95"),
+                    F.round("q_0_5", 4).alias("median_qty")))
+
+
 # exact percentile() sorts every group — correct for the oracle, wrong
 # at 100 TB.  The scaled variant uses approx_percentile (t-digest-style
 # mergeable sketch, one partial-agg pass, no per-group sort); its values
@@ -296,6 +324,7 @@ QUERIES = {
     "agg_stats": (agg_stats, AGG_STATS_SQL),
     "agg_percentiles": (agg_percentiles, PERCENTILES_SQL),
     "agg_percentiles_approx": (agg_percentiles_approx, PERCENTILES_APPROX_SQL),
+    "agg_percentiles_tpr": (agg_percentiles_tpr, PERCENTILES_SQL),
     "pivot_returnflag": (pivot_returnflag, PIVOT_SQL),
     "date_functions": (date_functions, DATE_SQL),
     "string_functions2": (string_functions, STRING_SQL),
