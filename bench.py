@@ -79,7 +79,9 @@ BENCH_QUERIES = [
     "winsorized_prices_approx",
     # round-4 additions
     "cdc_debezium_normalize", "text_dup_ngram_fraction", "dedup_semantic",
-    "agg_percentiles_tpr",
+    # two-pass-rank EXACT percentile forms (scale-safe, same oracles)
+    "agg_percentiles_tpr", "price_outliers_mad_tpr",
+    "cycle_time_percentiles_tpr", "winsorized_prices_tpr",
 ]
 
 

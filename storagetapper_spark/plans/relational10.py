@@ -2866,3 +2866,103 @@ def winsorized_prices_approx(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["winsorized_prices_approx"] = (winsorized_prices_approx, None)
+
+
+# --- two-pass-rank exact forms of the percentile family ------------------
+# Same oracles as their percentile() siblings (both are exact
+# percentile_cont), but every ranking runs through
+# operators/ranks.exact_percentiles — parallel across range buckets, no
+# per-group single-task sort — so the exact answer survives 100 TB.
+# At production scale the intermediate frames (gaps, priced) would be
+# materialized tables; here they are scanned per rank pass (scans beat
+# caching a corpus).
+
+def price_outliers_mad_tpr(spark: SparkSession, sf: str) -> DataFrame:
+    """price_outliers_mad with rank-based exact medians."""
+    from storagetapper_spark.operators.ranks import exact_percentiles
+
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
+    p = t(spark, sf, "part").select("p_partkey", "p_brand")
+    priced = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    med = (exact_percentiles(priced, "l_extendedprice", [0.5],
+                             F.floor(F.col("l_extendedprice") / F.lit(2000.0)),
+                             partition=["p_brand"])
+           .withColumnRenamed("p_0_5", "med"))
+    dev = (priced.join(F.broadcast(med), "p_brand")
+           .withColumn("adev", F.abs(F.col("l_extendedprice") - F.col("med"))))
+    mad = (exact_percentiles(dev, "adev", [0.5],
+                             F.floor(F.col("adev") / F.lit(1000.0)),
+                             partition=["p_brand"])
+           .withColumnRenamed("p_0_5", "mad"))
+    return (dev.join(F.broadcast(mad), "p_brand")
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.first("med"), 2).alias("median_price"),
+                 F.round(F.first("mad"), 2).alias("mad"),
+                 F.sum(F.when(F.abs(F.col("l_extendedprice")
+                                    - F.col("med"))
+                              > 3.0 * F.col("mad"), 1).otherwise(0))
+                  .alias("n_outliers"))
+            .orderBy("p_brand"))
+
+
+QUERIES["price_outliers_mad_tpr"] = (price_outliers_mad_tpr, MAD_SQL)
+
+
+def cycle_time_percentiles_tpr(spark: SparkSession, sf: str) -> DataFrame:
+    """cycle_time_percentiles with rank-based exact p50/p90."""
+    from storagetapper_spark.operators.ranks import exact_percentiles
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate",
+                                      "o_orderpriority")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    first_ship = (li.groupBy("l_orderkey")
+                  .agg(F.min("l_shipdate").alias("first_ship")))
+    gaps = (o.join(first_ship, o.o_orderkey == first_ship.l_orderkey)
+            .select("o_orderpriority",
+                    F.datediff("first_ship", "o_orderdate").alias("days")))
+    pct = exact_percentiles(gaps, "days", [0.5, 0.9],
+                            F.floor(F.col("days") / F.lit(10.0)),
+                            partition=["o_orderpriority"])
+    base = (gaps.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.max("days").alias("max_days")))
+    return (base.join(F.broadcast(pct), "o_orderpriority")
+            .select("o_orderpriority", "n_orders",
+                    F.round("p_0_5", 2).alias("p50_days"),
+                    F.round("p_0_9", 2).alias("p90_days"),
+                    "max_days")
+            .orderBy("o_orderpriority"))
+
+
+QUERIES["cycle_time_percentiles_tpr"] = (cycle_time_percentiles_tpr,
+                                         CYCLE_TIME_SQL)
+
+
+def winsorized_prices_tpr(spark: SparkSession, sf: str) -> DataFrame:
+    """winsorized_prices with rank-based exact p05/p95 fences."""
+    from storagetapper_spark.operators.ranks import exact_percentiles
+
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
+    p = t(spark, sf, "part").select("p_partkey", "p_type")
+    priced = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    fences = (exact_percentiles(priced, "l_extendedprice", [0.05, 0.95],
+                                F.floor(F.col("l_extendedprice")
+                                        / F.lit(2000.0)),
+                                partition=["p_type"])
+              .select("p_type", F.col("p_0_05").alias("lo"),
+                      F.col("p_0_95").alias("hi")))
+    clamped = (priced.join(F.broadcast(fences), "p_type")
+               .withColumn("wx", F.least(F.greatest(
+                   F.col("l_extendedprice"), F.col("lo")), F.col("hi"))))
+    return (clamped.groupBy("p_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg(F.col("l_extendedprice")
+                               .cast("decimal(30,10)")), 2)
+                  .cast("double").alias("raw_mean"),
+                 F.round(F.avg(F.col("wx").cast("decimal(30,10)")), 2)
+                  .cast("double").alias("winsorized_mean"))
+            .orderBy("p_type"))
+
+
+QUERIES["winsorized_prices_tpr"] = (winsorized_prices_tpr, WINSOR_SQL)
