@@ -964,8 +964,66 @@ GROUP BY ass.label ORDER BY ass.label
 """
 
 
+def dedup_semantic_incr(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental semantic ingest dedup: vectors with vec_id % 5 == 0
+    arrive as the new batch against the existing corpus (the rest) —
+    output is every within-cell cosine pair (>= threshold) involving a
+    new vector, with frozen first-K centroids from the FULL corpus.
+    Oracle: the one-shot within-cell pair set filtered to new-involving
+    pairs — equality IS the incremental-maintenance invariant
+    (streaming/semantic.py proves the multi-batch form)."""
+    from storagetapper_spark.streaming.ann_index import assign_cells
+    from storagetapper_spark.streaming.semantic import semantic_pairs_frames
+
+    emb = t(spark, sf, "embeddings")
+    cent = (emb.orderBy("vec_id").limit(_SEMDEDUP_K)
+            .select("embedding").collect())
+    C = [list(r[0]) for r in cent]
+    new = emb.where(F.col("vec_id") % 5 == 0)
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    pairs = semantic_pairs_frames(assign_cells(new, C),
+                                  assign_cells(corpus, C),
+                                  threshold=_SEMDEDUP_THRESH)
+    return pairs.select("id_a", "id_b",
+                        F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+def _semantic_incr_sql() -> str:
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         CAST(embedding AS DOUBLE[]) AS c
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {_SEMDEDUP_K})
+), scored AS (
+  SELECT e.vec_id, cents.cell,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cents.c)
+           AS cos
+  FROM embeddings e CROSS JOIN cents
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cell ASC) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])), 6)
+         AS cosine_sim
+FROM assigned a
+JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+JOIN embeddings ea ON ea.vec_id = a.vec_id
+JOIN embeddings eb ON eb.vec_id = b.vec_id
+WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                   CAST(eb.embedding AS DOUBLE[])), 6)
+      >= {_SEMDEDUP_THRESH}
+  AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0)
+"""
+
+
 QUERIES = {
     "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
+    "dedup_semantic_incr": (dedup_semantic_incr, _semantic_incr_sql()),
     "text_dup_ngram_fraction": (text_dup_ngram_fraction,
                                 TEXT_DUP_NGRAM_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),

@@ -53,29 +53,18 @@ _PAIR_SCHEMA = T.StructType([
 ])
 
 
-def semantic_pairs_batch(spark, batch_df: DataFrame, index_dir: str,
-                         centroids, threshold: float = 0.95,
-                         id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
-    """Duplicate pairs contributed by one batch: (new x current-index)
-    plus (new x new), same cell, round-6 cosine >= threshold, emitted
-    as id_a < id_b.  Only the batch's touched cells are scanned."""
-    new = (assign_cells(batch_df, centroids, id_col, vec_col)
-           .withColumn("_new", F.lit(True)).persist())
-    touched = [r.centroid_id
-               for r in new.select("centroid_id").distinct().collect()]
-    cells_dir = os.path.join(index_dir, "cells")
-    sides = new
-    if touched and os.path.exists(cells_dir):
-        corpus = (read_index(spark, index_dir)
-                  .where(F.col("centroid_id").isin(touched))
-                  .select(id_col, vec_col, "centroid_id")
-                  .withColumn("_new", F.lit(False))
-                  # a replayed batch may already be indexed: never pair
-                  # a vector with its own indexed copy
-                  .join(new.select(F.col(id_col).alias("_nid")),
-                        F.col(id_col) == F.col("_nid"), "left_anti"))
-        sides = new.unionByName(corpus)
+def semantic_pairs_frames(new_assigned: DataFrame,
+                          corpus_assigned: DataFrame | None,
+                          threshold: float = 0.95,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Frame-level kernel: duplicate pairs with at least one side in
+    `new_assigned` — (new x corpus) plus (new x new), same centroid
+    cell, round-6 cosine >= threshold, emitted as id_a < id_b.  Both
+    inputs carry (id, vec, centroid_id) from `assign_cells`."""
+    new = new_assigned.withColumn("_new", F.lit(True))
+    sides = new if corpus_assigned is None else new.unionByName(
+        corpus_assigned.withColumn("_new", F.lit(False)))
 
     def block_pairs(pdf):
         import pandas as pd
@@ -112,6 +101,28 @@ def semantic_pairs_batch(spark, batch_df: DataFrame, index_dir: str,
 
     return (sides.groupBy("centroid_id")
             .applyInPandas(block_pairs, _PAIR_SCHEMA).distinct())
+
+
+def semantic_pairs_batch(spark, batch_df: DataFrame, index_dir: str,
+                         centroids, threshold: float = 0.95,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Duplicate pairs contributed by one batch: (new x current-index)
+    plus (new x new).  Only the batch's touched cells are scanned."""
+    new = (assign_cells(batch_df, centroids, id_col, vec_col).persist())
+    touched = [r.centroid_id
+               for r in new.select("centroid_id").distinct().collect()]
+    cells_dir = os.path.join(index_dir, "cells")
+    corpus = None
+    if touched and os.path.exists(cells_dir):
+        corpus = (read_index(spark, index_dir)
+                  .where(F.col("centroid_id").isin(touched))
+                  .select(id_col, vec_col, "centroid_id")
+                  # a replayed batch may already be indexed: never pair
+                  # a vector with its own indexed copy
+                  .join(new.select(F.col(id_col).alias("_nid")),
+                        F.col(id_col) == F.col("_nid"), "left_anti"))
+    return semantic_pairs_frames(new, corpus, threshold, id_col, vec_col)
 
 
 def apply_semantic_batch(spark, batch_df: DataFrame, state_dir: str,
