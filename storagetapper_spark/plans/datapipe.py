@@ -964,6 +964,63 @@ GROUP BY ass.label ORDER BY ass.label
 """
 
 
+def sample_split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split hash is keyed by
+    the doc's DUPLICATE-CLUSTER id (connected components over the
+    n-gram-Jaccard pairs, singletons keep their own id), so near-
+    duplicate documents can never straddle train and test — the
+    benchmark-leakage failure mode a per-doc split cannot prevent.
+    Same portable md5-band assignment as sample_split; output is the
+    per-split doc and cluster census.  Scale: the components run over
+    the edge list only, the split itself is a pure projection."""
+    from storagetapper_spark.operators.dedup import connected_components
+    from storagetapper_spark.operators.sampling import split_assign
+
+    docs = t(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, bucket_cols=["lang", "source"],
+                                  shingle_n=_SHINGLE_N, threshold=0.1)
+    comp = connected_components(pairs, "id_a", "id_b")
+    with_comp = (docs.join(comp, docs.doc_id == comp.node, "left")
+                 .withColumn("component",
+                             F.coalesce("comp", F.col("doc_id"))))
+    assigned = split_assign(with_comp, "component")
+    return (assigned.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("component").alias("n_clusters"))
+            .orderBy("split"))
+
+
+def _split_leakage_safe_sql() -> str:
+    u = ("CAST(('0x' || substring(md5('split' || CAST(component AS VARCHAR)"
+         "), 1, 15)) AS BIGINT) / 1152921504606846976.0")
+    return f"""
+WITH RECURSIVE edges AS (
+  {NGRAM_JACCARD_SQL}
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+), reach(a, b) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+), comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+  FROM reach GROUP BY a
+), wc AS (
+  SELECT d.doc_id,
+         coalesce(c.cluster_id, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT CASE WHEN {u} < 0.8 THEN 'train'
+            WHEN {u} < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT component) AS BIGINT) AS n_clusters
+FROM wc GROUP BY 1 ORDER BY split
+"""
+
+
 def dedup_semantic_incr(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental semantic ingest dedup: vectors with vec_id % 5 == 0
     arrive as the new batch against the existing corpus (the rest) —
@@ -1024,6 +1081,8 @@ WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
 QUERIES = {
     "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
     "dedup_semantic_incr": (dedup_semantic_incr, _semantic_incr_sql()),
+    "sample_split_leakage_safe": (sample_split_leakage_safe,
+                                  _split_leakage_safe_sql()),
     "text_dup_ngram_fraction": (text_dup_ngram_fraction,
                                 TEXT_DUP_NGRAM_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
