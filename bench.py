@@ -82,7 +82,7 @@ BENCH_QUERIES = [
     # two-pass-rank EXACT percentile forms (scale-safe, same oracles)
     "agg_percentiles_tpr", "price_outliers_mad_tpr",
     "cycle_time_percentiles_tpr", "winsorized_prices_tpr",
-    "dedup_semantic_incr",
+    "dedup_semantic_incr", "sample_split_leakage_safe",
 ]
 
 
