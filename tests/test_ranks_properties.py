@@ -65,3 +65,23 @@ def test_quantile_buckets_preserve_exactness_under_skew(spark, vals,
                                F.row_number().over(w).alias("rank")).collect()}
     for r in got.select("pk", "_rank").collect():
         assert want[r.pk] == r._rank
+
+
+@given(st.lists(st.integers(-100, 100), min_size=1, max_size=40),
+       st.sampled_from([1.0, 7.0, 1000.0]))
+@settings(max_examples=8, deadline=None)
+def test_exact_percentiles_match_percentile_cont(spark, vals, width):
+    """ranks.exact_percentiles must reproduce percentile() (i.e.
+    percentile_cont interpolation) bit-for-bit on arbitrary data —
+    duplicates, negatives, single-element groups, any bucket width."""
+    from storagetapper_spark.operators.ranks import exact_percentiles
+
+    df = spark.createDataFrame([(int(v),) for v in vals], "v long")
+    probs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = exact_percentiles(df, "v", probs,
+                            F.floor(F.col("v") / F.lit(width))).collect()[0]
+    want = df.agg(*[F.expr(f"percentile(v, {p})").alias(f"w{i}")
+                    for i, p in enumerate(probs)]).collect()[0]
+    for i, p in enumerate(probs):
+        g = got[f"p_{str(p).replace('.', '_')}"]
+        assert abs(g - want[f"w{i}"]) < 1e-9, (p, g, want[f"w{i}"])
