@@ -1021,6 +1021,83 @@ FROM wc GROUP BY 1 ORDER BY split
 """
 
 
+def embedding_drift_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-distribution drift between two corpus snapshots
+    (model-version change detection): assign a reference cohort
+    (vec_id even) and a current cohort (odd) to the SAME frozen
+    centroids, then PSI over the cell-occupancy shares — the
+    embedding-space analog of the scalar drift_psi monitor.  Laplace
+    (+1) smoothing keeps empty cells finite; shares divide exact
+    integer counts so both engines agree before the boundary round."""
+    from storagetapper_spark.streaming.ann_index import assign_cells
+
+    emb = t(spark, sf, "embeddings")
+    cent = (emb.orderBy("vec_id").limit(_SEMDEDUP_K)
+            .select("embedding").collect())
+    C = [list(r[0]) for r in cent]
+    assigned = assign_cells(emb, C).join(
+        emb.select("vec_id"), "vec_id").withColumn(
+        "cohort", F.when(F.col("vec_id") % 2 == 0, "ref")
+                   .otherwise("cur"))
+    counts = (assigned.groupBy("centroid_id")
+              .agg(F.sum(F.when(F.col("cohort") == "ref", 1).otherwise(0))
+                   .alias("n_ref"),
+                   F.sum(F.when(F.col("cohort") == "cur", 1).otherwise(0))
+                   .alias("n_cur")))
+    tot = counts.agg(F.sum("n_ref").alias("t_ref"),
+                     F.sum("n_cur").alias("t_cur"),
+                     F.count(F.lit(1)).alias("n_cells"))
+    sm = (counts.crossJoin(F.broadcast(tot))
+          .withColumn("p", (F.col("n_ref") + 1)
+                      / (F.col("t_ref") + F.col("n_cells")))
+          .withColumn("q", (F.col("n_cur") + 1)
+                      / (F.col("t_cur") + F.col("n_cells"))))
+    return (sm.agg(
+        F.round(F.sum((F.col("q") - F.col("p"))
+                      * F.log(F.col("q") / F.col("p"))), 6).alias("psi"),
+        F.max("n_cells").alias("n_cells"),
+        F.round(F.max(F.abs(F.col("q") - F.col("p"))), 6)
+         .alias("max_share_shift")))
+
+
+def _embedding_drift_sql() -> str:
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         CAST(embedding AS DOUBLE[]) AS c
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {_SEMDEDUP_K})
+), scored AS (
+  SELECT e.vec_id, cents.cell,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cents.c)
+           AS cos
+  FROM embeddings e CROSS JOIN cents
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cell ASC) AS rn
+    FROM scored) WHERE rn = 1
+), counts AS (
+  SELECT cell,
+         sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_cur
+  FROM assigned GROUP BY cell
+), tot AS (
+  SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur,
+         count(*) AS n_cells FROM counts
+), sm AS (
+  SELECT (n_ref + 1) / CAST(t_ref + n_cells AS DOUBLE) AS p,
+         (n_cur + 1) / CAST(t_cur + n_cells AS DOUBLE) AS q,
+         n_cells
+  FROM counts CROSS JOIN tot
+)
+SELECT round(sum((q - p) * ln(q / p)), 6) AS psi,
+       CAST(max(n_cells) AS BIGINT) AS n_cells,
+       round(max(abs(q - p)), 6) AS max_share_shift
+FROM sm
+"""
+
+
 def dedup_semantic_incr(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental semantic ingest dedup: vectors with vec_id % 5 == 0
     arrive as the new batch against the existing corpus (the rest) —
@@ -1083,6 +1160,8 @@ QUERIES = {
     "dedup_semantic_incr": (dedup_semantic_incr, _semantic_incr_sql()),
     "sample_split_leakage_safe": (sample_split_leakage_safe,
                                   _split_leakage_safe_sql()),
+    "embedding_drift_cells": (embedding_drift_cells,
+                              _embedding_drift_sql()),
     "text_dup_ngram_fraction": (text_dup_ngram_fraction,
                                 TEXT_DUP_NGRAM_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
