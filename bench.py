@@ -83,7 +83,7 @@ BENCH_QUERIES = [
     "agg_percentiles_tpr", "price_outliers_mad_tpr",
     "cycle_time_percentiles_tpr", "winsorized_prices_tpr",
     "dedup_semantic_incr", "sample_split_leakage_safe",
-    "embedding_drift_cells",
+    "embedding_drift_cells", "dedup_minhash_calibration",
 ]
 
 

@@ -1021,6 +1021,46 @@ FROM wc GROUP BY 1 ORDER BY split
 """
 
 
+def dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-calibration report: how well does the MinHash signature
+    estimate track EXACT n-gram Jaccard on the pairs LSH surfaces?
+    Joins the LSH candidate pairs (jaccard_est = matching signature
+    fraction) against the exact blocked-Jaccard pairs on the same
+    corpus, buckets the estimate into 0.25-wide bands, and reports per
+    band: pair count, mean exact Jaccard (exact integer-sum division),
+    and the mean absolute estimation error — the number that justifies
+    (or indicts) trusting the sketch at 100 TB where exact Jaccard is
+    unaffordable.  Both sides reuse the oracle-proven pair machinery;
+    the join key is the (id_a, id_b) pair."""
+    docs = t(spark, sf, "documents")
+    est = D.minhash_lsh_pairs(docs, num_hashes=_MH_HASHES, bands=4,
+                              shingle_n=_SHINGLE_N)
+    exact = D.ngram_jaccard_pairs(docs, bucket_cols=["lang", "source"],
+                                  shingle_n=_SHINGLE_N, threshold=0.0)
+    joined = est.join(exact, ["id_a", "id_b"])
+    band = (F.floor(F.col("jaccard_est") / 0.25) * 0.25).alias("est_band")
+    return (joined.groupBy(band)
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.round(F.avg("jaccard"), 4).alias("mean_exact_jaccard"),
+                 F.round(F.avg(F.abs(F.col("jaccard_est")
+                                     - F.col("jaccard"))), 4)
+                  .alias("mean_abs_err"))
+            .orderBy("est_band"))
+
+
+def _minhash_calibration_sql() -> str:
+    return f"""
+WITH est AS ({_lsh_sql()}),
+exact AS ({NGRAM_JACCARD_SQL.replace(">= 0.1", ">= 0.0")})
+SELECT floor(e.jaccard_est / 0.25) * 0.25 AS est_band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(x.jaccard), 4) AS mean_exact_jaccard,
+       round(avg(abs(e.jaccard_est - x.jaccard)), 4) AS mean_abs_err
+FROM est e JOIN exact x ON e.id_a = x.id_a AND e.id_b = x.id_b
+GROUP BY 1 ORDER BY est_band
+"""
+
+
 def embedding_drift_cells(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-distribution drift between two corpus snapshots
     (model-version change detection): assign a reference cohort
@@ -1162,6 +1202,8 @@ QUERIES = {
                                   _split_leakage_safe_sql()),
     "embedding_drift_cells": (embedding_drift_cells,
                               _embedding_drift_sql()),
+    "dedup_minhash_calibration": (dedup_minhash_calibration,
+                                  _minhash_calibration_sql()),
     "text_dup_ngram_fraction": (text_dup_ngram_fraction,
                                 TEXT_DUP_NGRAM_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
