@@ -114,6 +114,15 @@ def main() -> int:
     # warm the JVM + file listing once so per-query numbers measure the
     # query, not session startup
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # codegen/JIT warm-up: run a join+agg+window+shuffle mix UNTIMED so
+    # the first timed queries don't absorb whole-stage-codegen and JIT
+    # compilation (r4: q3_shipping_priority at sweep position #2 showed
+    # a 2.3x phantom regression on an unchanged, verified-correct plan;
+    # best-of-2 doesn't fully wash out the first queries' cold JVM)
+    for _wname in ("q3_shipping_priority", "window_topk_per_group",
+                   "dedup_exact"):
+        materialize(QUERIES[_wname](spark, sf_dir))
+    spark.catalog.clearCache()
 
     # best-of-N (default 2): a single cold run folds one-time codegen
     # compilation and box-level contention noise into every number (r2

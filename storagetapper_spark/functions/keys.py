@@ -13,11 +13,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def row_key_expr(pk_cols: list[str]) -> Column:
-    """length-prefixed concat of PK columns: '3abc5hello' for ('abc','hello')."""
+def row_key_expr(pk_cols: list[str | Column]) -> Column:
+    """length-prefixed concat of PK columns: '3abc5hello' for ('abc','hello').
+
+    Accepts column names or Column expressions (e.g. fields of a struct,
+    ``F.col("_img.id")``) so every changelog producer — snapshot scan,
+    events adapter, Debezium envelope — derives the identical key and
+    rows can match across sources.  Length-prefixing keeps composite
+    keys collision-free: ('ab','c') → '2ab1c' vs ('a','bc') → '1a2bc'.
+    """
     parts = []
     for c in pk_cols:
-        s = F.col(c).cast("string")
+        s = (F.col(c) if isinstance(c, str) else c).cast("string")
         parts.append(F.concat(F.length(s).cast("string"), s))
     return F.concat(*parts) if len(parts) > 1 else parts[0]
 

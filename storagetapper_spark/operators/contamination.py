@@ -25,23 +25,34 @@ from pyspark.sql import functions as F
 from storagetapper_spark.operators.text import normalize_text
 
 
+def _shingle_array(text_col: str, shingle_n: int):
+    """Column: the per-document DISTINCT shingle array — JVM-side
+    lookahead regex (as ``dedup.minhash_signature``) + ``array_distinct``
+    WITHIN the row.  Short docs (< n words) contribute their whole
+    normalized text as the single shingle."""
+    norm = normalize_text(F.col(text_col))
+    pat = "(?<!\\S)(?=(" + " ".join(["\\S+"] * shingle_n) + "))"
+    return F.when(F.size(F.split(norm, " ")) < shingle_n, F.array(norm)) \
+            .otherwise(F.array_distinct(
+                F.regexp_extract_all(norm, F.lit(pat), 1)))
+
+
 def shingle_set(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", shingle_n: int = 3,
                 extra_cols: list[str] | None = None) -> DataFrame:
-    """Distinct word n-gram shingles per document — the same JVM-side
-    lookahead-regex pass as ``dedup.minhash_signature`` (one regex,
-    zero Python, short docs contribute their whole normalized text).
-    Output: (id_col, *extra_cols, sh)."""
+    """Distinct word n-gram shingles per document — one JVM-side regex
+    pass, zero Python.  Distinctness is established WITHIN each row
+    (``array_distinct`` before the explode): documents are the dedup
+    scope and each document is one input row, so a per-doc narrow
+    operation gives exactly the set a global ``(id, sh) DISTINCT``
+    would — without shuffling every n-gram in the corpus (the r4 scale
+    probe charged that shuffle at 4.7× per 10× data; VERDICT r4 #2).
+    Output: (id_col, *extra_cols, sh) — no Exchange anywhere.
+    """
     extra = list(extra_cols or [])
-    norm = normalize_text(F.col(text_col))
-    pat = "(?<!\\S)(?=(" + " ".join(["\\S+"] * shingle_n) + "))"
-    grams = df.select(
-        F.col(id_col), *[F.col(c) for c in extra],
-        F.explode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias("sh"))
-    shorts = (df.select(F.col(id_col), *[F.col(c) for c in extra],
-                        norm.alias("sh"))
-                .filter(F.size(F.split("sh", " ")) < shingle_n))
-    return grams.unionByName(shorts).distinct()
+    return df.select(F.col(id_col), *[F.col(c) for c in extra],
+                     F.explode(_shingle_array(text_col, shingle_n))
+                      .alias("sh"))
 
 
 def contamination_check(corpus: DataFrame, benchmark: DataFrame,
@@ -58,28 +69,30 @@ def contamination_check(corpus: DataFrame, benchmark: DataFrame,
     ``contaminated`` = den·shared ≥ num·total (exact integer test).
 
     The benchmark shingle set is deduplicated then broadcast — at 100 TB
-    the corpus-side explode feeds a broadcast-hash semi-probe, so no
-    corpus shingle ever crosses the network.
+    the corpus is scanned ONCE (the shingle regex is the dominant CPU
+    cost; r4's two-branch plan ran it twice): explode the per-doc
+    distinct shingle array, LEFT-join the broadcast benchmark set to
+    mark hits, and fold BOTH counts in a single per-doc aggregation
+    (count(*) = n_shingles since the array is already distinct,
+    count(hit) = n_shared).  No corpus shingle ever crosses the
+    network; the one wide operation is the doc-keyed agg, partial map-
+    side, moving one row per document.
     """
     bench_sh = (shingle_set(benchmark, text_col, id_col, shingle_n)
-                .select("sh").distinct())
+                .select("sh").distinct().withColumn("_hit", F.lit(1)))
     corpus_sh = shingle_set(corpus, text_col, id_col, shingle_n)
-    shared = (corpus_sh
-              .join(F.broadcast(bench_sh), "sh", "left_semi")
-              .groupBy(id_col)
-              .agg(F.count(F.lit(1)).alias("n_shared")))
-    totals = corpus_sh.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_shingles"))
-    return (totals.join(shared, id_col, "left")
-                  .withColumn("n_shared",
-                              F.coalesce(F.col("n_shared"), F.lit(0)))
-                  .select(
-                      id_col, "n_shingles", "n_shared",
-                      F.round(F.col("n_shared") / F.col("n_shingles"), 4)
-                       .alias("contam_ratio"),
-                      (F.col("n_shared") * threshold_den
-                       >= F.col("n_shingles") * threshold_num)
-                      .alias("contaminated")))
+    return (corpus_sh
+            .join(F.broadcast(bench_sh), "sh", "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.count("_hit").alias("n_shared"))
+            .select(
+                id_col, "n_shingles", "n_shared",
+                F.round(F.col("n_shared") / F.col("n_shingles"), 4)
+                 .alias("contam_ratio"),
+                (F.col("n_shared") * threshold_den
+                 >= F.col("n_shingles") * threshold_num)
+                .alias("contaminated")))
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,

@@ -412,7 +412,12 @@ def connected_components(edges: DataFrame, a_col: str = "id_a",
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.comp") != F.col("o.comp")).limit(1).count())
-        labels = new_labels
+        # free the superseded generation's checkpoint blocks — without
+        # this every round's labels stay pinned in executor storage for
+        # the whole run (ADVICE r4); the convergence check above is the
+        # last reader of the old generation
+        prev, labels = labels, new_labels
+        prev.unpersist()
         if changed == 0:
             break
     sym.unpersist()

@@ -141,22 +141,19 @@ def pagerank(edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
                   .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm"))
                   .collect()[0]._dm)
         if p0 is not None:
+            # dangling mass lands back on the personalization vector in
+            # directed mode; lit(0.0) otherwise — one build per round
+            # (a conditional rebuild here used to leave a dead first
+            # assignment, ADVICE r4)
+            dangling = (F.lit(damping * dm) * F.coalesce("p0", F.lit(0.0))
+                        if sinks is not None else F.lit(0.0))
             new_ranks = (nodes.join(summed, nodes.src == summed.dst, "left")
                          .join(p0, nodes.src == p0.node, "left")
                          .select(F.col("src").alias("node"),
                                  (restart
-                                  + F.coalesce("_link", F.lit(0.0)))
+                                  + F.coalesce("_link", F.lit(0.0))
+                                  + dangling)
                                  .alias("pr")))
-            if sinks is not None:
-                new_ranks = (nodes.join(summed, nodes.src == summed.dst,
-                                        "left")
-                             .join(p0, nodes.src == p0.node, "left")
-                             .select(F.col("src").alias("node"),
-                                     (restart
-                                      + F.coalesce("_link", F.lit(0.0))
-                                      + F.lit(damping * dm)
-                                      * F.coalesce("p0", F.lit(0.0)))
-                                     .alias("pr")))
         elif sinks is not None:
             new_ranks = (nodes.join(summed, nodes.src == summed.dst, "left")
                          .select(F.col("src").alias("node"),

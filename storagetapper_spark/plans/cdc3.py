@@ -355,12 +355,14 @@ QUERIES.update({
 
 def cdc_debezium_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Round-trip through the Debezium wire format: build envelopes
-    {before, after, op: c/u/d, ts_ms, source{gtid,pos}} from the events
-    feed with to_json (JVM-side), parse them back through
+    {before, after, op: c/u/d, ts_ms, source{gtid,file,pos}} from the
+    events feed with to_json (JVM-side), parse them back through
     sources/debezium.parse_debezium (the changelog/mysql.go:530-538 op
-    mapping, seqno = binlog pos), and aggregate the normalized
-    contract.  The oracle computes the same mapping straight from the
-    raw feed — equality proves the adapter is lossless."""
+    mapping; seqno = file_index<<40 | pos so ordering survives binlog
+    file rotation; row_key = length-prefixed PK concat matching
+    snapshot_scan), and aggregate the normalized contract.  The oracle
+    computes the same mapping straight from the raw feed — equality
+    proves the adapter is lossless."""
     from pyspark.sql import types as T
 
     from storagetapper_spark.sources.debezium import parse_debezium
@@ -402,8 +404,11 @@ WITH m AS (
   SELECT CASE WHEN event_type = 'signup' THEN 'insert'
               WHEN event_type = 'error' THEN 'delete'
               ELSE 'update' END AS op,
-         CAST(event_id AS BIGINT) AS seqno,
-         CAST(user_id AS VARCHAR) AS row_key
+         -- file 'binlog.000001' → file_index 1; seqno = 1<<40 | pos
+         1099511627776 + CAST(event_id AS BIGINT) AS seqno,
+         -- length-prefixed row key (encoder.go GetRowKey)
+         CAST(LENGTH(CAST(user_id AS VARCHAR)) AS VARCHAR)
+           || CAST(user_id AS VARCHAR) AS row_key
   FROM events)
 SELECT op, CAST(count(*) AS BIGINT) AS n_events,
        min(seqno) AS min_seqno, max(seqno) AS max_seqno,

@@ -48,38 +48,43 @@ for mod in (relational, relational2, relational3, relational4, relational5,
 # text surface) plus the 3 queries whose oracles were fixed this round
 # into the window.  Previously-green queries keep their recorded rows.
 _CHECK_FIRST = [
-    # Round-4 window: 50 of the 97 queries that had no driver CORRECTNESS
-    # row after r1-r3 (computed mechanically per ROADMAP.md).  Priority:
-    # the LLM-pipeline headliners (VERDICT.md r3 item #1) plus the three
-    # scale-weak windows rewritten this round (peak_concurrency,
-    # window_distribution, rfm_segments) so the fixes get driver-verified.
-    # The remaining 47 rotate into round 5.
-    # TPC-H stragglers
-    "q14_promo_effect", "q17_small_quantity", "q19_disjunctive_ranges",
-    "q22_global_sales_opportunity",
-    # analytics headliners
-    "attribution_linear", "survival_km", "graph_pagerank_copurchase",
-    "graph_triangles", "graph_ppr_brand",
-    # scale-weak windows fixed this round — fixes must hash-match
-    "peak_concurrency", "window_distribution", "rfm_segments",
-    # dedup family
-    "dedup_exact", "dedup_embedding_cosine", "dedup_minhash_signature",
-    "dedup_ngram_jaccard", "dedup_ngram_containment", "dedup_survivorship",
-    "dedup_simhash", "dedup_savings",
-    # ANN / embeddings
-    "ann_brute_force", "ann_vectorized", "ann_ivf", "ann_quantized_recall",
-    "embedding_stats", "embedding_kmeans_assign", "embedding_class_separation",
-    # text analysis
-    "text_lang_id", "text_quality", "text_tokens", "text_fingerprint",
-    "text_pii_flags", "text_repetition", "text_lm_score",
-    "text_lang_confusion", "text_length_lognormal", "text_chunk_fixed",
-    "text_chunk_tokens", "vocab_coverage",
-    # sampling / dataset assembly
-    "sample_reservoir_per_group", "sample_neyman_allocation",
-    "sample_deterministic", "sample_split", "sample_mixture",
-    # pipeline composites + UDx + skew
-    "multimodal_manifest", "training_data_pipeline", "udtf_shingles",
-    "udaf_geomean", "agg_salted_skew", "entity_resolution_parts",
+    # Round-5 window: 50 of the 61 queries that had no driver CORRECTNESS
+    # row after r1-r4 (147/208 witnessed, all green — VERDICT r4 #1).
+    # Leads with the families the judge named (Debezium, semantic dedup,
+    # asof/range join, funnel/retention, CDC audit).  The 11 deferred to
+    # round 6 are all variants of already-witnessed exact forms: the 7
+    # *_tpr/*_approx percentile twins (exact siblings green r4 via
+    # agg_percentiles) plus rollup_two_level (grouping-sets machinery
+    # green 3x: agg_rollup/agg_cube/grouping_sets), seasonality_month
+    # (same plan as seasonality_weekday modulo date_part),
+    # cycle_time_percentiles and winsorized_prices (the two-pass-rank /
+    # percentile-clamp path witnessed via agg_percentiles +
+    # price_outliers_mad in this window).
+    # CDC / changelog surface
+    "cdc_debezium_normalize", "cdc_table_checksum", "cdc_seqno_gaps",
+    "cdc_scd2_bitemporal",
+    # semantic dedup + leakage-safe assembly (the r4-local-green chain)
+    "dedup_semantic", "dedup_semantic_incr", "sample_split_leakage_safe",
+    "dedup_minhash_calibration", "text_dup_ngram_fraction",
+    "embedding_drift_cells",
+    # temporal joins + event analytics
+    "asof_state_at_event", "range_join_follow_events",
+    "funnel_view_click_purchase", "retention_cohorts", "conversion_latency",
+    "session_paths", "event_transitions", "activity_streaks",
+    "rolling_distinct_users", "feed_freshness",
+    # time-series statistics
+    "time_weighted_avg", "gapfill_daily_locf", "anomaly_daily_counts",
+    "anomaly_cusum", "ewma_daily_counts", "forecast_holt",
+    "seasonality_weekday", "wow_movers", "slo_burn_rate", "drift_psi",
+    # distribution / robust statistics
+    "price_outliers_mad", "gini_revenue",
+    "benford_digits", "profile_entropy", "agg_regression",
+    "agg_decimal_exact", "cohort_ltv", "repeat_purchase_intervals",
+    # business analytics
+    "market_basket_rules", "market_concentration_hhi", "abc_classification",
+    "pareto_frontier_parts", "audience_overlap", "ab_test_conversion",
+    "discount_effectiveness", "overlapping_orders", "single_source_parts",
+    "integrity_audit", "fuzzy_match_parts", "hybrid_search_rrf",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 assert all(n in _ALL for n in _CHECK_FIRST), "unknown name in _CHECK_FIRST"

@@ -443,35 +443,65 @@ ORDER BY s_suppkey
 def q21_last_shippers(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H q21 shape: NATION_2 suppliers who were the SOLE latest
     shipper on a finished multi-supplier order (receipt>commit stands
-    in as shipdate ordering).  EXISTS(other supplier) → left-semi;
-    NOT EXISTS(other supplier shipped later-or-equal) → left-anti with
-    a non-equi conjunct riding the o_orderkey equi-join — no cartesian,
-    and the self-join sides carry (orderkey, suppkey, shipdate) only."""
+    in as shipdate ordering).
+
+    Single-fact-shuffle form (VERDICT r4 #6: the l1/l2/l3 triple
+    self-join shuffled lineitem THREE times under sort-merge with no
+    exchange reuse — column pruning made the l2/l3 subplans
+    non-identical).  The EXISTS / NOT-EXISTS pair is order-local, so
+    one repartition by l_orderkey carries everything: hash partitioning
+    on (o) satisfies the clustering requirement of BOTH the
+    (o, suppkey) aggregate and the per-order window, so Catalyst
+    inserts no further Exchange on the fact side.  Per order:
+      m1 = latest per-supplier max shipdate, a_min/a_max = the
+      suppliers attaining it (a_min==a_max==s ⟺ s is the UNIQUE
+      attainer), m2 = best other-supplier max.  A supplier's row l1
+      "waits" ⟺ ≥2 suppliers on the order, s uniquely attains m1, and
+      l1.shipdate > m2 — exactly ¬∃ other supplier shipping ≥ it.
+    Row multiplicity is recovered from the per-(o,s) shipdate list
+    (bounded by lineitems-per-order, ≤7 in TPC-H at any SF — safe to
+    collect).  Orders-status semi-join moves one narrow row per
+    winning (order, supplier), not per lineitem."""
+    from pyspark.sql import Window
+
     li = t(spark, sf, "lineitem")
     orders = t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F") \
                                    .select("o_orderkey")
     supp = t(spark, sf, "supplier")
     nation = t(spark, sf, "nation").filter(F.col("n_name") == "NATION_2")
-    slim = li.select("l_orderkey", "l_suppkey", "l_shipdate")
-    l1 = (slim.join(orders, slim.l_orderkey == orders.o_orderkey, "left_semi")
-              .alias("l1"))
-    l2 = slim.alias("l2")
-    l3 = slim.alias("l3")
-    waiting = (l1
-               .join(l2, (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-                         & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-                     "left_semi")
-               .join(l3, (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-                         & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey"))
-                         & (F.col("l3.l_shipdate") >= F.col("l1.l_shipdate")),
-                     "left_anti"))
+    slim = (li.select("l_orderkey", "l_suppkey", "l_shipdate")
+              .repartition("l_orderkey"))
+    persup = (slim.groupBy("l_orderkey", "l_suppkey")
+                  .agg(F.max("l_shipdate").alias("smax"),
+                       F.collect_list("l_shipdate").alias("ships")))
+    w = Window.partitionBy("l_orderkey")
+    lvl = (persup
+           .withColumn("m1", F.max("smax").over(w))
+           .withColumn("n_supp", F.count(F.lit(1)).over(w)))
+    attain = F.when(F.col("smax") == F.col("m1"), F.col("l_suppkey"))
+    lvl = lvl.select(
+        "*",
+        F.min(attain).over(w).alias("a_min"),
+        F.max(attain).over(w).alias("a_max"),
+        F.max(F.when(F.col("smax") < F.col("m1"), F.col("smax")))
+         .over(w).alias("m2"))
+    winners = (lvl.filter((F.col("n_supp") >= 2)
+                          & (F.col("a_min") == F.col("l_suppkey"))
+                          & (F.col("a_max") == F.col("l_suppkey")))
+                  .select("l_orderkey", "l_suppkey",
+                          F.size(F.filter(
+                              "ships",
+                              lambda x: x > F.col("m2"))).alias("n_rows")))
+    waiting = winners.join(orders,
+                           winners.l_orderkey == orders.o_orderkey,
+                           "left_semi")
     return (waiting.join(F.broadcast(
                              supp.join(F.broadcast(nation),
                                        supp.s_nationkey == nation.n_nationkey)
                                  .select("s_suppkey", "s_name")),
-                         F.col("l1.l_suppkey") == F.col("s_suppkey"))
+                         F.col("l_suppkey") == F.col("s_suppkey"))
                    .groupBy("s_name")
-                   .agg(F.count(F.lit(1)).alias("numwait"))
+                   .agg(F.sum("n_rows").cast("long").alias("numwait"))
                    .orderBy(F.desc("numwait"), "s_name"))
 
 

@@ -23,9 +23,26 @@ contract (the exact mapping of changelog/mysql.go:530-538):
                                      reference)
     d (delete)                     → delete, image = before
 
-seqno = source.pos when present (binlog position: monotonic per
-cluster, changelog/mysql.go:396-402), else ts_ms; gtid rides along for
+seqno orders by (source.file, source.pos): ``file_index << 40 | pos``,
+where file_index is the numeric suffix of the binlog file name
+("binlog.000007" → 7).  Binlog pos alone resets to 4 on every file
+rotation, so pos by itself is NOT monotonic across a feed — the
+reference sidesteps this with a strictly monotonic per-reader counter
+(changelog/mysql.go nextSeqNo); composing (file, pos) into one long is
+the stateless Column-only equivalent and preserves the same total
+order.  pos < 2^40 holds for any binlog under 1 TiB (MySQL caps
+max_binlog_size at 1 GiB).  ts_ms is NEVER mixed in as a fallback for
+rows that lack pos — a wall-clock value is incomparable with a file
+offset and would corrupt latest-state winner selection; posless feeds
+opt in explicitly with ``seqno_from_ts=True``.  gtid rides along for
 the registry's resume bookkeeping (record_stream_start).
+
+row_key uses functions.keys.row_key_expr (length-prefixed PK concat,
+encoder/encoder.go:99-126) applied to the row image — byte-identical
+to the key snapshot_scan and events_as_changelog emit, so Debezium
+changelog rows merge/dedup against snapshot rows, and composite PKs
+cannot collide (plain concat would map ('ab','c') and ('a','bc') to
+the same key).
 
 Everything is from_json + Column expressions — streaming-safe, no
 Python in the hot path.
@@ -36,6 +53,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from storagetapper_spark.functions.keys import row_key_expr
 
 DEBEZIUM_SOURCE_SCHEMA = T.StructType([
     T.StructField("gtid", T.StringType()),
@@ -63,14 +82,21 @@ def debezium_envelope_schema(table_schema: T.StructType,
 
 def parse_debezium(df: DataFrame, table_schema: T.StructType,
                    pk_cols: list[str], value_col: str = "value",
-                   wrapped: bool = False) -> DataFrame:
+                   wrapped: bool = False,
+                   seqno_from_ts: bool = False) -> DataFrame:
     """Debezium JSON strings → the engine's changelog contract:
     data columns + op/seqno/row_key/ts (+ gtid for resume points).
 
     Feed the result straight into ``decompose_updates`` /
     ``latest_state`` / ``incremental_upsert_sink`` — it is the same
     shape ``events_as_changelog`` produces.  Works identically on a
-    batch frame and a readStream (pure Column expressions)."""
+    batch frame and a readStream (pure Column expressions).
+
+    ``seqno_from_ts=True`` is for feeds whose connector emits no
+    source position at all (e.g. some MongoDB/outbox setups): seqno
+    falls back to ts_ms uniformly.  It is all-or-nothing by design —
+    mixing per-row pos and ts_ms in one feed breaks the total order
+    (see module docstring)."""
     schema = debezium_envelope_schema(table_schema, wrapped=wrapped)
     env = F.from_json(F.col(value_col), schema)
     if wrapped:
@@ -84,13 +110,26 @@ def parse_debezium(df: DataFrame, table_schema: T.StructType,
     out = parsed.withColumn("_img", image).withColumn("_op", op)
     cols = [F.col(f"_img.{f.name}").alias(f.name)
             for f in table_schema.fields]
+    if seqno_from_ts:
+        seqno = F.col("_env.ts_ms").cast("long")
+    else:
+        # (file, pos) composed into one orderable long; regexp_extract
+        # yields '' (→ NULL cast) when the file name has no numeric
+        # suffix, coalesced to 0 so single-file/fileless-pos feeds
+        # still order by pos.
+        file_idx = F.coalesce(
+            F.regexp_extract(F.col("_env.source.file"), r"(\d+)$", 1)
+             .cast("long"),
+            F.lit(0))
+        seqno = F.when(
+            F.col("_env.source.pos").isNotNull(),
+            F.shiftleft(file_idx, 40) + F.col("_env.source.pos"))
     return (out.where(F.col("_op").isNotNull())
             .select(
                 *cols,
                 F.col("_op").alias("op"),
-                F.coalesce(F.col("_env.source.pos"), F.col("_env.ts_ms"))
-                 .cast("long").alias("seqno"),
-                F.concat_ws("", *[F.col(f"_img.{c}").cast("string")
-                                  for c in pk_cols]).alias("row_key"),
+                seqno.cast("long").alias("seqno"),
+                row_key_expr([F.col(f"_img.{c}") for c in pk_cols])
+                 .alias("row_key"),
                 F.timestamp_millis(F.col("_env.ts_ms")).alias("ts"),
                 F.col("_env.source.gtid").alias("gtid")))

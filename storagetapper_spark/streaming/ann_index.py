@@ -20,7 +20,6 @@ means reindexing.
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 from pyspark.sql import DataFrame, Window
@@ -28,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from storagetapper_spark.operators.similarity import cosine
+from storagetapper_spark.statefs import join_uri
 
 
 def _normed(C) -> np.ndarray:
@@ -70,7 +70,7 @@ def apply_ingest_batch(spark, batch_df: DataFrame, index_dir: str,
     try:
         (assigned.write.mode("overwrite")
          .partitionBy("_batch", "centroid_id")
-         .parquet(os.path.join(index_dir, "cells")))
+         .parquet(join_uri(index_dir, "cells")))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -98,7 +98,7 @@ def ivf_ingest_sink(stream: DataFrame, index_dir: str, checkpoint_dir: str,
 
 
 def read_index(spark, index_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(index_dir, "cells"))
+    return spark.read.parquet(join_uri(index_dir, "cells"))
 
 
 def search_index(spark, index_dir: str, queries: DataFrame, centroids,

@@ -17,11 +17,12 @@ per-user Arrow batches.
 
 from __future__ import annotations
 
-import os
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from storagetapper_spark.statefs import exists, join_uri
 
 _CHANNELS = ["view", "click"]
 
@@ -117,12 +118,12 @@ def attribution_sink(event_stream: DataFrame, state_dir: str,
         # can silently miss the broadcast seed (observed: episodes
         # closed as '(direct)' despite recorded open touches)
         bspark = batch_df.sparkSession
-        st_cur = os.path.join(state_dir, "episodes", "current")
-        cr_cur = os.path.join(state_dir, "credits", "current")
+        st_cur = join_uri(state_dir, "episodes", "current")
+        cr_cur = join_uri(state_dir, "credits", "current")
         st_v = st_cur.replace("current", f"v{batch_id}")
         cr_v = cr_cur.replace("current", f"v{batch_id}")
-        cr_done = os.path.exists(os.path.join(cr_v, "_SUCCESS"))
-        st_done = os.path.exists(os.path.join(st_v, "_SUCCESS"))
+        cr_done = exists(join_uri(cr_v, "_SUCCESS"))
+        st_done = exists(join_uri(st_v, "_SUCCESS"))
         # Replay guard (foreachBatch is at-least-once, ADVICE r3): a
         # completed v{batch_id} already contains this batch folded in —
         # re-folding on top of 'current' would double-count credits and
@@ -139,15 +140,15 @@ def attribution_sink(event_stream: DataFrame, state_dir: str,
             # state fold (st_cur is still pre-batch).
             bspark.read.parquet(cr_v).write.mode("overwrite").parquet(cr_cur)
             state = (bspark.read.parquet(st_cur)
-                     if os.path.exists(st_cur) else None)
+                     if exists(st_cur) else None)
             new_state, _ = fold_attribution_batch(state, batch_df)
             new_state.write.mode("overwrite").parquet(st_v)
             bspark.read.parquet(st_v).write.mode("overwrite").parquet(st_cur)
             return
         state = (bspark.read.parquet(st_cur)
-                 if os.path.exists(st_cur) else None)
+                 if exists(st_cur) else None)
         new_state, credits = fold_attribution_batch(state, batch_df)
-        if os.path.exists(cr_cur):
+        if exists(cr_cur):
             prev = bspark.read.parquet(cr_cur)
             credits = (prev.unionByName(credits)
                        .groupBy("channel")
@@ -175,4 +176,4 @@ def attribution_sink(event_stream: DataFrame, state_dir: str,
 
 
 def read_credits(spark, state_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(state_dir, "credits", "current"))
+    return spark.read.parquet(join_uri(state_dir, "credits", "current"))

@@ -18,11 +18,11 @@ stream stays JVM-side.
 
 from __future__ import annotations
 
-import os
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from storagetapper_spark.statefs import exists, join_uri
 
 
 def train_baseline(df: DataFrame, series_col: str = "event_type",
@@ -112,15 +112,15 @@ def cusum_sink(event_stream: DataFrame, baseline: DataFrame,
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        cur = os.path.join(state_dir, "cusum", "current")
-        nxt = os.path.join(state_dir, "cusum", f"v{batch_id}")
+        cur = join_uri(state_dir, "cusum", "current")
+        nxt = join_uri(state_dir, "cusum", f"v{batch_id}")
         # Replay guard (foreachBatch is at-least-once): a completed
         # v{batch_id} means this batch's days are ALREADY folded into
         # that version — re-folding them onto 'current' would corrupt
         # sp/sn and alarm counts (ADVICE r3).  Re-publishing the stored
         # version is idempotent whichever side of the current-swap the
         # crash happened on.
-        if os.path.exists(os.path.join(nxt, "_SUCCESS")):
+        if exists(join_uri(nxt, "_SUCCESS")):
             spark.read.parquet(nxt).write.mode("overwrite").parquet(cur)
             return
         daily = (batch_df.groupBy(series_col,
@@ -129,13 +129,21 @@ def cusum_sink(event_stream: DataFrame, baseline: DataFrame,
         # Series absent from the frozen baseline (a new event_type
         # appearing mid-stream) can't be monitored — surface them in a
         # side table instead of silently dropping them (ADVICE r3).
+        # Batch-partitioned dynamic overwrite, NOT append: an
+        # at-least-once replay that crashed after this write but before
+        # v{batch_id}/_SUCCESS replaces its own _batch partition instead
+        # of duplicating rows (ADVICE r4 — the replay guard above only
+        # protects the folded state, not this side table).
         unmatched = (daily.select(series_col).distinct()
                      .join(F.broadcast(base.select(series_col)),
                            series_col, "left_anti"))
         if not unmatched.isEmpty():
-            unmatched.write.mode("append").parquet(
-                os.path.join(state_dir, "cusum", "unmonitored"))
-        state = spark.read.parquet(cur) if os.path.exists(cur) else None
+            (unmatched.withColumn("_batch", F.lit(batch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("_batch")
+             .parquet(join_uri(state_dir, "cusum", "unmonitored")))
+        state = spark.read.parquet(cur) if exists(cur) else None
         new = fold_cusum_batch(state, daily, base, series_col)
         new.write.mode("overwrite").parquet(nxt)
         spark.read.parquet(nxt).write.mode("overwrite").parquet(cur)
@@ -150,4 +158,4 @@ def cusum_sink(event_stream: DataFrame, baseline: DataFrame,
 
 
 def read_monitor(spark, state_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(state_dir, "cusum", "current"))
+    return spark.read.parquet(join_uri(state_dir, "cusum", "current"))

@@ -15,13 +15,12 @@ container); the pipeline shape is identical — swap
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from storagetapper_spark.operators.merge import latest_state
+from storagetapper_spark.statefs import exists, join_uri, rmtree
 
 
 def read_changelog_stream(spark: SparkSession, path: str,
@@ -100,8 +99,8 @@ def incremental_upsert_sink(cdc_stream: DataFrame, state_dir: str,
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         resolved = latest_state(batch_df, pk_cols, seqno_col=seqno_col,
                                 op_col=op_col, drop_deleted=False)
-        cur_path = os.path.join(state_dir, "current")
-        if os.path.exists(cur_path):
+        cur_path = join_uri(state_dir, "current")
+        if exists(cur_path):
             cur = spark.read.parquet(cur_path)
             merged = latest_state(
                 cur.unionByName(resolved.select(*cur.columns)),
@@ -111,7 +110,7 @@ def incremental_upsert_sink(cdc_stream: DataFrame, state_dir: str,
             merged = resolved
         # keep tombstones in state (drop_deleted=False) so a replayed
         # older insert can never resurrect a deleted key; readers filter.
-        nxt = os.path.join(state_dir, f"v{batch_id}")
+        nxt = join_uri(state_dir, f"v{batch_id}")
         merged.write.mode("overwrite").parquet(nxt)
         swap = spark.read.parquet(nxt)
         swap.write.mode("overwrite").parquet(cur_path)
@@ -128,7 +127,7 @@ def incremental_upsert_sink(cdc_stream: DataFrame, state_dir: str,
 def read_state(spark: SparkSession, state_dir: str,
                op_col: str = "op") -> DataFrame:
     """Consumer view of the materialized state: tombstones filtered."""
-    return (spark.read.parquet(os.path.join(state_dir, "current"))
+    return (spark.read.parquet(join_uri(state_dir, "current"))
             .filter(F.col(op_col) != "delete"))
 
 
@@ -161,7 +160,7 @@ def partitioned_upsert_sink(cdc_stream: DataFrame, state_dir: str,
     reference's per-table lease, state/lock.go) is assumed.
     """
     spark = cdc_stream.sparkSession
-    cur_path = os.path.join(state_dir, "current")
+    cur_path = join_uri(state_dir, "current")
     bucket = F.pmod(F.xxhash64(*pk_cols), F.lit(n_buckets)).cast("int")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -171,12 +170,12 @@ def partitioned_upsert_sink(cdc_stream: DataFrame, state_dir: str,
         resolved.persist()
         touched = [r._bucket for r in
                    resolved.select("_bucket").distinct().collect()]
-        if os.path.exists(cur_path):
+        if exists(cur_path):
             cur = (spark.read
                    .option("basePath", cur_path)
-                   .parquet(*[os.path.join(cur_path, f"_bucket={b}")
+                   .parquet(*[join_uri(cur_path, f"_bucket={b}")
                               for b in touched
-                              if os.path.exists(os.path.join(cur_path, f"_bucket={b}"))]
+                              if exists(join_uri(cur_path, f"_bucket={b}"))]
                             or [cur_path])
                    .filter(F.col("_bucket").isin(touched)))
             merged = latest_state(
@@ -188,7 +187,7 @@ def partitioned_upsert_sink(cdc_stream: DataFrame, state_dir: str,
         # stage-then-commit: Spark forbids overwriting a path read in the
         # same plan; the staged copy is only the touched buckets (the
         # same copy-on-write amplification a Delta MERGE pays).
-        stage = os.path.join(state_dir, f"stage_{batch_id}")
+        stage = join_uri(state_dir, f"stage_{batch_id}")
         merged.repartition("_bucket").write.mode("overwrite").parquet(stage)
         (spark.read.parquet(stage)
          .write.mode("overwrite")
@@ -196,8 +195,7 @@ def partitioned_upsert_sink(cdc_stream: DataFrame, state_dir: str,
          .partitionBy("_bucket")
          .parquet(cur_path))
         resolved.unpersist()
-        import shutil
-        shutil.rmtree(stage, ignore_errors=True)
+        rmtree(stage)
 
     writer = (cdc_stream.writeStream
               .foreachBatch(process_batch)
@@ -212,7 +210,7 @@ def read_partitioned_state(spark: SparkSession, state_dir: str,
                            op_col: str = "op") -> DataFrame:
     """Consumer view of the bucket-partitioned state (tombstones
     filtered, bucket column dropped)."""
-    return (spark.read.parquet(os.path.join(state_dir, "current"))
+    return (spark.read.parquet(join_uri(state_dir, "current"))
             .filter(F.col(op_col) != "delete")
             .drop("_bucket"))
 
@@ -225,20 +223,20 @@ def propagate_deletes(spark: SparkSession, state_dir: str,
     rewriting ONLY the buckets they hash into — O(touched buckets), not
     O(state).  Unlike a tombstone upsert, the rows are gone from disk.
     Returns the number of rows removed."""
-    cur_path = os.path.join(state_dir, "current")
+    cur_path = join_uri(state_dir, "current")
     bucket = F.pmod(F.xxhash64(*pk_cols), F.lit(n_buckets)).cast("int")
     keyed = keys.select(*pk_cols).distinct().withColumn("_bucket", bucket)
     keyed.persist()
     touched = [r._bucket for r in keyed.select("_bucket").distinct().collect()]
-    dirs = [os.path.join(cur_path, f"_bucket={b}") for b in touched
-            if os.path.exists(os.path.join(cur_path, f"_bucket={b}"))]
+    dirs = [join_uri(cur_path, f"_bucket={b}") for b in touched
+            if exists(join_uri(cur_path, f"_bucket={b}"))]
     if not dirs:
         keyed.unpersist()
         return 0
     cur = spark.read.option("basePath", cur_path).parquet(*dirs)
     before = cur.count()
     kept = cur.join(F.broadcast(keyed.drop("_bucket")), pk_cols, "left_anti")
-    stage = os.path.join(state_dir, "stage_delete")
+    stage = join_uri(state_dir, "stage_delete")
     kept.repartition("_bucket").write.mode("overwrite").parquet(stage)
     staged = spark.read.parquet(stage)
     removed = before - staged.count()
@@ -246,15 +244,13 @@ def propagate_deletes(spark: SparkSession, state_dir: str,
            .option("partitionOverwriteMode", "dynamic")
            .partitionBy("_bucket").parquet(cur_path))
     keyed.unpersist()
-    import shutil
     # dynamic overwrite only replaces buckets PRESENT in the staged
     # data; a bucket whose every row was deleted must be removed by hand
     remaining = {r._bucket for r in staged.select("_bucket").distinct().collect()}
     for b in touched:
         if b not in remaining:
-            shutil.rmtree(os.path.join(cur_path, f"_bucket={b}"),
-                          ignore_errors=True)
-    shutil.rmtree(stage, ignore_errors=True)
+            rmtree(join_uri(cur_path, f"_bucket={b}"))
+    rmtree(stage)
     return removed
 
 

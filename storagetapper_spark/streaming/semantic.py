@@ -33,13 +33,13 @@ re-deduplicating the full corpus per arrival is impossible.
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from storagetapper_spark.statefs import exists, join_uri
 from storagetapper_spark.streaming.ann_index import (
     apply_ingest_batch,
     assign_cells,
@@ -112,9 +112,9 @@ def semantic_pairs_batch(spark, batch_df: DataFrame, index_dir: str,
     new = (assign_cells(batch_df, centroids, id_col, vec_col).persist())
     touched = [r.centroid_id
                for r in new.select("centroid_id").distinct().collect()]
-    cells_dir = os.path.join(index_dir, "cells")
+    cells_dir = join_uri(index_dir, "cells")
     corpus = None
-    if touched and os.path.exists(cells_dir):
+    if touched and exists(cells_dir):
         corpus = (read_index(spark, index_dir)
                   .where(F.col("centroid_id").isin(touched))
                   .select(id_col, vec_col, "centroid_id")
@@ -134,7 +134,7 @@ def apply_semantic_batch(spark, batch_df: DataFrame, state_dir: str,
     record the batch's pairs under `_batch={id}`, then ingest the
     batch into the index.  Both writes are dynamic-partition
     overwrites, so any at-least-once replay replaces itself."""
-    index_dir = os.path.join(state_dir, "index")
+    index_dir = join_uri(state_dir, "index")
     pairs = (semantic_pairs_batch(spark, batch_df, index_dir, centroids,
                                   threshold, id_col, vec_col)
              .withColumn("_batch", F.lit(int(batch_id))))
@@ -143,7 +143,7 @@ def apply_semantic_batch(spark, batch_df: DataFrame, state_dir: str,
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (pairs.write.mode("overwrite").partitionBy("_batch")
-         .parquet(os.path.join(state_dir, "pairs")))
+         .parquet(join_uri(state_dir, "pairs")))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     apply_ingest_batch(spark, batch_df, index_dir, centroids, batch_id,
@@ -174,5 +174,5 @@ def semantic_dedup_sink(stream: DataFrame, state_dir: str,
 
 
 def read_pairs(spark, state_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(state_dir, "pairs")) \
+    return spark.read.parquet(join_uri(state_dir, "pairs")) \
         .select("id_a", "id_b", "cosine_sim")

@@ -38,7 +38,8 @@ def test_parse_debezium_golden(spark):
     feed = spark.createDataFrame(
         [(json.dumps(e),) for e in _envelopes()], "value string")
     out = parse_debezium(feed, TABLE, pk_cols=["id"]).collect()
-    by_seq = {r.seqno: r for r in out}
+    base = 3 << 40  # mysql-bin.000003
+    by_seq = {r.seqno - base: r for r in out}
     assert len(out) == 4
     # c and r both normalize to insert with the AFTER image
     assert by_seq[100].op == "insert" and by_seq[100].balance == 10.0
@@ -47,10 +48,72 @@ def test_parse_debezium_golden(spark):
     assert by_seq[102].op == "update" and by_seq[102].balance == 42.0
     # d carries the BEFORE image (the only one a delete has)
     assert by_seq[103].op == "delete" and by_seq[103].name == "bob"
-    assert by_seq[103].row_key == "2"
-    # binlog pos is the seqno; gtid rides along for resume bookkeeping
+    # row_key is the length-prefixed form snapshot_scan emits ('12' for
+    # id=2), so changelog rows match snapshot rows key-for-key
+    assert by_seq[103].row_key == "12"
+    # gtid rides along for resume bookkeeping
     assert by_seq[100].gtid.endswith(":23")
     assert by_seq[100].ts.year == 2023
+
+
+def test_parse_debezium_seqno_survives_file_rotation(spark):
+    """Binlog pos resets on rotation; seqno = file_index<<40 | pos must
+    keep the later file's events strictly after the earlier file's even
+    though their raw pos is smaller."""
+    src1 = {"gtid": "g:1", "file": "mysql-bin.000003", "pos": 999_999,
+            "db": "d", "table": "t"}
+    src2 = {"gtid": "g:2", "file": "mysql-bin.000004", "pos": 4,
+            "db": "d", "table": "t"}
+    envs = [
+        {"before": None, "after": {"id": 1, "name": "a", "balance": 1.0},
+         "op": "c", "ts_ms": 1700000000000, "source": src1},
+        {"before": None, "after": {"id": 1, "name": "b", "balance": 2.0},
+         "op": "u", "ts_ms": 1700000000500, "source": src2},
+    ]
+    feed = spark.createDataFrame(
+        [(json.dumps(e),) for e in envs], "value string")
+    out = sorted(parse_debezium(feed, TABLE, pk_cols=["id"]).collect(),
+                 key=lambda r: r.seqno)
+    # the post-rotation update wins despite pos 4 < 999999
+    assert [r.op for r in out] == ["insert", "update"]
+    assert out[0].seqno == (3 << 40) + 999_999
+    assert out[1].seqno == (4 << 40) + 4
+
+
+def test_parse_debezium_composite_pk_no_collision(spark):
+    """('ab','c') vs ('a','bc'): plain concat collides, length-prefixed
+    row_key must not."""
+    schema = T.StructType([T.StructField("k1", T.StringType()),
+                           T.StructField("k2", T.StringType())])
+    src = {"gtid": "g", "file": "b.000001", "pos": 1, "db": "d",
+           "table": "t"}
+    envs = [
+        {"before": None, "after": {"k1": "ab", "k2": "c"}, "op": "c",
+         "ts_ms": 1, "source": dict(src, pos=1)},
+        {"before": None, "after": {"k1": "a", "k2": "bc"}, "op": "c",
+         "ts_ms": 2, "source": dict(src, pos=2)},
+    ]
+    feed = spark.createDataFrame(
+        [(json.dumps(e),) for e in envs], "value string")
+    keys = {r.row_key for r in
+            parse_debezium(feed, schema, pk_cols=["k1", "k2"]).collect()}
+    assert keys == {"2ab1c", "1a2bc"}
+
+
+def test_parse_debezium_posless_feed_opt_in_ts(spark):
+    """A connector that emits no source position must opt in to ts_ms
+    seqnos explicitly; by default posless rows get NULL seqno rather
+    than a silently incomparable wall-clock value."""
+    env = {"before": None, "after": {"id": 9, "name": "x", "balance": 0.0},
+           "op": "c", "ts_ms": 1700000000000,
+           "source": {"gtid": None, "file": None, "pos": None,
+                      "db": "d", "table": "t"}}
+    feed = spark.createDataFrame([(json.dumps(env),)], "value string")
+    assert parse_debezium(feed, TABLE, pk_cols=["id"]) \
+        .collect()[0].seqno is None
+    assert parse_debezium(feed, TABLE, pk_cols=["id"],
+                          seqno_from_ts=True) \
+        .collect()[0].seqno == 1700000000000
 
 
 def test_parse_debezium_schema_wrapped(spark):
@@ -68,7 +131,7 @@ def test_parse_debezium_feeds_decompose_updates(spark):
     halves = decompose_updates(cdc).collect()
     # 4 events, the update splits in two
     assert len(halves) == 5
-    upd = sorted([r for r in halves if r.row_key == "1"],
+    upd = sorted([r for r in halves if r.row_key == "11"],
                  key=lambda r: r.seqno)
     # delete(before-slot) immediately precedes insert(after) — the
     # reference's consecutive-seqno pairing

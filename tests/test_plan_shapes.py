@@ -59,6 +59,29 @@ def test_chunking_is_a_pure_generator(spark, sf_dir):
         assert "Generate" in plan, name
 
 
+def test_contamination_shingles_never_shuffle(spark, sf_dir):
+    """The contamination scan's corpus side must stay narrow until the
+    per-doc shared-count aggregation: distinctness comes from
+    array_distinct WITHIN the row, never a global (doc, shingle)
+    DISTINCT (that full-shingle shuffle was the repo's worst 10× scale
+    ratio, VERDICT r4 #2).  Exactly two corpus-side hash Exchanges may
+    remain: the n_shared partial→final agg and the doc-level totals
+    join — both move one row per document, not one per shingle."""
+    import re
+    plan = _plan(spark, sf_dir, "contamination_check")
+    keys = [frozenset(c.strip().split("#")[0]
+                      for c in m.group(1).split(",") if "#" in c)
+            for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)",
+                                 plan)]
+    # the old anti-pattern was a (doc_id, sh)-keyed DISTINCT Exchange on
+    # the corpus side — must never come back
+    assert frozenset({"doc_id", "sh"}) not in keys, keys
+    # exactly one doc-keyed Exchange (the n_shared agg) and at most one
+    # sh-keyed one (the BENCHMARK-side distinct, tiny, pre-broadcast)
+    assert keys.count(frozenset({"doc_id"})) == 1, keys
+    assert keys.count(frozenset({"sh"})) <= 1, keys
+
+
 def test_text_surface_has_no_python_stages(spark, sf_dir):
     """Dedup signatures + text analysis are codegen'd Column expressions;
     row-Python here was the r1 perf bug (250s vs <1s)."""

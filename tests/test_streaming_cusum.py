@@ -141,6 +141,48 @@ def test_cusum_sink_surfaces_unmonitored_series(spark, tmp_path):
     assert [r.event_type for r in un.collect()] == ["brand_new"]
 
 
+def test_cusum_unmonitored_replay_does_not_duplicate(spark, tmp_path):
+    """At-least-once replay of a batch must not duplicate rows in the
+    'unmonitored' side table: it is written as a _batch-partitioned
+    dynamic overwrite, so the replay replaces its own partition
+    (ADVICE r4)."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from storagetapper_spark.streaming.cusum import cusum_sink
+
+    schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src, state, ckpt = (str(tmp_path / d) for d in ("feed", "st", "ck"))
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        f.write(json.dumps({"event_type": "click",
+                            "ts": "2024-01-01T12:00:00"}) + "\n")
+        f.write(json.dumps({"event_type": "brand_new",
+                            "ts": "2024-01-01T13:00:00"}) + "\n")
+    base = spark.createDataFrame([("click", 10.0, 2.0)],
+                                 "event_type string, mu double, sigma double")
+    stream = spark.readStream.schema(schema).json(src)
+    cusum_sink(stream, base, state, ckpt).awaitTermination(60)
+    # simulate a crash AFTER the unmonitored write but BEFORE the state
+    # version committed: delete both the commit marker and v0, forcing a
+    # full re-execution of batch 0 (not just the replay-guard republish)
+    import shutil
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    shutil.rmtree(os.path.join(state, "cusum", "v0"))
+    stream = spark.readStream.schema(schema).json(src)
+    cusum_sink(stream, base, state, ckpt).awaitTermination(60)
+    un = spark.read.parquet(os.path.join(state, "cusum", "unmonitored"))
+    assert [r.event_type for r in un.collect()] == ["brand_new"]
+
+
 def test_train_baseline_constant_series_sigma_is_zero(spark):
     """Exact-sum variance of a constant series can round to a tiny
     negative; sqrt must clamp to 0.0, not NaN (ADVICE r3)."""
