@@ -150,7 +150,29 @@ def main():
           f"{sum(1 for v in results.values() if v[0] == 'ROWS_ONLY')} rows-only; "
           f"{sum(1 for v in results.values() if v[0] not in ('OK', 'ROWS_ONLY'))} failing")
     spark.stop()
-    return 0 if all(v[0] in ("OK", "ROWS_ONLY") for v in results.values()) else 1
+    rc = 0 if all(v[0] in ("OK", "ROWS_ONLY") for v in results.values()) else 1
+    # Full-registry runs leave a committed gate artifact (VERDICT r4 #9):
+    # the zero-regression evidence that EVERY registry query — not just
+    # the driver's 50-query window — was oracle-checked before close.
+    if not only:
+        import json
+        import time as _time
+        art = {
+            "sf_dir": sf_dir,
+            "checked": len(results),
+            "ok": ok,
+            "rows_only": sorted(n for n, v in results.items()
+                                if v[0] == "ROWS_ONLY"),
+            "failing": {n: v[1] for n, v in results.items()
+                        if v[0] not in ("OK", "ROWS_ONLY")},
+            "exit_status": rc,
+            "utc": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
+        }
+        with open(os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "CHECK_ALL.json"), "w") as f:
+            json.dump(art, f, indent=1, sort_keys=True)
+        print(f"gate artifact: CHECK_ALL.json (exit {rc})")
+    return rc
 
 
 if __name__ == "__main__":
