@@ -27,7 +27,6 @@ hot path.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +34,7 @@ from pyspark.sql import types as T
 
 from storagetapper_spark.operators.merge import latest_state
 from storagetapper_spark.schema.evolution import apply_change, conform, parse_ddl
+from storagetapper_spark.statefs import exists, join_uri
 from storagetapper_spark.state import Registry
 
 #: Fixed wire schema of an evolving CDC feed (CommonFormat analog).
@@ -59,14 +59,14 @@ def _merge_segment(spark: SparkSession, rows: DataFrame,
             [rows.schema["pk"], T.StructField("op", T.StringType()),
              T.StructField("seqno", T.LongType())]
             + [f for f in schema.fields if f.name not in ("pk", "op", "seqno")]))
-    cur_path = os.path.join(state_path, "current")
-    if os.path.exists(cur_path):
+    cur_path = join_uri(state_path, "current")
+    if exists(cur_path):
         cur = conform(spark.read.parquet(cur_path), decoded.schema)
         merged = latest_state(cur.unionByName(decoded), pk_cols,
                               drop_deleted=False)
     else:
         merged = latest_state(decoded, pk_cols, drop_deleted=False)
-    tmp = os.path.join(state_path, "next")
+    tmp = join_uri(state_path, "next")
     merged.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(cur_path)
 

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from storagetapper_spark.operators.history import delta_stream, scd2_history
+from storagetapper_spark.statefs import exists, join_uri
 from storagetapper_spark.operators.merge import latest_state
 
 
@@ -148,12 +149,12 @@ def scd2_sink(cdc_stream: DataFrame, history_dir: str, checkpoint_dir: str,
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        cur_path = os.path.join(history_dir, "current")
+        cur_path = join_uri(history_dir, "current")
         cur = (spark.read.parquet(cur_path)
-               if os.path.exists(cur_path) else None)
+               if exists(cur_path) else None)
         merged = scd2_apply_batch(cur, batch_df, pk_cols,
                                   seqno_col=seqno_col, op_col=op_col)
-        nxt = os.path.join(history_dir, f"v{batch_id}")
+        nxt = join_uri(history_dir, f"v{batch_id}")
         merged.write.mode("overwrite").parquet(nxt)
         spark.read.parquet(nxt).write.mode("overwrite").parquet(cur_path)
 
@@ -169,7 +170,7 @@ def scd2_sink(cdc_stream: DataFrame, history_dir: str, checkpoint_dir: str,
 def read_history(spark, history_dir: str) -> DataFrame:
     import os
 
-    return spark.read.parquet(os.path.join(history_dir, "current"))
+    return spark.read.parquet(join_uri(history_dir, "current"))
 
 
 def ivm_sink(cdc_stream: DataFrame, state_dir: str, checkpoint_dir: str,
@@ -188,10 +189,10 @@ def ivm_sink(cdc_stream: DataFrame, state_dir: str, checkpoint_dir: str,
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        agg_cur = os.path.join(state_dir, "agg", "current")
-        key_cur = os.path.join(state_dir, "keystate", "current")
-        agg = spark.read.parquet(agg_cur) if os.path.exists(agg_cur) else None
-        ks = spark.read.parquet(key_cur) if os.path.exists(key_cur) else None
+        agg_cur = join_uri(state_dir, "agg", "current")
+        key_cur = join_uri(state_dir, "keystate", "current")
+        agg = spark.read.parquet(agg_cur) if exists(agg_cur) else None
+        ks = spark.read.parquet(key_cur) if exists(key_cur) else None
         agg2, ks2 = apply_delta_batch(agg, ks, batch_df, pk_cols, value_col,
                                       group_col)
         for df, cur in ((agg2, agg_cur), (ks2, key_cur)):
@@ -211,4 +212,4 @@ def ivm_sink(cdc_stream: DataFrame, state_dir: str, checkpoint_dir: str,
 def read_aggregate(spark, state_dir: str) -> DataFrame:
     import os
 
-    return spark.read.parquet(os.path.join(state_dir, "agg", "current"))
+    return spark.read.parquet(join_uri(state_dir, "agg", "current"))

@@ -18,10 +18,10 @@ re-reading events.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from storagetapper_spark.statefs import exists, join_uri
 
 
 def day_sketches(df: DataFrame, key_col: str = "user_id",
@@ -50,11 +50,11 @@ def sketch_sink(event_stream: DataFrame, state_dir: str,
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        cur = os.path.join(state_dir, "sketches", "current")
-        state = spark.read.parquet(cur) if os.path.exists(cur) else None
+        cur = join_uri(state_dir, "sketches", "current")
+        state = spark.read.parquet(cur) if exists(cur) else None
         merged = merge_sketch_batch(state, day_sketches(batch_df, key_col,
                                                         ts_col))
-        nxt = os.path.join(state_dir, "sketches", f"v{batch_id}")
+        nxt = join_uri(state_dir, "sketches", f"v{batch_id}")
         merged.write.mode("overwrite").parquet(nxt)
         spark.read.parquet(nxt).write.mode("overwrite").parquet(cur)
 
@@ -72,7 +72,7 @@ def read_estimates(spark, state_dir: str,
     """Distinct-count estimates from the stored sketches: per day
     (window_days=1) or rolling (union of the trailing window's
     sketches — days × window rows move, never events)."""
-    sk = spark.read.parquet(os.path.join(state_dir, "sketches", "current"))
+    sk = spark.read.parquet(join_uri(state_dir, "sketches", "current"))
     if window_days == 1:
         return (sk.select("d", F.hll_sketch_estimate("sk").alias("est"))
                 .orderBy("d"))
