@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "cycle_time_percentiles_tpr", "winsorized_prices_tpr",
     "dedup_semantic_incr", "sample_split_leakage_safe",
     "embedding_drift_cells", "dedup_minhash_calibration",
+    # round-5 additions
+    "sample_shuffle_shard", "sample_pack_sequences",
 ]
 
 

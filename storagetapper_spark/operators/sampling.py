@@ -8,6 +8,9 @@
 - ``pack_sequences``: greedy first-fit packing of documents into token
   budgets (context windows) per partition — applyInPandas over a
   distribution key, constant memory, no driver involvement.
+- ``shuffle_shard``: reproducible global shuffle + shard assignment —
+  the write-side permutation every training-data build runs before
+  emitting example files.
 """
 
 from __future__ import annotations
@@ -59,6 +62,38 @@ def weighted_hash_sample(df: DataFrame, weight_col: str, key_col: str,
     wa = F.sqrt(w) if alpha == 0.5 else F.pow(w, F.lit(alpha))
     p = F.least(F.lit(1.0), F.lit(scale) * wa)
     return df.filter(u < p)
+
+
+def shuffle_shard(df: DataFrame, n_shards: int, id_col: str = "doc_id",
+                  seed: str = "0") -> DataFrame:
+    """Reproducible global shuffle + sharding: adds ``shard`` (int) and
+    ``sort_key`` (md5 hex) columns.  Training-data builds need a
+    permutation that is (a) uniform, (b) identical across re-runs and
+    engines, (c) writable without any global sort.  Salted md5 of the
+    id gives (a)+(b); the shard is the key's hex prefix mapped through
+    its first chars so shard boundaries are hash ranges (``n_shards``
+    must be a power of 16 ≤ 65536 for exact-prefix mapping; other
+    values use pmod of the prefix).
+
+    Write pattern at scale: ``.repartition(n_shards, "shard")
+    .sortWithinPartitions("sort_key")`` then partitioned write — one
+    shuffle, each output file internally hash-ordered, NO global sort
+    or window anywhere (a per-shard row_number would serialize 1/n of
+    the corpus through one task).  Readers streaming shards in key
+    order see a deterministic global permutation."""
+    h = F.md5(F.concat_ws("|", F.lit(seed),
+                          F.col(id_col).cast("string")))
+    # hex prefix → integer without conv-overflow: 4 hex chars = 16 bits
+    prefix = (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1) \
+        * 4096 \
+        + (F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1)) - 1) \
+        * 256 \
+        + (F.instr(F.lit("0123456789abcdef"), F.substring(h, 3, 1)) - 1) \
+        * 16 \
+        + (F.instr(F.lit("0123456789abcdef"), F.substring(h, 4, 1)) - 1)
+    return df.withColumn("sort_key", h) \
+             .withColumn("shard",
+                         F.pmod(prefix, F.lit(n_shards)).cast("int"))
 
 
 def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",

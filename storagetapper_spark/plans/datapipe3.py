@@ -155,6 +155,74 @@ FROM events GROUP BY event_type
 """
 
 
+# --- reproducible global shuffle + sharding (training-data write side) --
+
+def sample_shuffle_shard(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic shuffle-shard assignment over documents: every doc
+    lands in exactly one of 16 hash-range shards with an md5 sort key;
+    per shard we report the count and the head/tail docs in key order.
+    Engine-portable determinism (salted md5, no RNG) — the oracle
+    recomputes the identical assignment in DuckDB.  Scale: assignment
+    is a narrow projection; the ONLY wide op is the per-shard agg
+    (map-side partial).  The write path (repartition + sort-within-
+    partition, no global sort) is operators/sampling.shuffle_shard's
+    docstring contract, exercised in tests."""
+    from storagetapper_spark.operators.sampling import shuffle_shard
+
+    docs = t(spark, sf, "documents").select("doc_id")
+    sharded = shuffle_shard(docs, n_shards=16, seed="r5")
+    return (sharded.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min_by("doc_id", "sort_key").alias("head_doc"),
+                 F.max_by("doc_id", "sort_key").alias("tail_doc"),
+                 F.min("sort_key").alias("min_key"))
+            .orderBy("shard"))
+
+
+SHUFFLE_SHARD_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5('r5' || '|' || CAST(doc_id AS VARCHAR)) AS sort_key
+  FROM documents),
+sharded AS (
+  SELECT doc_id, sort_key,
+         ((strpos('0123456789abcdef', substr(sort_key, 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(sort_key, 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(sort_key, 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(sort_key, 4, 1)) - 1)) % 16
+           AS shard
+  FROM keyed)
+SELECT CAST(shard AS INTEGER) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       arg_min(doc_id, sort_key) AS head_doc,
+       arg_max(doc_id, sort_key) AS tail_doc,
+       min(sort_key) AS min_key
+FROM sharded GROUP BY shard ORDER BY shard
+"""
+
+
+def sample_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window packing over the documents table: docs (token
+    counts from whitespace splitting) packed first-fit-decreasing into
+    2048-token bins per hash partition.  Greedy FFD is not
+    SQL-expressible — registered rows-only; the packing invariants
+    (no bin over budget, every doc exactly once, fill accounting) are
+    pytest-asserted (test_registry_sampling.py)."""
+    from storagetapper_spark.operators.sampling import pack_sequences
+
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), "\\s+")).cast("long")
+         .alias("n_tokens"))
+    packed = pack_sequences(docs, budget=2048)
+    return (packed.groupBy("pack_partition")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("bin_id").alias("n_bins"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.max("bin_fill").alias("max_fill"))
+            .orderBy("pack_partition"))
+
+
 QUERIES = {
     "text_chunk_fixed": (text_chunk_fixed, CHUNK_FIXED_SQL),
     "text_chunk_tokens": (text_chunk_tokens, CHUNK_TOKENS_SQL),
@@ -162,4 +230,6 @@ QUERIES = {
     "sample_mixture": (sample_mixture, SAMPLE_MIXTURE_SQL),
     "multimodal_manifest": (multimodal_manifest, MULTIMODAL_MANIFEST_SQL),
     "agg_salted_skew": (agg_salted_skew, AGG_SALTED_SQL),
+    "sample_shuffle_shard": (sample_shuffle_shard, SHUFFLE_SHARD_SQL),
+    "sample_pack_sequences": (sample_pack_sequences, None),
 }

@@ -53,6 +53,35 @@ def test_stratified_hash_sample(spark):
     assert 40 < counts.get("de", 0) < 200
 
 
+def test_shuffle_shard_deterministic_uniform_and_sortable(spark):
+    from storagetapper_spark.operators.sampling import shuffle_shard
+
+    df = spark.range(0, 4096).selectExpr("id as doc_id")
+    a = shuffle_shard(df, n_shards=16, seed="s1")
+    b = shuffle_shard(df, n_shards=16, seed="s1")
+    rows_a = {r.doc_id: (r.shard, r.sort_key) for r in a.collect()}
+    rows_b = {r.doc_id: (r.shard, r.sort_key) for r in b.collect()}
+    assert rows_a == rows_b                       # run-to-run determinism
+    # a different seed is a different permutation
+    c = {r.doc_id: r.sort_key
+         for r in shuffle_shard(df, n_shards=16, seed="s2").collect()}
+    assert c != {k: v[1] for k, v in rows_a.items()}
+    # every doc in exactly one shard; shards roughly uniform (4096/16=256)
+    per = {}
+    for s, _ in rows_a.values():
+        per[s] = per.get(s, 0) + 1
+    assert set(per) == set(range(16))
+    assert max(per.values()) < 2 * min(per.values())
+
+    # the documented write pattern compiles to shuffle + in-partition
+    # sort, with NO Window (a per-shard row_number would funnel 1/n of
+    # the corpus through one task)
+    out = (a.repartition(16, "shard").sortWithinPartitions("sort_key"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Sort [sort_key" in plan
+
+
 def test_pack_sequences(spark):
     df = spark.createDataFrame(
         [(i, 300 + (i * 37) % 700) for i in range(200)],
