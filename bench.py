@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "embedding_drift_cells", "dedup_minhash_calibration",
     # round-5 additions
     "sample_shuffle_shard", "sample_pack_sequences",
+    "text_repeated_passages", "tokenizer_pair_counts",
+    "text_idf_stopwords", "sample_temperature_mix",
+    "dedup_lsh_verified", "corpus_budget_cut",
 ]
 
 

@@ -584,3 +584,47 @@ def dup_ngram_fraction(df: DataFrame, text_col: str = "text",
             .select(id_col, "n_grams", "n_dup",
                     F.round(F.col("n_dup") / F.col("n_grams"), 4)
                      .alias("dup_frac")))
+
+
+def lsh_verified_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 8,
+                       bands: int = 4, shingle_n: int = 3,
+                       threshold: float = 0.5,
+                       star_threshold: int | None = None) -> DataFrame:
+    """The verification stage that completes the MinHash dedup pipeline
+    (candidates → EXACT Jaccard → keep/drop): every LSH candidate pair
+    is re-scored with the true shingle-set Jaccard and flagged against
+    ``threshold``.  This is the standard two-stage near-dup design
+    (sketch recall, exact precision) — reference parity: generalizes
+    storagetapper's row-key equality dedup to set similarity.
+
+    Scale shape: the exact re-score touches ONLY candidate pairs (LSH
+    output, band-bounded — never O(n^2)).  Each doc's distinct shingle
+    SET is built in one narrow pass (array_distinct over the lookahead
+    regex — no explode, no shuffle) and rides two id-keyed joins onto
+    the pair list; per-pair cost is one array_intersect over two
+    doc-length arrays.  At 100 TB the join payload is candidate-count
+    × doc-shingle-set — output-bounded, not corpus-bounded.
+    """
+    cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands,
+                             shingle_n, star_threshold)
+    norm = normalize_text(F.col(text_col))
+    pat = "(?<!\\S)(?=(" + " ".join(["\\S+"] * shingle_n) + "))"
+    sets = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.when(F.size(F.split(norm, " ")) < shingle_n,
+                   F.array(norm))
+             .otherwise(F.regexp_extract_all(norm, F.lit(pat), 1)))
+         .alias("_sh"))
+    sets = sets.select(id_col, "_sh", F.size("_sh").alias("_sz"))
+    a = sets.select(F.col(id_col).alias("id_a"),
+                    F.col("_sh").alias("_sh_a"), F.col("_sz").alias("_sz_a"))
+    b = sets.select(F.col(id_col).alias("id_b"),
+                    F.col("_sh").alias("_sh_b"), F.col("_sz").alias("_sz_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    exact = inter / (F.col("_sz_a") + F.col("_sz_b") - inter)
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b", "jaccard_est",
+                    F.round(exact, 4).alias("jaccard_exact"),
+                    (exact >= threshold).alias("verified")))

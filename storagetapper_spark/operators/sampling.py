@@ -194,3 +194,62 @@ def mixture_rebalance(df: DataFrame, stratum_col: str,
     return (df.join(F.broadcast(rates), stratum_col)
               .where(u < F.col("_rate"))
               .drop("_rate"))
+
+
+def budget_cut(df: DataFrame, score_col: str, weight_col: str,
+               budget: int, id_col: str = "doc_id",
+               n_buckets: int = 64) -> DataFrame:
+    """Global "best docs until the token budget is spent" selection —
+    the corpus-trimming step of a quality-ranked training-data build:
+    order by (score DESC, id ASC), keep each doc whose inclusive
+    running ``weight_col`` total stays within ``budget``.
+
+    A naive global sort + running-sum window over the corpus is the
+    anti-pattern (one unbounded ordered partition).  Scale-safe
+    two-phase form:
+      1. fixed-width score histogram: one min/max agg (broadcast
+         scalars), a narrow bucket-assign pass, and a per-bucket
+         weight-sum agg of ``n_buckets`` rows — collected driver-side
+         (bounded by n_buckets, the IVF-centroid discipline);
+      2. the prefix over bucket sums finds the first bucket where the
+         budget crosses; buckets strictly better are selected whole,
+         so the exact running-sum window runs ONLY over candidates
+         (full winners + the straddling bucket) — an output-bounded
+         relation, not the corpus.
+    Output: selected (id, score, weight, cum) rows, exactly the docs a
+    single-node ORDER BY ... WHERE cumsum <= budget would keep (ties
+    broken by id, so re-runs and the DuckDB oracle agree row-for-row).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(score_col).cast("long").alias("_score"),
+                     F.col(weight_col).cast("long").alias("_w"))
+    lo, hi = base.agg(F.min("_score"), F.max("_score")).first()
+    if lo is None:
+        return base.select(F.col("_id").alias(id_col),
+                           F.col("_score").alias(score_col),
+                           F.col("_w").alias(weight_col),
+                           F.lit(0).cast("long").alias("cum_weight"))
+    width = max(1, (hi - lo) // n_buckets + 1)
+    bucket = ((F.lit(hi) - F.col("_score")) / width).cast("int")
+    bucketed = base.select("*", bucket.alias("_b"))
+    sums = {int(r._b): int(r.s) for r in
+            bucketed.groupBy("_b").agg(F.sum("_w").alias("s")).collect()}
+    running, cut = 0, None
+    for b in sorted(sums):
+        if running + sums[b] > budget:
+            cut = b
+            break
+        running += sums[b]
+    # cut None → whole corpus fits; else candidates = buckets <= cut
+    cand = bucketed if cut is None else bucketed.where(F.col("_b") <= cut)
+    w = (Window.orderBy(F.desc("_score"), F.asc("_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (cand.select("_id", "_score", "_w",
+                        F.sum("_w").over(w).alias("cum_weight"))
+            .where(F.col("cum_weight") <= budget)
+            .select(F.col("_id").alias(id_col),
+                    F.col("_score").alias(score_col),
+                    F.col("_w").alias(weight_col),
+                    F.col("cum_weight").cast("long").alias("cum_weight")))

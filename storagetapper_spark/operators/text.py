@@ -174,3 +174,88 @@ def chunk_tokens(df: DataFrame, text_col: str = "text", tokens: int = 64,
     return exploded.select(*id_cols, "chunk_id", "tok_start",
                            F.size(piece).cast("long").alias("n_tokens"),
                            F.md5(chunk).alias("chunk_md5"))
+
+
+def token_windows(text: Column, k: int) -> Column:
+    """Array of all k-token sliding windows of ``text`` (space-joined),
+    deduplicated WITHIN the row.  Pure generator expression — the
+    per-doc ``array_distinct`` is the trick that keeps downstream
+    cross-doc aggregation map-side combinable (the same pre-shuffle
+    dedup that fixed contamination_check's shingle shuffle).  Rows
+    shorter than k tokens yield an empty array (sequence() would
+    otherwise count DOWN when start > stop)."""
+    toks = F.split(text, " ")
+    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1))
+    windows = F.transform(starts,
+                          lambda s: F.concat_ws(" ", F.slice(toks, s, k)))
+    return F.when(F.size(toks) >= k,
+                  F.array_distinct(windows)).otherwise(
+                      F.array().cast("array<string>"))
+
+
+def repeated_passages(df: DataFrame, text_col: str = "text", k: int = 8,
+                      min_docs: int = 2,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Cross-document repeated-passage detection — the exact-substring
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), expressed over k-token sliding windows:
+    a window that occurs verbatim in >= min_docs distinct documents
+    marks a duplicated passage, and each document reports what fraction
+    of its distinct windows are cross-duplicated.
+
+    Shape (reference parity: this generalizes storagetapper's row-level
+    dedup-by-key to passage granularity):
+      1. per-doc distinct windows (narrow generator, no shuffle);
+      2. ONE gram-keyed count agg — because windows are pre-deduped per
+         doc, count(*) == count of docs containing the gram, a plain
+         map-side-combinable count (no countDistinct expand);
+      3. gram-keyed LEFT shuffle join back (AQE skew-join safe — a
+         window over partitionBy(gram) would pin hot grams to one
+         task), so per-doc totals AND dup counts come out of one
+         doc-keyed agg — the text is tokenized exactly ONCE;
+      4. a doc_id-only (column-pruned) outer join re-attaches docs too
+         short to have any window.
+    At 100 TB every wide op is keyed by gram or doc_id — never all-pairs.
+    """
+    exploded = df.select(id_col,
+                         F.explode(token_windows(F.col(text_col), k))
+                          .alias("gram"))
+    gram_docs = (exploded.groupBy("gram")
+                 .agg(F.count(F.lit(1)).alias("n_docs"))
+                 .filter(F.col("n_docs") >= min_docs))
+    per_doc = (exploded.join(gram_docs, "gram", "left")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_windows"),
+                    F.count("n_docs").alias("n_dup_windows"),
+                    F.max("n_docs").alias("max_spread")))
+    return (df.select(id_col)
+            .join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_windows", F.lit(0)).cast("long")
+                     .alias("n_windows"),
+                    F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+                     .alias("n_dup_windows"),
+                    F.coalesce("max_spread", F.lit(0)).cast("long")
+                     .alias("max_spread"),
+                    F.when(F.coalesce("n_windows", F.lit(0)) > 0,
+                           F.round(F.coalesce("n_dup_windows", F.lit(0))
+                                   / F.col("n_windows"), 6))
+                     .otherwise(F.lit(0.0)).alias("dup_fraction")))
+
+
+def adjacent_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies — the first merge
+    round of BPE tokenizer training (Sennrich et al. 2016).  Pair
+    generation is a narrow JVM generator (transform over an index
+    sequence); the single wide op is the pair-keyed count, map-side
+    combined, so 100 TB of text reduces to vocabulary-squared-bounded
+    partial maps before the shuffle."""
+    toks = F.split(F.col(text_col), " ")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda s: F.concat_ws(" ", F.slice(toks, s, 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    return (df.select(F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n")))

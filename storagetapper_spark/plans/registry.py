@@ -16,6 +16,7 @@ from storagetapper_spark.plans import (
     datapipe,
     datapipe2,
     datapipe3,
+    datapipe4,
     relational,
     relational2,
     relational3,
@@ -36,7 +37,7 @@ for mod in (relational, relational2, relational3, relational4, relational5,
             relational6, relational7, relational8, relational9, relational10,
             timeseries,
             timeseries2, timeseries3, cdc, cdc2, cdc3, datapipe, datapipe2,
-            datapipe3, extensions):
+            datapipe3, datapipe4, extensions):
     for name, pair in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"
         _ALL[name] = pair

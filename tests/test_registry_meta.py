@@ -25,7 +25,10 @@ def con(sf_dir):
 # oracle SQL — their numeric contract vs the exact oracle-green forms
 # lives in tests/test_approx_percentile_twins.py.
 ROWS_ONLY = {"price_outliers_mad_approx", "cycle_time_percentiles_approx",
-             "winsorized_prices_approx"}
+             "winsorized_prices_approx",
+             # greedy FFD bin packing is not SQL-expressible; invariants
+             # are pytest-asserted in test_registry_sampling.py
+             "sample_pack_sequences"}
 
 
 def test_every_query_has_an_oracle():
