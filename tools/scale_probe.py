@@ -61,6 +61,11 @@ PROBES = [
     "dedup_semantic",          # centroid cells -> blocked GEMM -> CC
     "text_dup_ngram_fraction",  # gram-keyed docfreq join
     "cdc_debezium_normalize",  # to_json/from_json envelope round-trip
+    # round-5 corpus-analysis batch
+    "text_repeated_passages",  # gram-keyed count + left join back
+    "dedup_lsh_verified",      # candidate-bounded exact re-score
+    "corpus_budget_cut",       # histogram cut; window only on winners
+    "sample_shuffle_shard",    # md5 permutation + hash-range shards
 ]
 
 
