@@ -213,9 +213,11 @@ def budget_cut(df: DataFrame, score_col: str, weight_col: str,
          (bounded by n_buckets, the IVF-centroid discipline);
       2. the prefix over bucket sums finds the first bucket where the
          budget crosses; buckets strictly better are selected whole,
-         so the exact running-sum window runs ONLY over candidates
-         (full winners + the straddling bucket) — an output-bounded
-         relation, not the corpus.
+         and the exact running sum = broadcast per-bucket prefix
+         offset + a bucket-PARTITIONED window over the candidate set
+         (winners + the straddling bucket) — no unpartitioned ordered
+         window anywhere, and the wide work is output-bounded, not
+         corpus-bounded.
     Output: selected (id, score, weight, cum) rows, exactly the docs a
     single-node ORDER BY ... WHERE cumsum <= budget would keep (ties
     broken by id, so re-runs and the DuckDB oracle agree row-for-row).
@@ -236,18 +238,30 @@ def budget_cut(df: DataFrame, score_col: str, weight_col: str,
     bucketed = base.select("*", bucket.alias("_b"))
     sums = {int(r._b): int(r.s) for r in
             bucketed.groupBy("_b").agg(F.sum("_w").alias("s")).collect()}
-    running, cut = 0, None
+    prefix, running, cut = {}, 0, None
     for b in sorted(sums):
-        if running + sums[b] > budget:
+        prefix[b] = running
+        if cut is None and running + sums[b] > budget:
             cut = b
-            break
         running += sums[b]
     # cut None → whole corpus fits; else candidates = buckets <= cut
     cand = bucketed if cut is None else bucketed.where(F.col("_b") <= cut)
-    w = (Window.orderBy(F.desc("_score"), F.asc("_id"))
+    # Global cumsum = per-bucket prefix offset (driver-side, n_buckets
+    # rows, broadcast) + within-bucket running sum.  Buckets are
+    # score-monotone (equal scores share a bucket), so this equals the
+    # single ORDER BY (score DESC, id) cumsum — but the window is
+    # PARTITIONED by bucket: no single-task ordered partition anywhere,
+    # even over the candidate set.
+    offsets = df.sparkSession.createDataFrame(
+        [(b, prefix[b]) for b in sorted(sums)
+         if cut is None or b <= cut], "_b int, _off long")
+    w = (Window.partitionBy("_b")
+         .orderBy(F.desc("_score"), F.asc("_id"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (cand.select("_id", "_score", "_w",
-                        F.sum("_w").over(w).alias("cum_weight"))
+    return (cand.join(F.broadcast(offsets), "_b")
+            .select("_id", "_score", "_w",
+                    (F.col("_off") + F.sum("_w").over(w))
+                    .alias("cum_weight"))
             .where(F.col("cum_weight") <= budget)
             .select(F.col("_id").alias(id_col),
                     F.col("_score").alias(score_col),
