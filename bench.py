@@ -89,6 +89,10 @@ BENCH_QUERIES = [
     "text_repeated_passages", "tokenizer_pair_counts",
     "text_idf_stopwords", "sample_temperature_mix",
     "dedup_lsh_verified", "corpus_budget_cut",
+    # round-5 second-half additions
+    "join_bloom_pruned", "join_salted_skew", "text_pii_redact",
+    "asof_state_tolerance", "asof_forward_next_purchase",
+    "tokenizer_bpe_merge_step",
 ]
 
 

@@ -26,17 +26,38 @@ from pyspark.sql import functions as F
 def asof_join(left: DataFrame, right: DataFrame, by: list[str],
               left_ts: str = "ts", right_ts: str = "ts",
               right_cols: list[str] | None = None,
-              suffix: str = "_asof") -> DataFrame:
-    """Backward (inclusive) as-of join.  Right payload columns arrive as
-    ``<col><suffix>``; left rows with no prior right row get nulls."""
+              suffix: str = "_asof",
+              tolerance_sec: float | None = None,
+              direction: str = "backward") -> DataFrame:
+    """As-of join.  Right payload columns arrive as ``<col><suffix>``;
+    left rows with no matching right row get nulls.
+
+    ``direction='backward'`` (default): latest right row with
+    ``right.ts <= left.ts``; ``'forward'``: earliest right row with
+    ``right.ts >= left.ts`` (pandas ``merge_asof`` semantics, same
+    single-window plan with the sort reversed).
+
+    ``tolerance_sec``: maximum staleness (backward) / lookahead
+    (forward) — matches further than the bound come back as nulls,
+    exactly pandas' ``tolerance``.  Implemented by carrying the matched
+    right timestamp through the window fill and null-masking after, so
+    it adds zero extra shuffles."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     right_cols = right_cols or [c for c in right.columns
                                 if c not in by and c != right_ts]
+    # tolerance needs the matched right timestamp to survive the fill —
+    # carry it as one more payload column, mask, then drop
+    fill_cols = list(right_cols)
+    if tolerance_sec is not None:
+        fill_cols.append("_asof_rt")
+        right = right.withColumn("_asof_rt", F.col(right_ts))
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_is_left"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in right_cols],
+          for c in fill_cols],
     )
     r_tag = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -44,18 +65,35 @@ def asof_join(left: DataFrame, right: DataFrame, by: list[str],
         *[F.col(c) for c in by],
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_is_left"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        *[F.col(c).alias(f"_r_{c}") for c in fill_cols],
     ).select(*l_tag.columns)  # align column order
     unioned = l_tag.unionByName(r_tag)
     # right rows sort before left rows at equal ts (_is_left asc) so the
-    # inclusive <= semantics hold
-    w = (Window.partitionBy(*by).orderBy(F.col("_t"), F.col("_is_left"))
+    # inclusive <=/>= semantics hold; forward = the same scan over
+    # reversed time, so "latest prior" becomes "earliest later"
+    order = [F.col("_t") if direction == "backward" else F.col("_t").desc(),
+             F.col("_is_left")]
+    w = (Window.partitionBy(*by).orderBy(*order)
                .rowsBetween(Window.unboundedPreceding, 0))
     filled = unioned.select(
         "*", *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-               for c in right_cols])
-    return (filled.filter(F.col("_is_left") == 1)
-                  .drop("_t", "_is_left", *[f"_r_{c}" for c in right_cols]))
+               for c in fill_cols])
+    out = filled.filter(F.col("_is_left") == 1)
+    if tolerance_sec is not None:
+        lag = (F.col("_t").cast("double")
+               - F.col(f"_asof_rt{suffix}").cast("double"))
+        if direction == "forward":
+            lag = -lag
+        in_tol = lag <= F.lit(float(tolerance_sec))
+        out = out.select(
+            *[c for c in out.columns
+              if not (c.startswith("_r_") or c == f"_asof_rt{suffix}"
+                      or c in ("_t", "_is_left"))
+              and not (c[:-len(suffix)] in right_cols and c.endswith(suffix))],
+            *[F.when(in_tol, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+              for c in right_cols])
+        return out
+    return out.drop("_t", "_is_left", *[f"_r_{c}" for c in fill_cols])
 
 
 def time_range_join(left: DataFrame, right: DataFrame, by: list[str],

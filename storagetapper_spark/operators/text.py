@@ -259,3 +259,65 @@ def adjacent_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (df.select(F.explode(pairs).alias("pair"))
             .groupBy("pair")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+def bpe_greedy_merge(df: DataFrame, x: str, y: str,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Apply ONE BPE merge (x, y) → xy to every document's token stream,
+    greedy left-to-right non-overlapping — the merge step between two
+    pair-count rounds of tokenizer training (Sennrich et al. 2016).
+
+    Greediness is the subtle part: in a run of CONSECUTIVE candidate
+    positions (e.g. "x x x" under merge (x,x)), only every other one
+    merges, counted from the run's start.  That is exactly "island
+    offset is even", so the plan is gaps-and-islands over per-document
+    windows: candidate flag via lead(), island key = i − running
+    candidate count, in-island rank via row_number, then drop each
+    merged position's right neighbor via lag().  Every window is
+    partitioned by doc_id — one shuffle, partition size bounded by
+    document length, no cross-document state.  Returns
+    (id_col, i, tok): the merged stream keyed by original position.
+    """
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(id_col).orderBy("i")
+    toks = df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("i", "tok"))
+    marked = (toks
+              .withColumn("nxt", F.lead("tok").over(w1))
+              .withColumn("cand", ((F.col("tok") == F.lit(x))
+                                   & (F.col("nxt") == F.lit(y))).cast("int")))
+    keyed = marked.withColumn(
+        "ckey",
+        F.when(F.col("cand") == 1,
+               F.col("i") - F.sum("cand").over(
+                   w1.rowsBetween(Window.unboundedPreceding, 0))))
+    w2 = Window.partitionBy(id_col, "ckey").orderBy("i")
+    sel = keyed.withColumn(
+        "sel", (F.col("cand") == 1) & (F.row_number().over(w2) % 2 == 1))
+    merged = (sel
+              .withColumn("prev_sel",
+                          F.lag(F.col("sel").cast("int")).over(w1))
+              .filter(F.coalesce(F.col("prev_sel"), F.lit(0)) == 0)
+              .select(id_col, "i",
+                      F.when(F.col("sel"),
+                             F.concat(F.col("tok"), F.col("nxt")))
+                       .otherwise(F.col("tok")).alias("tok")))
+    return merged
+
+
+def pair_counts_of_stream(stream: DataFrame,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Adjacent-pair counts over a (id, i, tok) token stream — the
+    re-count after a merge step.  One doc-partitioned lead window plus
+    the map-side-combined pair count."""
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(id_col).orderBy("i")
+    return (stream
+            .withColumn("nxt", F.lead("tok").over(w1))
+            .filter(F.col("nxt").isNotNull())
+            .select(F.concat_ws(" ", "tok", "nxt").alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n")))

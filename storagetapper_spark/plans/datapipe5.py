@@ -1,0 +1,337 @@
+"""Query batch: join-pruning and tokenizer/compliance operators,
+round 5 second half — explicit Bloom-filter semi-join reduction, salted
+skew join, PII redaction (the scrub that follows text_pii_flags'
+detection), as-of join tolerance/direction variants (pandas
+``merge_asof`` parity), and the BPE greedy merge step (the operator
+between two pair-count rounds of tokenizer training).
+
+Scale notes inline per query; the common theme is cutting shuffle bytes
+before the wide op — Bloom bits before the fact-table shuffle, salting
+to split hot reduce keys, per-document windows for the token streams.
+
+Reference parity: storagetapper filters/routes rows by key hash at the
+pipe layer (pipe/kafka.go key partitioning, shared/types.go row keys);
+these queries re-express that hash-the-key primitive as scan-side
+pruning and skew mitigation, plus the LLM-pipeline addendum operators
+of SURVEY.md §2.7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storagetapper_spark.plans.common import t
+from storagetapper_spark.plans.relational7 import (
+    _EMAIL_RE,
+    _IPV4_RE,
+    _PHONE_RE,
+)
+
+_URGENT_MIN_PRICE = 150000.0
+_ASOF_TOL_SEC = 86400  # 1-day staleness bound
+
+
+def join_bloom_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue by return flag for lineitems of urgent high-value orders,
+    with the lineitem side Bloom-pruned before the join
+    (operators/bloom.bloom_prune_join).
+
+    At 100 TB the filtered orders side is ~10⁷ keys — too big for an
+    exact broadcast semi-join, but its 2¹⁶-bit Bloom bitmap (8 KiB)
+    folds into the lineitem scan predicate and drops non-matching rows
+    before the join shuffle.  The exact equi-join afterwards absorbs
+    false positives, so the result is identical to the plain join the
+    oracle runs."""
+    from storagetapper_spark.operators.bloom import bloom_prune_join
+
+    orders = (t(spark, sf, "orders")
+              .filter((F.col("o_orderpriority") == "1-URGENT")
+                      & (F.col("o_totalprice") > _URGENT_MIN_PRICE))
+              .select("o_orderkey"))
+    lineitem = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+    joined = bloom_prune_join(lineitem, orders, "l_orderkey", "o_orderkey")
+    return (joined.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"))
+            .orderBy("l_returnflag"))
+
+
+JOIN_BLOOM_PRUNED_SQL = f"""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_totalprice > {_URGENT_MIN_PRICE}
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Event value by customer nation through an explicitly SALTED join
+    (operators/skew.salted_join): events' user_id distribution is
+    Zipf-ish, so the hot users' rows spread over 8 salted reducers
+    instead of one straggler task.  The salt is deterministic (row
+    hash), the customer side replicates 8× — the classic trade when the
+    dim side is small relative to the hot key's row count.  Result is
+    salt-invariant; the oracle runs the plain join."""
+    from storagetapper_spark.operators.skew import salted_join
+
+    ev = (t(spark, sf, "events")
+          .select(F.col("user_id").alias("custkey"), "value"))
+    cust = (t(spark, sf, "customer")
+            .select(F.col("c_custkey").alias("custkey"), "c_nationkey"))
+    joined = salted_join(ev, cust, "custkey", n_salts=8)
+    return (joined.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .orderBy("c_nationkey"))
+
+
+JOIN_SALTED_SKEW_SQL = """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def text_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed PII redaction — the scrub step after text_pii_flags'
+    detection: emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE>, with
+    the pre-redaction counts kept for the compliance audit trail.
+
+    The fixture corpus is PII-free (text_pii_flags is all zero), so the
+    input here is a contact card derived deterministically from the
+    customer table — every row carries one of each PII kind, making the
+    value hash a real witness of the replacements rather than a
+    passthrough.  Pure regexp_replace chain (JVM, scan-parallel, no
+    shuffle); replacement order is fixed (email, ip, phone) so both
+    engines see identical intermediate strings."""
+    cust = t(spark, sf, "customer")
+    key = F.col("c_custkey").cast("long")
+    contact = F.concat(
+        F.lit("Reach "), F.col("c_name"),
+        F.lit(" <user"), key, F.lit("@example.com> from 10.0."),
+        (key % 256), F.lit("."), (key % 100),
+        F.lit(" phone 555-"),
+        F.lpad((key % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((key % 10000).cast("string"), 4, "0"))
+    docs = cust.select(key.alias("contact_id"), contact.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _IPV4_RE, "<IP>"),
+        _PHONE_RE, "<PHONE>")
+    return docs.select(
+        "contact_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_IPV4_RE)).alias("n_ipv4"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).alias("n_phones"),
+        redacted.alias("text_redacted"),
+    )
+
+
+TEXT_PII_REDACT_SQL = f"""
+WITH docs AS (
+  SELECT CAST(c_custkey AS BIGINT) AS contact_id,
+         'Reach ' || c_name || ' <user' || c_custkey
+         || '@example.com> from 10.0.' || (c_custkey % 256) || '.'
+         || (c_custkey % 100) || ' phone 555-'
+         || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+         || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS text
+  FROM customer
+)
+SELECT contact_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_IPV4_RE}')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_IPV4_RE}', '<IP>', 'g'),
+         '{_PHONE_RE}', '<PHONE>', 'g') AS text_redacted
+FROM docs
+"""
+
+
+def _rates(spark, sf):
+    """Deduped purchase rates (one row per user×ts) — reused from the
+    asof_state_at_event fixture shape (plans/timeseries._purchases)."""
+    ev = t(spark, sf, "events")
+    return (ev.filter(F.col("event_type") == "purchase")
+              .groupBy("user_id", "ts")
+              .agg(F.round(F.max("value"), 2).alias("rate")))
+
+
+def asof_state_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """asof_state_at_event with a 1-day staleness bound (pandas
+    merge_asof ``tolerance``): a purchase older than the bound at click
+    time no longer represents live state and comes back NULL.  Same
+    single-shuffle union-window plan — the bound is a post-fill mask on
+    the carried match timestamp, zero extra exchanges
+    (operators/asof.asof_join tolerance_sec)."""
+    from storagetapper_spark.operators.asof import asof_join
+
+    ev = t(spark, sf, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("event_id", "user_id", "ts"))
+    out = asof_join(clicks, _rates(spark, sf), by=["user_id"],
+                    left_ts="ts", right_ts="ts", right_cols=["rate"],
+                    tolerance_sec=_ASOF_TOL_SEC)
+    return out.select("event_id", "user_id", "rate_asof")
+
+
+ASOF_TOLERANCE_SQL = f"""
+WITH rates AS (
+  SELECT user_id, ts, round(max(value), 2) AS rate
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id,
+       CASE WHEN epoch(c.ts) - epoch(r.ts) <= {_ASOF_TOL_SEC}
+            THEN r.rate END AS rate_asof
+FROM clicks c ASOF LEFT JOIN rates r
+  ON c.user_id = r.user_id AND c.ts >= r.ts
+"""
+
+
+def asof_forward_next_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of: for every click, the user's NEXT purchase rate at
+    or after click time — lookahead attribution ("did the click convert,
+    and at what price?").  The same union-window plan as backward with
+    the time order reversed (operators/asof.asof_join
+    direction='forward'); still one shuffle on user_id."""
+    from storagetapper_spark.operators.asof import asof_join
+
+    ev = t(spark, sf, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("event_id", "user_id", "ts"))
+    out = asof_join(clicks, _rates(spark, sf), by=["user_id"],
+                    left_ts="ts", right_ts="ts", right_cols=["rate"],
+                    direction="forward", suffix="_next")
+    return out.select("event_id", "user_id", "rate_next")
+
+
+ASOF_FORWARD_SQL = """
+WITH rates AS (
+  SELECT user_id, ts, round(max(value), 2) AS rate
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, arg_min(r.rate, r.ts) AS rate_next
+FROM clicks c LEFT JOIN rates r
+  ON c.user_id = r.user_id AND r.ts >= c.ts
+GROUP BY c.event_id, c.user_id
+"""
+
+
+def tokenizer_bpe_merge_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One full BPE training step: take the corpus-wide top adjacent
+    pair (tokenizer_pair_counts' winner), apply the merge to every
+    document greedily left-to-right (operators/text.bpe_greedy_merge —
+    gaps-and-islands over doc-partitioned windows), and return the
+    post-merge top-30 pair table that would seed the next round.
+
+    The top-pair collect is 1 row (bounded); everything else is
+    doc-partitioned windows plus one map-side-combined pair count —
+    iterating this step k times is the full tokenizer-training loop,
+    each round touching the corpus once."""
+    from storagetapper_spark.operators.text import (
+        adjacent_pair_counts,
+        bpe_greedy_merge,
+        pair_counts_of_stream,
+    )
+
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    top = (adjacent_pair_counts(docs.select("text"))
+           .orderBy(F.desc("n"), "pair").limit(1).collect())[0]["pair"]
+    x, y = top.split(" ", 1)
+    stream = bpe_greedy_merge(docs, x, y)
+    return (pair_counts_of_stream(stream)
+            .orderBy(F.desc("n"), "pair")
+            .limit(30))
+
+
+TOKENIZER_BPE_MERGE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+top AS (
+  SELECT pair FROM (
+    SELECT unnest([array_to_string(w[s:s + 1], ' ')
+                   for s in generate_series(1, len(w) - 1)]) AS pair
+    FROM toks WHERE len(w) >= 2)
+  GROUP BY pair ORDER BY count(*) DESC, pair LIMIT 1
+),
+xy AS (
+  SELECT string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
+  FROM top
+),
+ex AS (
+  SELECT doc_id, unnest(w) AS tok,
+         unnest(generate_series(1, len(w))) AS i
+  FROM toks
+),
+m AS (
+  SELECT doc_id, i, tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+  FROM ex
+),
+c AS (
+  SELECT *, CASE WHEN tok = (SELECT x FROM xy)
+                  AND nxt = (SELECT y FROM xy) THEN 1 ELSE 0 END AS cand
+  FROM m
+),
+k AS (
+  SELECT *, CASE WHEN cand = 1 THEN
+         i - sum(cand) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS UNBOUNDED PRECEDING) END AS ckey
+  FROM c
+),
+s AS (
+  SELECT *, cand = 1 AND (row_number() OVER
+         (PARTITION BY doc_id, ckey ORDER BY i)) % 2 = 1 AS sel
+  FROM k
+),
+f AS (
+  SELECT doc_id, i,
+         CASE WHEN sel THEN tok || nxt ELSE tok END AS tok2,
+         lag(CASE WHEN sel THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS prev_sel
+  FROM s
+),
+kept AS (
+  SELECT doc_id, i, tok2 FROM f WHERE coalesce(prev_sel, 0) = 0
+),
+p2 AS (
+  SELECT tok2 || ' ' || lead(tok2) OVER (PARTITION BY doc_id ORDER BY i)
+           AS pair
+  FROM kept
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM p2 WHERE pair IS NOT NULL
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 30
+"""
+
+
+QUERIES = {
+    "join_bloom_pruned": (join_bloom_pruned, JOIN_BLOOM_PRUNED_SQL),
+    "join_salted_skew": (join_salted_skew, JOIN_SALTED_SKEW_SQL),
+    "text_pii_redact": (text_pii_redact, TEXT_PII_REDACT_SQL),
+    "asof_state_tolerance": (asof_state_tolerance, ASOF_TOLERANCE_SQL),
+    "asof_forward_next_purchase": (asof_forward_next_purchase,
+                                   ASOF_FORWARD_SQL),
+    "tokenizer_bpe_merge_step": (tokenizer_bpe_merge_step,
+                                 TOKENIZER_BPE_MERGE_SQL),
+}

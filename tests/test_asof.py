@@ -52,3 +52,55 @@ def test_time_range_join(spark):
                   time_range_join(left, right, by=["k"],
                                   lower_sec=600, upper_sec=4200).collect())
     assert got2 == [30, 59, 60]
+
+
+def test_asof_tolerance(spark):
+    quotes = spark.createDataFrame(
+        [("A", _ts("2024-01-01T10:00:00"), 100.0)],
+        "sym string, ts timestamp, px double")
+    trades = spark.createDataFrame(
+        [("A", _ts("2024-01-01T10:04:00"), 1),    # 240s stale → in tol
+         ("A", _ts("2024-01-01T10:05:00"), 2),    # 300s → boundary, in
+         ("A", _ts("2024-01-01T10:05:01"), 3),    # 301s → out
+         ("A", _ts("2024-01-01T09:00:00"), 4)],   # no match at all
+        "sym string, ts timestamp, qty int")
+    got = {r.qty: r.px_asof for r in
+           asof_join(trades, quotes, by=["sym"],
+                     tolerance_sec=300).collect()}
+    assert got == {1: 100.0, 2: 100.0, 3: None, 4: None}
+    # tolerance must not change the output column set
+    plain_cols = asof_join(trades, quotes, by=["sym"]).columns
+    tol_cols = asof_join(trades, quotes, by=["sym"],
+                         tolerance_sec=300).columns
+    assert plain_cols == tol_cols
+
+
+def test_asof_forward(spark):
+    quotes = spark.createDataFrame(
+        [("A", _ts("2024-01-01T10:00:00"), 100.0),
+         ("A", _ts("2024-01-01T10:05:00"), 101.0)],
+        "sym string, ts timestamp, px double")
+    trades = spark.createDataFrame(
+        [("A", _ts("2024-01-01T09:59:00"), 1),   # next quote is 10:00
+         ("A", _ts("2024-01-01T10:00:00"), 2),   # ties → inclusive
+         ("A", _ts("2024-01-01T10:01:00"), 3),   # next is 10:05
+         ("A", _ts("2024-01-01T10:06:00"), 4)],  # nothing later
+        "sym string, ts timestamp, qty int")
+    got = {r.qty: r.px_asof for r in
+           asof_join(trades, quotes, by=["sym"],
+                     direction="forward").collect()}
+    assert got == {1: 100.0, 2: 100.0, 3: 101.0, 4: None}
+
+
+def test_asof_forward_tolerance(spark):
+    quotes = spark.createDataFrame(
+        [("A", _ts("2024-01-01T10:10:00"), 100.0)],
+        "sym string, ts timestamp, px double")
+    trades = spark.createDataFrame(
+        [("A", _ts("2024-01-01T10:06:00"), 1),   # 240s ahead → in
+         ("A", _ts("2024-01-01T10:00:00"), 2)],  # 600s ahead → out
+        "sym string, ts timestamp, qty int")
+    got = {r.qty: r.px_asof for r in
+           asof_join(trades, quotes, by=["sym"], direction="forward",
+                     tolerance_sec=300).collect()}
+    assert got == {1: 100.0, 2: None}

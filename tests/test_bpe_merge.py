@@ -1,0 +1,90 @@
+"""BPE greedy merge step (operators/text.bpe_greedy_merge).
+
+The hard part is greedy left-to-right NON-OVERLAPPING application —
+runs of consecutive candidates must merge at even offsets only, exactly
+like the scan loop in reference BPE trainers (Sennrich et al. 2016).
+These cases pin that behavior against a literal Python scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from storagetapper_spark.operators.text import (
+    bpe_greedy_merge,
+    pair_counts_of_stream,
+)
+
+
+def _py_greedy(tokens: list[str], x: str, y: str) -> list[str]:
+    """Reference single-pass greedy merge."""
+    out, i = [], 0
+    while i < len(tokens):
+        if i + 1 < len(tokens) and tokens[i] == x and tokens[i + 1] == y:
+            out.append(x + y)
+            i += 2
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
+def _merge(spark, text: str, x: str, y: str) -> list[str]:
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    rows = bpe_greedy_merge(df, x, y).orderBy("i").collect()
+    return [r.tok for r in rows]
+
+
+def test_simple_merge(spark):
+    assert _merge(spark, "a b c a b", "a", "b") == ["ab", "c", "ab"]
+
+
+def test_overlapping_run_same_token(spark):
+    # "x x x" under (x,x): greedy merges position 0, skips 1 → [xx, x]
+    assert _merge(spark, "x x x", "x", "x") == ["xx", "x"]
+    assert _merge(spark, "x x x x", "x", "x") == ["xx", "xx"]
+    assert _merge(spark, "x x x x x", "x", "x") == ["xx", "xx", "x"]
+
+
+def test_chained_candidates_alternate(spark):
+    # candidates at consecutive positions via "a a b" under (a, a)?
+    # no — use (a,b) over "a b b": candidate only at 0 → [ab, b]
+    assert _merge(spark, "a b b", "a", "b") == ["ab", "b"]
+    # "b a b a b" under (a,b): candidates at 1 and 3 (non-consecutive
+    # after merge at 1 consumes pos 2... they ARE overlapping: pos1 uses
+    # (a@1,b@2), pos3 uses (a@3,b@4) — disjoint, both merge
+    assert _merge(spark, "b a b a b", "a", "b") == ["b", "ab", "ab"]
+
+
+def test_matches_python_reference_fuzz(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    alphabet = ["a", "b", "c"]
+    cases = []
+    for n in (1, 2, 3, 5, 8, 13):
+        for _ in range(6):
+            cases.append([rng.choice(alphabet) for _ in range(n)])
+    # exhaustive short cases too
+    for n in (2, 3, 4):
+        cases.extend(list(p) for p in itertools.product("ab", repeat=n))
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(cases)],
+        "doc_id int, text string")
+    for x, y in (("a", "b"), ("a", "a"), ("b", "a")):
+        got_rows = (bpe_greedy_merge(df, x, y)
+                    .orderBy("doc_id", "i")
+                    .groupBy("doc_id")
+                    .agg(F.collect_list("tok").alias("toks"))
+                    .collect())
+        got = {r.doc_id: r.toks for r in got_rows}
+        for i, toks in enumerate(cases):
+            assert got[i] == _py_greedy(toks, x, y), (toks, x, y)
+
+
+def test_pair_counts_of_stream(spark):
+    df = spark.createDataFrame([(1, "a b a b a")], "doc_id int, text string")
+    stream = bpe_greedy_merge(df, "a", "b")  # → [ab, ab, a]
+    got = {r.pair: r.n for r in pair_counts_of_stream(stream).collect()}
+    assert got == {"ab ab": 1, "ab a": 1}
