@@ -279,12 +279,24 @@ def bpe_greedy_merge(df: DataFrame, x: str, y: str,
     document length, no cross-document state.  Returns
     (id_col, i, tok): the merged stream keyed by original position.
     """
+    toks = df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("i", "tok"))
+    return merge_stream(toks, x, y, id_col=id_col)
+
+
+def merge_stream(stream: DataFrame, x: str, y: str,
+                 id_col: str = "doc_id") -> DataFrame:
+    """The merge itself, over an existing (id, i, tok) stream.
+
+    REQUIRES consecutive integer positions per document (posexplode
+    output, or a renumbered stream) — the island key ``i − running
+    candidate count`` only groups adjacent candidates when positions
+    have no gaps.  :func:`bpe_train` renumbers between rounds for
+    exactly this reason."""
     from pyspark.sql import Window
 
     w1 = Window.partitionBy(id_col).orderBy("i")
-    toks = df.select(
-        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("i", "tok"))
-    marked = (toks
+    marked = (stream
               .withColumn("nxt", F.lead("tok").over(w1))
               .withColumn("cand", ((F.col("tok") == F.lit(x))
                                    & (F.col("nxt") == F.lit(y))).cast("int")))
@@ -321,3 +333,41 @@ def pair_counts_of_stream(stream: DataFrame,
             .select(F.concat_ws(" ", "tok", "nxt").alias("pair"))
             .groupBy("pair")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+def bpe_train(docs: DataFrame, rounds: int = 3, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """k rounds of BPE tokenizer training: per round, count adjacent
+    pairs corpus-wide, pick the top pair (deterministic tie-break by
+    pair text), merge it greedily everywhere, repeat.  Returns the merge
+    table (round, pair, n) — the artifact a tokenizer ships.
+
+    The iterative shape follows the engine's persisted-generation rule
+    (SCALE.md / connected_components): each round's stream is eagerly
+    localCheckpoint-ed so the window lineage never compounds, and
+    positions are RENUMBERED per round because the gaps-and-islands
+    greedy merge needs consecutive integers.  Per-round cost: one
+    doc-partitioned window pass + one map-side-combined pair count +
+    a 1-row collect — k rounds touch the corpus k times, exactly like
+    reference BPE trainers, but partition-parallel."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    stream = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("i", "tok"))
+    stream = stream.localCheckpoint(eager=True)
+    w1 = Window.partitionBy(id_col).orderBy("i")
+    merges = []
+    for r in range(1, rounds + 1):
+        top = (pair_counts_of_stream(stream, id_col)
+               .orderBy(F.desc("n"), "pair").limit(1).collect())
+        if not top:
+            break
+        pair, n = top[0]["pair"], int(top[0]["n"])
+        x, y = pair.split(" ", 1)
+        nxt = merge_stream(stream, x, y, id_col=id_col)
+        nxt = nxt.select(id_col, F.row_number().over(w1).alias("i"), "tok")
+        old, stream = stream, nxt.localCheckpoint(eager=True)
+        old.unpersist()
+        merges.append((r, pair, n))
+    return spark.createDataFrame(merges, "round int, pair string, n bigint")

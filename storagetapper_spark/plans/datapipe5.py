@@ -325,6 +325,85 @@ LIMIT 30
 """
 
 
+_BPE_ROUNDS = 3
+
+
+def tokenizer_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Full (small-k) BPE tokenizer training: 3 rounds of count-top-pair
+    → greedy-merge-everywhere, returning the merge table the tokenizer
+    would ship (operators/text.bpe_train).
+
+    Iterative-with-exact-oracle: the DuckDB oracle unrolls the same 3
+    rounds as nested CTEs (top-pair selection is a deterministic scalar
+    subquery per round), so even the loop's data-dependent choices are
+    hash-checked.  Spark side follows the persisted-generation rule —
+    eager localCheckpoint per round, positions renumbered so the
+    gaps-and-islands greedy merge stays correct on round ≥ 2."""
+    from storagetapper_spark.operators.text import bpe_train
+
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    return bpe_train(docs, rounds=_BPE_ROUNDS).orderBy("round")
+
+
+def _bpe_train_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """Unroll k training rounds as CTE generations: s{r} is the token
+    stream after r merges (renumbered), t{r} the r-th chosen pair."""
+    ctes = ["""s0 AS (
+  SELECT doc_id, unnest(w) AS tok,
+         unnest(generate_series(1, len(w))) AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""t{r} AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i)
+          AS pair FROM s{p})
+  WHERE pair IS NOT NULL
+  GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+),
+c{r} AS (
+  SELECT doc_id, i, tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+  FROM s{p}
+),
+d{r} AS (
+  SELECT *, CASE WHEN tok = (SELECT string_split(pair, ' ')[1] FROM t{r})
+                  AND nxt = (SELECT string_split(pair, ' ')[2] FROM t{r})
+                 THEN 1 ELSE 0 END AS cand
+  FROM c{r}
+),
+k{r} AS (
+  SELECT *, CASE WHEN cand = 1 THEN
+         i - sum(cand) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS UNBOUNDED PRECEDING) END AS ckey
+  FROM d{r}
+),
+e{r} AS (
+  SELECT *, cand = 1 AND (row_number() OVER
+         (PARTITION BY doc_id, ckey ORDER BY i)) % 2 = 1 AS sel
+  FROM k{r}
+),
+f{r} AS (
+  SELECT doc_id, i,
+         CASE WHEN sel THEN tok || nxt ELSE tok END AS tok,
+         lag(CASE WHEN sel THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS prev_sel
+  FROM e{r}
+),
+s{r} AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i,
+         tok
+  FROM f{r} WHERE coalesce(prev_sel, 0) = 0
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, pair, n FROM t{r}"
+        for r in range(1, rounds + 1))
+    return ("WITH " + ",\n".join(ctes)
+            + f"\n{union}\nORDER BY round")
+
+
 QUERIES = {
     "join_bloom_pruned": (join_bloom_pruned, JOIN_BLOOM_PRUNED_SQL),
     "join_salted_skew": (join_salted_skew, JOIN_SALTED_SKEW_SQL),
@@ -334,4 +413,5 @@ QUERIES = {
                                    ASOF_FORWARD_SQL),
     "tokenizer_bpe_merge_step": (tokenizer_bpe_merge_step,
                                  TOKENIZER_BPE_MERGE_SQL),
+    "tokenizer_bpe_train": (tokenizer_bpe_train, _bpe_train_sql()),
 }

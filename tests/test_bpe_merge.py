@@ -88,3 +88,54 @@ def test_pair_counts_of_stream(spark):
     stream = bpe_greedy_merge(df, "a", "b")  # → [ab, ab, a]
     got = {r.pair: r.n for r in pair_counts_of_stream(stream).collect()}
     assert got == {"ab ab": 1, "ab a": 1}
+
+
+def _py_train(docs: list[list[str]], rounds: int):
+    """Reference trainer: count pairs, merge top (count desc, pair asc)."""
+    from collections import Counter
+
+    merges = []
+    streams = [list(d) for d in docs]
+    for r in range(1, rounds + 1):
+        counts = Counter()
+        for toks in streams:
+            for a, b in zip(toks, toks[1:]):
+                counts[f"{a} {b}"] += 1
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        x, y = pair.split(" ", 1)
+        streams = [_py_greedy(toks, x, y) for toks in streams]
+        merges.append((r, pair, counts[pair]))
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from storagetapper_spark.operators.text import bpe_train
+
+    docs = [
+        "the cat sat on the mat".split(),
+        "the cat ate the rat".split(),
+        "a cat a cat a cat".split(),
+        ["x", "x", "x", "x", "x"],           # overlap stress each round
+    ]
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id int, text string")
+    got = [(r.round, r.pair, r.n)
+           for r in bpe_train(df, rounds=4).orderBy("round").collect()]
+    assert got == _py_train(docs, 4)
+
+
+def test_bpe_train_merged_tokens_chain(spark):
+    # round 2 must be able to pick a pair CONTAINING round 1's merge —
+    # proves the renumbering keeps islands correct on merged streams
+    from storagetapper_spark.operators.text import bpe_train
+
+    docs = [["a", "b", "c"]] * 5  # r1: "a b"→ab; r2: "ab c"→abc
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id int, text string")
+    got = [(r.round, r.pair, r.n)
+           for r in bpe_train(df, rounds=2).orderBy("round").collect()]
+    assert got == [(1, "a b", 5), (2, "ab c", 5)]
