@@ -325,6 +325,85 @@ LIMIT 30
 """
 
 
+_DSIR_B = 64  # hashed-unigram feature buckets
+
+
+def sample_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023): per-document log importance = Σ_tokens
+    log(p_target(bucket) / p_raw(bucket)) over hashed-unigram buckets,
+    with Laplace smoothing; target domain = lang='en' docs.
+
+    Scale shape: one tokenize+explode pass, two B-bounded bucket
+    counts (map-side combined), a 64-row broadcast ratio join, one
+    doc-keyed agg.  The per-doc sum runs in DECIMAL(18,6) so float
+    association order across partitions can't move the hash — the
+    log-ratio rounds to 6dp once, then sums exactly.  Portable bucket
+    hash: md5-prefix → int (the minhash/simhash idiom), identical in
+    DuckDB."""
+    docs = t(spark, sf, "documents").select("doc_id", "lang", "text")
+    bucket = (F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+              .cast("long") % _DSIR_B).alias("bucket")
+    ex = (docs.select("doc_id", "lang",
+                      F.explode(F.split(F.col("text"), " ")).alias("tok"))
+          .select("doc_id", "lang", bucket))
+    raw = ex.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_raw"))
+    tgt = (ex.filter(F.col("lang") == "en")
+           .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tgt")))
+    tot = ex.agg(
+        F.count(F.lit(1)).alias("t_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_tgt"))
+    ratio = (raw.join(tgt, "bucket", "left")
+             .crossJoin(F.broadcast(tot))
+             .select("bucket",
+                     F.round(F.log(
+                         ((F.coalesce(F.col("n_tgt"), F.lit(0)) + 1.0)
+                          / (F.col("t_tgt") + _DSIR_B))
+                         / ((F.col("n_raw") + 1.0)
+                            / (F.col("t_raw") + _DSIR_B))), 6)
+                      .cast("decimal(18,6)").alias("log_ratio")))
+    # the weight leaves the engine as exact integer MICRO-log units:
+    # a final round-to-double sits on half-rounding boundaries
+    # (observed: 5/5000 docs off by 1 at the 4th dp between engines),
+    # and raw DECIMAL output trips pandas dtype divergence — ×10⁶ of a
+    # scale-6 decimal is an exact integer on both sides
+    return (ex.join(F.broadcast(ratio), "bucket")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_toks"),
+                 (F.sum("log_ratio") * 1000000).cast("long")
+                  .alias("weight_micro"))
+            .orderBy("doc_id"))
+
+
+SAMPLE_IMPORTANCE_SQL = f"""
+WITH ex AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(tok), 1, 15))::BIGINT % {_DSIR_B} AS bucket
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+),
+raw AS (SELECT bucket, count(*) AS n_raw FROM ex GROUP BY bucket),
+tgt AS (SELECT bucket, count(*) AS n_tgt FROM ex WHERE lang = 'en'
+        GROUP BY bucket),
+tot AS (SELECT count(*) AS t_raw,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_tgt
+        FROM ex),
+ratio AS (
+  SELECT r.bucket,
+         CAST(round(ln(((coalesce(g.n_tgt, 0) + 1.0)
+                        / (t.t_tgt + {_DSIR_B}))
+                       / ((r.n_raw + 1.0) / (t.t_raw + {_DSIR_B}))), 6)
+              AS DECIMAL(18,6)) AS log_ratio
+  FROM raw r LEFT JOIN tgt g USING (bucket), tot t
+)
+SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(sum(x.log_ratio) * 1000000 AS BIGINT) AS weight_micro
+FROM ex e JOIN ratio x USING (bucket)
+GROUP BY e.doc_id
+ORDER BY e.doc_id
+"""
+
+
 _BPE_ROUNDS = 3
 
 
@@ -414,4 +493,6 @@ QUERIES = {
     "tokenizer_bpe_merge_step": (tokenizer_bpe_merge_step,
                                  TOKENIZER_BPE_MERGE_SQL),
     "tokenizer_bpe_train": (tokenizer_bpe_train, _bpe_train_sql()),
+    "sample_importance_weights": (sample_importance_weights,
+                                  SAMPLE_IMPORTANCE_SQL),
 }
