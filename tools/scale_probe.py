@@ -66,6 +66,13 @@ PROBES = [
     "dedup_lsh_verified",      # candidate-bounded exact re-score
     "corpus_budget_cut",       # histogram cut; window only on winners
     "sample_shuffle_shard",    # md5 permutation + hash-range shards
+    # round-5 second-half batch
+    "join_bloom_pruned",       # scan-side bitmap prune before the join
+    "asof_state_tolerance",    # union-window asof + staleness mask
+    "tokenizer_bpe_merge_step",  # doc-windows islands merge + recount
+    "tokenizer_bpe_train",     # 3 iterated generations (checkpointed)
+    "sample_importance_weights",  # explode + 64-bucket ratio broadcast
+    "text_pii_redact",         # pure regexp chain (narrow baseline)
 ]
 
 
