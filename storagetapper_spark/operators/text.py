@@ -350,9 +350,16 @@ def bpe_train(docs: DataFrame, rounds: int = 3, text_col: str = "text",
     doc-partitioned window pass + one map-side-combined pair count +
     a 1-row collect — k rounds touch the corpus k times, exactly like
     reference BPE trainers, but partition-parallel."""
+    merges, _ = _bpe_train_loop(docs, rounds, text_col, id_col)
+    return docs.sparkSession.createDataFrame(
+        merges, "round int, pair string, n bigint")
+
+
+def _bpe_train_loop(docs: DataFrame, rounds: int, text_col: str,
+                    id_col: str) -> tuple[list, DataFrame]:
+    """The train loop, returning (merge list, final token stream)."""
     from pyspark.sql import Window
 
-    spark = docs.sparkSession
     stream = docs.select(
         id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("i", "tok"))
     stream = stream.localCheckpoint(eager=True)
@@ -370,4 +377,22 @@ def bpe_train(docs: DataFrame, rounds: int = 3, text_col: str = "text",
         old, stream = stream, nxt.localCheckpoint(eager=True)
         old.unpersist()
         merges.append((r, pair, n))
-    return spark.createDataFrame(merges, "round int, pair string, n bigint")
+    return merges, stream
+
+
+def bpe_encode_stats(docs: DataFrame, rounds: int = 3,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """The inference side of BPE: train ``rounds`` merges and report the
+    per-document compression they buy — (id, n_before, n_after, saved).
+    Same persisted-generation loop as :func:`bpe_train`; the stats are
+    two doc-keyed counts joined on the id."""
+    _, stream = _bpe_train_loop(docs, rounds, text_col, id_col)
+    before = docs.select(
+        id_col,
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_before"))
+    after = (stream.groupBy(id_col)
+             .agg(F.count(F.lit(1)).alias("n_after")))
+    return (before.join(after, id_col)
+            .select(id_col, "n_before", "n_after",
+                    (F.col("n_before") - F.col("n_after")).alias("saved")))

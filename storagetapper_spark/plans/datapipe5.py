@@ -424,7 +424,18 @@ def tokenizer_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_train(docs, rounds=_BPE_ROUNDS).orderBy("round")
 
 
-def _bpe_train_sql(rounds: int = _BPE_ROUNDS) -> str:
+def tokenizer_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """The inference side of BPE: per-document token counts before and
+    after the 3 trained merges — the compression the tokenizer buys
+    (operators/text.bpe_encode_stats).  Same unrolled-CTE oracle chain
+    as tokenizer_bpe_train with a per-doc count join as the tail."""
+    from storagetapper_spark.operators.text import bpe_encode_stats
+
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    return bpe_encode_stats(docs, rounds=_BPE_ROUNDS).orderBy("doc_id")
+
+
+def _bpe_ctes(rounds: int) -> list[str]:
     """Unroll k training rounds as CTE generations: s{r} is the token
     stream after r merges (renumbered), t{r} the r-th chosen pair."""
     ctes = ["""s0 AS (
@@ -476,11 +487,25 @@ s{r} AS (
          tok
   FROM f{r} WHERE coalesce(prev_sel, 0) = 0
 )""")
+    return ctes
+
+
+def _bpe_train_sql(rounds: int = _BPE_ROUNDS) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT {r} AS round, pair, n FROM t{r}"
         for r in range(1, rounds + 1))
-    return ("WITH " + ",\n".join(ctes)
+    return ("WITH " + ",\n".join(_bpe_ctes(rounds))
             + f"\n{union}\nORDER BY round")
+
+
+def _bpe_encode_sql(rounds: int = _BPE_ROUNDS) -> str:
+    return ("WITH " + ",\n".join(_bpe_ctes(rounds)) + f"""
+SELECT b.doc_id, b.n_before, a.n_after, b.n_before - a.n_after AS saved
+FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+        AS n_before FROM documents) b
+JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after
+      FROM s{rounds} GROUP BY doc_id) a USING (doc_id)
+ORDER BY doc_id""")
 
 
 QUERIES = {
@@ -493,6 +518,7 @@ QUERIES = {
     "tokenizer_bpe_merge_step": (tokenizer_bpe_merge_step,
                                  TOKENIZER_BPE_MERGE_SQL),
     "tokenizer_bpe_train": (tokenizer_bpe_train, _bpe_train_sql()),
+    "tokenizer_bpe_encode": (tokenizer_bpe_encode, _bpe_encode_sql()),
     "sample_importance_weights": (sample_importance_weights,
                                   SAMPLE_IMPORTANCE_SQL),
 }

@@ -139,3 +139,17 @@ def test_bpe_train_merged_tokens_chain(spark):
     got = [(r.round, r.pair, r.n)
            for r in bpe_train(df, rounds=2).orderBy("round").collect()]
     assert got == [(1, "a b", 5), (2, "ab c", 5)]
+
+
+def test_bpe_encode_stats(spark):
+    from storagetapper_spark.operators.text import bpe_encode_stats
+
+    docs = [["a", "b", "c"]] * 4 + [["z"]]
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id int, text string")
+    # 2 merges collapse each "a b c" to one token; "z" stays 1
+    got = {r.doc_id: (r.n_before, r.n_after, r.saved)
+           for r in bpe_encode_stats(df, rounds=2).collect()}
+    assert got[0] == (3, 1, 2)
+    assert got[4] == (1, 1, 0)
