@@ -93,7 +93,7 @@ BENCH_QUERIES = [
     "join_bloom_pruned", "join_salted_skew", "text_pii_redact",
     "asof_state_tolerance", "asof_forward_next_purchase",
     "tokenizer_bpe_merge_step", "tokenizer_bpe_train",
-    "sample_importance_weights", "tokenizer_bpe_encode",
+    "sample_importance_weights", "tokenizer_bpe_encode", "curation_funnel",
 ]
 
 

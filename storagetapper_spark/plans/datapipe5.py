@@ -325,6 +325,67 @@ LIMIT 30
 """
 
 
+def curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stage attrition report for the curation cascade — the
+    first dashboard every training-data pipeline ships: how many docs
+    survive each successive filter (total → lang → length floor →
+    exact-dedup keeper).
+
+    One corpus scan computes all stage flags as columns (cheap filters
+    as expressions, the dedup stage as one content-hash agg joined
+    back), then a single aggregate emits every stage count — NOT one
+    scan per stage, so the report costs the same as the strictest
+    filter alone.  stack() unpivots the 1×4 aggregate row."""
+    docs = t(spark, sf, "documents")
+    keepers = (docs.groupBy(F.md5("text").alias("h"))
+               .agg(F.min("doc_id").alias("keeper_id")))
+    flagged = (docs
+               .withColumn("h", F.md5("text"))
+               .join(F.broadcast(keepers), "h")
+               .select(
+                   (F.col("lang") == "en").alias("s1"),
+                   (F.size(F.split(F.col("text"), " ")) >= 10).alias("s2"),
+                   (F.col("doc_id") == F.col("keeper_id")).alias("s3")))
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("s1").cast("long")).alias("n1"),
+        F.sum((F.col("s1") & F.col("s2")).cast("long")).alias("n2"),
+        F.sum((F.col("s1") & F.col("s2") & F.col("s3")).cast("long"))
+         .alias("n3"))
+    return agg.select(F.expr(
+        "stack(4, 1, 'total', n0, 2, 'lang_en', n1, "
+        "3, 'min_10_tokens', n2, 4, 'dedup_keeper', n3) "
+        "AS (stage, label, n_docs)"))
+
+
+CURATION_FUNNEL_SQL = """
+WITH keepers AS (
+  SELECT md5(text) AS h, min(doc_id) AS keeper_id FROM documents GROUP BY 1
+),
+flagged AS (
+  SELECT d.lang = 'en' AS s1,
+         len(string_split(d.text, ' ')) >= 10 AS s2,
+         d.doc_id = k.keeper_id AS s3
+  FROM documents d JOIN keepers k ON md5(d.text) = k.h
+),
+agg AS (
+  SELECT count(*) AS n0,
+         sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS n2,
+         sum(CASE WHEN s1 AND s2 AND s3 THEN 1 ELSE 0 END) AS n3
+  FROM flagged
+)
+SELECT stage, label, CAST(n_docs AS BIGINT) AS n_docs
+FROM (
+  SELECT 1 AS stage, 'total' AS label, n0 AS n_docs FROM agg
+  UNION ALL SELECT 2, 'lang_en', n1 FROM agg
+  UNION ALL SELECT 3, 'min_10_tokens', n2 FROM agg
+  UNION ALL SELECT 4, 'dedup_keeper', n3 FROM agg
+)
+ORDER BY stage
+"""
+
+
 _DSIR_B = 64  # hashed-unigram feature buckets
 
 
@@ -521,4 +582,5 @@ QUERIES = {
     "tokenizer_bpe_encode": (tokenizer_bpe_encode, _bpe_encode_sql()),
     "sample_importance_weights": (sample_importance_weights,
                                   SAMPLE_IMPORTANCE_SQL),
+    "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
 }
