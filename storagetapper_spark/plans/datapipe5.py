@@ -325,6 +325,80 @@ LIMIT 30
 """
 
 
+_PACK_WINDOW = 2048   # context window (tokens)
+_PACK_SHARDS = 16     # cumsum partitions (the two-pass sweep pattern)
+
+
+def sample_pack_contiguous(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style contiguous sequence packing manifest: documents are
+    concatenated in a deterministic md5-shuffled order and split at
+    exact 2048-token boundaries (docs straddle windows — the standard
+    pretraining packing, unlike the bin-packing FFD twin
+    sample_pack_sequences).  Output: each doc's global start offset and
+    the first/last window it lands in.
+
+    The global running sum is NOT one unpartitioned window: docs are
+    md5-sharded, each shard computes a local cumsum, and the 16
+    shard totals cascade into per-shard offsets via a window over 16
+    rows — the two-pass sweep pattern (peak_concurrency), so partition
+    state stays bounded at any corpus size."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord_key"))
+    shard = (F.conv(F.substring("ord_key", 1, 2), 16, 10).cast("long")
+             % _PACK_SHARDS).alias("shard")
+    docs = docs.select("*", shard)
+    from pyspark.sql import Window
+    w_local = (Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    local = docs.withColumn(
+        "local_before", F.coalesce(F.sum("n_tokens").over(w_local),
+                                   F.lit(0)))
+    totals = docs.groupBy("shard").agg(F.sum("n_tokens").alias("shard_total"))
+    w_shard = (Window.orderBy("shard")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.withColumn(
+        "shard_offset", F.coalesce(F.sum("shard_total").over(w_shard),
+                                   F.lit(0))).select("shard", "shard_offset")
+    out = (local.join(F.broadcast(offsets), "shard")
+           .select("doc_id", "n_tokens",
+                   (F.col("shard_offset") + F.col("local_before"))
+                    .alias("start_token")))
+    return (out.select(
+        "doc_id", "n_tokens", "start_token",
+        F.floor(F.col("start_token") / _PACK_WINDOW).alias("first_window"),
+        F.floor((F.col("start_token") + F.col("n_tokens") - 1)
+                / _PACK_WINDOW).alias("last_window"))
+        .orderBy("doc_id"))
+
+
+SAMPLE_PACK_CONTIGUOUS_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS ord_key,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+           % {_PACK_SHARDS} AS shard
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY shard, ord_key, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_token
+  FROM docs
+)
+SELECT doc_id, n_tokens, CAST(start_token AS BIGINT) AS start_token,
+       CAST(floor(start_token / {_PACK_WINDOW}) AS BIGINT) AS first_window,
+       CAST(floor((start_token + n_tokens - 1) / {_PACK_WINDOW}) AS BIGINT)
+         AS last_window
+FROM placed
+ORDER BY doc_id
+"""
+
+
 def curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Per-stage attrition report for the curation cascade — the
     first dashboard every training-data pipeline ships: how many docs
@@ -583,4 +657,6 @@ QUERIES = {
     "sample_importance_weights": (sample_importance_weights,
                                   SAMPLE_IMPORTANCE_SQL),
     "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
+    "sample_pack_contiguous": (sample_pack_contiguous,
+                               SAMPLE_PACK_CONTIGUOUS_SQL),
 }

@@ -97,3 +97,21 @@ def test_pack_sequences(spark):
     assert max(fills.values()) <= 2048
     # packing is reasonably tight: average fill ≥ 60% of budget
     assert sum(fills.values()) / (len(fills) * 2048) >= 0.6
+
+
+def test_pack_contiguous_invariants(spark):
+    """Contiguous packing: offsets tile the token stream exactly —
+    sorted by start, each doc begins where the previous ended; window
+    ids match the arithmetic; total coverage == total tokens."""
+    from storagetapper_spark.plans.datapipe5 import sample_pack_contiguous
+
+    rows = (sample_pack_contiguous(spark, '/root/testdata/sf0.001')
+            .orderBy("start_token").collect())
+    pos = 0
+    for r in rows:
+        assert r.start_token == pos, (r.doc_id, r.start_token, pos)
+        assert r.first_window == r.start_token // 2048
+        assert r.last_window == (r.start_token + r.n_tokens - 1) // 2048
+        assert r.n_tokens >= 1
+        pos += r.n_tokens
+    assert pos == sum(r.n_tokens for r in rows)
