@@ -79,3 +79,17 @@ def test_predicate_below_exchange(spark, sf_dir):
     assert scan_pos != -1
     assert "Exchange" not in below[:scan_pos], \
         "bloom predicate is above a shuffle — pruning happens too late"
+
+
+def test_bloom_properties_fuzz(spark):
+    """Randomized: NO false negatives for any key set / sizing combo."""
+    import random
+
+    rng = random.Random(42)
+    for m_bits, k in ((1 << 10, 2), (1 << 12, 4), (1 << 16, 6)):
+        keys = [rng.randrange(-2**62, 2**62) for _ in range(500)]
+        build = spark.createDataFrame([(x,) for x in keys], "k long")
+        words = bloom_build(build, "k", m_bits=m_bits, k=k)
+        assert len(words) == m_bits // 64
+        missed = build.filter(~bloom_might_contain("k", words, k=k)).count()
+        assert missed == 0, (m_bits, k)
