@@ -267,3 +267,43 @@ def budget_cut(df: DataFrame, score_col: str, weight_col: str,
                     F.col("_score").alias(score_col),
                     F.col("_w").alias(weight_col),
                     F.col("cum_weight").cast("long").alias("cum_weight")))
+
+
+def pack_contiguous(df: DataFrame, window: int = 2048, shards: int = 16,
+                    id_col: str = "doc_id",
+                    weight_col: str = "n_tokens") -> DataFrame:
+    """GPT-style contiguous packing manifest: rows are concatenated in
+    a deterministic md5-shuffled order and split at exact ``window``
+    token boundaries (rows straddle windows); returns each row's global
+    start offset and first/last window.
+
+    The global running sum is two-pass (the peak_concurrency sweep):
+    md5-sharded local cumsums, then a ``shards``-row offset cascade —
+    never one unpartitioned window over the corpus."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    keyed = df.select(
+        id_col, F.col(weight_col).alias("_w"),
+        F.md5(F.col(id_col).cast("string")).alias("_ord"))
+    keyed = keyed.withColumn(
+        "_shard",
+        F.conv(F.substring("_ord", 1, 2), 16, 10).cast("long") % shards)
+    w_local = (Window.partitionBy("_shard").orderBy("_ord", id_col)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    local = keyed.withColumn(
+        "_before", F.coalesce(F.sum("_w").over(w_local), F.lit(0)))
+    totals = keyed.groupBy("_shard").agg(F.sum("_w").alias("_total"))
+    w_shard = (Window.orderBy("_shard")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (totals.withColumn(
+        "_offset", F.coalesce(F.sum("_total").over(w_shard), F.lit(0)))
+        .select("_shard", "_offset"))
+    start = (F.col("_offset") + F.col("_before")).alias("start_token")
+    return (local.join(F.broadcast(offsets), "_shard")
+            .select(id_col, F.col("_w").alias(weight_col), start)
+            .select(id_col, weight_col, "start_token",
+                    F.floor(F.col("start_token") / window)
+                     .alias("first_window"),
+                    F.floor((F.col("start_token") + F.col(weight_col) - 1)
+                            / window).alias("last_window")))

@@ -341,36 +341,15 @@ def sample_pack_contiguous(spark: SparkSession, sf: str) -> DataFrame:
     md5-sharded, each shard computes a local cumsum, and the 16
     shard totals cascade into per-shard offsets via a window over 16
     rows — the two-pass sweep pattern (peak_concurrency), so partition
-    state stays bounded at any corpus size."""
+    state stays bounded at any corpus size
+    (operators/sampling.pack_contiguous)."""
+    from storagetapper_spark.operators.sampling import pack_contiguous
+
     docs = t(spark, sf, "documents").select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
-        F.md5(F.col("doc_id").cast("string")).alias("ord_key"))
-    shard = (F.conv(F.substring("ord_key", 1, 2), 16, 10).cast("long")
-             % _PACK_SHARDS).alias("shard")
-    docs = docs.select("*", shard)
-    from pyspark.sql import Window
-    w_local = (Window.partitionBy("shard").orderBy("ord_key", "doc_id")
-               .rowsBetween(Window.unboundedPreceding, -1))
-    local = docs.withColumn(
-        "local_before", F.coalesce(F.sum("n_tokens").over(w_local),
-                                   F.lit(0)))
-    totals = docs.groupBy("shard").agg(F.sum("n_tokens").alias("shard_total"))
-    w_shard = (Window.orderBy("shard")
-               .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = totals.withColumn(
-        "shard_offset", F.coalesce(F.sum("shard_total").over(w_shard),
-                                   F.lit(0))).select("shard", "shard_offset")
-    out = (local.join(F.broadcast(offsets), "shard")
-           .select("doc_id", "n_tokens",
-                   (F.col("shard_offset") + F.col("local_before"))
-                    .alias("start_token")))
-    return (out.select(
-        "doc_id", "n_tokens", "start_token",
-        F.floor(F.col("start_token") / _PACK_WINDOW).alias("first_window"),
-        F.floor((F.col("start_token") + F.col("n_tokens") - 1)
-                / _PACK_WINDOW).alias("last_window"))
-        .orderBy("doc_id"))
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"))
+    return pack_contiguous(docs, window=_PACK_WINDOW,
+                           shards=_PACK_SHARDS).orderBy("doc_id")
 
 
 SAMPLE_PACK_CONTIGUOUS_SQL = f"""
