@@ -94,7 +94,7 @@ BENCH_QUERIES = [
     "asof_state_tolerance", "asof_forward_next_purchase",
     "tokenizer_bpe_merge_step", "tokenizer_bpe_train",
     "sample_importance_weights", "tokenizer_bpe_encode", "curation_funnel",
-    "sample_pack_contiguous",
+    "sample_pack_contiguous", "ann_truncation_recall",
 ]
 
 

@@ -325,6 +325,97 @@ LIMIT 30
 """
 
 
+_TR_QUERIES, _TR_K, _TR_DIM = 5, 10, 16
+
+
+def ann_truncation_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka-style truncation audit: retrieve top-k by cosine with
+    FULL 64-dim embeddings and with the first-16-dim PREFIX (4× memory
+    cut — the standard MRL serving trade), and report per-query recall
+    overlap.  The int8 twin is ann_quantized_recall; together they are
+    the two compression audits a 100 TB vector corpus runs before
+    committing to a storage format.  Same broadcast-queries /
+    corpus-never-shuffles shape as ann_brute_force."""
+    from pyspark.sql import Window
+
+    from storagetapper_spark.operators.similarity import cosine
+
+    emb = t(spark, sf, "embeddings")
+    both = emb.select(
+        "vec_id", "embedding",
+        F.slice(F.col("embedding"), 1, _TR_DIM).alias("tv"))
+    qs = (both.filter(F.col("vec_id") < _TR_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("q_emb"),
+                  F.col("tv").alias("q_tv")))
+    corpus = both.filter(F.col("vec_id") >= _TR_QUERIES)
+    scored = (corpus.crossJoin(F.broadcast(qs))
+              .select("query_id", "vec_id",
+                      F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
+                       .alias("sim_f"),
+                      F.round(cosine(F.col("tv"), F.col("q_tv")), 6)
+                       .alias("sim_t")))
+    wf = (Window.partitionBy("query_id")
+          .orderBy(F.col("sim_f").desc(), F.col("vec_id").asc()))
+    wt = (Window.partitionBy("query_id")
+          .orderBy(F.col("sim_t").desc(), F.col("vec_id").asc()))
+    topf = (scored.withColumn("r", F.row_number().over(wf))
+            .filter(F.col("r") <= _TR_K).select("query_id", "vec_id"))
+    topt = (scored.withColumn("r", F.row_number().over(wt))
+            .filter(F.col("r") <= _TR_K).select("query_id", "vec_id"))
+    # left join from the query set so zero-overlap queries report 0.0
+    overlap = (topf.join(topt, ["query_id", "vec_id"])
+               .groupBy("query_id")
+               .agg(F.count(F.lit(1)).alias("n_common")))
+    return (qs.select("query_id").join(overlap, "query_id", "left")
+            .select("query_id",
+                    F.coalesce(F.col("n_common"), F.lit(0)).cast("long")
+                     .alias("n_common"))
+            .select("query_id", "n_common",
+                    F.round(F.col("n_common") / float(_TR_K), 2)
+                     .alias("recall"))
+            .orderBy("query_id"))
+
+
+def _tr_cos(a: str, b: str) -> str:
+    return (f"round(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b}))), 6)")
+
+
+TRUNCATION_RECALL_SQL = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv,
+         CAST(embedding[1:{_TR_DIM}] AS DOUBLE[]) AS tv
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, fv AS q_fv, tv AS q_tv
+      FROM base WHERE vec_id < {_TR_QUERIES}),
+c AS (SELECT vec_id, fv, tv FROM base WHERE vec_id >= {_TR_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         {_tr_cos('c.fv', 'q.q_fv')} AS sim_f,
+         {_tr_cos('c.tv', 'q.q_tv')} AS sim_t
+  FROM c CROSS JOIN q),
+topf AS (SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim_f DESC, vec_id) AS r
+    FROM scored) WHERE r <= {_TR_K}),
+topt AS (SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim_t DESC, vec_id) AS r
+    FROM scored) WHERE r <= {_TR_K})
+, overlap AS (
+  SELECT topf.query_id, CAST(count(*) AS BIGINT) AS n_common
+  FROM topf JOIN topt USING (query_id, vec_id)
+  GROUP BY topf.query_id)
+SELECT q.query_id,
+       CAST(coalesce(o.n_common, 0) AS BIGINT) AS n_common,
+       round(coalesce(o.n_common, 0) / {float(_TR_K)}, 2) AS recall
+FROM q LEFT JOIN overlap o USING (query_id)
+ORDER BY q.query_id
+"""
+
+
 _PACK_WINDOW = 2048   # context window (tokens)
 _PACK_SHARDS = 16     # cumsum partitions (the two-pass sweep pattern)
 
@@ -638,4 +729,5 @@ QUERIES = {
     "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
     "sample_pack_contiguous": (sample_pack_contiguous,
                                SAMPLE_PACK_CONTIGUOUS_SQL),
+    "ann_truncation_recall": (ann_truncation_recall, TRUNCATION_RECALL_SQL),
 }
