@@ -325,6 +325,126 @@ LIMIT 30
 """
 
 
+def lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix — the accuracy
+    report for the lang-ID heuristic (and the mislabeled-metadata
+    detector for the corpus): one narrow scoring pass + one
+    two-key count.  Reuses operators/text.lang_id and the portable
+    marker-count oracle of text_lang_id."""
+    from storagetapper_spark.operators import text as X
+
+    docs = t(spark, sf, "documents")
+    return (docs.select("lang", X.lang_id(F.col("text")).alias("pred_lang"))
+            .groupBy("lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("lang", "pred_lang"))
+
+
+def _lang_confusion_sql() -> str:
+    from storagetapper_spark.plans.datapipe import _lang_sql
+
+    return f"""
+WITH pred AS ({_lang_sql()})
+SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM pred
+GROUP BY lang, pred_lang
+ORDER BY lang, pred_lang
+"""
+
+
+def dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ/Great-Expectations-style validation suite: declarative
+    rules over the warehouse, one row per rule with checked/violation
+    counts — the content half of the reference's watchdog (liveness
+    lives in streaming/monitor.py; referential integrity in
+    integrity_audit).  Every rule is a single-scan conditional agg;
+    uniqueness rules are one groupBy each — nothing is per-rule
+    rescanned within a table."""
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    c = t(spark, sf, "customer")
+
+    def _agg(df, rule, cond):
+        return df.agg(
+            F.lit(rule).alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(~cond, 1).otherwise(0)).cast("long")
+             .alias("n_violations"))
+
+    dup_o = (o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("k"))
+             .agg(F.lit("orders.o_orderkey unique").alias("rule"),
+                  F.count(F.lit(1)).alias("n_checked"),
+                  F.sum(F.when(F.col("k") > 1, 1).otherwise(0))
+                   .cast("long").alias("n_violations")))
+    dup_li = (li.groupBy("l_orderkey", "l_linenumber")
+              .agg(F.count(F.lit(1)).alias("k"))
+              .agg(F.lit("lineitem.(orderkey,linenumber) unique")
+                    .alias("rule"),
+                   F.count(F.lit(1)).alias("n_checked"),
+                   F.sum(F.when(F.col("k") > 1, 1).otherwise(0))
+                    .cast("long").alias("n_violations")))
+    rules = [
+        _agg(o, "orders.o_totalprice positive", F.col("o_totalprice") > 0),
+        _agg(li, "lineitem.l_discount in [0,1]",
+             (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1)),
+        _agg(li, "lineitem.l_quantity in [1,50]",
+             (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50)),
+        _agg(li, "lineitem.l_shipdate not null",
+             F.col("l_shipdate").isNotNull()),
+        _agg(c, "customer.c_name not null", F.col("c_name").isNotNull()),
+        dup_o, dup_li,
+    ]
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out.select("rule", "n_checked", "n_violations",
+                      (F.col("n_violations") == 0).alias("passed")) \
+              .orderBy("rule")
+
+
+DQ_EXPECTATIONS_SQL = """
+WITH rows_out AS (
+  SELECT 'orders.o_totalprice positive' AS rule,
+         count(*) AS n_checked,
+         sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END)
+           AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem.l_discount in [0,1]', count(*),
+         sum(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 1)
+             THEN 1 ELSE 0 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_quantity in [1,50]', count(*),
+         sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50)
+             THEN 1 ELSE 0 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_shipdate not null', count(*),
+         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'customer.c_name not null', count(*),
+         sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+  FROM customer
+  UNION ALL
+  SELECT 'orders.o_orderkey unique', count(*),
+         sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)
+  FROM (SELECT count(*) AS k FROM orders GROUP BY o_orderkey)
+  UNION ALL
+  SELECT 'lineitem.(orderkey,linenumber) unique', count(*),
+         sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)
+  FROM (SELECT count(*) AS k FROM lineitem
+        GROUP BY l_orderkey, l_linenumber)
+)
+SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM rows_out
+ORDER BY rule
+"""
+
+
 _TR_QUERIES, _TR_K, _TR_DIM = 5, 10, 16
 
 
@@ -730,4 +850,6 @@ QUERIES = {
     "sample_pack_contiguous": (sample_pack_contiguous,
                                SAMPLE_PACK_CONTIGUOUS_SQL),
     "ann_truncation_recall": (ann_truncation_recall, TRUNCATION_RECALL_SQL),
+    "lang_confusion": (lang_confusion, _lang_confusion_sql()),
+    "dq_expectations": (dq_expectations, DQ_EXPECTATIONS_SQL),
 }
