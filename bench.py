@@ -95,7 +95,7 @@ BENCH_QUERIES = [
     "tokenizer_bpe_merge_step", "tokenizer_bpe_train",
     "sample_importance_weights", "tokenizer_bpe_encode", "curation_funnel",
     "sample_pack_contiguous", "ann_truncation_recall",
-    "lang_confusion", "dq_expectations",
+    "lang_confusion", "dq_expectations", "profile_key_skew",
 ]
 
 

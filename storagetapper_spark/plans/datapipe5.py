@@ -325,6 +325,51 @@ LIMIT 30
 """
 
 
+_SKEW_TOP = 20
+
+
+def profile_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Join/agg-key skew profiler — the diagnostic that decides whether
+    a key needs salting (operators/skew) or AQE can handle it: top-20
+    hottest events.user_id keys with their share of total rows and the
+    hot/average multiplier (the n_salts sizing input).  One
+    map-side-combined count + a broadcast totals join + top-k —
+    the profile itself never shuffles more than (distinct keys) rows."""
+    ev = t(spark, sf, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = counts.agg(F.sum("n_rows").alias("total"),
+                     F.count(F.lit(1)).alias("n_keys"))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("user_id",
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    F.round(F.col("n_rows") / F.col("total"), 6)
+                     .alias("share"),
+                    # floor of x100, not round-2dp: hot keys land on
+                    # exact .xx5 boundaries where engine rounding modes
+                    # diverge (observed 1.28 vs 1.27); the floored
+                    # integer is one IEEE division then floor — stable
+                    F.floor(F.col("n_rows") * F.col("n_keys") * 100.0
+                            / F.col("total")).cast("long")
+                     .alias("hot_factor_x100"))
+            .orderBy(F.desc("n_rows"), "user_id")
+            .limit(_SKEW_TOP))
+
+
+PROFILE_KEY_SKEW_SQL = f"""
+WITH counts AS (
+  SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+),
+tot AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM counts)
+SELECT user_id, CAST(n_rows AS BIGINT) AS n_rows,
+       round(n_rows / t.total, 6) AS share,
+       CAST(floor(n_rows * t.n_keys * 100.0 / t.total) AS BIGINT)
+         AS hot_factor_x100
+FROM counts, tot t
+ORDER BY n_rows DESC, user_id
+LIMIT {_SKEW_TOP}
+"""
+
+
 def lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
     """Declared-vs-detected language confusion matrix — the accuracy
     report for the lang-ID heuristic (and the mislabeled-metadata
@@ -852,4 +897,5 @@ QUERIES = {
     "ann_truncation_recall": (ann_truncation_recall, TRUNCATION_RECALL_SQL),
     "lang_confusion": (lang_confusion, _lang_confusion_sql()),
     "dq_expectations": (dq_expectations, DQ_EXPECTATIONS_SQL),
+    "profile_key_skew": (profile_key_skew, PROFILE_KEY_SKEW_SQL),
 }
