@@ -1,0 +1,112 @@
+"""Time-series subsequence similarity search — the UCR-style
+z-normalized Euclidean sliding-window match (cf. the EDBT'19 streaming
+time-series-similarity line of work in PAPERS.md), over the daily
+event-count series.
+
+Shape: one daily rollup (map-side combined), per-series sliding windows
+via a 7-row frame collect_list (partitioned by series — bounded state),
+a 1-row broadcast of the query window, then a narrow per-window
+distance expression and a global top-k.  The corpus of windows never
+self-joins; cost is O(total windows), the plan a matrix-profile-lite
+scan wants at 100 TB of telemetry.
+
+Exactness: window values are integer counts (exact in doubles), so
+mean/variance agree bit-for-bit across engines; the distance leaves as
+floor(dist·10⁶) so no half-rounding boundary can flip the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from storagetapper_spark.plans.common import t
+
+_W = 7          # window length (days)
+_TOPK = 10
+_QUERY_TYPE = "purchase"
+
+
+def ts_similarity_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 windows most similar to the FIRST full 7-day window of
+    the 'purchase' series, across all series and offsets (z-normalized
+    ED, row-based windows — gaps in the calendar keep their row
+    adjacency, identically in the oracle)."""
+    ev = t(spark, sf, "events")
+    daily = (ev.groupBy("event_type",
+                        F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).cast("double").alias("cnt")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.currentRow, _W - 1))
+    wins = (daily.select("event_type", "day",
+                         F.collect_list("cnt").over(w).alias("arr"))
+            .filter(F.size("arr") == _W))
+    s = F.aggregate("arr", F.lit(0.0), lambda a, x: a + x)
+    s2 = F.aggregate("arr", F.lit(0.0), lambda a, x: a + x * x)
+    mu = (s / _W).alias("mu")
+    sig = F.sqrt(s2 / _W - (s / _W) * (s / _W)).alias("sig")
+    valid = wins.select("*", mu, sig).filter(F.col("sig") > 1e-9)
+    q = (valid.filter(F.col("event_type") == _QUERY_TYPE)
+         .orderBy("day").limit(1)
+         .select(F.col("event_type").alias("qtype"),
+                 F.col("day").alias("qday"),
+                 F.col("arr").alias("qarr"),
+                 F.col("mu").alias("qmu"),
+                 F.col("sig").alias("qsig")))
+    joined = (valid.crossJoin(F.broadcast(q))
+              .filter(~((F.col("event_type") == F.col("qtype"))
+                        & (F.col("day") == F.col("qday")))))
+    diff2 = F.zip_with(
+        "arr", "qarr",
+        lambda x, y: ((x - F.col("mu")) / F.col("sig")
+                      - (y - F.col("qmu")) / F.col("qsig")) ** 2)
+    dist = F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x))
+    return (joined.select(
+        "event_type", F.col("day").alias("window_start"),
+        F.floor(dist * 1000000).cast("long").alias("dist_micro"))
+        .orderBy("dist_micro", "event_type", "window_start")
+        .limit(_TOPK))
+
+
+TS_SIMILARITY_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY 1, 2
+),
+wins0 AS (
+  SELECT event_type, day,
+         list(cnt) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN CURRENT ROW
+                                  AND {_W - 1} FOLLOWING) AS arr
+  FROM daily
+),
+wins AS (
+  SELECT event_type, day, arr,
+         list_sum(arr) / {_W} AS mu,
+         sqrt(list_sum(list_transform(arr, x -> x * x)) / {_W}
+              - pow(list_sum(arr) / {_W}, 2)) AS sig
+  FROM wins0 WHERE len(arr) = {_W}
+),
+valid AS (SELECT * FROM wins WHERE sig > 1e-9),
+q AS (
+  SELECT event_type AS qtype, day AS qday, arr AS qarr,
+         mu AS qmu, sig AS qsig
+  FROM valid WHERE event_type = '{_QUERY_TYPE}'
+  ORDER BY day LIMIT 1
+)
+SELECT v.event_type, v.day AS window_start,
+       CAST(floor(sqrt(list_sum(list_transform(range(1, {_W + 1}),
+              i -> pow((v.arr[i] - v.mu) / v.sig
+                       - (q.qarr[i] - q.qmu) / q.qsig, 2))))
+            * 1000000) AS BIGINT) AS dist_micro
+FROM valid v, q
+WHERE NOT (v.event_type = q.qtype AND v.day = q.qday)
+ORDER BY dist_micro, v.event_type, v.day
+LIMIT {_TOPK}
+"""
+
+
+QUERIES = {
+    "ts_similarity_search": (ts_similarity_search, TS_SIMILARITY_SQL),
+}
