@@ -325,6 +325,57 @@ LIMIT 30
 """
 
 
+def corpus_source_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus dashboard: volume, token mass, exact-dup rate,
+    and English share — the readout that drives per-source mixing and
+    cleanup decisions.  One scan computes the narrow stats; the dup
+    rate rides a (source, content-hash) distinct count — still
+    map-side combinable.  Rates ship as integer micro-units (the
+    session's rounding-boundary rule)."""
+    docs = t(spark, sf, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_toks"),
+        (F.col("lang") == "en").cast("long").alias("is_en"),
+        F.md5("text").alias("h"))
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_unique"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.sum("is_en").alias("n_en"))
+    return (agg.select(
+        "source", "n_docs", "n_unique", "total_tokens",
+        F.floor((F.col("n_docs") - F.col("n_unique")) * 1000000.0
+                / F.col("n_docs")).cast("long").alias("dup_rate_micro"),
+        F.floor(F.col("n_en") * 1000000.0 / F.col("n_docs")).cast("long")
+         .alias("en_share_micro"))
+        .orderBy("source"))
+
+
+CORPUS_SOURCE_REPORT_SQL = """
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+         md5(text) AS h
+  FROM documents
+),
+agg AS (
+  SELECT source, count(*) AS n_docs, count(DISTINCT h) AS n_unique,
+         sum(n_toks) AS total_tokens, sum(is_en) AS n_en
+  FROM per_doc GROUP BY source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_unique AS BIGINT) AS n_unique,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(floor((n_docs - n_unique) * 1000000.0 / n_docs) AS BIGINT)
+         AS dup_rate_micro,
+       CAST(floor(n_en * 1000000.0 / n_docs) AS BIGINT) AS en_share_micro
+FROM agg
+ORDER BY source
+"""
+
+
 _SKEW_TOP = 20
 
 
@@ -898,4 +949,5 @@ QUERIES = {
     "lang_confusion": (lang_confusion, _lang_confusion_sql()),
     "dq_expectations": (dq_expectations, DQ_EXPECTATIONS_SQL),
     "profile_key_skew": (profile_key_skew, PROFILE_KEY_SKEW_SQL),
+    "corpus_source_report": (corpus_source_report, CORPUS_SOURCE_REPORT_SQL),
 }
