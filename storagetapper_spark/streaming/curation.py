@@ -48,14 +48,24 @@ def quality_gate(batch: DataFrame) -> DataFrame:
 
 
 def curate_batch(spark: SparkSession, batch: DataFrame, batch_id: int,
-                 root: str) -> dict:
-    """foreachBatch body: gate → in-batch dedup → cross-batch anti join
-    → exactly-once append.  Returns the per-stage attrition counts (the
-    streaming form of curation_funnel)."""
+                 root: str, benchmark: DataFrame | None = None) -> dict:
+    """foreachBatch body: gate → [contamination reject] → in-batch
+    dedup → cross-batch anti join → exactly-once append.  Returns the
+    per-stage attrition counts (the streaming form of curation_funnel).
+
+    ``benchmark``: optional eval-set frame (doc_id, text); documents
+    whose shingle overlap reaches the contamination threshold are
+    rejected per batch (operators/contamination.decontaminate — the
+    benchmark shingle set broadcasts, the batch scans once)."""
     from storagetapper_spark.sinks.files import _resolve_fs
 
     n_in = batch.count()
-    gated = quality_gate(batch).withColumn("h", F.md5("text"))
+    gated = quality_gate(batch)
+    if benchmark is not None:
+        from storagetapper_spark.operators.contamination import decontaminate
+
+        gated = decontaminate(gated, benchmark)
+    gated = gated.withColumn("h", F.md5("text"))
     # in-batch winners: min doc_id per hash (deterministic, one shuffle)
     winners = (gated
                .groupBy("h")

@@ -103,3 +103,18 @@ def test_available_now_stream(spark, tmp_path):
     # 3 distinct contents → exactly 3 accepted across all micro-batches
     assert curated.count() == 3
     assert sum(s["n_accepted"] for s in stats) == 3
+
+
+def test_contamination_gate(spark, tmp_path):
+    """A doc sharing most of its shingles with the benchmark is
+    rejected; clean docs pass."""
+    root = str(tmp_path / "cur")
+    bench = _docs(spark, [(900, GOOD, "en")]).select("doc_id", "text")
+    batch = _docs(spark, [
+        (1, GOOD + " tail", "en"),                        # near-copy → reject
+        (2, "completely different words " * 4, "en"),     # clean → accept
+    ])
+    stats = curate_batch(spark, batch, 0, root, benchmark=bench)
+    assert stats["n_accepted"] == 1
+    kept = spark.read.parquet(f"{root}/curated")
+    assert [r.doc_id for r in kept.collect()] == [2]
