@@ -325,6 +325,45 @@ LIMIT 30
 """
 
 
+_AES_K = 200
+
+
+def sample_weighted_aes(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis exponential keys): select the 200 docs with
+    smallest key = -ln(u)/w, u a content-derived uniform in (0,1],
+    w = n_chars (the quality-weighted corpus draw).  Reproducible —
+    u comes from md5(doc_id), not an RNG — and embarrassingly
+    parallel: per-row key expression + one global top-k
+    (TakeOrderedAndProject), no shuffle beyond it.
+
+    Exactness: u = (md5-52-bit-int + 1) / 2⁵² is an exact double in
+    both engines; one ln and one division on identical doubles →
+    identical keys; the key ships as floor(key·10⁹)."""
+    docs = t(spark, sf, "documents")
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+                 16, 10).cast("double") + 1.0) / F.lit(float(1 << 52)))
+    w = F.col("n_chars").cast("double")
+    key = -F.log(u) / w
+    return (docs.select("doc_id",
+                        F.col("n_chars").cast("long").alias("weight"),
+                        F.floor(key * 1e9).cast("long").alias("key_nano"))
+            .orderBy("key_nano", "doc_id")
+            .limit(_AES_K))
+
+
+SAMPLE_WEIGHTED_AES_SQL = f"""
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       CAST(floor(-ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 13))::BIGINT + 1.0)
+                      / {float(1 << 52)})
+                  / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS key_nano
+FROM documents
+ORDER BY key_nano, doc_id
+LIMIT {_AES_K}
+"""
+
+
 def corpus_source_report(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source corpus dashboard: volume, token mass, exact-dup rate,
     and English share — the readout that drives per-source mixing and
@@ -950,4 +989,5 @@ QUERIES = {
     "dq_expectations": (dq_expectations, DQ_EXPECTATIONS_SQL),
     "profile_key_skew": (profile_key_skew, PROFILE_KEY_SKEW_SQL),
     "corpus_source_report": (corpus_source_report, CORPUS_SOURCE_REPORT_SQL),
+    "sample_weighted_aes": (sample_weighted_aes, SAMPLE_WEIGHTED_AES_SQL),
 }

@@ -115,3 +115,21 @@ def test_pack_contiguous_invariants(spark):
         assert r.n_tokens >= 1
         pos += r.n_tokens
     assert pos == sum(r.n_tokens for r in rows)
+
+
+def test_weighted_aes_favors_heavy_docs(spark):
+    """E-S keys: selection probability rises with weight — the sampled
+    set's mean n_chars must exceed the corpus mean, and the plan must
+    be a global top-k (TakeOrderedAndProject), not a sort."""
+    from pyspark.sql import functions as F
+
+    from storagetapper_spark.plans.datapipe5 import sample_weighted_aes
+
+    sf = "/root/testdata/sf0.001"
+    sampled = sample_weighted_aes(spark, sf)
+    mean_s = sampled.agg(F.avg("weight")).collect()[0][0]
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    mean_all = docs.agg(F.avg("n_chars")).collect()[0][0]
+    assert mean_s > mean_all, (mean_s, mean_all)
+    plan = sampled._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
