@@ -96,7 +96,7 @@ BENCH_QUERIES = [
     "sample_importance_weights", "tokenizer_bpe_encode", "curation_funnel",
     "sample_pack_contiguous", "ann_truncation_recall",
     "lang_confusion", "dq_expectations", "profile_key_skew",
-    "ts_similarity_search", "corpus_source_report", "sample_weighted_aes",
+    "ts_similarity_search", "corpus_source_report", "sample_weighted_aes", "sample_temperature_draw",
 ]
 
 

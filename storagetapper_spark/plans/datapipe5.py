@@ -325,6 +325,63 @@ LIMIT 30
 """
 
 
+_DRAW_BUDGET = 200
+_DRAW_ALPHA = 0.3
+
+
+def sample_temperature_draw(spark: SparkSession, sf: str) -> DataFrame:
+    """The action form of sample_temperature_mix: compute per-source
+    temperature quotas (p^α/Z of a 200-doc budget) and actually DRAW
+    that many docs per source, deterministically (md5 order within
+    source).  Two broadcast-sized aggs for the quota table, one
+    source-partitioned rank window for the draw — the end-to-end
+    mixing → selection composition a multi-source pretraining run
+    executes."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum(F.pow(F.col("n_docs"), F.lit(_DRAW_ALPHA)))
+                     .alias("z"))
+    quotas = (counts.crossJoin(F.broadcast(tot))
+              .select("source",
+                      F.round(F.lit(_DRAW_BUDGET)
+                              * F.pow(F.col("n_docs"), F.lit(_DRAW_ALPHA))
+                              / F.col("z"), 0).cast("long").alias("quota")))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = docs.withColumn("rk", F.row_number().over(w))
+    return (ranked.join(F.broadcast(quotas), "source")
+            .filter(F.col("rk") <= F.col("quota"))
+            .select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
+            .orderBy("source", "rk"))
+
+
+SAMPLE_TEMPERATURE_DRAW_SQL = f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT sum(pow(n_docs, {_DRAW_ALPHA})) AS z FROM counts),
+quotas AS (
+  SELECT source,
+         CAST(round({_DRAW_BUDGET} * pow(n_docs, {_DRAW_ALPHA}) / t.z, 0)
+              AS BIGINT) AS quota
+  FROM counts, tot t
+),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents
+)
+SELECT r.source, r.doc_id, CAST(r.rk AS BIGINT) AS rk
+FROM ranked r JOIN quotas q USING (source)
+WHERE r.rk <= q.quota
+ORDER BY r.source, r.rk
+"""
+
+
 _AES_K = 200
 
 
@@ -990,4 +1047,6 @@ QUERIES = {
     "profile_key_skew": (profile_key_skew, PROFILE_KEY_SKEW_SQL),
     "corpus_source_report": (corpus_source_report, CORPUS_SOURCE_REPORT_SQL),
     "sample_weighted_aes": (sample_weighted_aes, SAMPLE_WEIGHTED_AES_SQL),
+    "sample_temperature_draw": (sample_temperature_draw,
+                                SAMPLE_TEMPERATURE_DRAW_SQL),
 }
