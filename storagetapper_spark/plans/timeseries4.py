@@ -110,3 +110,109 @@ LIMIT {_TOPK}
 QUERIES = {
     "ts_similarity_search": (ts_similarity_search, TS_SIMILARITY_SQL),
 }
+
+
+_EXCL = 3  # trivial-match exclusion zone (windows overlapping ±3 rows)
+
+
+def ts_discord_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """Matrix-profile discord: per series, the window FARTHEST from its
+    nearest non-trivial neighbor (the classic anomaly definition of
+    the matrix-profile line of work).  Windows index by row position;
+    neighbors within ±3 positions are excluded as trivial matches.
+
+    Scale shape: the self-join is WITHIN each series only — Σ(len²)
+    over series, never across them; a 100 TB telemetry store has many
+    series of bounded length, so per-series quadratic is the accepted
+    matrix-profile cost (and the reason the join key is event_type).
+    Distances reuse the exact-integer z-norm math of
+    ts_similarity_search; output ships as floor(dist·10⁶)."""
+    ev = t(spark, sf, "events")
+    daily = (ev.groupBy("event_type",
+                        F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).cast("double").alias("cnt")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.currentRow, _W - 1))
+    rk = Window.partitionBy("event_type").orderBy("day")
+    wins = (daily.select("event_type", "day",
+                         F.collect_list("cnt").over(w).alias("arr"))
+            .filter(F.size("arr") == _W)
+            .withColumn("idx", F.row_number().over(rk)))
+    s = F.aggregate("arr", F.lit(0.0), lambda a, x: a + x)
+    s2 = F.aggregate("arr", F.lit(0.0), lambda a, x: a + x * x)
+    valid = (wins.select(
+        "*", (s / _W).alias("mu"),
+        F.sqrt(s2 / _W - (s / _W) * (s / _W)).alias("sig"))
+        .filter(F.col("sig") > 1e-9))
+    a = valid.select("event_type", F.col("day").alias("a_day"),
+                     F.col("idx").alias("a_idx"), F.col("arr").alias("a_arr"),
+                     F.col("mu").alias("a_mu"), F.col("sig").alias("a_sig"))
+    b = valid.select("event_type", F.col("idx").alias("b_idx"),
+                     F.col("arr").alias("b_arr"),
+                     F.col("mu").alias("b_mu"), F.col("sig").alias("b_sig"))
+    pairs = a.join(b, "event_type").filter(
+        F.abs(F.col("a_idx") - F.col("b_idx")) > _EXCL)
+    diff2 = F.zip_with(
+        "a_arr", "b_arr",
+        lambda x, y: ((x - F.col("a_mu")) / F.col("a_sig")
+                      - (y - F.col("b_mu")) / F.col("b_sig")) ** 2)
+    dist = F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
+    nn = (pairs.select("event_type", "a_day",
+                       F.floor(dist * 1000000).cast("long").alias("d"))
+          .groupBy("event_type", "a_day")
+          .agg(F.min("d").alias("nn_dist_micro")))
+    top = Window.partitionBy("event_type").orderBy(
+        F.desc("nn_dist_micro"), "a_day")
+    return (nn.withColumn("r", F.row_number().over(top))
+            .filter(F.col("r") == 1)
+            .select("event_type", F.col("a_day").alias("discord_day"),
+                    "nn_dist_micro")
+            .orderBy("event_type"))
+
+
+TS_DISCORD_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY 1, 2
+),
+wins0 AS (
+  SELECT event_type, day,
+         list(cnt) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN CURRENT ROW
+                                  AND {_W - 1} FOLLOWING) AS arr,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS idx
+  FROM daily
+),
+valid AS (
+  SELECT event_type, day, arr, idx,
+         list_sum(arr) / {_W} AS mu,
+         sqrt(list_sum(list_transform(arr, x -> x * x)) / {_W}
+              - pow(list_sum(arr) / {_W}, 2)) AS sig
+  FROM wins0 WHERE len(arr) = {_W}
+    AND sqrt(list_sum(list_transform(arr, x -> x * x)) / {_W}
+             - pow(list_sum(arr) / {_W}, 2)) > 1e-9
+),
+nn AS (
+  SELECT a.event_type, a.day AS a_day,
+         min(CAST(floor(sqrt(list_sum(list_transform(
+               range(1, {_W + 1}),
+               i -> pow((a.arr[i] - a.mu) / a.sig
+                        - (b.arr[i] - b.mu) / b.sig, 2))))
+             * 1000000) AS BIGINT)) AS nn_dist_micro
+  FROM valid a JOIN valid b
+    ON a.event_type = b.event_type AND abs(a.idx - b.idx) > {_EXCL}
+  GROUP BY a.event_type, a.day
+),
+top AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY nn_dist_micro DESC, a_day) AS r
+  FROM nn
+)
+SELECT event_type, a_day AS discord_day, nn_dist_micro
+FROM top WHERE r = 1
+ORDER BY event_type
+"""
+
+
+QUERIES["ts_discord_detection"] = (ts_discord_detection, TS_DISCORD_SQL)
