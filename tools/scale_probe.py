@@ -73,6 +73,12 @@ PROBES = [
     "tokenizer_bpe_train",     # 3 iterated generations (checkpointed)
     "sample_importance_weights",  # explode + 64-bucket ratio broadcast
     "text_pii_redact",         # pure regexp chain (narrow baseline)
+    # round-5 third-session batch
+    "ts_similarity_search",    # per-series windows + broadcast query
+    "ts_discord_detection",    # within-series self-join (Σ len²)
+    "sample_weighted_aes",     # per-row E-S keys + global top-k
+    "corpus_source_report",    # scan + source-keyed distinct count
+    "curation_funnel",         # one-scan stage flags + hash agg
 ]
 
 
