@@ -216,3 +216,54 @@ ORDER BY event_type
 
 
 QUERIES["ts_discord_detection"] = (ts_discord_detection, TS_DISCORD_SQL)
+
+
+_PATTERN = "view,click,purchase"
+
+
+def events_pattern_match(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style CONTIGUOUS sequence detection: users whose
+    event stream contains the exact consecutive triple
+    view→click→purchase (no intervening events — stricter than the
+    funnel queries, which allow gaps), with how many times it occurs.
+
+    Spark lacks MATCH_RECOGNIZE; the idiomatic plan is: per-user
+    ordered event-type string (array_sort of (ts, event_id, type)
+    structs → the sort is deterministic under ts ties) + a substring
+    occurrence count — one user-keyed agg, pattern matching as a
+    narrow string expression.  Per-user state is the user's OWN event
+    list (bounded), the shuffle is one row per user."""
+    ev = t(spark, sf, "events")
+    seq = F.transform(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))),
+        lambda s: s["event_type"])
+    per_user = (ev.groupBy("user_id")
+                .agg(F.array_join(seq, ",").alias("stream")))
+    # occurrence count via the length/replace identity (portable, and
+    # non-overlapping exactly like a MATCH_RECOGNIZE scan)
+    n = ((F.length("stream")
+          - F.length(F.regexp_replace(F.col("stream"),
+                                      _PATTERN.replace(",", ","), "")))
+         / F.lit(len(_PATTERN))).cast("long")
+    return (per_user.select("user_id", n.alias("n_matches"))
+            .filter(F.col("n_matches") > 0)
+            .orderBy("user_id"))
+
+
+EVENTS_PATTERN_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         string_agg(event_type, ',' ORDER BY ts, event_id) AS stream
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST((length(stream) - length(replace(stream, '{_PATTERN}', '')))
+            / {len(_PATTERN)} AS BIGINT) AS n_matches
+FROM per_user
+WHERE length(stream) - length(replace(stream, '{_PATTERN}', '')) > 0
+ORDER BY user_id
+"""
+
+
+QUERIES["events_pattern_match"] = (events_pattern_match, EVENTS_PATTERN_SQL)
