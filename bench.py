@@ -97,7 +97,7 @@ BENCH_QUERIES = [
     "sample_pack_contiguous", "ann_truncation_recall",
     "lang_confusion", "dq_expectations", "profile_key_skew",
     "ts_similarity_search", "corpus_source_report", "sample_weighted_aes", "sample_temperature_draw",
-    "ts_discord_detection", "events_pattern_match",
+    "ts_discord_detection", "events_pattern_match", "profile_histograms",
 ]
 
 

@@ -325,6 +325,68 @@ LIMIT 30
 """
 
 
+_HIST_BINS = 10
+
+
+def profile_histograms(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histograms (10 bins) for the main numeric measures —
+    the auto-profiling pass a warehouse runs on ingest
+    (o_totalprice, l_quantity, events.value).  Per column: one min/max
+    agg broadcast back, one binned count — bins computed in a single
+    expression on identical doubles in both engines, so no boundary
+    can flip."""
+    def hist(df, tbl, col):
+        mm = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+        width = (F.col("hi") - F.col("lo")) / _HIST_BINS
+        bin_ = F.least(F.lit(_HIST_BINS - 1),
+                       F.floor((F.col(col) - F.col("lo")) / width)) \
+                .cast("long")
+        return (df.crossJoin(F.broadcast(mm))
+                .groupBy(bin_.alias("bin"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit(tbl).alias("tbl"), F.lit(col).alias("col"),
+                        "bin", "n"))
+    o = hist(t(spark, sf, "orders").select("o_totalprice"),
+             "orders", "o_totalprice")
+    li = hist(t(spark, sf, "lineitem").select("l_quantity"),
+              "lineitem", "l_quantity")
+    ev = hist(t(spark, sf, "events").select("value"), "events", "value")
+    return (o.unionByName(li).unionByName(ev)
+            .orderBy("tbl", "col", "bin"))
+
+
+PROFILE_HISTOGRAMS_SQL = f"""
+WITH o AS (
+  SELECT 'orders' AS tbl, 'o_totalprice' AS col,
+         CAST(least({_HIST_BINS - 1},
+              floor((o_totalprice - mm.lo) / ((mm.hi - mm.lo)
+                    / {_HIST_BINS}))) AS BIGINT) AS bin
+  FROM orders, (SELECT min(o_totalprice) lo, max(o_totalprice) hi
+                FROM orders) mm
+),
+li AS (
+  SELECT 'lineitem', 'l_quantity',
+         CAST(least({_HIST_BINS - 1},
+              floor((l_quantity - mm.lo) / ((mm.hi - mm.lo)
+                    / {_HIST_BINS}))) AS BIGINT)
+  FROM lineitem, (SELECT min(l_quantity) lo, max(l_quantity) hi
+                  FROM lineitem) mm
+),
+ev AS (
+  SELECT 'events', 'value',
+         CAST(least({_HIST_BINS - 1},
+              floor((value - mm.lo) / ((mm.hi - mm.lo)
+                    / {_HIST_BINS}))) AS BIGINT)
+  FROM events, (SELECT min(value) lo, max(value) hi FROM events) mm
+),
+u AS (SELECT * FROM o UNION ALL SELECT * FROM li UNION ALL
+      SELECT * FROM ev)
+SELECT tbl, col, bin, CAST(count(*) AS BIGINT) AS n
+FROM u GROUP BY tbl, col, bin
+ORDER BY tbl, col, bin
+"""
+
+
 _DRAW_BUDGET = 200
 _DRAW_ALPHA = 0.3
 
@@ -1049,4 +1111,5 @@ QUERIES = {
     "sample_weighted_aes": (sample_weighted_aes, SAMPLE_WEIGHTED_AES_SQL),
     "sample_temperature_draw": (sample_temperature_draw,
                                 SAMPLE_TEMPERATURE_DRAW_SQL),
+    "profile_histograms": (profile_histograms, PROFILE_HISTOGRAMS_SQL),
 }
