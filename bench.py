@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "lang_confusion", "dq_expectations", "profile_key_skew",
     "ts_similarity_search", "corpus_source_report", "sample_weighted_aes", "sample_temperature_draw",
     "ts_discord_detection", "events_pattern_match", "profile_histograms",
+    "ts_autocorrelation", "ts_cross_correlation", "ts_stl_seasonal",
+    "ts_theil_sen",
 ]
 
 

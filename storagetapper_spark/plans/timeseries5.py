@@ -1,0 +1,301 @@
+"""Time-series statistics batch: autocorrelation, lead-lag
+cross-correlation, STL-style seasonal decomposition, and Theil-Sen
+robust trend — the per-series diagnostics a telemetry warehouse runs
+over its rollups (the reference's monitoring surface stops at counts;
+these are the standard next layer per the forecasting literature in
+PAPERS.md).
+
+Shared exactness discipline (see SCALE.md rounding-pitfalls): every
+correlation is computed from EXACT BIGINT sufficient statistics
+(n, Σx, Σy, Σxy, Σx², Σy² of integer daily counts) and only the final
+scalar expression drops to DOUBLE — the identical IEEE expression on
+identical exact inputs yields the identical double in Spark and DuckDB,
+so floor(r·10⁶) is hash-stable.  Variance products are cast to DOUBLE
+*before* multiplying (vx·vy can exceed BIGINT range); DuckDB sums of
+BIGINT are CAST back from HUGEINT inside the oracle.
+
+Shared scale shape: one map-side-combined daily rollup, then per-series
+window/self-join work whose cost is bounded by series length, never by
+corpus size — series count scales out, series length does not (the same
+argument as ts_discord_detection, timeseries4.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from storagetapper_spark.plans.common import t
+
+_MAX_LAG = 7
+
+
+def _daily(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    return (ev.groupBy("event_type",
+                       F.col("ts").cast("date").alias("day"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def ts_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
+    """ACF at row-lags 1..7 per event-type daily-count series.
+
+    Plan: index each series once (one narrow window), explode the lag
+    list (7 rows per point), and self-join on (series, i - lag) — one
+    shuffle keyed by series, pairs bounded by 7·len(series).  The
+    Pearson r per (series, lag) comes from exact integer sums; constant
+    windows (zero variance) are dropped rather than emitting NaN."""
+    daily = _daily(spark, sf)
+    idx = daily.select(
+        "event_type", "cnt",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("day")).alias("i"))
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in range(1, _MAX_LAG + 1)])).alias("lag_k")
+    a = idx.select("event_type", F.col("cnt").alias("x"), "i", lags)
+    b = idx.select(F.col("event_type").alias("bt"),
+                   F.col("cnt").alias("y"), F.col("i").alias("bi"))
+    pairs = a.join(b, (F.col("bt") == F.col("event_type"))
+                   & (F.col("bi") == F.col("i") - F.col("lag_k")))
+    s = (pairs.groupBy("event_type", "lag_k")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sx2"),
+              F.sum(F.col("y") * F.col("y")).alias("sy2")))
+    vx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+           ).cast("double")
+    r = num / F.sqrt(vx.cast("double") * vy.cast("double"))
+    return (s.filter((vx > 0) & (vy > 0))
+            .select("event_type", "lag_k", F.col("n").alias("n_pairs"),
+                    F.floor(r * 1000000).cast("long").alias("acf_micro"))
+            .orderBy("event_type", "lag_k"))
+
+
+TS_ACF_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, cnt,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+),
+pairs AS (
+  SELECT a.event_type, l.lag_k, a.cnt AS x, b.cnt AS y
+  FROM idx a
+  CROSS JOIN (SELECT unnest(range(1, {_MAX_LAG + 1})) AS lag_k) l
+  JOIN idx b ON b.event_type = a.event_type AND b.i = a.i - l.lag_k
+),
+s AS (
+  SELECT event_type, lag_k, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sx2,
+         CAST(sum(y * y) AS BIGINT) AS sy2
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, lag_k, n AS n_pairs,
+       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+                         * CAST(n * sy2 - sy * sy AS DOUBLE))
+                  * 1000000) AS BIGINT) AS acf_micro
+FROM s
+WHERE n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+ORDER BY event_type, lag_k
+"""
+
+
+QUERIES = {
+    "ts_autocorrelation": (ts_autocorrelation, TS_ACF_SQL),
+}
+
+
+_XC_A = "view"
+_XC_B = "purchase"
+_XC_LAG = 3
+
+
+def ts_cross_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Lead-lag cross-correlation between the 'view' and 'purchase'
+    daily series at calendar lags -3..+3 (positive lag = purchases
+    trail views).  Both series are tiny after the rollup, so the
+    lag-join is a broadcast; the only wide stage is the daily rollup
+    itself."""
+    daily = _daily(spark, sf)
+    va = daily.filter(F.col("event_type") == _XC_A) \
+              .select(F.col("day").alias("a_day"), F.col("cnt").alias("x"))
+    vb = daily.filter(F.col("event_type") == _XC_B) \
+              .select(F.col("day").alias("b_day"), F.col("cnt").alias("y"))
+    lags = F.explode(F.array(
+        *[F.lit(k) for k in range(-_XC_LAG, _XC_LAG + 1)])).alias("lag_k")
+    pairs = (va.select("*", lags)
+             .join(F.broadcast(vb),
+                   F.col("b_day") == F.date_add(F.col("a_day"),
+                                                F.col("lag_k"))))
+    s = (pairs.groupBy("lag_k")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sx2"),
+              F.sum(F.col("y") * F.col("y")).alias("sy2")))
+    vx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+           ).cast("double")
+    r = num / F.sqrt(vx.cast("double") * vy.cast("double"))
+    return (s.filter((vx > 0) & (vy > 0))
+            .select("lag_k", F.col("n").alias("n_pairs"),
+                    F.floor(r * 1000000).cast("long").alias("xcorr_micro"))
+            .orderBy("lag_k"))
+
+
+TS_XCORR_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+va AS (SELECT day AS a_day, cnt AS x FROM daily
+       WHERE event_type = '{_XC_A}'),
+vb AS (SELECT day AS b_day, cnt AS y FROM daily
+       WHERE event_type = '{_XC_B}'),
+pairs AS (
+  SELECT l.lag_k, a.x, b.y
+  FROM va a
+  CROSS JOIN (SELECT unnest(range(-{_XC_LAG}, {_XC_LAG + 1})) AS lag_k) l
+  JOIN vb b ON b.b_day = a.a_day + CAST(l.lag_k AS INTEGER)
+),
+s AS (
+  SELECT lag_k, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sx2,
+         CAST(sum(y * y) AS BIGINT) AS sy2
+  FROM pairs GROUP BY 1
+)
+SELECT lag_k, n AS n_pairs,
+       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+                         * CAST(n * sy2 - sy * sy AS DOUBLE))
+                  * 1000000) AS BIGINT) AS xcorr_micro
+FROM s
+WHERE n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+ORDER BY lag_k
+"""
+
+
+QUERIES["ts_cross_correlation"] = (ts_cross_correlation, TS_XCORR_SQL)
+
+
+def ts_stl_seasonal(spark: SparkSession, sf: str) -> DataFrame:
+    """STL-style weekday seasonal indices: trend = centered 7-day moving
+    average (full windows only), seasonal(dow) = mean of the detrended
+    series per weekday.  Differs from seasonality_weekday (raw ratio to
+    the global mean) — this is the decomposition form, robust to trend.
+
+    Exactness: detrended·7 = 7·cnt − Σwindow is an exact BIGINT, so the
+    per-weekday mean is one double division at the end.  dow is ISO
+    Monday=0 in both engines (Spark weekday(), DuckDB isodow()-1)."""
+    daily = _daily(spark, sf)
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-3, 3))
+    det = (daily.select(
+        "event_type", "day", "cnt",
+        F.sum("cnt").over(w).alias("tr_sum"),
+        F.count(F.lit(1)).over(w).alias("tr_n"))
+        .filter(F.col("tr_n") == 7)
+        .select("event_type", F.weekday("day").alias("dow"),
+                (F.lit(7) * F.col("cnt") - F.col("tr_sum")).alias("det7")))
+    seasonal = (F.sum("det7").cast("double") * 1000000
+                / (F.lit(7) * F.count(F.lit(1))))
+    return (det.groupBy("event_type", "dow")
+            .agg(F.count(F.lit(1)).alias("n_days"),
+                 F.floor(seasonal).cast("long").alias("seasonal_micro"))
+            .orderBy("event_type", "dow"))
+
+
+TS_STL_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+det AS (
+  SELECT event_type, isodow(day) - 1 AS dow,
+         7 * cnt - sum(cnt) OVER w AS det7,
+         count(*) OVER w AS tr_n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+)
+SELECT event_type, dow, count(*) AS n_days,
+       CAST(floor(CAST(sum(det7) AS DOUBLE) * 1000000
+                  / (7 * count(*))) AS BIGINT) AS seasonal_micro
+FROM det WHERE tr_n = 7
+GROUP BY event_type, dow
+ORDER BY event_type, dow
+"""
+
+
+QUERIES["ts_stl_seasonal"] = (ts_stl_seasonal, TS_STL_SQL)
+
+
+def ts_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust trend per series: the median of all pairwise
+    slopes (cnt_j − cnt_i)/(j − i) over the day-indexed daily counts —
+    the standard outlier-resistant alternative to least-squares
+    (breakdown point 29%).
+
+    Scale: per-series O(len²) pairs, the accepted Theil-Sen cost (the
+    Siegel repeated-median or a sampled-pairs variant is the long-series
+    fallback; series here are bounded by the calendar).  Slopes are
+    IEEE divisions of exact integers and the median of an odd/even count
+    interpolates identically in Spark percentile() and DuckDB
+    quantile_cont(), so floor(m·10⁶) is stable."""
+    daily = _daily(spark, sf)
+    idx = daily.select(
+        "event_type", F.col("cnt").cast("long").alias("cnt"),
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("day")).alias("i"))
+    b = idx.select(F.col("event_type").alias("bt"),
+                   F.col("cnt").alias("bcnt"), F.col("i").alias("bi"))
+    pairs = idx.join(b, (F.col("bt") == F.col("event_type"))
+                     & (F.col("bi") > F.col("i")))
+    slope = ((F.col("bcnt") - F.col("cnt")).cast("double")
+             / (F.col("bi") - F.col("i")).cast("double"))
+    return (pairs.select("event_type", slope.alias("slope"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.floor(F.percentile("slope", F.lit(0.5)) * 1000000)
+                 .cast("long").alias("theil_sen_micro"))
+            .orderBy("event_type"))
+
+
+TS_THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, cnt,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS slope
+  FROM idx a JOIN idx b
+    ON b.event_type = a.event_type AND b.i > a.i
+)
+SELECT event_type, count(*) AS n_pairs,
+       CAST(floor(quantile_cont(slope, 0.5) * 1000000) AS BIGINT)
+         AS theil_sen_micro
+FROM pairs
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES["ts_theil_sen"] = (ts_theil_sen, TS_THEIL_SEN_SQL)
