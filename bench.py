@@ -99,7 +99,8 @@ BENCH_QUERIES = [
     "ts_similarity_search", "corpus_source_report", "sample_weighted_aes", "sample_temperature_draw",
     "ts_discord_detection", "events_pattern_match", "profile_histograms",
     "ts_autocorrelation", "ts_cross_correlation", "ts_stl_seasonal",
-    "ts_theil_sen",
+    "ts_theil_sen", "graph_jaccard_link_prediction", "graph_bfs_distance",
+    "graph_degree_assortativity",
 ]
 
 

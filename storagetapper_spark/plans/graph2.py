@@ -1,0 +1,243 @@
+"""Graph analytics batch 2 over the co-purchase part graph: Jaccard
+link prediction, BFS reachability profile, and degree assortativity.
+Complements relational10's pagerank/triangles/entity-resolution family
+with the link-prediction and structure-diagnostic layer (standard
+network-analysis surface; cf. the graph sections in PAPERS.md).
+
+Graph construction is shared with graph_triangles (relational10.py):
+nodes = parts, an undirected edge when two parts co-occur in ≥ 2
+orders, stored once low-id→high-id.
+
+Scale shapes: every join below is an equi-join on node ids — wedge
+fan-out is bounded by max degree (the thresholded basket graph keeps
+degrees small; at 100 TB the degree-cap/orientation argument from
+graph_triangles applies identically).  Degrees and common-neighbor
+counts are exact BIGINTs; Jaccard/assortativity drop to DOUBLE only in
+the final expression (floor·10⁶ — hash-stable, SCALE.md discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storagetapper_spark.plans.common import t
+
+_EDGE_SQL = """
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= 2),
+adj AS (SELECT pa AS u, pb AS v FROM e
+        UNION ALL SELECT pb AS u, pa AS v FROM e)
+"""
+
+
+def _edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Low→high co-purchase edges, ≥2 shared orders (graph_triangles)."""
+    li = (t(spark, sf, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    return (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+            .groupBy(F.col("a.l_partkey").alias("pa"),
+                     F.col("b.l_partkey").alias("pb"))
+            .agg(F.count(F.lit(1)).alias("n_ab"))
+            .filter(F.col("n_ab") >= 2)
+            .select("pa", "pb"))
+
+
+def _adj(e: DataFrame) -> DataFrame:
+    return (e.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+            .unionAll(e.select(F.col("pb").alias("u"),
+                               F.col("pa").alias("v"))))
+
+
+_LP_TOPK = 20
+
+
+def graph_jaccard_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 NOT-yet-connected part pairs by neighbor-set Jaccard —
+    the classic link-prediction score (predicted next co-purchases).
+
+    Plan: wedge join on the shared neighbor (each candidate pair
+    generated once via u<v), minus existing edges (left-anti on the
+    oriented edge list), degrees joined in from a tiny per-node agg.
+    One top-k at the end (TakeOrderedAndProject).  No all-pairs stage
+    anywhere: candidates exist only at distance 2."""
+    e = _edges(spark, sf).persist()
+    adj = _adj(e)
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    a = adj.select(F.col("v").alias("w"), F.col("u").alias("cu"))
+    b = adj.select(F.col("v").alias("w2"), F.col("u").alias("cv"))
+    cand = (a.join(b, (F.col("w") == F.col("w2"))
+                   & (F.col("cu") < F.col("cv")))
+            .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))
+            .agg(F.count(F.lit(1)).alias("cn")))
+    cand = cand.join(e, (cand.u == e.pa) & (cand.v == e.pb), "left_anti")
+    du = deg.select(F.col("u").alias("du_id"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("u").alias("dv_id"), F.col("deg").alias("deg_v"))
+    scored = (cand.join(F.broadcast(du), F.col("u") == F.col("du_id"))
+              .join(F.broadcast(dv), F.col("v") == F.col("dv_id")))
+    jac = (F.col("cn").cast("double")
+           / (F.col("deg_u") + F.col("deg_v") - F.col("cn")).cast("double"))
+    return (scored.select(
+        "u", "v", "cn", "deg_u", "deg_v",
+        F.floor(jac * 1000000).cast("long").alias("jaccard_micro"))
+        .orderBy(F.desc("jaccard_micro"), F.desc("cn"), "u", "v")
+        .limit(_LP_TOPK))
+
+
+LINK_PREDICTION_SQL = f"""
+WITH {_EDGE_SQL},
+cand AS (
+  SELECT a.u AS u, b.u AS v, count(*) AS cn
+  FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u
+  GROUP BY 1, 2
+),
+nonedge AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN e ON e.pa = c.u AND e.pb = c.v
+  WHERE e.pa IS NULL
+),
+deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u)
+SELECT n.u, n.v, n.cn, du.deg AS deg_u, dv.deg AS deg_v,
+       CAST(floor(CAST(n.cn AS DOUBLE)
+                  / CAST(du.deg + dv.deg - n.cn AS DOUBLE)
+                  * 1000000) AS BIGINT) AS jaccard_micro
+FROM nonedge n
+JOIN deg du ON du.u = n.u
+JOIN deg dv ON dv.u = n.v
+ORDER BY jaccard_micro DESC, n.cn DESC, n.u, n.v
+LIMIT {_LP_TOPK}
+"""
+
+
+QUERIES = {
+    "graph_jaccard_link_prediction":
+        (graph_jaccard_link_prediction, LINK_PREDICTION_SQL),
+}
+
+
+_BFS_HOPS = 3
+
+
+def graph_bfs_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """BFS reachability profile from a deterministic source (the
+    lowest-id part with an edge): node counts at hop distance 0..3.
+
+    Fixed-depth unrolled frontier expansion — each hop is one equi-join
+    frontier⋈adj followed by a distinct and an accumulated-visited
+    anti-join; at 100 TB this is the standard iterative BFS whose
+    frontier is checkpointed per generation (operators/graph.py's
+    persisted-generation pattern).  The hop count is bounded, so the
+    whole profile is one lazy plan here."""
+    e = _edges(spark, sf).persist()
+    adj = _adj(e).persist()
+    src = adj.agg(F.min("u").alias("u"))  # 1 row
+    visited = src.select("u").persist()
+    frontier = visited
+    rows = [src.select(F.lit(0).alias("dist"),
+                       F.count(F.lit(1)).alias("n_nodes"))]
+    counts = None
+    for hop in range(1, _BFS_HOPS + 1):
+        nxt = (frontier.join(adj, "u")
+               .select(F.col("v").alias("u")).distinct()
+               .join(visited, "u", "left_anti").persist())
+        rows.append(nxt.agg(F.lit(hop).alias("dist"),
+                            F.count(F.lit(1)).alias("n_nodes")))
+        visited = visited.unionAll(nxt).persist()
+        frontier = nxt
+    counts = rows[0]
+    for r in rows[1:]:
+        counts = counts.unionAll(r)
+    return counts.orderBy("dist")
+
+
+BFS_SQL = f"""
+WITH {_EDGE_SQL},
+src AS (SELECT min(u) AS u FROM adj),
+d1 AS (
+  SELECT DISTINCT a.v AS u FROM src s JOIN adj a ON a.u = s.u
+  WHERE a.v NOT IN (SELECT u FROM src)
+),
+d2 AS (
+  SELECT DISTINCT a.v AS u FROM d1 JOIN adj a ON a.u = d1.u
+  WHERE a.v NOT IN (SELECT u FROM src)
+    AND a.v NOT IN (SELECT u FROM d1)
+),
+d3 AS (
+  SELECT DISTINCT a.v AS u FROM d2 JOIN adj a ON a.u = d2.u
+  WHERE a.v NOT IN (SELECT u FROM src)
+    AND a.v NOT IN (SELECT u FROM d1)
+    AND a.v NOT IN (SELECT u FROM d2)
+)
+SELECT 0 AS dist, CAST(count(*) AS BIGINT) AS n_nodes FROM src
+UNION ALL SELECT 1, CAST(count(*) AS BIGINT) FROM d1
+UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM d2
+UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM d3
+ORDER BY dist
+"""
+
+
+QUERIES["graph_bfs_distance"] = (graph_bfs_distance, BFS_SQL)
+
+
+def graph_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity: Pearson correlation of endpoint degrees
+    over the directed edge list (both orientations — the standard
+    undirected treatment).  Negative ⇒ hubs connect to leaves
+    (disassortative, typical of co-purchase graphs).
+
+    Exact BIGINT sufficient statistics over integer degrees; one final
+    double expression (the ts_autocorrelation pattern)."""
+    e = _edges(spark, sf).persist()
+    adj = _adj(e)
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("u").alias("su"), F.col("deg").alias("x"))
+    dv = deg.select(F.col("u").alias("sv"), F.col("deg").alias("y"))
+    pairs = (adj.join(F.broadcast(du), F.col("u") == F.col("su"))
+             .join(F.broadcast(dv), F.col("v") == F.col("sv")))
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"))
+    vx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+           ).cast("double")
+    r = num / F.sqrt(vx.cast("double") * vy.cast("double"))
+    return s.select(
+        F.col("n").alias("n_directed_edges"),
+        F.floor(r * 1000000).cast("long").alias("assortativity_micro"))
+
+
+ASSORTATIVITY_SQL = f"""
+WITH {_EDGE_SQL},
+deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
+p AS (
+  SELECT du.deg AS x, dv.deg AS y
+  FROM adj JOIN deg du ON du.u = adj.u JOIN deg dv ON dv.u = adj.v
+),
+s AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sx2,
+         CAST(sum(y * y) AS BIGINT) AS sy2
+  FROM p
+)
+SELECT n AS n_directed_edges,
+       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+                         * CAST(n * sy2 - sy * sy AS DOUBLE))
+                  * 1000000) AS BIGINT) AS assortativity_micro
+FROM s
+"""
+
+
+QUERIES["graph_degree_assortativity"] = (graph_degree_assortativity,
+                                         ASSORTATIVITY_SQL)
