@@ -100,7 +100,8 @@ BENCH_QUERIES = [
     "ts_discord_detection", "events_pattern_match", "profile_histograms",
     "ts_autocorrelation", "ts_cross_correlation", "ts_stl_seasonal",
     "ts_theil_sen", "graph_jaccard_link_prediction", "graph_bfs_distance",
-    "graph_degree_assortativity",
+    "graph_degree_assortativity", "profile_correlation_matrix",
+    "profile_pmi_categories", "text_zipf_fit", "recsys_item_item_cosine",
 ]
 
 
