@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "ts_theil_sen", "graph_jaccard_link_prediction", "graph_bfs_distance",
     "graph_degree_assortativity", "profile_correlation_matrix",
     "profile_pmi_categories", "text_zipf_fit", "recsys_item_item_cosine",
+    "text_ngram_novelty", "corpus_growth_curve", "text_js_divergence",
+    "text_diversity",
 ]
 
 

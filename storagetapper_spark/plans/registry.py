@@ -35,6 +35,7 @@ from storagetapper_spark.plans import (
     timeseries5,
     graph2,
     datapipe6,
+    datapipe7,
 )
 
 _ALL: dict[str, tuple[Callable, str | None]] = {}
@@ -42,7 +43,7 @@ for mod in (relational, relational2, relational3, relational4, relational5,
             relational6, relational7, relational8, relational9, relational10,
             timeseries,
             timeseries2, timeseries3, timeseries4, timeseries5, graph2, cdc, cdc2, cdc3, datapipe, datapipe2,
-            datapipe3, datapipe4, datapipe5, datapipe6, extensions):
+            datapipe3, datapipe4, datapipe5, datapipe6, datapipe7, extensions):
     for name, pair in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"
         _ALL[name] = pair
