@@ -128,22 +128,23 @@ def corpus_growth_curve(spark: SparkSession, sf: str) -> DataFrame:
     100 TB; a near-linear curve flags synthetic or ID-heavy text.
 
     Plan: one min(doc_id) reduction per type (map-side combinable),
-    checkpoint thresholds from a tiny row_number pass over doc ids,
+    checkpoint thresholds via the scale-safe two-pass global rank
+    (operators/ranks.py — no single-task window over the doc table),
     then a 5-row broadcast join + conditional count — the corpus is
     scanned once and nothing token-scaled is ever re-shuffled."""
+    from storagetapper_spark.operators.ranks import two_pass_rank
+
     norm = _norm(spark, sf)
     first = (norm.select("doc_id", F.explode("w").alias("tok"))
              .groupBy("tok").agg(F.min("doc_id").alias("first_doc")))
     d = t(spark, sf, "documents").select("doc_id")
-    ranked = d.select(
-        "doc_id",
-        F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_docs"))
+    ranked = two_pass_rank(d, [F.col("doc_id")],
+                           F.floor(F.col("doc_id") / F.lit(1024)))
     fr = F.explode(F.array(*[F.lit(p) for p in _HEAPS_FRACS])).alias("pct")
     th = (ranked.select("*", fr)
-          .filter(F.col("rn") == F.ceil(
-              F.col("pct") * F.col("n_docs") / F.lit(100)))
-          .select("pct", F.col("rn").alias("n_docs_at"),
+          .filter(F.col("_rank") == F.ceil(
+              F.col("pct") * F.col("_n") / F.lit(100)))
+          .select("pct", F.col("_rank").alias("n_docs_at"),
                   F.col("doc_id").alias("th")))
     return (first.crossJoin(F.broadcast(th))
             .groupBy("pct", "n_docs_at")
