@@ -103,7 +103,8 @@ BENCH_QUERIES = [
     "graph_degree_assortativity", "profile_correlation_matrix",
     "profile_pmi_categories", "text_zipf_fit", "recsys_item_item_cosine",
     "text_ngram_novelty", "corpus_growth_curve", "text_js_divergence",
-    "text_diversity",
+    "text_diversity", "sketch_theta_intersection", "ann_range_search",
+    "events_hourly_heatmap", "graph_kcore",
 ]
 
 

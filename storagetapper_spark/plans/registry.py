@@ -36,6 +36,7 @@ from storagetapper_spark.plans import (
     graph2,
     datapipe6,
     datapipe7,
+    datapipe8,
 )
 
 _ALL: dict[str, tuple[Callable, str | None]] = {}
@@ -43,7 +44,7 @@ for mod in (relational, relational2, relational3, relational4, relational5,
             relational6, relational7, relational8, relational9, relational10,
             timeseries,
             timeseries2, timeseries3, timeseries4, timeseries5, graph2, cdc, cdc2, cdc3, datapipe, datapipe2,
-            datapipe3, datapipe4, datapipe5, datapipe6, datapipe7, extensions):
+            datapipe3, datapipe4, datapipe5, datapipe6, datapipe7, datapipe8, extensions):
     for name, pair in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"
         _ALL[name] = pair
