@@ -104,7 +104,8 @@ BENCH_QUERIES = [
     "profile_pmi_categories", "text_zipf_fit", "recsys_item_item_cosine",
     "text_ngram_novelty", "corpus_growth_curve", "text_js_divergence",
     "text_diversity", "sketch_theta_intersection", "ann_range_search",
-    "events_hourly_heatmap", "graph_kcore",
+    "events_hourly_heatmap", "graph_kcore", "sketch_cms_heavy_hitters",
+    "sketch_ams_f2",
 ]
 
 
