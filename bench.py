@@ -105,7 +105,9 @@ BENCH_QUERIES = [
     "text_ngram_novelty", "corpus_growth_curve", "text_js_divergence",
     "text_diversity", "sketch_theta_intersection", "ann_range_search",
     "events_hourly_heatmap", "graph_kcore", "sketch_cms_heavy_hitters",
-    "sketch_ams_f2",
+    "sketch_ams_f2", "events_user_lifecycle",
+    "sessionization_gap_sensitivity", "customer_segment_migration",
+    "orders_shipping_sla",
 ]
 
 

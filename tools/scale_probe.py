@@ -79,6 +79,15 @@ PROBES = [
     "sample_weighted_aes",     # per-row E-S keys + global top-k
     "corpus_source_report",    # scan + source-keyed distinct count
     "curation_funnel",         # one-scan stage flags + hash agg
+    # round-5 fourth-session batch
+    "ts_autocorrelation",      # lag-exploded within-series self-join
+    "graph_jaccard_link_prediction",  # distance-2 wedge join
+    "graph_kcore",             # iterative peel (eager generations)
+    "recsys_item_item_cosine",  # basket-bounded pair fan-out
+    "text_ngram_novelty",      # per-doc-distinct grams + min_by reduce
+    "text_js_divergence",      # vocab-sized pair equi-join
+    "sketch_theta_intersection",  # KMV: k rows per partition merge
+    "sketch_cms_heavy_hitters",  # fixed 1024-cell matrix build
 ]
 
 
