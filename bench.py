@@ -107,7 +107,7 @@ BENCH_QUERIES = [
     "events_hourly_heatmap", "graph_kcore", "sketch_cms_heavy_hitters",
     "sketch_ams_f2", "events_user_lifecycle",
     "sessionization_gap_sensitivity", "customer_segment_migration",
-    "orders_shipping_sla",
+    "orders_shipping_sla", "embedding_dim_stats", "embedding_outlier_zscore",
 ]
 
 

@@ -39,6 +39,7 @@ from storagetapper_spark.plans import (
     datapipe7,
     datapipe8,
     sketches,
+    embeddings2,
 )
 
 _ALL: dict[str, tuple[Callable, str | None]] = {}
@@ -46,7 +47,7 @@ for mod in (relational, relational2, relational3, relational4, relational5,
             relational6, relational7, relational8, relational9, relational10, relational11,
             timeseries,
             timeseries2, timeseries3, timeseries4, timeseries5, graph2, cdc, cdc2, cdc3, datapipe, datapipe2,
-            datapipe3, datapipe4, datapipe5, datapipe6, datapipe7, datapipe8, sketches, extensions):
+            datapipe3, datapipe4, datapipe5, datapipe6, datapipe7, datapipe8, sketches, embeddings2, extensions):
     for name, pair in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"
         _ALL[name] = pair
