@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "sketch_ams_f2", "events_user_lifecycle",
     "sessionization_gap_sensitivity", "customer_segment_migration",
     "orders_shipping_sla", "embedding_dim_stats", "embedding_outlier_zscore",
+    "text_bm25_search", "text_collocations_npmi", "ts_stl_anomaly",
 ]
 
 

@@ -299,3 +299,93 @@ ORDER BY event_type
 
 
 QUERIES["ts_theil_sen"] = (ts_theil_sen, TS_THEIL_SEN_SQL)
+
+
+def ts_stl_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-residual anomaly detection: days whose deseasonalized
+    residual deviates > 2σ from the series mean residual — the
+    decomposition-based upgrade over anomaly_daily_counts (a raw-count
+    z-score cannot separate 'weekend' from 'incident'; this can).
+
+    Pipeline: detrend (7-day centered MA, exact det7 = 7x − Σwindow),
+    de-season (per-weekday mean of det7 over exact integer sums),
+    residual micro-floored per row, then an exact-integer z-test per
+    series.  Joins after the rollup touch only (series × dow) and
+    (series) tables — broadcast-sized."""
+    daily = _daily(spark, sf)
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-3, 3))
+    det = (daily.select(
+        "event_type", "day", "cnt",
+        F.sum("cnt").over(w).alias("tr_sum"),
+        F.count(F.lit(1)).over(w).alias("tr_n"))
+        .filter(F.col("tr_n") == 7)
+        .select("event_type", "day", F.weekday("day").alias("dow"),
+                (F.lit(7) * F.col("cnt") - F.col("tr_sum")).alias("det7")))
+    seas = (det.groupBy("event_type", "dow")
+            .agg(F.sum("det7").alias("s_num"),
+                 F.count(F.lit(1)).alias("s_den")))
+    resid = (det.join(F.broadcast(seas), ["event_type", "dow"])
+             .select("event_type", "day",
+                     F.floor((F.col("det7").cast("double") / 7.0
+                              - F.col("s_num").cast("double")
+                              / (7.0 * F.col("s_den"))) * 1000000)
+                     .cast("long").alias("r")))
+    stats = (resid.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("r").alias("sr"),
+                  F.sum(F.col("r") * F.col("r")).alias("sr2")))
+    mu = F.col("sr").cast("double") / F.col("n").cast("double")
+    sd = F.sqrt((F.col("n") * F.col("sr2") - F.col("sr") * F.col("sr"))
+                .cast("double")
+                / (F.col("n").cast("double") * F.col("n").cast("double")))
+    st = stats.select("event_type", mu.alias("mu"), sd.alias("sd"))
+    return (resid.join(F.broadcast(st), "event_type")
+            .filter(F.abs(F.col("r").cast("double") - F.col("mu"))
+                    > 2.0 * F.col("sd"))
+            .select("event_type", "day", F.col("r").alias("resid_micro"))
+            .orderBy("event_type", "day"))
+
+
+TS_STL_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+det AS (
+  SELECT event_type, day, isodow(day) - 1 AS dow,
+         7 * cnt - sum(cnt) OVER w AS det7,
+         count(*) OVER w AS tr_n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detf AS (SELECT event_type, day, dow, det7 FROM det WHERE tr_n = 7),
+seas AS (
+  SELECT event_type, dow, CAST(sum(det7) AS BIGINT) AS s_num,
+         count(*) AS s_den
+  FROM detf GROUP BY 1, 2
+),
+resid AS (
+  SELECT d.event_type, d.day,
+         CAST(floor((CAST(d.det7 AS DOUBLE) / 7.0
+                     - CAST(s.s_num AS DOUBLE) / (7.0 * s.s_den))
+                    * 1000000) AS BIGINT) AS r
+  FROM detf d JOIN seas s
+    ON s.event_type = d.event_type AND s.dow = d.dow
+),
+stats AS (
+  SELECT event_type, count(*) AS n, CAST(sum(r) AS BIGINT) AS sr,
+         CAST(sum(r * r) AS BIGINT) AS sr2
+  FROM resid GROUP BY 1
+)
+SELECT r.event_type, r.day, r.r AS resid_micro
+FROM resid r JOIN stats st ON st.event_type = r.event_type
+WHERE abs(CAST(r.r AS DOUBLE) - CAST(st.sr AS DOUBLE) / st.n)
+      > 2.0 * sqrt(CAST(st.n * st.sr2 - st.sr * st.sr AS DOUBLE)
+                   / (CAST(st.n AS DOUBLE) * CAST(st.n AS DOUBLE)))
+ORDER BY r.event_type, r.day
+"""
+
+
+QUERIES["ts_stl_anomaly"] = (ts_stl_anomaly, TS_STL_ANOMALY_SQL)
