@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "sessionization_gap_sensitivity", "customer_segment_migration",
     "orders_shipping_sla", "embedding_dim_stats", "embedding_outlier_zscore",
     "text_bm25_search", "text_collocations_npmi", "ts_stl_anomaly",
+    "ts_rolling_slope", "text_term_burstiness", "supplier_scorecard",
 ]
 
 
