@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "orders_shipping_sla", "embedding_dim_stats", "embedding_outlier_zscore",
     "text_bm25_search", "text_collocations_npmi", "ts_stl_anomaly",
     "ts_rolling_slope", "text_term_burstiness", "supplier_scorecard",
+    "cdc_out_of_order_rate", "cdc_key_churn_histogram",
+    "price_anova_brands", "text_allpairs_cosine_tfidf",
 ]
 
 
