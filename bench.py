@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "ts_rolling_slope", "text_term_burstiness", "supplier_scorecard",
     "cdc_out_of_order_rate", "cdc_key_churn_histogram",
     "price_anova_brands", "text_allpairs_cosine_tfidf",
+    "fiscal_quarter_rollup", "priority_mix_shift",
+    "events_markov_stationary",
 ]
 
 
