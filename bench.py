@@ -113,7 +113,8 @@ BENCH_QUERIES = [
     "cdc_out_of_order_rate", "cdc_key_churn_histogram",
     "price_anova_brands", "text_allpairs_cosine_tfidf",
     "fiscal_quarter_rollup", "priority_mix_shift",
-    "events_markov_stationary",
+    "events_markov_stationary", "ml_logistic_gd",
+    "ml_naive_bayes_confusion",
 ]
 
 

@@ -1,0 +1,279 @@
+"""In-engine ML batch: full-batch logistic-regression gradient descent
+and a Naive Bayes language classifier — the two classic "train a model
+with SQL-shaped passes" operators (complements the assignment-only
+embedding_kmeans_assign and the heuristic text_lang_id).
+
+Both follow the bounded-iteration / quantized-generation discipline
+(tokenizer_bpe_train, events_markov_stationary): every cross-row float
+contribution is floored to micro/nano ints BEFORE summation and every
+learned parameter lives in integer units between rounds, so Spark and
+the unrolled DuckDB oracle agree bit-for-bit at each generation.
+
+Scale shapes: logistic GD is one agg per iteration over the feature
+table (the distributed full-batch GD everyone runs before switching to
+minibatch); the weight vector crossing the driver is 3 integers per
+round.  Naive Bayes is two vocabulary-sized count tables and one
+broadcast-join scoring pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storagetapper_spark.plans.common import events_t, t
+
+_GD_ITERS = 10
+_LR_NANO = 500_000_000  # learning rate 0.5 in nano units
+
+
+def _features(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user features (micro-int) and label: does the user's mean
+    event value exceed the global mean?"""
+    ev = events_t(spark, sf)
+    per_user = (ev.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_ev"),
+                     F.sum(F.when(F.col("event_type") == "view", 1)
+                           .otherwise(0)).alias("n_view"),
+                     F.sum(F.round(F.col("value") * 100).cast("long"))
+                     .alias("val_cents")))
+    g = per_user.agg(F.sum("val_cents").alias("tv"),
+                     F.sum("n_ev").alias("tn"))
+    return (per_user.crossJoin(F.broadcast(g))
+            .select(
+        "user_id",
+        F.lit(1000000).alias("x0"),
+        F.floor(F.col("n_view") * 1000000 / F.col("n_ev"))
+        .cast("long").alias("x1"),
+        F.floor(F.least(F.col("n_ev").cast("double") / 1000.0,
+                        F.lit(1.0)) * 1000000).cast("long").alias("x2"),
+        F.when(F.col("val_cents") * F.col("tn")
+               > F.col("tv") * F.col("n_ev"), 1).otherwise(0)
+        .alias("y")))
+
+
+def ml_logistic_gd(spark: SparkSession, sf: str) -> DataFrame:
+    """10 rounds of full-batch logistic GD predicting 'high-value user'
+    from activity features.  Per round: one aggregation computes the
+    gradient (per-user terms micro-floored, integer-summed), three
+    nano-int weights cross the driver, and the next round embeds them
+    as literals — at 100 TB this is one map-side-combined agg per
+    round, the canonical distributed GD.  Output: the learned weights
+    and training accuracy."""
+    import math
+
+    feats = _features(spark, sf).persist()
+    n = feats.count()
+    w = [0, 0, 0]  # nano units
+    for _ in range(_GD_ITERS):
+        z = sum((F.col(f"x{j}").cast("double") / 1e6) * (w[j] / 1e9)
+                for j in range(3))
+        sig = 1.0 / (1.0 + F.exp(-z))
+        grads = feats.agg(*[
+            F.sum(F.floor((sig - F.col("y"))
+                          * (F.col(f"x{j}").cast("double") / 1e6)
+                          * 1000000).cast("long")).alias(f"g{j}")
+            for j in range(3)])
+        row = grads.collect()[0]
+        for j in range(3):
+            # cast-then-divide like the SQL (double(p)/double(q)), not
+            # Python's exact-rational int division — keeps both engines
+            # on the identical IEEE path
+            w[j] = w[j] - math.floor(
+                float(_LR_NANO * row[f"g{j}"]) / float(1000000 * n))
+    z = sum((F.col(f"x{j}").cast("double") / 1e6) * (w[j] / 1e9)
+            for j in range(3))
+    acc = feats.agg(
+        F.sum(F.when((z > 0) == (F.col("y") == 1), 1)
+              .otherwise(0)).alias("n_right"),
+        F.count(F.lit(1)).alias("n"))
+    return acc.select(
+        F.lit(w[0]).alias("w0_nano"), F.lit(w[1]).alias("w1_nano"),
+        F.lit(w[2]).alias("w2_nano"),
+        F.floor(F.col("n_right") * 1000000 / F.col("n")).cast("long")
+        .alias("train_acc_micro"))
+
+
+_FEATS_SQL = """
+per_user AS MATERIALIZED (
+  SELECT user_id, count(*) AS n_ev,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS val_cents
+  FROM events GROUP BY user_id
+),
+g AS MATERIALIZED (
+  SELECT CAST(sum(val_cents) AS BIGINT) AS tv,
+         CAST(sum(n_ev) AS BIGINT) AS tn
+  FROM per_user
+),
+feats AS MATERIALIZED (
+  SELECT user_id, CAST(1000000 AS BIGINT) AS x0,
+         CAST(floor(n_view * 1000000 / n_ev) AS BIGINT) AS x1,
+         CAST(floor(least(CAST(n_ev AS DOUBLE) / 1000.0, 1.0) * 1000000)
+              AS BIGINT) AS x2,
+         CASE WHEN val_cents * g.tn > g.tv * n_ev THEN 1 ELSE 0 END AS y
+  FROM per_user CROSS JOIN g
+),
+nrow AS MATERIALIZED (SELECT count(*) AS n FROM feats)
+"""
+
+
+def _gd_sql() -> str:
+    chains = [_FEATS_SQL.strip(),
+              "w0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS w0, "
+              "CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2)"]
+    prev = "w0"
+    zexpr = ("(CAST(f.x0 AS DOUBLE) / 1e6) * (w.w0 / 1e9)"
+             " + (CAST(f.x1 AS DOUBLE) / 1e6) * (w.w1 / 1e9)"
+             " + (CAST(f.x2 AS DOUBLE) / 1e6) * (w.w2 / 1e9)")
+    for i in range(1, _GD_ITERS + 1):
+        cur = f"w{i}"
+        gsel = ", ".join(
+            f"CAST(sum(CAST(floor((1.0 / (1.0 + exp(-({zexpr}))) - f.y)"
+            f" * (CAST(f.x{j} AS DOUBLE) / 1e6) * 1000000) AS BIGINT))"
+            f" AS BIGINT) AS g{j}" for j in range(3))
+        chains.append(
+            f"g{i} AS MATERIALIZED (SELECT {gsel} "
+            f"FROM feats f CROSS JOIN {prev} w)")
+        upd = ", ".join(
+            f"w.w{j} - CAST(floor(CAST({_LR_NANO} * g.g{j} AS DOUBLE)"
+            f" / CAST(1000000 * n.n AS DOUBLE)) AS BIGINT) AS w{j}"
+            for j in range(3))
+        chains.append(
+            f"{cur} AS MATERIALIZED (SELECT {upd} "
+            f"FROM {prev} w CROSS JOIN g{i} g CROSS JOIN nrow n)")
+        prev = cur
+    zfin = zexpr
+    return (
+        "WITH " + ",\n".join(chains) + f"""
+SELECT w.w0 AS w0_nano, w.w1 AS w1_nano, w.w2 AS w2_nano,
+       CAST(floor(sum(CASE WHEN (({zfin}) > 0) = (f.y = 1)
+                           THEN 1 ELSE 0 END) * 1000000 / count(*))
+            AS BIGINT) AS train_acc_micro
+FROM feats f CROSS JOIN {prev} w
+GROUP BY w.w0, w.w1, w.w2
+""")
+
+
+QUERIES = {
+    "ml_logistic_gd": (ml_logistic_gd, _gd_sql()),
+}
+
+
+def ml_naive_bayes_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier: train on even
+    doc_ids, classify odd ones, output the confusion matrix.  Scores
+    are Σ_tok tf·⌊10⁶·ln((n_lt+1)/(n_l+V))⌋ + ⌊10⁶·ln prior⌋ — all
+    integer sums of floored terms, argmax ties break on lang asc.
+
+    Scale: the model is two vocabulary-sized tables broadcast onto the
+    test-token stream; scoring shuffles (doc × lang) rows, langs
+    bounded."""
+    docs = t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.trim(F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+            " +", " ")), " ")).alias("tok"))
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    test = toks.filter(F.col("doc_id") % 2 == 1)
+    lt = train.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n_lt"))
+    lsum = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    vocab = train.select("tok").distinct()
+    v = vocab.agg(F.count(F.lit(1)).alias("v"))
+    priors = (docs.filter(F.col("doc_id") % 2 == 0)
+              .groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")))
+    ptot = priors.agg(F.sum("n_docs").alias("t"))
+    # test tf per (doc, tok) then cross langs via the model join;
+    # the left join against lt yields the +1 smoothing for unseen toks
+    tf = (test.groupBy("doc_id", F.col("lang").alias("true_lang"), "tok")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    langs = lsum.select("lang", "n_l").crossJoin(F.broadcast(v))
+    scored = (tf.crossJoin(F.broadcast(langs))
+              .join(F.broadcast(lt), ["lang", "tok"], "left")
+              .select("doc_id", "true_lang", "lang", "tf",
+                      F.floor(F.log(
+                          (F.coalesce(F.col("n_lt"), F.lit(0)) + 1)
+                          .cast("double")
+                          / (F.col("n_l") + F.col("v")).cast("double"))
+                          * 1000000).cast("long").alias("lp")))
+    doc_lang = (scored.groupBy("doc_id", "true_lang", "lang")
+                .agg(F.sum(F.col("tf") * F.col("lp")).alias("s")))
+    pr = (priors.crossJoin(F.broadcast(ptot))
+          .select("lang", F.floor(F.log(
+              F.col("n_docs").cast("double") / F.col("t").cast("double"))
+              * 1000000).cast("long").alias("lprior")))
+    total = (doc_lang.join(F.broadcast(pr), "lang")
+             .select("doc_id", "true_lang", "lang",
+                     (F.col("s") + F.col("lprior")).alias("score")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "lang")
+    pred = (total.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("doc_id", "true_lang",
+                    F.col("lang").alias("pred_lang")))
+    return (pred.groupBy("true_lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("true_lang", "pred_lang"))
+
+
+NB_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g')), ' ')) AS tok
+  FROM documents
+),
+train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+test AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+lt AS (SELECT lang, tok, count(*) AS n_lt FROM train GROUP BY 1, 2),
+lsum AS (SELECT lang, count(*) AS n_l FROM train GROUP BY lang),
+v AS (SELECT count(DISTINCT tok) AS v FROM train),
+priors AS (
+  SELECT lang, count(*) AS n_docs FROM documents
+  WHERE doc_id % 2 = 0 GROUP BY lang
+),
+ptot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM priors),
+tf AS (
+  SELECT doc_id, lang AS true_lang, tok, count(*) AS tf
+  FROM test GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT tf.doc_id, tf.true_lang, ls.lang, tf.tf,
+         CAST(floor(ln(CAST(COALESCE(lt.n_lt, 0) + 1 AS DOUBLE)
+                       / CAST(ls.n_l + v.v AS DOUBLE)) * 1000000)
+              AS BIGINT) AS lp
+  FROM tf CROSS JOIN lsum ls CROSS JOIN v
+  LEFT JOIN lt ON lt.lang = ls.lang AND lt.tok = tf.tok
+),
+doc_lang AS (
+  SELECT doc_id, true_lang, lang,
+         CAST(sum(tf * lp) AS BIGINT) AS s
+  FROM scored GROUP BY 1, 2, 3
+),
+pr AS (
+  SELECT p.lang,
+         CAST(floor(ln(CAST(p.n_docs AS DOUBLE) / CAST(t.t AS DOUBLE))
+                    * 1000000) AS BIGINT) AS lprior
+  FROM priors p CROSS JOIN ptot t
+),
+total AS (
+  SELECT d.doc_id, d.true_lang, d.lang, d.s + pr.lprior AS score
+  FROM doc_lang d JOIN pr ON pr.lang = d.lang
+),
+pred AS (
+  SELECT doc_id, true_lang, lang AS pred_lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, lang) AS r
+    FROM total
+  ) WHERE r = 1
+)
+SELECT true_lang, pred_lang, count(*) AS n_docs
+FROM pred
+GROUP BY 1, 2
+ORDER BY true_lang, pred_lang
+"""
+
+
+QUERIES["ml_naive_bayes_confusion"] = (ml_naive_bayes_confusion, NB_SQL)
