@@ -114,7 +114,8 @@ BENCH_QUERIES = [
     "price_anova_brands", "text_allpairs_cosine_tfidf",
     "fiscal_quarter_rollup", "priority_mix_shift",
     "events_markov_stationary", "ml_logistic_gd",
-    "ml_naive_bayes_confusion",
+    "ml_naive_bayes_confusion", "profile_equidepth_histogram",
+    "events_transition_entropy",
 ]
 
 
