@@ -180,3 +180,31 @@ def test_range_search_subset_of_bruteforce(spark, sf_dir):
         pytest.skip("no range hits at this SF")
     for r in hits:
         assert r["cosine_sim"] >= datapipe8._RANGE_THR
+
+
+def test_acf_matches_numpy(spark, sf_dir):
+    """ACF recomputed with numpy from the same daily counts must agree
+    (Pearson r of (x_t, x_{t-lag}) pairs, floor-micro)."""
+    import numpy as np
+
+    daily = (timeseries5._daily(spark, sf_dir)
+             .orderBy("event_type", "day").collect())
+    series = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append(r["cnt"])
+    got = {(r["event_type"], r["lag_k"]): r["acf_micro"] for r in
+           timeseries5.ts_autocorrelation(spark, sf_dir).collect()}
+    checked = 0
+    for et, cnts in series.items():
+        x = np.array(cnts, dtype=np.float64)
+        for lag in range(1, timeseries5._MAX_LAG + 1):
+            if len(x) <= lag:
+                continue
+            a, b = x[lag:], x[:-lag]
+            if a.std() == 0 or b.std() == 0:
+                assert (et, lag) not in got
+                continue
+            r_np = np.corrcoef(a, b)[0, 1]
+            assert abs(got[(et, lag)] / 1e6 - r_np) < 2e-6
+            checked += 1
+    assert checked > 0
