@@ -115,7 +115,8 @@ BENCH_QUERIES = [
     "fiscal_quarter_rollup", "priority_mix_shift",
     "events_markov_stationary", "ml_logistic_gd",
     "ml_naive_bayes_confusion", "profile_equidepth_histogram",
-    "events_transition_entropy",
+    "events_transition_entropy", "multimodal_frame_plan",
+    "multimodal_storage_report",
 ]
 
 

@@ -32,7 +32,7 @@ def multimodal_frame_plan(spark: SparkSession, sf: str) -> DataFrame:
             .select("doc_id",
                     F.octet_length("text").cast("long").alias("bytes")))
     dur_ms = F.col("bytes")  # 1 ms per byte, synthetic container meta
-    n_frames = (dur_ms * _FPS / 1000).cast("long")
+    n_frames = F.floor(dur_ms * _FPS / 1000).cast("long")
     idxs = F.transform(
         F.sequence(F.lit(0), F.lit(_N_SAMPLE - 1)),
         lambda i: F.floor(i * F.col("n_frames") / _N_SAMPLE)
@@ -52,7 +52,7 @@ WITH vids AS (
 ),
 meta AS (
   SELECT doc_id, bytes AS duration_ms,
-         CAST(bytes * {_FPS} / 1000 AS BIGINT) AS n_frames
+         CAST(floor(bytes * {_FPS} / 1000) AS BIGINT) AS n_frames
   FROM vids
 )
 SELECT doc_id, duration_ms, n_frames,
