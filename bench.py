@@ -116,7 +116,8 @@ BENCH_QUERIES = [
     "events_markov_stationary", "ml_logistic_gd",
     "ml_naive_bayes_confusion", "profile_equidepth_histogram",
     "events_transition_entropy", "multimodal_frame_plan",
-    "multimodal_storage_report",
+    "multimodal_storage_report", "customer_gap_anomaly",
+    "revenue_yoy_growth", "events_value_summary",
 ]
 
 
