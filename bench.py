@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "events_transition_entropy", "multimodal_frame_plan",
     "multimodal_storage_report", "customer_gap_anomaly",
     "revenue_yoy_growth", "events_value_summary",
+    "dedup_cosine_threshold_sweep", "dedup_cross_source_matrix",
+    "basket_size_histogram",
 ]
 
 
