@@ -59,3 +59,27 @@ def test_streaming_lifecycle_out_of_order_chunks(spark, sf_dir, tmp_path):
     got = _rows(L.current_lifecycle(spark, state))
     want = _rows(events_user_lifecycle(spark, sf_dir))
     assert got == want
+
+
+def test_lifecycle_available_now_stream(spark, sf_dir, tmp_path):
+    """End-to-end through a real Structured Streaming query: split the
+    events fixture into parquet files, stream them with
+    maxFilesPerTrigger=1 via foreachBatch, and the folded decomposition
+    must equal the batch query."""
+    src_dir = str(tmp_path / "src")
+    ev = events_t(spark, sf_dir).select("user_id", "ts")
+    ev.repartition(3).write.parquet(src_dir)
+    source = (spark.readStream
+              .schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src_dir))
+    state = str(tmp_path / "state")
+    q = (source.writeStream
+         .foreachBatch(L.lifecycle_sink(state))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    got = _rows(L.current_lifecycle(spark, state))
+    want = _rows(events_user_lifecycle(spark, sf_dir))
+    assert got == want
