@@ -33,7 +33,7 @@ def write_files(df: DataFrame, path: str, fmt: str = "text",
                 write_manifest: bool = True) -> dict:
     """Write an encoded event DataFrame as rotated (compressed) files plus
     a _DONE manifest. ``fmt``: text (newline-delimited; needs value_col),
-    json, or parquet."""
+    json, csv, orc, or parquet."""
     writer = df.write.mode("overwrite")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
@@ -53,6 +53,12 @@ def write_files(df: DataFrame, path: str, fmt: str = "text",
         writer.text(path)
     elif fmt == "json":
         writer.json(path)
+    elif fmt == "csv":
+        # headerless: the manifest's record counter counts text LINES,
+        # and schema belongs in the manifest, not per part file
+        writer.csv(path)
+    elif fmt == "orc":
+        writer.orc(path)
     elif fmt == "parquet":
         writer.parquet(path)
     else:
@@ -107,6 +113,9 @@ def _write_manifest_distributed(spark, path: str) -> dict:
                 elif fp.endswith(".parquet"):
                     import pyarrow.parquet as pq
                     n = pq.read_metadata(io.BytesIO(data)).num_rows
+                elif fp.endswith(".orc"):
+                    import pyarrow.orc as po
+                    n = po.ORCFile(io.BytesIO(data)).nrows
                 else:
                     n = data.count(b"\n") + (1 if data and not data.endswith(b"\n") else 0)
                 rows.append((os.path.relpath(fp, path),

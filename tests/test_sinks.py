@@ -162,3 +162,27 @@ def test_verify_manifest_detects_corruption(spark, sf_dir, tmp_path):
     os.remove(victim)
     rep = verify_manifest(spark, out)
     assert parts[0] in rep["missing"]
+
+
+def test_write_csv_orc_roundtrip(spark, tmp_path):
+    """csv and orc sink formats round-trip rows and types (csv via the
+    header + inferred read; orc natively typed)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(50).select(
+        F.col("id"), (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("k"), F.col("id")).alias("name"))
+    out_csv = str(tmp_path / "csv")
+    m1 = write_files(df, out_csv, fmt="csv", compression="gzip")
+    back_csv = spark.read.schema("id long, v long, name string") \
+        .csv(out_csv)
+    assert back_csv.count() == 50
+    assert sorted(tuple(r) for r in back_csv.collect()) == \
+        sorted(tuple(r) for r in df.collect())
+    assert m1["total_records"] == 50
+    out_orc = str(tmp_path / "orc")
+    m2 = write_files(df, out_orc, fmt="orc", compression="zlib")
+    back_orc = spark.read.orc(out_orc)
+    assert sorted(tuple(r) for r in back_orc.collect()) == \
+        sorted(tuple(r) for r in df.collect())
+    assert m2["total_records"] == 50
