@@ -119,7 +119,7 @@ BENCH_QUERIES = [
     "multimodal_storage_report", "customer_gap_anomaly",
     "revenue_yoy_growth", "events_value_summary",
     "dedup_cosine_threshold_sweep", "dedup_cross_source_matrix",
-    "basket_size_histogram",
+    "basket_size_histogram", "layout_zone_map_pruning",
 ]
 
 
