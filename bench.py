@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     "revenue_yoy_growth", "events_value_summary",
     "dedup_cosine_threshold_sweep", "dedup_cross_source_matrix",
     "basket_size_histogram", "layout_zone_map_pruning",
+    # statistical inference
+    "stats_ks_two_sample", "stats_mann_whitney", "stats_chi_square",
+    "stats_sprt_ab", "stats_bootstrap_ci",
 ]
 
 

@@ -1,0 +1,497 @@
+"""Statistical-inference batch: the distribution-comparison tests an
+analytics engine is asked for once the descriptive stats exist —
+two-sample Kolmogorov-Smirnov, Mann-Whitney rank-sum, chi-square
+independence (+ Cramér's V), a sequential probability ratio test
+(SPRT) backtest, and a Poisson-bootstrap confidence interval.
+
+Exactness discipline (SCALE.md rounding-pitfalls list): every test
+statistic is assembled from EXACT integer counts; cross-engine floats
+appear only as (a) per-cell terms floored to integer micro-units
+BEFORE the final sum (order-independent, the price_anova pattern), or
+(b) a single double expression over exact integers written with
+byte-identical literals in both engines (IEEE ops on equal inputs are
+deterministic).  Nothing here depends on libm: logs are precomputed
+Python literals embedded in both the Spark plan and the oracle SQL.
+
+Scale shapes (100 TB):
+- KS / Mann-Whitney reduce the fact table to a per-distinct-VALUE count
+  grid first (map-side combinable), so the ordered cumulative window
+  runs over the value grid (price grid / quantity grid), never over
+  rows — grid size is data-type-bounded, not data-size-bounded.
+- Chi-square is a handful of keyed counts + broadcast margins.
+- SPRT is inherently sequential (that is the point of the test); the
+  batch form backtests the decision boundary with one per-arm ordered
+  window.  The production form is the 2-counters-per-arm streaming
+  state this query's cumulative columns simulate.
+- The Poisson bootstrap (Chamandy et al., "Estimating Uncertainty for
+  Massive Data Streams", Google 2012) is THE one-pass bootstrap: each
+  row draws its replicate multiplicities independently from
+  Poisson(1) — deterministic here via md5 — so 64 resamples cost one
+  64-way explode into a map-side-combined agg, never 64 data passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from storagetapper_spark.plans.common import t
+
+# ---------------------------------------------------------------- KS --
+
+_DEC = "decimal(19,0)"
+
+
+def stats_ks_two_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample KS distance between the extended-price distributions
+    of returned (R) vs shipped-clean (N) line items.
+
+    D = max_x |F_R(x) − F_N(x)| computed on the integer lattice:
+    |cum_R·n_N − cum_N·n_R| in DECIMAL(38,0), so the max and its argmax
+    are exact; only the final D value divides (one double op).  The
+    cumulative window runs over DISTINCT price cents (grid-bounded)."""
+    li = t(spark, sf, "lineitem").filter(F.col("l_returnflag").isin("R", "N"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per_v = (li.select(cents.alias("v"), "l_returnflag")
+             .groupBy("v")
+             .agg(F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                        .otherwise(0)).alias("c_r"),
+                  F.sum(F.when(F.col("l_returnflag") == "N", 1)
+                        .otherwise(0)).alias("c_n")))
+    tot = per_v.agg(F.sum("c_r").alias("n_r"), F.sum("c_n").alias("n_n"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (per_v.select(
+        "v",
+        F.sum("c_r").over(w).alias("cum_r"),
+        F.sum("c_n").over(w).alias("cum_n"))
+        .crossJoin(F.broadcast(tot))
+        .select("v", "n_r", "n_n",
+                F.abs(F.col("cum_r").cast(_DEC) * F.col("n_n").cast(_DEC)
+                      - F.col("cum_n").cast(_DEC)
+                      * F.col("n_r").cast(_DEC)).alias("diff")))
+    maxd = cum.agg(F.max("diff").alias("maxd"))
+    arg = (cum.join(F.broadcast(maxd), F.col("diff") == F.col("maxd"))
+           .groupBy("n_r", "n_n", "maxd")
+           .agg(F.min("v").alias("at_cents")))
+    ks_micro = F.floor(F.col("maxd").cast("double") * 1000000.0
+                       / (F.col("n_r").cast("double")
+                          * F.col("n_n").cast("double"))).cast("long")
+    return arg.select("n_r", "n_n", ks_micro.alias("ks_d_micro"),
+                      "at_cents")
+
+
+KS_SQL = """
+WITH per_v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c_r,
+         sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS c_n
+  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+),
+tot AS (SELECT sum(c_r) AS n_r, sum(c_n) AS n_n FROM per_v),
+cum AS (
+  SELECT v, t.n_r, t.n_n,
+         abs(CAST(sum(c_r) OVER w AS HUGEINT) * CAST(t.n_n AS HUGEINT)
+             - CAST(sum(c_n) OVER w AS HUGEINT) * CAST(t.n_r AS HUGEINT))
+           AS diff
+  FROM per_v CROSS JOIN tot t
+  WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+),
+m AS (SELECT max(diff) AS maxd FROM cum)
+SELECT CAST(c.n_r AS BIGINT) AS n_r, CAST(c.n_n AS BIGINT) AS n_n,
+       CAST(floor(CAST(m.maxd AS DOUBLE) * 1000000.0
+                  / (CAST(c.n_r AS DOUBLE) * CAST(c.n_n AS DOUBLE)))
+            AS BIGINT) AS ks_d_micro,
+       min(c.v) AS at_cents
+FROM cum c CROSS JOIN m
+WHERE c.diff = m.maxd
+GROUP BY c.n_r, c.n_n, m.maxd
+"""
+
+# ------------------------------------------------------ Mann-Whitney --
+
+
+def stats_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) comparing quantity distributions of
+    returned (R) vs clean (N) line items, with the exact tie-corrected
+    normal approximation.
+
+    Midranks never materialize per row: on the per-value grid,
+    2·R_R = Σ_v c_R(v)·(2·before(v) + cnt(v) + 1) is an exact integer
+    identity, so U, the tie term Σ(t³−t), and the z-score all derive
+    from integer aggregates (z is one double expression, identical in
+    both engines)."""
+    li = t(spark, sf, "lineitem").filter(F.col("l_returnflag").isin("R", "N"))
+    per_v = (li.select(F.col("l_quantity").cast("long").alias("v"),
+                       "l_returnflag")
+             .groupBy("v")
+             .agg(F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                        .otherwise(0)).alias("c_r"),
+                  F.count(F.lit(1)).alias("cnt")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    terms = per_v.select(
+        "v", "c_r", "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("before"))
+    agg = terms.agg(
+        F.sum("c_r").alias("n_r"),
+        (F.sum("cnt") - F.sum("c_r")).alias("n_n"),
+        F.sum(F.col("c_r").cast(_DEC)
+              * (F.lit(2).cast(_DEC) * F.col("before").cast(_DEC)
+                 + F.col("cnt").cast(_DEC) + F.lit(1).cast(_DEC)))
+        .alias("r2"),
+        F.sum(F.col("cnt").cast(_DEC) * F.col("cnt").cast(_DEC)
+              * F.col("cnt").cast(_DEC)
+              - F.col("cnt").cast(_DEC)).alias("tie_term"))
+    u2 = (F.col("r2") - F.col("n_r").cast(_DEC)
+          * (F.col("n_r").cast(_DEC) + F.lit(1).cast(_DEC)))
+    nr, nn = F.col("n_r").cast("double"), F.col("n_n").cast("double")
+    n = nr + nn
+    var = nr * nn / 12.0 * ((n + 1.0)
+                            - F.col("tie_term").cast("double")
+                            / (n * (n - 1.0)))
+    z = ((F.col("u_r_x2").cast("double") - nr * nn) / 2.0) / F.sqrt(var)
+    return (agg.withColumn("u_r_x2", u2.cast("long"))
+            .select("n_r", "n_n", "u_r_x2",
+                    F.col("tie_term").cast("long").alias("tie_term"),
+                    F.floor(z * 1000000.0).cast("long").alias("z_micro")))
+
+
+MW_SQL = """
+WITH per_v AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c_r,
+         count(*) AS cnt
+  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+),
+terms AS (
+  SELECT v, c_r, cnt,
+         sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cnt
+           AS before
+  FROM per_v
+),
+agg AS (
+  SELECT sum(c_r) AS n_r, sum(cnt) - sum(c_r) AS n_n,
+         sum(CAST(c_r AS HUGEINT) * (2 * CAST(before AS HUGEINT)
+                                     + CAST(cnt AS HUGEINT) + 1)) AS r2,
+         sum(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)
+             * CAST(cnt AS HUGEINT) - CAST(cnt AS HUGEINT)) AS tie_term
+  FROM terms
+)
+SELECT CAST(n_r AS BIGINT) AS n_r, CAST(n_n AS BIGINT) AS n_n,
+       CAST(r2 - CAST(n_r AS HUGEINT) * (CAST(n_r AS HUGEINT) + 1)
+            AS BIGINT) AS u_r_x2,
+       CAST(tie_term AS BIGINT) AS tie_term,
+       CAST(floor(
+         ((CAST(r2 - CAST(n_r AS HUGEINT) * (CAST(n_r AS HUGEINT) + 1)
+                AS DOUBLE) - CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE))
+          / 2.0)
+         / sqrt(CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE) / 12.0
+                * ((CAST(n_r AS DOUBLE) + CAST(n_n AS DOUBLE) + 1.0)
+                   - CAST(tie_term AS DOUBLE)
+                     / ((CAST(n_r AS DOUBLE) + CAST(n_n AS DOUBLE))
+                        * (CAST(n_r AS DOUBLE) + CAST(n_n AS DOUBLE)
+                           - 1.0))))
+         * 1000000.0) AS BIGINT) AS z_micro
+FROM agg
+"""
+
+# -------------------------------------------------------- chi-square --
+
+
+def stats_chi_square(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square test of independence for order priority × status,
+    with Cramér's V effect size.
+
+    Per-cell terms 10⁶·(O·N − R·C)²/(R·C·N) are floored to integer
+    micros BEFORE the (≤15-row) final sum — order-independent across
+    partitions and engines (the price_anova pattern); margins join
+    broadcast."""
+    o = t(spark, sf, "orders")
+    cells = (o.groupBy(F.col("o_orderpriority").alias("pri"),
+                       F.col("o_orderstatus").alias("st"))
+             .agg(F.count(F.lit(1)).alias("obs")))
+    rows = cells.groupBy("pri").agg(F.sum("obs").alias("rtot"))
+    cols = cells.groupBy("st").agg(F.sum("obs").alias("ctot"))
+    tot = cells.agg(F.sum("obs").alias("n"),
+                    F.countDistinct("pri").alias("n_pri"),
+                    F.countDistinct("st").alias("n_st"))
+    j = (cells.join(F.broadcast(rows), "pri")
+         .join(F.broadcast(cols), "st")
+         .crossJoin(F.broadcast(tot)))
+    o_, n_ = F.col("obs").cast("double"), F.col("n").cast("double")
+    r_, c_ = F.col("rtot").cast("double"), F.col("ctot").cast("double")
+    cell_micro = F.floor(
+        1000000.0 * (o_ * n_ - r_ * c_) * (o_ * n_ - r_ * c_)
+        / (r_ * c_ * n_)).cast("long")
+    agg = (j.groupBy("n", "n_pri", "n_st")
+           .agg(F.count(F.lit(1)).alias("n_cells"),
+                F.sum(cell_micro).alias("chi2_micro")))
+    dof = ((F.col("n_pri") - 1) * (F.col("n_st") - 1)).cast("long")
+    v = F.sqrt(F.col("chi2_micro").cast("double") / 1000000.0
+               / (F.col("n").cast("double")
+                  * F.least(F.col("n_pri") - 1,
+                            F.col("n_st") - 1).cast("double")))
+    return agg.select(F.col("n").alias("n_orders"), "n_cells",
+                      dof.alias("dof"), "chi2_micro",
+                      F.floor(v * 1000000.0).cast("long")
+                      .alias("cramers_v_micro"))
+
+
+CHI2_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS st, count(*) AS obs
+  FROM orders GROUP BY 1, 2
+),
+r AS (SELECT pri, sum(obs) AS rtot FROM cells GROUP BY 1),
+c AS (SELECT st, sum(obs) AS ctot FROM cells GROUP BY 1),
+tot AS (SELECT sum(obs) AS n, count(DISTINCT pri) AS n_pri,
+               count(DISTINCT st) AS n_st FROM cells),
+per_cell AS (
+  SELECT t.n, t.n_pri, t.n_st,
+         CAST(floor(1000000.0
+           * (CAST(obs AS DOUBLE) * CAST(t.n AS DOUBLE)
+              - CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE))
+           * (CAST(obs AS DOUBLE) * CAST(t.n AS DOUBLE)
+              - CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE))
+           / (CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE)
+              * CAST(t.n AS DOUBLE))) AS BIGINT) AS cell_micro
+  FROM cells
+  JOIN r USING (pri) JOIN c USING (st) CROSS JOIN tot t
+)
+SELECT CAST(n AS BIGINT) AS n_orders, count(*) AS n_cells,
+       CAST((n_pri - 1) * (n_st - 1) AS BIGINT) AS dof,
+       CAST(sum(cell_micro) AS BIGINT) AS chi2_micro,
+       CAST(floor(sqrt(CAST(sum(cell_micro) AS DOUBLE) / 1000000.0
+                       / (CAST(n AS DOUBLE)
+                          * CAST(least(n_pri - 1, n_st - 1) AS DOUBLE)))
+                  * 1000000.0) AS BIGINT) AS cramers_v_micro
+FROM per_cell GROUP BY n, n_pri, n_st
+"""
+
+# --------------------------------------------------------------- SPRT --
+
+# H0: p = 0.4, H1: p = 0.5, alpha = beta = 0.05.  Log-likelihood-ratio
+# increments and Wald boundaries precomputed in Python so both engines
+# use byte-identical double literals (libm log() may differ per engine).
+_LA = 0.22314355131420976    # ln(0.5 / 0.4)   — success increment
+_LB = -0.1823215567939546    # ln(0.5 / 0.6)   — failure increment
+_HI = 2.9444389791664403     # ln((1-beta)/alpha) = ln(19)
+_LO = -2.9444389791664403    # ln(beta/(1-alpha)) = -ln(19)
+
+
+def stats_sprt_ab(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald SPRT backtest over the event stream: per experiment arm
+    (user-id parity), is the purchase rate among view/purchase trials
+    0.5 (H1) rather than 0.4 (H0)?  Walks the cumulative LLR in event
+    order and reports the FIRST boundary crossing.
+
+    The LLR at trial t is s·LA + f·LB with exact integer cumulative
+    counts s, f — one fused multiply-free double expression, identical
+    across engines.  Batch form of the production 2-counters-per-arm
+    streaming state (the sequential test's whole point is that the
+    crossing decision needs only those counters)."""
+    ev = (t(spark, sf, "events")
+          .filter(F.col("event_type").isin("view", "purchase")))
+    w = (Window.partitionBy("arm").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    trials = (ev.select(
+        (F.col("user_id") % 2).alias("arm"), "ts", "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("is_s"))
+        .select("arm", "ts", "event_id",
+                F.sum("is_s").over(w).alias("s"),
+                F.sum(1 - F.col("is_s")).over(w).alias("f")))
+    llr = (F.col("s").cast("double") * F.lit(_LA)
+           + F.col("f").cast("double") * F.lit(_LB))
+    crossed = trials.filter((llr >= F.lit(_HI)) | (llr <= F.lit(_LO)))
+    first = (crossed
+             .withColumn("rn", F.row_number().over(
+                 Window.partitionBy("arm").orderBy("ts", "event_id")))
+             .filter(F.col("rn") == 1)
+             .select("arm",
+                     F.when(llr >= F.lit(_HI), F.lit("accept_h1"))
+                     .otherwise(F.lit("accept_h0")).alias("decision"),
+                     (F.col("s") + F.col("f")).alias("n_at_decision"),
+                     F.col("s").alias("s_at_decision")))
+    totals = (trials.groupBy("arm")
+              .agg(F.count(F.lit(1)).alias("n_trials"),
+                   F.max("s").alias("n_success")))
+    return (totals.join(first, "arm", "left")
+            .select("arm", "n_trials", "n_success",
+                    F.coalesce("decision", F.lit("continue"))
+                    .alias("decision"),
+                    "n_at_decision", "s_at_decision")
+            .orderBy("arm"))
+
+
+SPRT_SQL = f"""
+WITH trials AS (
+  SELECT user_id % 2 AS arm, ts, event_id,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              OVER w AS BIGINT) AS s,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+              OVER w AS BIGINT) AS f
+  FROM events WHERE event_type IN ('view', 'purchase')
+  WINDOW w AS (PARTITION BY user_id % 2 ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+crossed AS (
+  SELECT arm, ts, event_id, s, f,
+         CAST(s AS DOUBLE) * {_LA!r} + CAST(f AS DOUBLE) * {_LB!r}
+           AS llr
+  FROM trials
+  WHERE CAST(s AS DOUBLE) * {_LA!r} + CAST(f AS DOUBLE) * {_LB!r}
+          >= {_HI!r}
+     OR CAST(s AS DOUBLE) * {_LA!r} + CAST(f AS DOUBLE) * {_LB!r}
+          <= {_LO!r}
+),
+first AS (
+  SELECT arm,
+         CASE WHEN llr >= {_HI!r} THEN 'accept_h1'
+              ELSE 'accept_h0' END AS decision,
+         s + f AS n_at_decision, s AS s_at_decision,
+         row_number() OVER (PARTITION BY arm ORDER BY ts, event_id)
+           AS rn
+  FROM crossed
+),
+totals AS (
+  SELECT arm, count(*) AS n_trials, max(s) AS n_success
+  FROM trials GROUP BY 1
+)
+SELECT t.arm, t.n_trials, t.n_success,
+       coalesce(f.decision, 'continue') AS decision,
+       f.n_at_decision, f.s_at_decision
+FROM totals t LEFT JOIN (SELECT * FROM first WHERE rn = 1) f
+  ON t.arm = f.arm
+ORDER BY t.arm
+"""
+
+# ---------------------------------------------------------- bootstrap --
+
+_B = 64  # bootstrap replicates
+# Poisson(1) inverse-CDF thresholds on the 15-bit integer grid:
+# t_k = round(P(X <= k) * 32768), k = 0..6; a 15-bit md5-derived
+# uniform v draws w = min{k : v < t_k} (else 7).  Integer-only, so the
+# draw is EXACT cross-engine — no float thresholds at all.  The grid
+# quantizes each CDF point by < 3e-5 and truncates the tail beyond 7
+# (P ≈ 1e-6): invisible to a bootstrap, which is a Monte-Carlo
+# approximation to begin with.
+_POIS_T15 = [12055, 24109, 30137, 32146, 32648, 32749, 32765]
+
+
+def stats_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """95% Poisson-bootstrap CI for the mean order total.
+
+    Each (order, replicate) pair draws a Poisson(1) multiplicity from a
+    deterministic md5-derived 15-bit uniform (engine-portable,
+    reproducible); replicate means are weighted means over exact cents,
+    and the CI is the exact interpolated 2.5/97.5 percentile over the
+    64 replicate means.  One explode into a map-side-combined agg — a
+    single data pass, the Chamandy-style streaming bootstrap.
+
+    Hash economics (measured, sf0.1): one md5+conv per (row, replicate)
+    ran 11s and per-replicate hex decoding via ascii() still 8s — the
+    string ops were the whole stage.  Instead ONE md5+conv per (row,
+    group-of-4) yields a 60-bit integer whose four 15-bit fields are
+    independent uniforms: string work happens on B/4 of the rows, and
+    the per-replicate draw is two integer ops (shift + mask).  16× less
+    hashing than the naive form; measured ~3s."""
+    o = t(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select(F.col("o_orderkey").alias("k"), cents.alias("c"))
+    grp = base.select(
+        "k", "c",
+        F.explode(F.sequence(F.lit(0), F.lit(_B // 4 - 1))).alias("g"))
+    h60 = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col("k").cast("string"), F.col("g").cast("string"))),
+        1, 15), 16, 10).cast("long")
+    quads = (grp.select("c", "g", h60.alias("h"))
+             .select("c", "g", "h",
+                     F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")))
+    v = F.expr("(h >> (j * 15)) & 32767")
+    wexpr = F.lit(7)
+    for kk in range(len(_POIS_T15) - 1, -1, -1):
+        wexpr = F.when(F.col("v") < F.lit(_POIS_T15[kk]),
+                       F.lit(kk)).otherwise(wexpr)
+    reps = (quads.select(
+        "c", (F.col("g") * 4 + F.col("j")).alias("b"), v.alias("v"))
+        .select("c", "b", wexpr.alias("w"))
+        .groupBy("b")
+        .agg((F.sum(F.col("w") * F.col("c")).cast("double")
+              / F.sum("w").cast("double")).alias("mean_c")))
+    point = base.agg(
+        (F.sum("c").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("mean_all"), F.count(F.lit(1)).alias("n_orders"))
+    ci = reps.agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.percentile("mean_c", F.lit(0.025)).alias("lo"),
+        F.percentile("mean_c", F.lit(0.975)).alias("hi"))
+    return (ci.crossJoin(F.broadcast(point))
+            .select("n_orders", "n_reps",
+                    F.floor(F.col("mean_all") * 1000.0).cast("long")
+                    .alias("mean_millicents"),
+                    F.floor(F.col("lo") * 1000.0).cast("long")
+                    .alias("ci_lo_millicents"),
+                    F.floor(F.col("hi") * 1000.0).cast("long")
+                    .alias("ci_hi_millicents")))
+
+
+def _pois_case_sql() -> str:
+    branches = "\n".join(
+        f"         WHEN v < {thr} THEN {k}"
+        for k, thr in enumerate(_POIS_T15))
+    return f"CASE\n{branches}\n         ELSE 7 END"
+
+
+BOOTSTRAP_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+grp AS (
+  SELECT k, c, g.range AS g FROM base CROSS JOIN range({_B // 4}) g
+),
+hashed AS MATERIALIZED (
+  -- one md5 + hex parse per (row, group-of-4); MATERIALIZED so the
+  -- string work computes once, the per-replicate draw is shift+mask
+  SELECT c, g,
+         CAST(('0x' || substring(md5(CAST(k AS VARCHAR) || ':'
+                                      || CAST(g AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM grp
+),
+weights AS (
+  SELECT c, g * 4 + j AS b,
+         {_pois_case_sql()} AS w
+  FROM (SELECT c, g, jj.range AS j,
+               (h >> (CAST(jj.range AS INTEGER) * 15)) & 32767 AS v
+        FROM hashed CROSS JOIN range(4) jj)
+),
+reps AS (
+  SELECT b, CAST(sum(w * c) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+           AS mean_c
+  FROM weights GROUP BY b
+),
+point AS (
+  SELECT CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_all,
+         count(*) AS n_orders
+  FROM base
+)
+SELECT p.n_orders, count(*) AS n_reps,
+       CAST(floor(p.mean_all * 1000.0) AS BIGINT) AS mean_millicents,
+       CAST(floor(quantile_cont(r.mean_c, 0.025) * 1000.0) AS BIGINT)
+         AS ci_lo_millicents,
+       CAST(floor(quantile_cont(r.mean_c, 0.975) * 1000.0) AS BIGINT)
+         AS ci_hi_millicents
+FROM reps r CROSS JOIN point p
+GROUP BY p.n_orders, p.mean_all
+"""
+
+
+QUERIES = {
+    "stats_ks_two_sample": (stats_ks_two_sample, KS_SQL),
+    "stats_mann_whitney": (stats_mann_whitney, MW_SQL),
+    "stats_chi_square": (stats_chi_square, CHI2_SQL),
+    "stats_sprt_ab": (stats_sprt_ab, SPRT_SQL),
+    "stats_bootstrap_ci": (stats_bootstrap_ci, BOOTSTRAP_SQL),
+}

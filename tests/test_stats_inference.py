@@ -1,0 +1,134 @@
+"""Semantic invariants of the statistical-inference batch (plans/stats.py).
+The DuckDB oracle checks cross-engine value equality; these check the
+statistics are the RIGHT VALUES against independent pandas/numpy
+recomputations on the raw fixture, plus boundary sanity."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from storagetapper_spark.plans import stats as S
+from storagetapper_spark.plans.registry import QUERIES
+
+
+@pytest.fixture(scope="module")
+def lineitem_pdf(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_returnflag", "l_extendedprice",
+                                    "l_quantity"])
+
+
+def test_ks_matches_pandas(spark, sf_dir, lineitem_pdf):
+    out = QUERIES["stats_ks_two_sample"](spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    pdf = lineitem_pdf
+    a = np.sort((pdf.loc[pdf.l_returnflag == "R", "l_extendedprice"]
+                 * 100).round().astype("int64").values)
+    b = np.sort((pdf.loc[pdf.l_returnflag == "N", "l_extendedprice"]
+                 * 100).round().astype("int64").values)
+    assert r.n_r == len(a) and r.n_n == len(b)
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    d = np.abs(fa - fb).max()
+    assert r.ks_d_micro == math.floor(d * 1_000_000)
+    assert 0 <= r.ks_d_micro <= 1_000_000
+
+
+def test_mann_whitney_matches_pandas(spark, sf_dir, lineitem_pdf):
+    out = QUERIES["stats_mann_whitney"](spark, sf_dir).collect()
+    r = out[0]
+    pdf = lineitem_pdf[lineitem_pdf.l_returnflag.isin(["R", "N"])]
+    v = pdf.l_quantity.astype("int64")
+    ranks = v.rank(method="average")  # midranks, ties averaged
+    r_sum = ranks[pdf.l_returnflag == "R"].sum()
+    n_r = int((pdf.l_returnflag == "R").sum())
+    n_n = len(pdf) - n_r
+    u_x2 = int(round(2 * r_sum)) - n_r * (n_r + 1)
+    assert (r.n_r, r.n_n, r.u_r_x2) == (n_r, n_n, u_x2)
+    # tie term: sum over distinct values of t^3 - t
+    t_counts = v.value_counts().values.astype("int64")
+    assert r.tie_term == int((t_counts ** 3 - t_counts).sum())
+    # z from the same integers
+    n = n_r + n_n
+    var = n_r * n_n / 12.0 * ((n + 1.0)
+                              - r.tie_term / (n * (n - 1.0)))
+    z = ((u_x2 - n_r * n_n) / 2.0) / math.sqrt(var)
+    assert r.z_micro == math.floor(z * 1_000_000)
+
+
+def test_chi_square_matches_pandas(spark, sf_dir):
+    out = QUERIES["stats_chi_square"](spark, sf_dir).collect()
+    r = out[0]
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderpriority", "o_orderstatus"])
+    ct = pd.crosstab(pdf.o_orderpriority, pdf.o_orderstatus)
+    n = int(ct.values.sum())
+    assert r.n_orders == n
+    assert r.dof == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    # per-cell floored micros, then exact integer sum (the query's
+    # order-independence contract)
+    total = 0
+    rows = ct.sum(axis=1).values
+    cols = ct.sum(axis=0).values
+    for i in range(ct.shape[0]):
+        for j in range(ct.shape[1]):
+            o = float(ct.values[i][j])
+            if o == 0.0:
+                continue  # query only has observed cells
+            num = o * n - float(rows[i]) * float(cols[j])
+            total += math.floor(1e6 * num * num
+                                / (float(rows[i]) * float(cols[j]) * n))
+    assert r.chi2_micro == total
+    assert 0 <= r.cramers_v_micro <= 1_000_000
+
+
+def test_sprt_decisions_cross_boundary(spark, sf_dir):
+    out = QUERIES["stats_sprt_ab"](spark, sf_dir).collect()
+    assert {r.arm for r in out} == {0, 1}
+    for r in out:
+        assert r.decision in ("accept_h0", "accept_h1", "continue")
+        if r.decision == "continue":
+            assert r.n_at_decision is None
+            continue
+        assert 1 <= r.n_at_decision <= r.n_trials
+        s = r.s_at_decision
+        f = r.n_at_decision - s
+        llr = s * S._LA + f * S._LB
+        if r.decision == "accept_h1":
+            assert llr >= S._HI
+        else:
+            assert llr <= S._LO
+        # one step earlier the walk had NOT crossed on this side
+        prev_hi = (s - 1) * S._LA + f * S._LB   # last step was a success
+        prev_lo = s * S._LA + (f - 1) * S._LB   # last step was a failure
+        assert min(prev_hi, prev_lo) < S._HI
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
+    out = QUERIES["stats_bootstrap_ci"](spark, sf_dir).collect()
+    r = out[0]
+    assert r.n_reps == 64
+    assert r.ci_lo_millicents <= r.mean_millicents <= r.ci_hi_millicents
+    # CI width is a few sd/sqrt(n), not degenerate and not huge
+    width = r.ci_hi_millicents - r.ci_lo_millicents
+    assert 0 < width < r.mean_millicents  # far narrower than the mean
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_totalprice"])
+    cents = (pdf.o_totalprice * 100).round().astype("int64")
+    assert r.n_orders == len(cents)
+    assert r.mean_millicents == math.floor(float(cents.mean()) * 1000)
+    # width within an order of magnitude of the CLT prediction
+    clt = 2 * 1.96 * cents.std() / math.sqrt(len(cents)) * 1000
+    assert width < 4 * clt and width > clt / 4
+
+
+def test_poisson_grid_thresholds_are_round_of_cdf():
+    cum, p = 0.0, math.exp(-1.0)
+    for k, thr in enumerate(S._POIS_T15):
+        cum += p
+        p /= (k + 1)
+        assert thr == round(cum * 32768)
