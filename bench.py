@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     # statistical inference
     "stats_ks_two_sample", "stats_mann_whitney", "stats_chi_square",
     "stats_sprt_ab", "stats_bootstrap_ci",
+    # storage layout
+    "layout_compaction_plan", "layout_bucketed_join",
 ]
 
 

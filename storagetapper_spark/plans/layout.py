@@ -16,7 +16,7 @@ the chunk-level table (thousands of rows at any corpus size ÷ 4096).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from storagetapper_spark.plans.common import t
@@ -134,6 +134,122 @@ ORDER BY month
 """
 
 
+# ------------------------------------------------------- compaction --
+
+_TARGET_BYTES = 8 * 1024 * 1024   # compacted-file target
+_ROW_BYTES = 64                   # synthetic manifest row-size estimate
+
+
+def layout_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction planner: given a file manifest (synthesized
+    here as one file per (order-day × status) — the shape the file
+    sink's rotation produces, sinks/files.py), assign files to target-
+    sized output bins with a cumulative-sum pass.
+
+    bin = floor(running_bytes_before / target) within each partition
+    key: contiguous day ranges land in the same output file (preserving
+    the sort that makes zone maps work — see layout_zone_map_pruning),
+    bins fill to ≥ target except the last, and the whole plan is
+    MANIFEST-sized — the window runs over files, never rows, so the
+    planner costs the same at 100 TB as at 100 MB."""
+    o = t(spark, sf, "orders")
+    manifest = (o.groupBy(F.col("o_orderstatus").alias("st"),
+                          F.col("o_orderdate").cast("date").alias("day"))
+                .agg(F.count(F.lit(1)).alias("n_rows")))
+    w = (Window.partitionBy("st").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    files = manifest.select(
+        "st", "day", "n_rows",
+        (F.col("n_rows") * _ROW_BYTES).alias("bytes"),
+        ((F.sum(F.col("n_rows") * _ROW_BYTES).over(w)
+          - F.col("n_rows") * _ROW_BYTES) / _TARGET_BYTES)
+        .cast("long").alias("bin"))
+    return (files.groupBy("st", "bin")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum("bytes").alias("bin_bytes"),
+                 F.min("day").alias("day_min"),
+                 F.max("day").alias("day_max"))
+            .orderBy("st", "bin"))
+
+
+COMPACTION_SQL = f"""
+WITH manifest AS (
+  SELECT o_orderstatus AS st, CAST(o_orderdate AS DATE) AS day,
+         count(*) AS n_rows
+  FROM orders GROUP BY 1, 2
+),
+files AS (
+  SELECT st, day, n_rows, n_rows * {_ROW_BYTES} AS bytes,
+         CAST((sum(n_rows * {_ROW_BYTES}) OVER w - n_rows * {_ROW_BYTES})
+              / {_TARGET_BYTES} AS BIGINT) AS bin
+  FROM manifest
+  WINDOW w AS (PARTITION BY st ORDER BY day ROWS UNBOUNDED PRECEDING)
+)
+SELECT st, bin, count(*) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+       min(day) AS day_min, max(day) AS day_max
+FROM files GROUP BY st, bin
+ORDER BY st, bin
+"""
+
+# ---------------------------------------------------- bucketed join --
+
+_N_BUCKETS = 8
+_BUCKET_YEAR = 1995
+
+
+def layout_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucket-pruned shuffle-free join: write orders and lineitem
+    bucketed+sorted by the join key (8 buckets, one year's slice), then
+    join the bucketed tables — the SortMergeJoin consumes the bucket
+    layout directly, with NO Exchange on either side (asserted in
+    test_layout.py).
+
+    This is the pre-shuffled layout a 100 TB deployment maintains so
+    the every-day fact⋈fact join never pays its shuffle: co-located,
+    co-sorted buckets turn the join into a per-bucket streaming merge.
+    The hint('merge') pins SMJ so the demonstration doesn't degrade to
+    a broadcast at small SF (at 100 TB neither side broadcasts).
+    Values are layout-independent (oracle: the plain join)."""
+    import tempfile
+
+    o = (t(spark, sf, "orders")
+         .filter(F.year("o_orderdate") == _BUCKET_YEAR)
+         .select("o_orderkey", "o_orderpriority"))
+    li = (t(spark, sf, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    base = tempfile.mkdtemp(prefix="stsp_bucketed_")
+    for name, df, key in (("stsp_bkt_orders", o, "o_orderkey"),
+                          ("stsp_bkt_lineitem", li, "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (df.write.format("parquet")
+         .bucketBy(_N_BUCKETS, key).sortBy(key)
+         .option("path", f"{base}/{name}")
+         .mode("overwrite").saveAsTable(name))
+    ob = spark.table("stsp_bkt_orders").hint("merge")
+    lb = spark.table("stsp_bkt_lineitem")
+    net = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                  * 100).cast("long")
+    return (ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(net).alias("revenue_cents"))
+            .orderBy("o_orderpriority"))
+
+
+BUCKETED_JOIN_SQL = f"""
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE year(o_orderdate) = {_BUCKET_YEAR}
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "layout_zone_map_pruning": (layout_zone_map_pruning, ZONE_MAP_SQL),
+    "layout_compaction_plan": (layout_compaction_plan, COMPACTION_SQL),
+    "layout_bucketed_join": (layout_bucketed_join, BUCKETED_JOIN_SQL),
 }

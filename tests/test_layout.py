@@ -80,3 +80,83 @@ def test_compact_small_files(spark, tmp_path):
     n = compact_small_files(spark, src, out, target_rows_per_file=5_000)
     assert n == 2
     assert spark.read.parquet(out).count() == 10_000
+
+
+# ---- registry layout queries (plans/layout.py) -----------------------
+
+def test_bucketed_join_has_no_exchange_below_the_join(spark, sf_dir):
+    """The whole point of the bucketed layout: the SMJ consumes bucket
+    placement, so the join needs no shuffle.  Measured as an Exchange
+    DELTA vs the identical plan over raw parquet (which must shuffle
+    both sides)."""
+    from storagetapper_spark.plans.common import t
+    from storagetapper_spark.plans.layout import layout_bucketed_join
+
+    bucketed = layout_bucketed_join(spark, sf_dir)
+    plan_b = bucketed._jdf.queryExecution().executedPlan().toString()
+
+    o = (t(spark, sf_dir, "orders")
+         .filter(F.year("o_orderdate") == 1995)
+         .select("o_orderkey", "o_orderpriority").hint("merge"))
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    raw = (o.join(li, o.o_orderkey == li.l_orderkey)
+           .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy("o_orderpriority"))
+    plan_r = raw._jdf.queryExecution().executedPlan().toString()
+
+    assert "SortMergeJoin" in plan_b
+    assert "Bucketed: true" in plan_b
+    n_exchange_b = plan_b.count("+- Exchange")
+    n_exchange_r = plan_r.count("+- Exchange")
+    # raw plan shuffles both join inputs; bucketed plan keeps only the
+    # post-join agg + sort exchanges
+    assert n_exchange_b == n_exchange_r - 2
+
+
+def test_bucketed_join_matches_plain_join(spark, sf_dir):
+    from storagetapper_spark.plans.common import t
+    from storagetapper_spark.plans.layout import layout_bucketed_join
+
+    got = {r.o_orderpriority: (r.n_items, r.revenue_cents)
+           for r in layout_bucketed_join(spark, sf_dir).collect()}
+    o = (t(spark, sf_dir, "orders")
+         .filter(F.year("o_orderdate") == 1995))
+    li = t(spark, sf_dir, "lineitem")
+    net = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                  * 100).cast("long")
+    want = {r.o_orderpriority: (r.n, r.c)
+            for r in o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(net).alias("c"))
+            .collect()}
+    assert got == want
+
+
+def test_compaction_plan_partitions_the_manifest(spark, sf_dir):
+    from storagetapper_spark.plans.common import t
+    from storagetapper_spark.plans.layout import (
+        layout_compaction_plan, _TARGET_BYTES, _ROW_BYTES)
+
+    out = layout_compaction_plan(spark, sf_dir).collect()
+    o = t(spark, sf_dir, "orders")
+    manifest = (o.groupBy("o_orderstatus",
+                          F.col("o_orderdate").cast("date"))
+                .agg(F.count(F.lit(1)).alias("n")).collect())
+    # conservation: every manifest file lands in exactly one bin
+    assert sum(r.n_files for r in out) == len(manifest)
+    assert (sum(r.bin_bytes for r in out)
+            == sum(r.n for r in manifest) * _ROW_BYTES)
+    by_st = {}
+    for r in out:
+        by_st.setdefault(r.st, []).append(r)
+    for st, bins in by_st.items():
+        bins.sort(key=lambda r: r.bin)
+        # dense numbering from 0
+        assert [r.bin for r in bins] == list(range(len(bins)))
+        # contiguous, non-overlapping day ranges (sorted layout kept)
+        for a, b in zip(bins, bins[1:]):
+            assert a.day_max < b.day_min
+        # every bin but the last reaches the target (cumsum binning
+        # closes a bin only once it spills past the boundary)
+        for r in bins[:-1]:
+            assert r.bin_bytes >= _TARGET_BYTES - 366 * _ROW_BYTES * 40
