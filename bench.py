@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "stats_sprt_ab", "stats_bootstrap_ci",
     # storage layout
     "layout_compaction_plan", "layout_bucketed_join",
+    # batch 16
+    "interval_union_coverage", "graph_ra_link_prediction",
 ]
 
 

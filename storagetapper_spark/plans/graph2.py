@@ -114,9 +114,63 @@ LIMIT {_LP_TOPK}
 """
 
 
+def graph_ra_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 not-yet-connected pairs by the Resource-Allocation index
+    RA(u,v) = Σ_{w ∈ CN(u,v)} 1/deg(w) (Zhou/Lü/Zhang 2009) — the
+    hub-discounting cousin of Jaccard link prediction: a shared
+    low-degree neighbor is strong evidence, a shared hub is weak.
+
+    Same wedge machinery as graph_jaccard_link_prediction, but the
+    score needs PER-CENTER weights, so each wedge carries its center's
+    floor(10⁶/deg(w)) — an exact INTEGER per center (no libm log as in
+    Adamic-Adar, hence hash-exact cross-engine) — and the pair score is
+    an exact integer sum of those micros."""
+    e = _edges(spark, sf).persist()
+    adj = _adj(e)
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    wmicro = (deg.select(F.col("u").alias("w"),
+                         F.floor(F.lit(1000000) / F.col("deg"))
+                         .cast("long").alias("w_micro")))
+    a = adj.select(F.col("v").alias("w"), F.col("u").alias("cu"))
+    b = adj.select(F.col("v").alias("w2"), F.col("u").alias("cv"))
+    cand = (a.join(b, (F.col("w") == F.col("w2"))
+                   & (F.col("cu") < F.col("cv")))
+            .join(F.broadcast(wmicro), "w")
+            .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))
+            .agg(F.count(F.lit(1)).alias("cn"),
+                 F.sum("w_micro").alias("ra_micro")))
+    cand = cand.join(e, (cand.u == e.pa) & (cand.v == e.pb), "left_anti")
+    return (cand.select("u", "v", "cn", "ra_micro")
+            .orderBy(F.desc("ra_micro"), F.desc("cn"), "u", "v")
+            .limit(_LP_TOPK))
+
+
+RA_LINK_SQL = f"""
+WITH {_EDGE_SQL},
+deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
+wmicro AS (SELECT u AS w, CAST(floor(1000000 / deg) AS BIGINT)
+             AS w_micro
+           FROM deg),
+cand AS (
+  SELECT a.u AS u, b.u AS v, count(*) AS cn,
+         CAST(sum(m.w_micro) AS BIGINT) AS ra_micro
+  FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u
+  JOIN wmicro m ON m.w = a.v
+  GROUP BY 1, 2
+)
+SELECT c.u, c.v, c.cn, c.ra_micro FROM cand c
+LEFT JOIN e ON e.pa = c.u AND e.pb = c.v
+WHERE e.pa IS NULL
+ORDER BY c.ra_micro DESC, c.cn DESC, c.u, c.v
+LIMIT {_LP_TOPK}
+"""
+
+
 QUERIES = {
     "graph_jaccard_link_prediction":
         (graph_jaccard_link_prediction, LINK_PREDICTION_SQL),
+    "graph_ra_link_prediction":
+        (graph_ra_link_prediction, RA_LINK_SQL),
 }
 
 

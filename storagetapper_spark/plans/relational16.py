@@ -1,0 +1,124 @@
+"""Batch 16: interval-union coverage (gaps-and-islands merge) — the
+interval-MERGING primitive that complements the existing overlap-pair
+(overlapping_orders) and sweep-line (peak_concurrency) interval shapes.
+
+Scale shape: everything is keyed by customer — the running-max window,
+the island numbering, and the per-island agg all partition on
+o_custkey, so there is exactly one shuffle on a high-cardinality key
+and no global window anywhere.  Day arithmetic is exact integers
+(unix_date), ratios floor-micro per SCALE.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from storagetapper_spark.plans.common import t
+
+_WIN_DAYS = 30  # fulfilment window length (same as overlapping_orders)
+
+
+def interval_union_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Per market segment: how many customer-days are COVERED by the
+    union of the customers' 30-day order-fulfilment windows, vs the sum
+    of raw window lengths — the interval-merge dedup factor (how much
+    concurrent fulfilment overlaps).
+
+    Classic gaps-and-islands: per customer in start order, a window
+    opens a new island when the running max end so far lies before its
+    start; island coverage = island_max_end − island_min_start + 1."""
+    o = t(spark, sf, "orders")
+    iv = o.select(
+        "o_custkey",
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("s"),
+        (F.unix_date(F.col("o_orderdate").cast("date")) + _WIN_DAYS)
+        .alias("e"))
+    word = Window.partitionBy("o_custkey").orderBy("s", "e")
+    prev_max = (F.max("e").over(
+        word.rowsBetween(Window.unboundedPreceding, -1)))
+    marked = iv.select(
+        "o_custkey", "s", "e",
+        F.when(prev_max.isNull() | (prev_max < F.col("s")), 1)
+        .otherwise(0).alias("new_island"))
+    islands = marked.select(
+        "o_custkey", "s", "e",
+        F.sum("new_island").over(
+            word.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"))
+    per_island = (islands.groupBy("o_custkey", "island")
+                  .agg((F.max("e") - F.min("s") + 1).alias("covered"),
+                       F.count(F.lit(1)).alias("n_windows")))
+    per_cust = (per_island.groupBy("o_custkey")
+                .agg(F.sum("covered").alias("covered_days"),
+                     F.count(F.lit(1)).alias("n_islands"),
+                     F.sum("n_windows").alias("n_orders")))
+    c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    seg = (per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+           .groupBy("c_mktsegment")
+           .agg(F.sum("covered_days").alias("covered_days"),
+                (F.sum("n_orders") * (_WIN_DAYS + 1)).alias("raw_days"),
+                F.sum("n_islands").alias("n_islands"),
+                F.sum("n_orders").alias("n_orders")))
+    return (seg.select(
+        "c_mktsegment", "n_orders", "n_islands", "covered_days",
+        "raw_days",
+        F.floor(F.col("covered_days") * 1000000 / F.col("raw_days"))
+        .cast("long").alias("coverage_micro"))
+        .orderBy("c_mktsegment"))
+
+
+INTERVAL_UNION_SQL = f"""
+WITH iv AS (
+  SELECT o_custkey,
+         date_diff('day', DATE '1970-01-01',
+                   CAST(o_orderdate AS DATE)) AS s,
+         date_diff('day', DATE '1970-01-01',
+                   CAST(o_orderdate AS DATE)) + {_WIN_DAYS} AS e
+  FROM orders
+),
+marked AS (
+  SELECT o_custkey, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) < s
+                   OR max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) IS NULL
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT o_custkey, s, e,
+         sum(new_island) OVER (PARTITION BY o_custkey ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+),
+per_island AS (
+  SELECT o_custkey, island, max(e) - min(s) + 1 AS covered,
+         count(*) AS n_windows
+  FROM islands GROUP BY 1, 2
+),
+per_cust AS (
+  SELECT o_custkey, sum(covered) AS covered_days,
+         count(*) AS n_islands, sum(n_windows) AS n_orders
+  FROM per_island GROUP BY 1
+)
+SELECT c_mktsegment,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+       CAST(sum(n_islands) AS BIGINT) AS n_islands,
+       CAST(sum(covered_days) AS BIGINT) AS covered_days,
+       CAST(sum(n_orders) * {_WIN_DAYS + 1} AS BIGINT) AS raw_days,
+       CAST(floor(sum(covered_days) * 1000000
+                  / (sum(n_orders) * {_WIN_DAYS + 1})) AS BIGINT)
+         AS coverage_micro
+FROM per_cust JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+QUERIES = {
+    "interval_union_coverage": (interval_union_coverage,
+                                INTERVAL_UNION_SQL),
+}

@@ -1,0 +1,72 @@
+"""Semantic invariants for interval_union_coverage and
+graph_ra_link_prediction (oracle checks value equality; these check
+meaning against independent recomputations)."""
+
+from collections import defaultdict
+
+import pandas as pd
+
+from storagetapper_spark.plans.registry import QUERIES
+
+
+def test_interval_union_matches_pandas_merge(spark, sf_dir):
+    out = {r.c_mktsegment: r
+           for r in QUERIES["interval_union_coverage"](spark, sf_dir)
+           .collect()}
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    seg_of = dict(zip(cust.c_custkey, cust.c_mktsegment))
+    days = (orders.o_orderdate.values.astype("datetime64[D]")
+            .astype("int64"))
+    per_cust = defaultdict(list)
+    for ck, s in zip(orders.o_custkey, days):
+        per_cust[ck].append((int(s), int(s) + 30))
+    covered = defaultdict(int)
+    islands = defaultdict(int)
+    n_orders = defaultdict(int)
+    for ck, ivs in per_cust.items():
+        seg = seg_of[ck]
+        n_orders[seg] += len(ivs)
+        ivs.sort()
+        cur_s, cur_e = ivs[0]
+        for s, e in ivs[1:]:
+            if s > cur_e:  # gap: close the island
+                covered[seg] += cur_e - cur_s + 1
+                islands[seg] += 1
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        covered[seg] += cur_e - cur_s + 1
+        islands[seg] += 1
+    assert set(out) == set(covered)
+    for seg, r in out.items():
+        assert r.covered_days == covered[seg]
+        assert r.n_islands == islands[seg]
+        assert r.n_orders == n_orders[seg]
+        assert r.raw_days == n_orders[seg] * 31
+        assert r.covered_days <= r.raw_days
+        assert 0 < r.coverage_micro <= 1_000_000
+
+
+def test_ra_pairs_are_distance_two_nonedges(spark, sf_dir):
+    out = QUERIES["graph_ra_link_prediction"](spark, sf_dir).collect()
+    assert 0 < len(out) <= 20
+    from storagetapper_spark.plans.graph2 import _adj, _edges
+    e = _edges(spark, sf_dir)
+    edge_set = {(r.pa, r.pb) for r in e.collect()}
+    adj = defaultdict(set)
+    for u, v in edge_set:
+        adj[u].add(v)
+        adj[v].add(u)
+    deg = {u: len(vs) for u, vs in adj.items()}
+    scores = []
+    for r in out:
+        assert (r.u, r.v) not in edge_set and (r.v, r.u) not in edge_set
+        common = adj[r.u] & adj[r.v]
+        assert len(common) == r.cn and r.cn >= 1
+        assert r.ra_micro == sum(1_000_000 // deg[w] for w in common)
+        scores.append(r.ra_micro)
+    # top-k is ordered
+    assert scores == sorted(scores, reverse=True)
