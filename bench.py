@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "layout_compaction_plan", "layout_bucketed_join",
     # batch 16
     "interval_union_coverage", "graph_ra_link_prediction",
+    # in-engine PCA
+    "embedding_pca_power_iteration", "embedding_scatter_matrix",
 ]
 
 
