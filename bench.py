@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "interval_union_coverage", "graph_ra_link_prediction",
     # in-engine PCA
     "embedding_pca_power_iteration", "embedding_scatter_matrix",
+    "ts_rolling_robust_anomaly",
 ]
 
 

@@ -389,3 +389,93 @@ ORDER BY r.event_type, r.day
 
 
 QUERIES["ts_stl_anomaly"] = (ts_stl_anomaly, TS_STL_ANOMALY_SQL)
+
+
+# ------------------------------------------- rolling robust anomaly --
+
+_ROB_FRAME = 28  # trailing window (days), inclusive of the current day
+
+
+def ts_rolling_robust_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust rolling anomaly detection: flag days whose revenue
+    deviates from the trailing 28-day MEDIAN by more than 3 trailing
+    MADs — the outlier-immune sibling of anomaly_daily_counts (a
+    single spike inflates a trailing σ and masks the next one; it
+    cannot move a median).
+
+    MAD needs the median OF DEVIATIONS FROM the frame median — a
+    nested frame aggregation no single window expresses — so frames
+    materialize via an offset explode + EQUI-join on (day − offset)
+    against the daily grid (grid × 28 rows, calendar-bounded at any
+    data scale; never a nested-loop range join).  Exactness: medians
+    of integers land on halves, so med rides ×2 and MAD ×4 as exact
+    ints and the 3-MAD flag is a pure integer comparison."""
+    o = t(spark, sf, "orders")
+    daily = (o.groupBy(F.unix_date(F.col("o_orderdate").cast("date"))
+                       .alias("dd"))
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("long")).alias("c")))
+    offs = daily.select(
+        "dd", F.explode(F.sequence(F.lit(0),
+                                   F.lit(_ROB_FRAME - 1))).alias("o"))
+    members = (offs.join(daily.select(F.col("dd").alias("md"),
+                                      F.col("c").alias("mc")),
+                         offs.dd - F.col("o") == F.col("md"))
+               .select("dd", "mc"))
+    med = (members.groupBy("dd")
+           .agg(F.count(F.lit(1)).alias("n_frame"),
+                (F.percentile("mc", F.lit(0.5)) * 2).cast("long")
+                .alias("med_x2")))
+    devs = (members.join(med, "dd")
+            .select("dd", "n_frame", "med_x2",
+                    F.abs(F.col("mc") * 2 - F.col("med_x2"))
+                    .alias("dev_x2")))
+    mad = (devs.groupBy("dd", "n_frame", "med_x2")
+           .agg((F.percentile("dev_x2", F.lit(0.5)) * 2).cast("long")
+                .alias("mad_x4")))
+    return (daily.join(mad, "dd")
+            .filter((F.abs(F.col("c") * 2 - F.col("med_x2")) * 2
+                     > 3 * F.col("mad_x4"))
+                    & (F.col("n_frame") == _ROB_FRAME))
+            .select(F.date_from_unix_date(F.col("dd")).alias("day"),
+                    F.col("c").alias("cents"), "n_frame", "med_x2",
+                    "mad_x4")
+            .orderBy("day"))
+
+
+TS_ROBUST_SQL = f"""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01',
+                   CAST(o_orderdate AS DATE)) AS dd,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS c
+  FROM orders GROUP BY 1
+),
+members AS (
+  SELECT d.dd, m.c AS mc
+  FROM daily d CROSS JOIN range({_ROB_FRAME}) o
+  JOIN daily m ON m.dd = d.dd - o.range
+),
+med AS (
+  SELECT dd, count(*) AS n_frame,
+         CAST(quantile_cont(mc, 0.5) * 2 AS BIGINT) AS med_x2
+  FROM members GROUP BY dd
+),
+mad AS (
+  SELECT m.dd, med.n_frame, med.med_x2,
+         CAST(quantile_cont(abs(m.mc * 2 - med.med_x2), 0.5) * 2
+              AS BIGINT) AS mad_x4
+  FROM members m JOIN med USING (dd)
+  GROUP BY m.dd, med.n_frame, med.med_x2
+)
+SELECT CAST(DATE '1970-01-01' + d.dd * INTERVAL 1 DAY AS DATE) AS day,
+       d.c AS cents, mad.n_frame, mad.med_x2, mad.mad_x4
+FROM daily d JOIN mad USING (dd)
+WHERE abs(d.c * 2 - mad.med_x2) * 2 > 3 * mad.mad_x4
+  AND mad.n_frame = {_ROB_FRAME}
+ORDER BY day
+"""
+
+
+QUERIES["ts_rolling_robust_anomaly"] = (ts_rolling_robust_anomaly,
+                                        TS_ROBUST_SQL)

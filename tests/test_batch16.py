@@ -70,3 +70,34 @@ def test_ra_pairs_are_distance_two_nonedges(spark, sf_dir):
         scores.append(r.ra_micro)
     # top-k is ordered
     assert scores == sorted(scores, reverse=True)
+
+
+def test_rolling_robust_anomaly_matches_pandas(spark):
+    """Recompute the 28-day rolling median/MAD flags in pandas at
+    sf0.01 (the fixture at sf0.001 has a too-sparse daily grid for
+    full frames — the driver's gate SF is 0.01)."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.01"
+    out = QUERIES["ts_rolling_robust_anomaly"](spark, sf).collect()
+    orders = pd.read_parquet(f"{sf}/orders.parquet",
+                             columns=["o_orderdate", "o_totalprice"])
+    cents = (orders.o_totalprice * 100).round().astype("int64")
+    dd = (orders.o_orderdate.values.astype("datetime64[D]")
+          .astype("int64"))
+    daily = pd.DataFrame({"dd": dd, "c": cents}).groupby("dd")["c"] \
+        .sum().to_dict()
+    flagged = {}
+    for d, c in daily.items():
+        frame = [daily[m] for m in range(d - 27, d + 1) if m in daily]
+        if len(frame) != 28:
+            continue
+        med = float(np.median(frame))
+        mad = float(np.median([abs(x - med) for x in frame]))
+        if abs(c - med) > 3 * mad:
+            flagged[d] = (c, int(med * 2), int(mad * 4))
+    got = {(r.day.toordinal() - pd.Timestamp("1970-01-01").toordinal())
+           if hasattr(r.day, "toordinal") else r.day: r for r in out}
+    got = {int(k): (v.cents, v.med_x2, v.mad_x4) for k, v in got.items()}
+    assert got == flagged
+    assert len(out) > 0  # non-degenerate at the gate SF
