@@ -88,6 +88,16 @@ PROBES = [
     "text_js_divergence",      # vocab-sized pair equi-join
     "sketch_theta_intersection",  # KMV: k rows per partition merge
     "sketch_cms_heavy_hitters",  # fixed 1024-cell matrix build
+    # round-5 fifth-session batch
+    "stats_ks_two_sample",     # value-grid cumulative window
+    "stats_bootstrap_ci",      # 16-replicate-per-hash explode
+    "stats_sprt_ab",           # per-arm ordered cumulative walk
+    "layout_compaction_plan",  # manifest-sized cumsum binning
+    "interval_union_coverage",  # per-customer gaps-and-islands
+    "graph_ra_link_prediction",  # wedge join + per-center micro weights
+    "embedding_pca_power_iteration",  # 3 integer-quantized matvec rounds
+    "embedding_scatter_matrix",  # per-batch int64 GEMM partials
+    "ts_rolling_robust_anomaly",  # offset-explode frame join (grid-sized)
 ]
 
 
@@ -147,6 +157,7 @@ def _amplify(spark, base: str, out: str) -> None:
 def main() -> int:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10"
+    only = set(sys.argv[3:])  # probe a subset, merge into the artifact
 
     import bench
     from storagetapper_spark.plans.registry import QUERIES
@@ -156,8 +167,15 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     _amplify(spark, base, out)
 
+    art = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALE_PROBE.json")
     probe = {}
+    if only and os.path.exists(art):
+        with open(art) as f:
+            probe = json.load(f).get("probe", {})
     for name in PROBES:
+        if only and name not in only:
+            continue
         fn = QUERIES[name]
         times = {}
         for label, sf_dir in (("base", base), ("x10", out)):
@@ -174,8 +192,7 @@ def main() -> int:
               f"ratio={ratio}", file=sys.stderr)
 
     result = {"copies": COPIES, "probe": probe}
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "SCALE_PROBE.json"), "w") as f:
+    with open(art, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     print(json.dumps(result))
     spark.stop()
