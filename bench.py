@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     # statistical inference
     "stats_ks_two_sample", "stats_mann_whitney", "stats_chi_square",
     "stats_sprt_ab", "stats_bootstrap_ci",
+    "stats_kendall_tau", "stats_spearman_rho",
     # storage layout
     "layout_compaction_plan", "layout_bucketed_join",
     # batch 16

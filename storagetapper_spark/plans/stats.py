@@ -488,8 +488,222 @@ GROUP BY p.n_orders, p.mean_all
 """
 
 
+# ------------------------------------------- rank correlations ------
+
+
+def stats_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall's τ-b between quantity and discount across line items.
+
+    Naive τ is O(n²) pairs; on the (quantity × discount) VALUE GRID it
+    is exact from cell counts: concordant/discordant pair totals come
+    from 2-D prefix sums over the ~550-cell contingency table (two
+    chained windows — cum over discount within quantity, then cum over
+    quantity at fixed discount), and tie terms from the margins.  Every
+    count is an exact integer (DECIMAL/HUGEINT for the pair products);
+    τ-b drops to double in one final expression."""
+    li = t(spark, sf, "lineitem")
+    cells = (li.groupBy(F.col("l_quantity").cast("long").alias("q"),
+                        F.round(F.col("l_discount") * 100).cast("long")
+                        .alias("d"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    # strict 2-D prefix: lt_lt(q,d) = sum of n over q'<q, d'<d
+    wd = (Window.partitionBy("q").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    with_d = cells.select("q", "d", "n",
+                          F.coalesce(F.sum("n").over(wd), F.lit(0))
+                          .alias("cum_d_lt"))  # same q, d' < d
+    wq = (Window.partitionBy("d").orderBy("q")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    # over q' < q: totals at d' < d and at d' = d
+    pre = with_d.select(
+        "q", "d", "n",
+        F.coalesce(F.sum("cum_d_lt").over(wq), F.lit(0)).alias("lt_lt"),
+        F.coalesce(F.sum("n").over(wq), F.lit(0)).alias("lt_eq"))
+    # over q' < q, any d': from quantity margin
+    qmarg = (cells.groupBy("q").agg(F.sum("n").alias("nq")))
+    wq2 = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    qcum = qmarg.select("q", F.coalesce(F.sum("nq").over(wq2), F.lit(0))
+                        .alias("lt_any"))
+    j = pre.join(qcum, "q")
+    # discordant partner count for a cell: q'<q AND d'>d
+    terms = j.select(
+        "q", "d", "n",
+        (F.col("n").cast(_DEC) * F.col("lt_lt").cast(_DEC)).alias("c"),
+        (F.col("n").cast(_DEC)
+         * (F.col("lt_any") - F.col("lt_eq") - F.col("lt_lt"))
+         .cast(_DEC)).alias("dd"))
+    tots = terms.agg(F.sum("c").alias("conc"), F.sum("dd").alias("disc"),
+                     F.sum("n").alias("nn"))
+    ties_q = (qmarg.agg(F.sum(F.col("nq").cast(_DEC)
+                              * (F.col("nq").cast(_DEC) - 1))
+                        .alias("tq2")))
+    dmarg = cells.groupBy("d").agg(F.sum("n").alias("nd"))
+    ties_d = (dmarg.agg(F.sum(F.col("nd").cast(_DEC)
+                              * (F.col("nd").cast(_DEC) - 1))
+                        .alias("td2")))
+    out = tots.crossJoin(F.broadcast(ties_q)).crossJoin(F.broadcast(ties_d))
+    n0x2 = (F.col("nn").cast(_DEC) * (F.col("nn").cast(_DEC) - 1))
+    tau = ((F.col("conc") - F.col("disc")).cast("double") * 2.0
+           / F.sqrt((n0x2 - F.col("tq2")).cast("double")
+                    * (n0x2 - F.col("td2")).cast("double")))
+    return out.select(
+        F.col("nn").cast("long").alias("n_items"),
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("disc").cast("long").alias("discordant"),
+        F.floor(tau * 1000000.0).cast("long").alias("tau_b_micro"))
+
+
+KENDALL_SQL = """
+WITH cells AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_discount * 100) AS BIGINT) AS d, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+with_d AS (
+  SELECT q, d, n,
+         coalesce(sum(n) OVER (PARTITION BY q ORDER BY d
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS cum_d_lt
+  FROM cells
+),
+pre AS (
+  SELECT q, d, n,
+         coalesce(sum(cum_d_lt) OVER wq, 0) AS lt_lt,
+         coalesce(sum(n) OVER wq, 0) AS lt_eq
+  FROM with_d
+  WINDOW wq AS (PARTITION BY d ORDER BY q
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+qmarg AS (SELECT q, sum(n) AS nq FROM cells GROUP BY q),
+qcum AS (
+  SELECT q, coalesce(sum(nq) OVER (ORDER BY q
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0)
+           AS lt_any
+  FROM qmarg
+),
+terms AS (
+  SELECT p.n, CAST(p.n AS HUGEINT) * p.lt_lt AS c,
+         CAST(p.n AS HUGEINT) * (qc.lt_any - p.lt_eq - p.lt_lt) AS dd
+  FROM pre p JOIN qcum qc USING (q)
+),
+tots AS (
+  SELECT sum(c) AS conc, sum(dd) AS disc, sum(n) AS nn FROM terms
+),
+tq AS (SELECT sum(CAST(nq AS HUGEINT) * (nq - 1)) AS tq2 FROM qmarg),
+td AS (SELECT sum(CAST(nd AS HUGEINT) * (nd - 1)) AS td2
+       FROM (SELECT d, sum(n) AS nd FROM cells GROUP BY d))
+SELECT CAST(nn AS BIGINT) AS n_items,
+       CAST(conc AS BIGINT) AS concordant,
+       CAST(disc AS BIGINT) AS discordant,
+       CAST(floor(CAST(conc - disc AS DOUBLE) * 2.0
+                  / sqrt(CAST(CAST(nn AS HUGEINT) * (nn - 1) - tq2
+                              AS DOUBLE)
+                         * CAST(CAST(nn AS HUGEINT) * (nn - 1) - td2
+                                AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS tau_b_micro
+FROM tots CROSS JOIN tq CROSS JOIN td
+"""
+
+
+def stats_spearman_rho(spark: SparkSession, sf: str) -> DataFrame:
+    """Spearman rank correlation (tie-corrected = Pearson on midranks)
+    between quantity and discount, exact from the value grids.
+
+    Midranks on a grid are (2·before + cnt + 1)/2 — halves, so they
+    ride ×2 as exact integers; all Pearson sums (Σr, Σr², Σr_x·r_y)
+    are exact DECIMAL/HUGEINT aggregates over cells, and ρ divides
+    once at the end."""
+    li = t(spark, sf, "lineitem")
+    cells = (li.groupBy(F.col("l_quantity").cast("long").alias("q"),
+                        F.round(F.col("l_discount") * 100).cast("long")
+                        .alias("d"))
+             .agg(F.count(F.lit(1)).alias("n")))
+
+    def midranks(marg, key, total_alias):
+        w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, 0)
+        return marg.select(
+            key,
+            (2 * (F.sum(total_alias).over(w) - F.col(total_alias))
+             + F.col(total_alias) + 1).alias(f"r{key}_x2"))
+
+    qm = midranks(cells.groupBy("q").agg(F.sum("n").alias("nq")),
+                  "q", "nq")
+    dm = midranks(cells.groupBy("d").agg(F.sum("n").alias("nd")),
+                  "d", "nd")
+    j = cells.join(F.broadcast(qm), "q").join(F.broadcast(dm), "d")
+    sums = j.agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.col("n").cast(_DEC) * F.col("rq_x2").cast(_DEC))
+        .alias("sx"),
+        F.sum(F.col("n").cast(_DEC) * F.col("rd_x2").cast(_DEC))
+        .alias("sy"),
+        F.sum(F.col("n").cast(_DEC) * F.col("rq_x2").cast(_DEC)
+              * F.col("rq_x2").cast(_DEC)).alias("sxx"),
+        F.sum(F.col("n").cast(_DEC) * F.col("rd_x2").cast(_DEC)
+              * F.col("rd_x2").cast(_DEC)).alias("syy"),
+        F.sum(F.col("n").cast(_DEC) * F.col("rq_x2").cast(_DEC)
+              * F.col("rd_x2").cast(_DEC)).alias("sxy"))
+    nn = F.col("nn").cast("double")
+    cov = F.col("sxy").cast("double") - (F.col("sx").cast("double")
+                                         * F.col("sy").cast("double")
+                                         / nn)
+    vx = F.col("sxx").cast("double") - (F.col("sx").cast("double")
+                                        * F.col("sx").cast("double")
+                                        / nn)
+    vy = F.col("syy").cast("double") - (F.col("sy").cast("double")
+                                        * F.col("sy").cast("double")
+                                        / nn)
+    rho = cov / F.sqrt(vx * vy)
+    return sums.select(F.col("nn").cast("long").alias("n_items"),
+                       F.floor(rho * 1000000.0).cast("long")
+                       .alias("rho_micro"))
+
+
+SPEARMAN_SQL = """
+WITH cells AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_discount * 100) AS BIGINT) AS d, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+qm AS (
+  SELECT q, 2 * (sum(nq) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING)
+                 - nq) + nq + 1 AS rq_x2
+  FROM (SELECT q, sum(n) AS nq FROM cells GROUP BY q)
+),
+dm AS (
+  SELECT d, 2 * (sum(nd) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                 - nd) + nd + 1 AS rd_x2
+  FROM (SELECT d, sum(n) AS nd FROM cells GROUP BY d)
+),
+sums AS (
+  SELECT sum(n) AS nn,
+         sum(CAST(n AS HUGEINT) * rq_x2) AS sx,
+         sum(CAST(n AS HUGEINT) * rd_x2) AS sy,
+         sum(CAST(n AS HUGEINT) * rq_x2 * rq_x2) AS sxx,
+         sum(CAST(n AS HUGEINT) * rd_x2 * rd_x2) AS syy,
+         sum(CAST(n AS HUGEINT) * rq_x2 * rd_x2) AS sxy
+  FROM cells JOIN qm USING (q) JOIN dm USING (d)
+)
+SELECT CAST(nn AS BIGINT) AS n_items,
+       CAST(floor((CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                     / CAST(nn AS DOUBLE))
+                  / sqrt((CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                            / CAST(nn AS DOUBLE))
+                         * (CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                              / CAST(nn AS DOUBLE)))
+                  * 1000000.0) AS BIGINT) AS rho_micro
+FROM sums
+"""
+
+
 QUERIES = {
     "stats_ks_two_sample": (stats_ks_two_sample, KS_SQL),
+    "stats_kendall_tau": (stats_kendall_tau, KENDALL_SQL),
+    "stats_spearman_rho": (stats_spearman_rho, SPEARMAN_SQL),
     "stats_mann_whitney": (stats_mann_whitney, MW_SQL),
     "stats_chi_square": (stats_chi_square, CHI2_SQL),
     "stats_sprt_ab": (stats_sprt_ab, SPRT_SQL),

@@ -132,3 +132,45 @@ def test_poisson_grid_thresholds_are_round_of_cdf():
         cum += p
         p /= (k + 1)
         assert thr == round(cum * 32768)
+
+
+def test_kendall_tau_matches_definition(spark, sf_dir, lineitem_pdf):
+    """Definitional O(grid²) recomputation: concordant/discordant from
+    every ordered cell pair of the (quantity × discount) contingency."""
+    pdf = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_quantity", "l_discount"])
+    q = pdf.l_quantity.astype("int64")
+    d = (pdf.l_discount * 100).round().astype("int64")
+    cells = pd.DataFrame({"q": q, "d": d}).groupby(["q", "d"]).size()
+    items = list(cells.items())
+    conc = disc = 0
+    for (qa, da), na in items:
+        for (qb, db), nb in items:
+            if qa < qb and da < db:
+                conc += na * nb
+            elif qa < qb and da > db:
+                disc += na * nb
+    n = int(cells.sum())
+    tq2 = int(sum(v * (v - 1) for v in cells.groupby("q").sum()))
+    td2 = int(sum(v * (v - 1) for v in cells.groupby("d").sum()))
+    out = QUERIES["stats_kendall_tau"](spark, sf_dir).collect()[0]
+    assert (out.n_items, out.concordant, out.discordant) == (n, conc, disc)
+    tau = (2.0 * (conc - disc)
+           / math.sqrt(float(n * (n - 1) - tq2)
+                       * float(n * (n - 1) - td2)))
+    assert out.tau_b_micro == math.floor(tau * 1_000_000)
+    assert -1_000_000 <= out.tau_b_micro <= 1_000_000
+
+
+def test_spearman_matches_pandas_midrank_pearson(spark, sf_dir):
+    pdf = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_quantity", "l_discount"])
+    rx = pdf.l_quantity.astype("int64").rank(method="average")
+    ry = (pdf.l_discount * 100).round().astype("int64") \
+        .rank(method="average")
+    rho = np.corrcoef(rx.values, ry.values)[0, 1]
+    out = QUERIES["stats_spearman_rho"](spark, sf_dir).collect()[0]
+    assert out.n_items == len(pdf)
+    # floor-micro of an independently computed double: allow 1 ulp of
+    # slack at the micro boundary (different summation orders)
+    assert abs(out.rho_micro - math.floor(rho * 1_000_000)) <= 1
