@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "stats_ks_two_sample", "stats_mann_whitney", "stats_chi_square",
     "stats_sprt_ab", "stats_bootstrap_ci",
     "stats_kendall_tau", "stats_spearman_rho",
+    "stats_diff_in_diff", "stats_cuped_adjustment",
     # storage layout
     "layout_compaction_plan", "layout_bucketed_join",
     # batch 16

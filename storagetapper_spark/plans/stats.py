@@ -700,10 +700,238 @@ FROM sums
 """
 
 
+# ------------------------------------ causal / experimentation ------
+
+
+def stats_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences: did PROMO parts' per-item net revenue
+    move differently from non-promo parts between 1995 and 1996?
+
+    DiD = (T₉₆−T₉₅) − (C₉₆−C₉₅) on group-mean revenue — the canonical
+    2×2 causal panel.  One broadcast dim join tags treatment, one agg
+    produces the four cells as exact cent sums + counts; the estimate
+    is a single double expression over the eight integers (identical
+    both engines), shipped in floor-millicents."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").select(
+        "p_partkey",
+        F.col("p_type").startswith("PROMO").alias("treated"))
+    net = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                  * 100).cast("long")
+    base = (li.filter(F.year("l_shipdate").isin(1995, 1996))
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .select("treated",
+                    (F.year("l_shipdate") == 1996).alias("post"),
+                    net.alias("c")))
+    cells = (base.groupBy("treated", "post")
+             .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("n")))
+    wide = cells.agg(
+        *[F.sum(F.when((F.col("treated") == tr) & (F.col("post") == po),
+                       F.col(col)).otherwise(0)).alias(f"{col}_{tag}")
+          for (tr, po, tag) in [(True, False, "t_pre"),
+                                (True, True, "t_post"),
+                                (False, False, "c_pre"),
+                                (False, True, "c_post")]
+          for col in ("s", "n")])
+
+    def mean(tag):
+        return (F.col(f"s_{tag}").cast("double")
+                / F.col(f"n_{tag}").cast("double"))
+
+    did = (mean("t_post") - mean("t_pre")) - (mean("c_post")
+                                              - mean("c_pre"))
+    return wide.select(
+        "n_t_pre", "n_t_post", "n_c_pre", "n_c_post",
+        F.floor(mean("t_pre") * 1000).cast("long").alias(
+            "t_pre_millicents"),
+        F.floor(mean("t_post") * 1000).cast("long").alias(
+            "t_post_millicents"),
+        F.floor(mean("c_pre") * 1000).cast("long").alias(
+            "c_pre_millicents"),
+        F.floor(mean("c_post") * 1000).cast("long").alias(
+            "c_post_millicents"),
+        F.floor(did * 1000).cast("long").alias("did_millicents"))
+
+
+DID_SQL = """
+WITH base AS (
+  SELECT p.p_type LIKE 'PROMO%' AS treated,
+         year(l_shipdate) = 1996 AS post,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS c
+  FROM lineitem JOIN part p ON l_partkey = p.p_partkey
+  WHERE year(l_shipdate) IN (1995, 1996)
+),
+cells AS (
+  SELECT treated, post, CAST(sum(c) AS BIGINT) AS s, count(*) AS n
+  FROM base GROUP BY 1, 2
+),
+wide AS (
+  SELECT
+    sum(CASE WHEN treated AND NOT post THEN s ELSE 0 END) AS s_t_pre,
+    sum(CASE WHEN treated AND NOT post THEN n ELSE 0 END) AS n_t_pre,
+    sum(CASE WHEN treated AND post THEN s ELSE 0 END) AS s_t_post,
+    sum(CASE WHEN treated AND post THEN n ELSE 0 END) AS n_t_post,
+    sum(CASE WHEN NOT treated AND NOT post THEN s ELSE 0 END) AS s_c_pre,
+    sum(CASE WHEN NOT treated AND NOT post THEN n ELSE 0 END) AS n_c_pre,
+    sum(CASE WHEN NOT treated AND post THEN s ELSE 0 END) AS s_c_post,
+    sum(CASE WHEN NOT treated AND post THEN n ELSE 0 END) AS n_c_post
+  FROM cells
+)
+SELECT CAST(n_t_pre AS BIGINT) AS n_t_pre,
+       CAST(n_t_post AS BIGINT) AS n_t_post,
+       CAST(n_c_pre AS BIGINT) AS n_c_pre,
+       CAST(n_c_post AS BIGINT) AS n_c_post,
+       CAST(floor(CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE)
+                  * 1000) AS BIGINT) AS t_pre_millicents,
+       CAST(floor(CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+                  * 1000) AS BIGINT) AS t_post_millicents,
+       CAST(floor(CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)
+                  * 1000) AS BIGINT) AS c_pre_millicents,
+       CAST(floor(CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+                  * 1000) AS BIGINT) AS c_post_millicents,
+       CAST(floor(((CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+                    - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+                   - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+                      - CAST(s_c_pre AS DOUBLE)
+                        / CAST(n_c_pre AS DOUBLE)))
+                  * 1000) AS BIGINT) AS did_millicents
+FROM wide
+"""
+
+
+def stats_cuped_adjustment(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED variance reduction for the user-parity A/B experiment:
+    pre-period event value (x) is the covariate for post-period value
+    (y); θ = cov(x,y)/var(x) is estimated POOLED across arms, each
+    user's adjusted outcome is y − θ·(x − x̄), and the query reports the
+    raw vs adjusted arm difference plus the variance-reduction share
+    (≈ ρ², the whole point of CUPED — Deng et al. 2013).
+
+    Every moment (Σx, Σy, Σxy, Σx², Σy²) is an exact cent-integer agg
+    over per-user pairs; θ, the adjusted means, and the variance ratio
+    are final double expressions over those integers."""
+    ev = t(spark, sf, "events")
+    mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per_user = (ev.filter(F.col("event_type").isin("view", "purchase",
+                                                   "click"))
+                .groupBy((F.col("user_id") % 2).alias("arm"), "user_id")
+                .agg(F.sum(F.when(F.col("ts") < mid,
+                                  F.round(F.col("value") * 100)
+                                  .cast("long")).otherwise(0)).alias("x"),
+                     F.sum(F.when(F.col("ts") >= mid,
+                                  F.round(F.col("value") * 100)
+                                  .cast("long")).otherwise(0))
+                     .alias("y")))
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(_DEC) * F.col("y").cast(_DEC)).alias("sxy"),
+        F.sum(F.col("x").cast(_DEC) * F.col("x").cast(_DEC)).alias("sxx"),
+        F.sum(F.col("y").cast(_DEC) * F.col("y").cast(_DEC)).alias("syy"))
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("na"),
+        F.sum("x").alias("sxa"), F.sum("y").alias("sya"))
+    j = arms.crossJoin(F.broadcast(mom))
+    nd = F.col("n").cast("double")
+    theta = ((F.col("sxy").cast("double")
+              - F.col("sx").cast("double") * F.col("sy").cast("double")
+              / nd)
+             / (F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+                / nd))
+    xbar = F.col("sx").cast("double") / nd
+    raw_mean = F.col("sya").cast("double") / F.col("na").cast("double")
+    adj_mean = raw_mean - theta * (F.col("sxa").cast("double")
+                                   / F.col("na").cast("double") - xbar)
+    # variance-reduction share = rho^2 (pooled)
+    corr_num = (F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+                / nd)
+    vxx = (F.col("sxx").cast("double")
+           - F.col("sx").cast("double") * F.col("sx").cast("double") / nd)
+    vyy = (F.col("syy").cast("double")
+           - F.col("sy").cast("double") * F.col("sy").cast("double") / nd)
+    rho2 = corr_num * corr_num / (vxx * vyy)
+    return (j.select(
+        "arm", "na",
+        F.floor(raw_mean * 1000).cast("long").alias("raw_millicents"),
+        F.floor(adj_mean * 1000).cast("long").alias("cuped_millicents"),
+        F.floor(theta * 1000000.0).cast("long").alias("theta_micro"),
+        F.floor(rho2 * 1000000.0).cast("long").alias("var_red_micro"))
+        .orderBy("arm"))
+
+
+CUPED_SQL = """
+WITH per_user AS (
+  SELECT user_id % 2 AS arm, user_id,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+  FROM events
+  WHERE event_type IN ('view', 'purchase', 'click')
+  GROUP BY 1, 2
+),
+mom AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM per_user
+),
+arms AS (
+  SELECT arm, count(*) AS na,
+         CAST(sum(x) AS BIGINT) AS sxa, CAST(sum(y) AS BIGINT) AS sya
+  FROM per_user GROUP BY 1
+)
+SELECT arm, na,
+       CAST(floor(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) * 1000)
+            AS BIGINT) AS raw_millicents,
+       CAST(floor((CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+                   - ((CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      / (CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                           / CAST(n AS DOUBLE)))
+                     * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
+                        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                  * 1000) AS BIGINT) AS cuped_millicents,
+       CAST(floor((CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                  / (CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS theta_micro,
+       CAST(floor((CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                  * (CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                  / ((CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     * (CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                          / CAST(n AS DOUBLE)))
+                  * 1000000.0) AS BIGINT) AS var_red_micro
+FROM arms CROSS JOIN mom
+ORDER BY arm
+"""
+
+
 QUERIES = {
     "stats_ks_two_sample": (stats_ks_two_sample, KS_SQL),
     "stats_kendall_tau": (stats_kendall_tau, KENDALL_SQL),
     "stats_spearman_rho": (stats_spearman_rho, SPEARMAN_SQL),
+    "stats_diff_in_diff": (stats_diff_in_diff, DID_SQL),
+    "stats_cuped_adjustment": (stats_cuped_adjustment, CUPED_SQL),
     "stats_mann_whitney": (stats_mann_whitney, MW_SQL),
     "stats_chi_square": (stats_chi_square, CHI2_SQL),
     "stats_sprt_ab": (stats_sprt_ab, SPRT_SQL),

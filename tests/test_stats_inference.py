@@ -174,3 +174,70 @@ def test_spearman_matches_pandas_midrank_pearson(spark, sf_dir):
     # floor-micro of an independently computed double: allow 1 ulp of
     # slack at the micro boundary (different summation orders)
     assert abs(out.rho_micro - math.floor(rho * 1_000_000)) <= 1
+
+
+def test_diff_in_diff_matches_pandas(spark, sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"])
+    li = li[li.l_shipdate.dt.year.isin([1995, 1996])]
+    li = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    li["treated"] = li.p_type.str.startswith("PROMO")
+    li["post"] = li.l_shipdate.dt.year == 1996
+    # HALF_UP like Spark's round(), not numpy's half-to-even
+    li["c"] = np.floor(li.l_extendedprice * (1 - li.l_discount) * 100
+                       + 0.5).astype("int64")
+
+    def m(tr, po):
+        g = li[(li.treated == tr) & (li.post == po)]
+        return g.c.sum() / len(g), len(g)
+
+    tpre, n_tp = m(True, False)
+    tpost, n_tq = m(True, True)
+    cpre, n_cp = m(False, False)
+    cpost, n_cq = m(False, True)
+    out = QUERIES["stats_diff_in_diff"](spark, sf_dir).collect()[0]
+    assert (out.n_t_pre, out.n_t_post, out.n_c_pre, out.n_c_post) \
+        == (n_tp, n_tq, n_cp, n_cq)
+    did = (tpost - tpre) - (cpost - cpre)
+    assert abs(out.did_millicents - math.floor(did * 1000)) <= 1
+    # the 2x2 identity: DiD reconstructs from the four reported means
+    # (up to the 4 independent floor-millicent quantizations)
+    recon = ((out.t_post_millicents - out.t_pre_millicents)
+             - (out.c_post_millicents - out.c_pre_millicents))
+    assert abs(recon - out.did_millicents) <= 4
+
+
+def test_cuped_reduces_variance_and_preserves_effect(spark, sf_dir):
+    out = {r.arm: r for r in
+           QUERIES["stats_cuped_adjustment"](spark, sf_dir).collect()}
+    assert set(out) == {0, 1}
+    r0, r1 = out[0], out[1]
+    # both arms share theta and the pooled variance-reduction share
+    assert r0.theta_micro == r1.theta_micro
+    assert r0.var_red_micro == r1.var_red_micro
+    assert 0 <= r0.var_red_micro <= 1_000_000
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type", "value"])
+    ev = ev[ev.event_type.isin(["view", "purchase", "click"])]
+    mid = pd.Timestamp("2024-01-16")
+    cents = (ev.value * 100).round().astype("int64")
+    pre = cents.where(ev.ts < mid, 0)
+    post = cents.where(ev.ts >= mid, 0)
+    pu = pd.DataFrame({"u": ev.user_id, "x": pre, "y": post}) \
+        .groupby("u").sum()
+    pu["arm"] = pu.index % 2
+    x, y = pu.x.astype("float64"), pu.y.astype("float64")
+    theta = (((x * y).sum() - x.sum() * y.sum() / len(pu))
+             / ((x * x).sum() - x.sum() ** 2 / len(pu)))
+    assert abs(r0.theta_micro - math.floor(theta * 1e6)) <= 1
+    for arm in (0, 1):
+        g = pu[pu.arm == arm]
+        raw = g.y.sum() / len(g)
+        adj = raw - theta * (g.x.sum() / len(g) - x.mean())
+        assert abs(out[arm].raw_millicents
+                   - math.floor(raw * 1000)) <= 1
+        assert abs(out[arm].cuped_millicents
+                   - math.floor(adj * 1000)) <= 1
