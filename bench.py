@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "stats_sprt_ab", "stats_bootstrap_ci",
     "stats_kendall_tau", "stats_spearman_rho",
     "stats_diff_in_diff", "stats_cuped_adjustment",
+    "stats_power_sample_size", "layout_zorder_pruning",
     # storage layout
     "layout_compaction_plan", "layout_bucketed_join",
     # batch 16

@@ -248,8 +248,182 @@ ORDER BY o_orderpriority
 """
 
 
+# ------------------------------------------------- z-order pruning --
+
+_Z_BITS = 8
+_DAY_LO, _DAY_HI = 8000.0, 10600.0   # unix-day bounds covering 1992-98
+_PK_BUCKETS = 1024                   # partkey hash-bucket dim (SF-free)
+_Z_PREDS = [("1995-03-01", 0, 127), ("1996-09-01", 256, 383),
+            ("1997-06-01", 512, 639), ("1998-02-01", 768, 895)]
+
+
+def _zq_sql(col: str, lo: float, hi: float) -> str:
+    span = hi - lo
+    return (f"least({(1 << _Z_BITS) - 1}, greatest(0, "
+            f"CAST(floor((CAST({col} AS DOUBLE) - {lo!r}) / {span!r} "
+            f"* {(1 << _Z_BITS) - 1}) AS BIGINT)))")
+
+
+def _interleave_sql(qx: str, qy: str) -> str:
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"((({qx} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({qy} >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+def layout_zorder_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-dimensional layout decision query: for (month × partkey-
+    bucket-range) predicates, the share of 4096-row chunks a zone-map
+    scan skips under a shipdate-SORTED layout vs a Z-ORDER layout over
+    (ship_day, partkey-bucket).
+
+    The single-column sort prunes the date dimension perfectly and the
+    partkey dimension not at all; Morton interleaving trades date
+    resolution for pruning on BOTH dims.  This is the DECISION query
+    behind `OPTIMIZE ZORDER BY`, and on this fixture it returns a
+    negative verdict: with ~150 chunks a month predicate is already
+    95%-selective under the plain sort, and the z-layout's coarser
+    date boxes lose more than its partkey boxes gain — exactly the
+    result the query exists to surface before a layout rewrite (the
+    z-order win regime — many chunks, balanced 2-D selectivity — is
+    proven at file level in test_layout).  Z-values are pure
+    shift/and/or (operators/layout.zvalue — codegen, no UDF) with the
+    IDENTICAL unrolled interleave in the oracle; bounds are fixed
+    literals (at scale they come from table stats, not a scan)."""
+    from storagetapper_spark.operators.layout import zvalue
+
+    li = (t(spark, sf, "lineitem")
+          .select("l_orderkey", "l_linenumber",
+                  F.unix_date(F.col("l_shipdate").cast("date"))
+                  .alias("day"),
+                  (F.col("l_partkey") % _PK_BUCKETS).alias("pkb")))
+    z = zvalue([F.col("day"), F.col("pkb")],
+               [(_DAY_LO, _DAY_HI), (0.0, float(_PK_BUCKETS - 1))],
+               bits=_Z_BITS)
+
+    def zones(order_cols, bucket):
+        from storagetapper_spark.operators.ranks import two_pass_rank
+
+        # bucket must be monotone in the LEADING sort key (the
+        # two_pass_rank contract) — one bucketing per layout
+        ranked = two_pass_rank(li.withColumn("z", z), order_cols, bucket)
+        return (ranked.select(
+            F.floor((F.col("_rank") - 1) / _CHUNK).alias("chunk"),
+            "day", "pkb")
+            .groupBy("chunk")
+            .agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"),
+                 F.min("pkb").alias("bmin"), F.max("pkb").alias("bmax")))
+
+    srt = zones([F.col("day"), F.col("l_orderkey"),
+                 F.col("l_linenumber")],
+                F.floor(F.col("day") / 64))
+    zord = zones([F.col("z"), F.col("l_orderkey"),
+                  F.col("l_linenumber")],
+                 F.shiftright(F.col("z"), 6))
+    preds = spark.createDataFrame(
+        [(m, b0, b1) for m, b0, b1 in _Z_PREDS],
+        "m string, b0 long, b1 long").select(
+        F.unix_date(F.col("m").cast("date")).alias("d0"),
+        F.unix_date(F.add_months(F.col("m").cast("date"), 1)).alias("d1"),
+        "b0", "b1", F.col("m").cast("date").alias("month"))
+
+    def sweep(zn, label):
+        miss = ((F.col("dmax") < F.col("d0"))
+                | (F.col("dmin") >= F.col("d1"))
+                | (F.col("bmax") < F.col("b0"))
+                | (F.col("bmin") > F.col("b1")))
+        return (zn.crossJoin(F.broadcast(preds))
+                .groupBy("month", "b0")
+                .agg(F.count(F.lit(1)).alias(f"n_chunks_{label}"),
+                     F.sum(F.when(miss, 1).otherwise(0))
+                     .alias(f"n_pruned_{label}")))
+
+    a = sweep(srt, "sorted")
+    b = sweep(zord, "zorder")
+    return (a.join(b, ["month", "b0"])
+            .select("month", "b0",
+                    "n_chunks_sorted", "n_pruned_sorted",
+                    "n_chunks_zorder", "n_pruned_zorder",
+                    F.floor(F.col("n_pruned_zorder") * 1000000
+                            / F.col("n_chunks_zorder")).cast("long")
+                    .alias("prune_zorder_micro"))
+            .orderBy("month"))
+
+
+_ZQX = _zq_sql("day", _DAY_LO, _DAY_HI)
+_ZQY = _zq_sql("pkb", 0.0, float(_PK_BUCKETS - 1))
+_ZPRED_SQL = ", ".join(f"(DATE '{m}', {b0}, {b1})"
+                       for m, b0, b1 in _Z_PREDS)
+
+ZORDER_SQL = f"""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         date_diff('day', DATE '1970-01-01',
+                   CAST(l_shipdate AS DATE)) AS day,
+         l_partkey % {_PK_BUCKETS} AS pkb
+  FROM lineitem
+),
+zl AS (
+  SELECT l_orderkey, l_linenumber, day, pkb,
+         {_interleave_sql(f"({_ZQX})", f"({_ZQY})")} AS z
+  FROM li
+),
+srt AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY day, l_orderkey,
+                                        l_linenumber) - 1)
+                    / {_CHUNK}) AS BIGINT) AS chunk, day, pkb
+  FROM zl
+),
+zord AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY z, l_orderkey,
+                                        l_linenumber) - 1)
+                    / {_CHUNK}) AS BIGINT) AS chunk, day, pkb
+  FROM zl
+),
+zs AS (SELECT chunk, min(day) AS dmin, max(day) AS dmax,
+              min(pkb) AS bmin, max(pkb) AS bmax
+       FROM srt GROUP BY chunk),
+zz AS (SELECT chunk, min(day) AS dmin, max(day) AS dmax,
+              min(pkb) AS bmin, max(pkb) AS bmax
+       FROM zord GROUP BY chunk),
+preds AS (
+  SELECT CAST(m AS DATE) AS month,
+         date_diff('day', DATE '1970-01-01', CAST(m AS DATE)) AS d0,
+         date_diff('day', DATE '1970-01-01',
+                   CAST(m AS DATE) + INTERVAL 1 MONTH) AS d1,
+         b0, b1
+  FROM (VALUES {_ZPRED_SQL}) AS v(m, b0, b1)
+),
+sa AS (
+  SELECT p.month, p.b0, count(*) AS n_chunks_sorted,
+         sum(CASE WHEN z.dmax < p.d0 OR z.dmin >= p.d1
+                    OR z.bmax < p.b0 OR z.bmin > p.b1
+                  THEN 1 ELSE 0 END) AS n_pruned_sorted
+  FROM zs z CROSS JOIN preds p GROUP BY 1, 2
+),
+sb AS (
+  SELECT p.month, p.b0, count(*) AS n_chunks_zorder,
+         sum(CASE WHEN z.dmax < p.d0 OR z.dmin >= p.d1
+                    OR z.bmax < p.b0 OR z.bmin > p.b1
+                  THEN 1 ELSE 0 END) AS n_pruned_zorder
+  FROM zz z CROSS JOIN preds p GROUP BY 1, 2
+)
+SELECT sa.month, sa.b0,
+       CAST(sa.n_chunks_sorted AS BIGINT) AS n_chunks_sorted,
+       CAST(sa.n_pruned_sorted AS BIGINT) AS n_pruned_sorted,
+       CAST(sb.n_chunks_zorder AS BIGINT) AS n_chunks_zorder,
+       CAST(sb.n_pruned_zorder AS BIGINT) AS n_pruned_zorder,
+       CAST(floor(sb.n_pruned_zorder * 1000000 / sb.n_chunks_zorder)
+            AS BIGINT) AS prune_zorder_micro
+FROM sa JOIN sb ON sb.month = sa.month AND sb.b0 = sa.b0
+ORDER BY sa.month
+"""
+
+
 QUERIES = {
     "layout_zone_map_pruning": (layout_zone_map_pruning, ZONE_MAP_SQL),
     "layout_compaction_plan": (layout_compaction_plan, COMPACTION_SQL),
     "layout_bucketed_join": (layout_bucketed_join, BUCKETED_JOIN_SQL),
+    "layout_zorder_pruning": (layout_zorder_pruning, ZORDER_SQL),
 }

@@ -926,12 +926,94 @@ ORDER BY arm
 """
 
 
+# Normal quantiles as literals (no libm/erf dependence):
+_Z_A2 = 1.959963984540054    # z_{0.975} — two-sided alpha = 0.05
+_Z_B = 0.8416212335729143    # z_{0.80} — power 80%
+_LIFTS_BP = [100, 200, 500]  # absolute lifts, basis points
+
+
+def stats_power_sample_size(spark: SparkSession, sf: str) -> DataFrame:
+    """Experiment power analysis: per-arm sample size required to
+    detect a +100/200/500 bp absolute lift over the observed purchase
+    rate at alpha=0.05 (two-sided), power 80% — the planning query run
+    before stats_sprt_ab/ab_test_conversion start collecting.
+
+    n = (z_{a/2}+z_b)²·(p₁q₁+p₂q₂)/δ² from TWO exact integers (trial
+    and success counts) and literal normal quantiles; reports whether
+    the CURRENT smaller arm is already powered for each lift."""
+    ev = (t(spark, sf, "events")
+          .filter(F.col("event_type").isin("view", "purchase")))
+    counts = ev.agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("s"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .alias("n_arm0"))
+    lifts = spark.createDataFrame([(bp,) for bp in _LIFTS_BP],
+                                  "lift_bp long")
+    j = lifts.crossJoin(F.broadcast(counts))
+    p1 = F.col("s").cast("double") / F.col("n").cast("double")
+    p2 = p1 + F.col("lift_bp").cast("double") / 10000.0
+    z = F.lit(_Z_A2 + _Z_B)
+    delta = F.col("lift_bp").cast("double") / 10000.0
+    req = F.ceil(z * z * (p1 * (1 - p1) + p2 * (1 - p2))
+                 / (delta * delta)).cast("long")
+    arm_min = F.least(F.col("n_arm0"), F.col("n") - F.col("n_arm0"))
+    return (j.select(
+        "lift_bp",
+        F.floor(p1 * 1000000.0).cast("long").alias("baseline_micro"),
+        req.alias("n_required_per_arm"),
+        arm_min.alias("n_current_min_arm"),
+        (arm_min >= req).alias("powered"))
+        .orderBy("lift_bp"))
+
+
+POWER_SQL = f"""
+WITH counts AS (
+  SELECT sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s,
+         count(*) AS n,
+         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_arm0
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+lifts AS (SELECT unnest([{", ".join(str(b) for b in _LIFTS_BP)}])
+            AS lift_bp)
+SELECT CAST(lift_bp AS BIGINT) AS lift_bp,
+       CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0)
+            AS BIGINT) AS baseline_micro,
+       CAST(ceil({_Z_A2 + _Z_B!r} * {_Z_A2 + _Z_B!r}
+                 * ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (1 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    + (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                       + CAST(lift_bp AS DOUBLE) / 10000.0)
+                      * (1 - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                              + CAST(lift_bp AS DOUBLE) / 10000.0)))
+                 / ((CAST(lift_bp AS DOUBLE) / 10000.0)
+                    * (CAST(lift_bp AS DOUBLE) / 10000.0)))
+            AS BIGINT) AS n_required_per_arm,
+       CAST(least(n_arm0, n - n_arm0) AS BIGINT) AS n_current_min_arm,
+       least(n_arm0, n - n_arm0)
+         >= ceil({_Z_A2 + _Z_B!r} * {_Z_A2 + _Z_B!r}
+                 * ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (1 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    + (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                       + CAST(lift_bp AS DOUBLE) / 10000.0)
+                      * (1 - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                              + CAST(lift_bp AS DOUBLE) / 10000.0)))
+                 / ((CAST(lift_bp AS DOUBLE) / 10000.0)
+                    * (CAST(lift_bp AS DOUBLE) / 10000.0)))
+         AS powered
+FROM lifts CROSS JOIN counts
+ORDER BY lift_bp
+"""
+
+
 QUERIES = {
     "stats_ks_two_sample": (stats_ks_two_sample, KS_SQL),
     "stats_kendall_tau": (stats_kendall_tau, KENDALL_SQL),
     "stats_spearman_rho": (stats_spearman_rho, SPEARMAN_SQL),
     "stats_diff_in_diff": (stats_diff_in_diff, DID_SQL),
     "stats_cuped_adjustment": (stats_cuped_adjustment, CUPED_SQL),
+    "stats_power_sample_size": (stats_power_sample_size, POWER_SQL),
     "stats_mann_whitney": (stats_mann_whitney, MW_SQL),
     "stats_chi_square": (stats_chi_square, CHI2_SQL),
     "stats_sprt_ab": (stats_sprt_ab, SPRT_SQL),

@@ -241,3 +241,25 @@ def test_cuped_reduces_variance_and_preserves_effect(spark, sf_dir):
                    - math.floor(raw * 1000)) <= 1
         assert abs(out[arm].cuped_millicents
                    - math.floor(adj * 1000)) <= 1
+
+
+def test_power_sample_size_formula(spark, sf_dir):
+    out = QUERIES["stats_power_sample_size"](spark, sf_dir).collect()
+    assert [r.lift_bp for r in out] == [100, 200, 500]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    ev = ev[ev.event_type.isin(["view", "purchase"])]
+    s = int((ev.event_type == "purchase").sum())
+    n = len(ev)
+    z = S._Z_A2 + S._Z_B
+    for r in out:
+        p1 = s / n
+        p2 = p1 + r.lift_bp / 10000.0
+        req = math.ceil(z * z * (p1 * (1 - p1) + p2 * (1 - p2))
+                        / (r.lift_bp / 10000.0) ** 2)
+        assert r.n_required_per_arm == req
+        assert r.baseline_micro == math.floor(p1 * 1e6)
+        assert r.powered == (r.n_current_min_arm >= req)
+    # bigger lifts need fewer samples
+    reqs = [r.n_required_per_arm for r in out]
+    assert reqs == sorted(reqs, reverse=True)
