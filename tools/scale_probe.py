@@ -108,10 +108,23 @@ def _amplify(spark, base: str, out: str) -> None:
     done_marker = os.path.join(out, "_AMPLIFIED")
     if os.path.exists(done_marker):
         return
-    small = ["region", "nation", "customer", "supplier", "part", "orders"]
+    small = ["region", "nation", "customer", "supplier", "part"]
     for t in small:
         spark.read.parquet(f"{base}/{t}.parquet") \
              .write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+
+    # orders amplify as a FACT: o_orderkey shifts in lockstep with
+    # lineitem's l_orderkey (joins stay aligned per copy); o_custkey is
+    # NOT shifted — customers stay dimension-sized and simply own 10x
+    # the orders, the realistic fact/dim growth asymmetry.
+    od = spark.read.parquet(f"{base}/orders.parquet")
+    ods = [od.withColumn("o_orderkey",
+                         F.col("o_orderkey") + F.lit(i * 100_000_000))
+           for i in range(COPIES)]
+    out_od = ods[0]
+    for p in ods[1:]:
+        out_od = out_od.unionByName(p)
+    out_od.write.mode("overwrite").parquet(f"{out}/orders.parquet")
 
     li = spark.read.parquet(f"{base}/lineitem.parquet")
     parts = [li.withColumn("l_orderkey",
