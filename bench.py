@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "stats_kendall_tau", "stats_spearman_rho",
     "stats_diff_in_diff", "stats_cuped_adjustment",
     "stats_power_sample_size", "layout_zorder_pruning",
+    "drift_ks_by_feature", "embedding_drift_mmd_linear",
     # storage layout
     "layout_compaction_plan", "layout_bucketed_join",
     # batch 16

@@ -101,3 +101,51 @@ def test_rolling_robust_anomaly_matches_pandas(spark):
     got = {int(k): (v.cents, v.med_x2, v.mad_x4) for k, v in got.items()}
     assert got == flagged
     assert len(out) > 0  # non-degenerate at the gate SF
+
+
+def test_drift_ks_by_feature_matches_numpy(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    out = {r.feat: r for r in
+           QUERIES["drift_ks_by_feature"](spark, sf_dir).collect()}
+    assert set(out) == {"quantity", "price_cents", "discount_pct"}
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_shipdate", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+    li = li[li.l_shipdate.dt.year.isin([1995, 1996])]
+    feats = {
+        "quantity": li.l_quantity.astype("int64"),
+        "price_cents": (li.l_extendedprice * 100).round().astype("int64"),
+        "discount_pct": (li.l_discount * 100).round().astype("int64"),
+    }
+    is_a = (li.l_shipdate.dt.year == 1995).values
+    for feat, v in feats.items():
+        a = np.sort(v.values[is_a])
+        b = np.sort(v.values[~is_a])
+        grid = np.unique(v.values)
+        fa = np.searchsorted(a, grid, side="right") / len(a)
+        fb = np.searchsorted(b, grid, side="right") / len(b)
+        d = np.abs(fa - fb).max()
+        r = out[feat]
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        assert r.ks_d_micro == math.floor(d * 1_000_000)
+
+
+def test_mmd_linear_matches_numpy(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    r = QUERIES["embedding_drift_mmd_linear"](spark, sf_dir).collect()[0]
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    x = np.floor(np.stack(pdf.embedding.values).astype("float64")
+                 * 1e6).astype("int64")
+    a = x[pdf.label.values == 0]
+    b = x[pdf.label.values != 0]
+    assert (r.n_label0, r.n_label1, r.n_dims) == (len(a), len(b), 64)
+    d = np.array([math.floor(a[:, j].sum() / len(a)
+                             - b[:, j].sum() / len(b))
+                  for j in range(64)], dtype="int64")
+    assert r.mmd2_micro2 == int((d * d).sum())
