@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "stats_diff_in_diff", "stats_cuped_adjustment",
     "stats_power_sample_size", "layout_zorder_pruning",
     "drift_ks_by_feature", "embedding_drift_mmd_linear",
+    "text_query_expansion_prf",
     # storage layout
     "layout_compaction_plan", "layout_bucketed_join",
     # batch 16

@@ -194,3 +194,128 @@ LIMIT {_COLL_TOPK}
 
 QUERIES["text_collocations_npmi"] = (text_collocations_npmi,
                                      COLLOCATIONS_SQL)
+
+
+# ------------------------------- pseudo-relevance feedback (PRF) ----
+
+_PRF_TOPK_TERMS = 8
+_PRF_MIN_LEN = 3
+
+
+def text_query_expansion_prf(spark: SparkSession, sf: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion: take the BM25 top-10
+    for {spark merge window} as the pseudo-relevant set R, then rank
+    candidate expansion terms by the Robertson offer weight
+    r·log(((r+0.5)(N−df−R+r+0.5)) / ((df−r+0.5)(R−r+0.5))) — the
+    classic RSJ relevance-weighting step of probabilistic IR.
+
+    The R set is deterministic cross-engine because every BM25 doc
+    score is an exact integer (per-term contributions micro-floored
+    before summing, ties broken by doc_id); r and df are exact
+    distinct-doc counts, and each term's weight is one IEEE expression
+    micro-floored.  Scale: stage 2 only touches postings of the 10
+    relevant docs (a broadcast semi-join), never the corpus."""
+    toks = _toks(spark, sf)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    nstats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("sum_dl"))
+    q = toks.filter(F.col("tok").isin(_QUERY_TERMS))
+    tf = q.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    j = (tf.join(F.broadcast(dfq), "tok")
+         .join(dl, "doc_id")
+         .crossJoin(F.broadcast(nstats)))
+    nd = F.col("n_docs").cast("double")
+    idf = F.log((nd - F.col("df").cast("double") + 0.5)
+                / (F.col("df").cast("double") + 0.5) + 1.0)
+    avgdl = F.col("sum_dl").cast("double") / nd
+    tfd = F.col("tf").cast("double")
+    denom = tfd + _K1 * (1.0 - _B + _B * F.col("dl").cast("double")
+                         / avgdl)
+    contrib = idf * tfd * (_K1 + 1.0) / denom
+    rel = (j.select("doc_id",
+                    F.floor(contrib * 1000000).cast("long").alias("c"))
+           .groupBy("doc_id").agg(F.sum("c").alias("s"))
+           .orderBy(F.desc("s"), "doc_id").limit(_BM25_TOPK)
+           .select("doc_id"))
+    # candidate terms: distinct (doc, tok) postings inside R
+    cand = (toks.join(F.broadcast(rel), "doc_id")
+            .filter(~F.col("tok").isin(_QUERY_TERMS)
+                    & (F.length("tok") >= _PRF_MIN_LEN))
+            .select("doc_id", "tok").distinct()
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("r")))
+    df_all = (toks.select("doc_id", "tok").distinct()
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    scored = (cand.join(df_all, "tok").crossJoin(F.broadcast(nstats)))
+    rr, dfd = F.col("r").cast("double"), F.col("df").cast("double")
+    big_r = float(_BM25_TOPK)
+    w = rr * F.log(((rr + 0.5)
+                    * (F.col("n_docs").cast("double") - dfd - big_r
+                       + rr + 0.5))
+                   / ((dfd - rr + 0.5) * (big_r - rr + 0.5)))
+    return (scored.select("tok", "r", "df",
+                          F.floor(w * 1000000).cast("long")
+                          .alias("offer_weight_micro"))
+            .orderBy(F.desc("offer_weight_micro"), "tok")
+            .limit(_PRF_TOPK_TERMS))
+
+
+PRF_SQL = f"""
+WITH {_TOKS_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nstats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+           FROM dl),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ({_QT_SQL}) GROUP BY 1, 2
+),
+dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln((CAST(n.n_docs AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5)
+              + 1.0)
+           * CAST(tf.tf AS DOUBLE) * ({_K1} + 1.0)
+           / (CAST(tf.tf AS DOUBLE)
+              + {_K1} * (1.0 - {_B} + {_B} * CAST(dl.dl AS DOUBLE)
+                         / (CAST(n.sum_dl AS DOUBLE)
+                            / CAST(n.n_docs AS DOUBLE))))
+           * 1000000) AS BIGINT) AS c
+  FROM tf JOIN dfq ON dfq.tok = tf.tok
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN nstats n
+),
+rel AS (
+  SELECT doc_id FROM scored GROUP BY doc_id
+  ORDER BY CAST(sum(c) AS BIGINT) DESC, doc_id LIMIT {_BM25_TOPK}
+),
+cand AS (
+  SELECT tok, count(*) AS r
+  FROM (SELECT DISTINCT t.doc_id, t.tok
+        FROM toks t JOIN rel USING (doc_id)
+        WHERE t.tok NOT IN ({_QT_SQL}) AND length(t.tok) >= {_PRF_MIN_LEN})
+  GROUP BY tok
+),
+df_all AS (
+  SELECT tok, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
+)
+SELECT c.tok, CAST(c.r AS BIGINT) AS r, CAST(d.df AS BIGINT) AS df,
+       CAST(floor(CAST(c.r AS DOUBLE)
+                  * ln(((CAST(c.r AS DOUBLE) + 0.5)
+                        * (CAST(n.n_docs AS DOUBLE)
+                           - CAST(d.df AS DOUBLE) - {_BM25_TOPK}.0
+                           + CAST(c.r AS DOUBLE) + 0.5))
+                       / ((CAST(d.df AS DOUBLE)
+                           - CAST(c.r AS DOUBLE) + 0.5)
+                          * ({_BM25_TOPK}.0
+                             - CAST(c.r AS DOUBLE) + 0.5)))
+                  * 1000000) AS BIGINT) AS offer_weight_micro
+FROM cand c JOIN df_all d USING (tok) CROSS JOIN nstats n
+ORDER BY offer_weight_micro DESC, c.tok
+LIMIT {_PRF_TOPK_TERMS}
+"""
+
+
+QUERIES["text_query_expansion_prf"] = (text_query_expansion_prf,
+                                       PRF_SQL)

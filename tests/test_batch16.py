@@ -149,3 +149,33 @@ def test_mmd_linear_matches_numpy(spark, sf_dir):
                              - b[:, j].sum() / len(b))
                   for j in range(64)], dtype="int64")
     assert r.mmd2_micro2 == int((d * d).sum())
+
+
+def test_prf_expansion_terms_are_relevant_set_terms(spark, sf_dir):
+    from storagetapper_spark.plans.textrank import (
+        _QUERY_TERMS, _PRF_MIN_LEN)
+
+    out = QUERIES["text_query_expansion_prf"](spark, sf_dir).collect()
+    assert 0 < len(out) <= 8
+    rel = {r.doc_id for r in
+           QUERIES["text_bm25_search"](spark, sf_dir).collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    import re
+    rel_toks = set()
+    all_df = {}
+    for _, row in docs.iterrows():
+        toks = set(re.sub(r"[^a-z0-9 ]", " ", row.text.lower()).split())
+        toks.discard("")
+        for tk in toks:
+            all_df[tk] = all_df.get(tk, 0) + 1
+        if row.doc_id in rel:
+            rel_toks |= toks
+    weights = [r.offer_weight_micro for r in out]
+    assert weights == sorted(weights, reverse=True)
+    for r in out:
+        assert r.tok in rel_toks            # candidates come from R
+        assert r.tok not in _QUERY_TERMS    # original terms excluded
+        assert len(r.tok) >= _PRF_MIN_LEN
+        assert 1 <= r.r <= 10
+        assert r.df == all_df[r.tok]        # df is corpus-wide
