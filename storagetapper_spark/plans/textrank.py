@@ -213,9 +213,13 @@ def text_query_expansion_prf(spark: SparkSession, sf: str) -> DataFrame:
     score is an exact integer (per-term contributions micro-floored
     before summing, ties broken by doc_id); r and df are exact
     distinct-doc counts, and each term's weight is one IEEE expression
-    micro-floored.  Scale: stage 2 only touches postings of the 10
-    relevant docs (a broadcast semi-join), never the corpus."""
-    toks = _toks(spark, sf)
+    micro-floored.  Scale: the shuffles are R-sized (candidate
+    postings prune through a broadcast semi-join before the df
+    distinct); the corpus cost is the tokenization scan, persisted so
+    the four consumers (dl, tf, cand, df) share ONE pass — at 100 TB
+    these are the postings/doclen INDEX tables, materialized once and
+    reused across every search, never rebuilt per query."""
+    toks = _toks(spark, sf).persist()
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     nstats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                     F.sum("dl").alias("sum_dl"))
@@ -244,7 +248,13 @@ def text_query_expansion_prf(spark: SparkSession, sf: str) -> DataFrame:
                     & (F.length("tok") >= _PRF_MIN_LEN))
             .select("doc_id", "tok").distinct()
             .groupBy("tok").agg(F.count(F.lit(1)).alias("r")))
-    df_all = (toks.select("doc_id", "tok").distinct()
+    # corpus df ONLY for candidate terms: the broadcast semi-join
+    # prunes the corpus-wide (doc, tok) distinct to R's vocabulary —
+    # without it the probe read 5.9x at 10x data (the pruned form is
+    # 1.0x: the scan is corpus-sized but the shuffle is R-sized)
+    df_all = (toks.join(F.broadcast(cand.select("tok")), "tok",
+                        "left_semi")
+              .select("doc_id", "tok").distinct()
               .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
     scored = (cand.join(df_all, "tok").crossJoin(F.broadcast(nstats)))
     rr, dfd = F.col("r").cast("double"), F.col("df").cast("double")
@@ -297,8 +307,10 @@ cand AS (
   GROUP BY tok
 ),
 df_all AS (
+  -- corpus df only for candidate terms (R's vocabulary)
   SELECT tok, count(*) AS df
-  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
+  FROM (SELECT DISTINCT doc_id, tok FROM toks
+        WHERE tok IN (SELECT tok FROM cand)) GROUP BY tok
 )
 SELECT c.tok, CAST(c.r AS BIGINT) AS r, CAST(d.df AS BIGINT) AS df,
        CAST(floor(CAST(c.r AS DOUBLE)

@@ -98,6 +98,13 @@ PROBES = [
     "embedding_pca_power_iteration",  # 3 integer-quantized matvec rounds
     "embedding_scatter_matrix",  # per-batch int64 GEMM partials
     "ts_rolling_robust_anomaly",  # offset-explode frame join (grid-sized)
+    "stats_kendall_tau",       # 2-D prefix sums on the value grid
+    "stats_cuped_adjustment",  # per-user moments + broadcast scalars
+    "layout_zorder_pruning",   # two-pass rank over the Morton order
+    "layout_bucketed_join",    # bucketed write + zero-exchange SMJ
+    "drift_ks_by_feature",     # 3-feature value-grid KS
+    "embedding_drift_mmd_linear",  # per-dim micro-moment diff
+    "text_query_expansion_prf",  # BM25 top-k + R-set posting join
 ]
 
 
