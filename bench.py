@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "stats_power_sample_size", "layout_zorder_pruning",
     "drift_ks_by_feature", "embedding_drift_mmd_linear",
     "text_query_expansion_prf",
+    "stats_welch_ttest", "ml_auc_roc",
     # storage layout
     "layout_compaction_plan", "layout_bucketed_join",
     # batch 16

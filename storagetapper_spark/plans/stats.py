@@ -1007,6 +1007,201 @@ ORDER BY lift_bp
 """
 
 
+def stats_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch's unequal-variance t-test: is PROMO parts' mean per-item
+    net revenue different from non-promo?  (The significance test next
+    to stats_diff_in_diff's effect estimate.)
+
+    Six exact integers (n, Σc, Σc² per group, cents in DECIMAL) feed
+    one double expression for t and the Welch–Satterthwaite dof —
+    identical both engines, micro-floored."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("tr"))
+    net = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                  * 100).cast("long")
+    base = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .select("tr", net.alias("c")))
+    g = (base.groupBy("tr")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"),
+              F.sum(F.col("c").cast(_DEC) * F.col("c").cast(_DEC))
+              .alias("ss")))
+    wide = g.agg(*[
+        F.sum(F.when(F.col("tr") == tv, F.col(col)).otherwise(0))
+        .alias(f"{col}{tag}")
+        for tv, tag in [(True, "1"), (False, "0")]
+        for col in ("n", "s", "ss")])
+
+    def stats_for(tag):
+        n = F.col(f"n{tag}").cast("double")
+        s = F.col(f"s{tag}").cast("double")
+        ss = F.col(f"ss{tag}").cast("double")
+        var = (ss - s * s / n) / (n - 1.0)
+        return n, s / n, var
+
+    n1, m1, v1 = stats_for("1")
+    n0, m0, v0 = stats_for("0")
+    se1, se0 = v1 / n1, v0 / n0
+    tstat = (m1 - m0) / F.sqrt(se1 + se0)
+    dof = ((se1 + se0) * (se1 + se0)
+           / (se1 * se1 / (n1 - 1.0) + se0 * se0 / (n0 - 1.0)))
+    return wide.select(
+        F.col("n1").alias("n_promo"), F.col("n0").alias("n_other"),
+        F.floor(m1 * 1000).cast("long").alias("mean_promo_millicents"),
+        F.floor(m0 * 1000).cast("long").alias("mean_other_millicents"),
+        F.floor(tstat * 1000000.0).cast("long").alias("t_micro"),
+        F.floor(dof * 1000.0).cast("long").alias("dof_milli"))
+
+
+WELCH_SQL = """
+WITH base AS (
+  SELECT p.p_type LIKE 'PROMO%' AS tr,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS c
+  FROM lineitem JOIN part p ON l_partkey = p.p_partkey
+),
+g AS (
+  SELECT tr, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+         sum(CAST(c AS HUGEINT) * c) AS ss
+  FROM base GROUP BY tr
+),
+wide AS (
+  SELECT sum(CASE WHEN tr THEN n ELSE 0 END) AS n1,
+         sum(CASE WHEN tr THEN s ELSE 0 END) AS s1,
+         sum(CASE WHEN tr THEN ss ELSE 0 END) AS ss1,
+         sum(CASE WHEN NOT tr THEN n ELSE 0 END) AS n0,
+         sum(CASE WHEN NOT tr THEN s ELSE 0 END) AS s0,
+         sum(CASE WHEN NOT tr THEN ss ELSE 0 END) AS ss0
+  FROM g
+)
+SELECT CAST(n1 AS BIGINT) AS n_promo, CAST(n0 AS BIGINT) AS n_other,
+       CAST(floor(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) * 1000)
+            AS BIGINT) AS mean_promo_millicents,
+       CAST(floor(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) * 1000)
+            AS BIGINT) AS mean_other_millicents,
+       CAST(floor((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                  / sqrt(((CAST(ss1 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                             / CAST(n1 AS DOUBLE))
+                          / (CAST(n1 AS DOUBLE) - 1.0))
+                         / CAST(n1 AS DOUBLE)
+                         + ((CAST(ss0 AS DOUBLE)
+                             - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                               / CAST(n0 AS DOUBLE))
+                            / (CAST(n0 AS DOUBLE) - 1.0))
+                           / CAST(n0 AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS t_micro,
+       CAST(floor(
+         (((CAST(ss1 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+              / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)
+           / CAST(n1 AS DOUBLE))
+          + ((CAST(ss0 AS DOUBLE)
+              - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0)
+             / CAST(n0 AS DOUBLE)))
+         * (((CAST(ss1 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)
+             / CAST(n1 AS DOUBLE))
+            + ((CAST(ss0 AS DOUBLE)
+                - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                  / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0)
+               / CAST(n0 AS DOUBLE)))
+         / ((((CAST(ss1 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)
+              / CAST(n1 AS DOUBLE))
+             * ((CAST(ss1 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)
+                / CAST(n1 AS DOUBLE))
+             / (CAST(n1 AS DOUBLE) - 1.0))
+            + (((CAST(ss0 AS DOUBLE)
+                 - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                   / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0)
+                / CAST(n0 AS DOUBLE))
+               * ((CAST(ss0 AS DOUBLE)
+                   - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                     / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0)
+                  / CAST(n0 AS DOUBLE))
+               / (CAST(n0 AS DOUBLE) - 1.0)))
+         * 1000.0) AS BIGINT) AS dof_milli
+FROM wide
+"""
+
+
+def ml_auc_roc(spark: SparkSession, sf: str) -> DataFrame:
+    """ROC-AUC of embedding dimension 0 as a scorer for label=1, via
+    the rank identity AUC = (R₁ − n₁(n₁+1)/2)/(n₁·n₀) with midranks on
+    the quantized score grid — the standard model-evaluation metric
+    computed with the Mann-Whitney machinery (exact integers until the
+    final division)."""
+    emb = t(spark, sf, "embeddings")
+    base = emb.select(
+        (F.col("label") == 1).alias("pos"),
+        F.floor(F.element_at("embedding", 1).cast("double") * 1000000)
+        .cast("long").alias("v"))
+    per_v = (base.groupBy("v")
+             .agg(F.sum(F.when(F.col("pos"), 1).otherwise(0))
+                  .alias("c_p"),
+                  F.count(F.lit(1)).alias("cnt")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    terms = per_v.select(
+        "c_p", "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("before"))
+    agg = terms.agg(
+        F.sum("c_p").alias("n_pos"),
+        (F.sum("cnt") - F.sum("c_p")).alias("n_neg"),
+        F.sum(F.col("c_p").cast(_DEC)
+              * (F.lit(2).cast(_DEC) * F.col("before").cast(_DEC)
+                 + F.col("cnt").cast(_DEC) + F.lit(1).cast(_DEC)))
+        .alias("r2"))
+    u2 = (F.col("r2") - F.col("n_pos").cast(_DEC)
+          * (F.col("n_pos").cast(_DEC) + F.lit(1).cast(_DEC)))
+    auc = (u2.cast("double") / 2.0
+           / (F.col("n_pos").cast("double")
+              * F.col("n_neg").cast("double")))
+    return agg.select("n_pos", "n_neg",
+                      F.floor(auc * 1000000.0).cast("long")
+                      .alias("auc_micro"))
+
+
+AUC_SQL = """
+WITH base AS (
+  SELECT label = 1 AS pos,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS v
+  FROM embeddings
+),
+per_v AS (
+  SELECT v, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_p,
+         count(*) AS cnt
+  FROM base GROUP BY v
+),
+terms AS (
+  SELECT c_p, cnt,
+         sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cnt
+           AS before
+  FROM per_v
+),
+agg AS (
+  SELECT sum(c_p) AS n_pos, sum(cnt) - sum(c_p) AS n_neg,
+         sum(CAST(c_p AS HUGEINT)
+             * (2 * CAST(before AS HUGEINT) + CAST(cnt AS HUGEINT) + 1))
+           AS r2
+  FROM terms
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(floor(CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)
+                       AS DOUBLE) / 2.0
+                  / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS auc_micro
+FROM agg
+"""
+
+
 QUERIES = {
     "stats_ks_two_sample": (stats_ks_two_sample, KS_SQL),
     "stats_kendall_tau": (stats_kendall_tau, KENDALL_SQL),
@@ -1014,6 +1209,8 @@ QUERIES = {
     "stats_diff_in_diff": (stats_diff_in_diff, DID_SQL),
     "stats_cuped_adjustment": (stats_cuped_adjustment, CUPED_SQL),
     "stats_power_sample_size": (stats_power_sample_size, POWER_SQL),
+    "stats_welch_ttest": (stats_welch_ttest, WELCH_SQL),
+    "ml_auc_roc": (ml_auc_roc, AUC_SQL),
     "stats_mann_whitney": (stats_mann_whitney, MW_SQL),
     "stats_chi_square": (stats_chi_square, CHI2_SQL),
     "stats_sprt_ab": (stats_sprt_ab, SPRT_SQL),

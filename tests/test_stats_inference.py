@@ -263,3 +263,40 @@ def test_power_sample_size_formula(spark, sf_dir):
     # bigger lifts need fewer samples
     reqs = [r.n_required_per_arm for r in out]
     assert reqs == sorted(reqs, reverse=True)
+
+
+def test_welch_ttest_matches_pandas(spark, sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"])
+    li = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    c = np.floor(li.l_extendedprice * (1 - li.l_discount) * 100
+                 + 0.5).astype("int64")
+    tr = li.p_type.str.startswith("PROMO").values
+    a, b = c[tr].astype("float64"), c[~tr].astype("float64")
+    v1, v0 = a.var(ddof=1), b.var(ddof=1)
+    se1, se0 = v1 / len(a), v0 / len(b)
+    tstat = (a.mean() - b.mean()) / math.sqrt(se1 + se0)
+    dof = (se1 + se0) ** 2 / (se1 ** 2 / (len(a) - 1)
+                              + se0 ** 2 / (len(b) - 1))
+    r = QUERIES["stats_welch_ttest"](spark, sf_dir).collect()[0]
+    assert (r.n_promo, r.n_other) == (len(a), len(b))
+    assert abs(r.t_micro - math.floor(tstat * 1e6)) <= 1
+    assert abs(r.dof_milli - math.floor(dof * 1e3)) <= 1
+
+
+def test_auc_matches_numpy_rank_formula(spark, sf_dir):
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    score = np.floor(np.stack(pdf.embedding.values)[:, 0]
+                     .astype("float64") * 1e6).astype("int64")
+    pos = (pdf.label.values == 1)
+    ranks = pd.Series(score).rank(method="average").values
+    r1 = ranks[pos].sum()
+    n1, n0 = int(pos.sum()), int((~pos).sum())
+    auc = (r1 - n1 * (n1 + 1) / 2) / (n1 * n0)
+    r = QUERIES["ml_auc_roc"](spark, sf_dir).collect()[0]
+    assert (r.n_pos, r.n_neg) == (n1, n0)
+    assert r.auc_micro == math.floor(auc * 1e6)
+    assert 0 <= r.auc_micro <= 1_000_000
