@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "drift_ks_by_feature", "embedding_drift_mmd_linear",
     "text_query_expansion_prf",
     "stats_welch_ttest", "ml_auc_roc",
+    "ml_calibration_ece", "ml_classification_metrics",
+    "sample_kfold_group_assign",
     # storage layout
     "layout_compaction_plan", "layout_bucketed_join",
     # batch 16

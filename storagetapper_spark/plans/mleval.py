@@ -1,0 +1,214 @@
+"""Model-evaluation batch: calibration (reliability bins + ECE),
+threshold confusion metrics, and group-integrity k-fold assignment —
+the evaluation layer next to ml_auc_roc's ranking metric.
+
+Exactness: scores quantize to micro-ints at the scan; per-bin
+confidences are exact integer sums; every cross-engine float is either
+a per-bin term floored BEFORE the final integer sum (ECE — the
+price_anova pattern) or one double expression over exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storagetapper_spark.plans.common import t
+
+_N_BINS = 10
+_KFOLDS = 5
+
+
+def _scored(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    return emb.select(
+        (F.col("label") == 1).alias("pos"),
+        F.floor(F.element_at("embedding", 1).cast("double") * 1000000)
+        .cast("long").alias("v"))
+
+
+def ml_calibration_ece(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability diagram + expected calibration error for the
+    min-max-normalized dim-0 scorer: 10 equi-width bins, per bin the
+    mean predicted confidence vs the observed positive rate, and
+    ECE = Σ_b (n_b/N)·|acc_b − conf_b| with per-bin terms floored to
+    integer micros before the (10-row) exact sum."""
+    base = _scored(spark, sf)
+    mm = base.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    j = base.crossJoin(F.broadcast(mm))
+    norm = ((F.col("v") - F.col("mn")).cast("double")
+            / (F.col("mx") - F.col("mn")).cast("double"))
+    binc = F.least(F.lit(_N_BINS - 1),
+                   F.floor(norm * _N_BINS).cast("int"))
+    nq = F.floor(norm * 1000000.0).cast("long")
+    bins = (j.select(binc.alias("bin"), nq.alias("nq"), "pos")
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("pos"), 1).otherwise(0))
+                 .alias("n_pos"),
+                 F.sum("nq").alias("sum_nq")))
+    tot = bins.agg(F.sum("n").alias("nn"))
+    conf = F.col("sum_nq").cast("double") / F.col("n").cast("double")
+    acc = (F.col("n_pos").cast("double") * 1000000.0
+           / F.col("n").cast("double"))
+    term = F.floor(F.col("n").cast("double")
+                   / F.col("nn").cast("double")
+                   * F.abs(acc - conf)).cast("long")
+    withe = (bins.crossJoin(F.broadcast(tot))
+             .select("bin", "n", "n_pos",
+                     F.floor(conf).cast("long").alias("conf_micro"),
+                     F.floor(acc).cast("long").alias("acc_micro"),
+                     term.alias("ece_term_micro")))
+    ece = withe.agg(F.sum("ece_term_micro").alias("ece_micro"))
+    return (withe.crossJoin(F.broadcast(ece))
+            .select("bin", "n", "n_pos", "conf_micro", "acc_micro",
+                    "ece_micro")
+            .orderBy("bin"))
+
+
+CALIBRATION_SQL = f"""
+WITH base AS (
+  SELECT label = 1 AS pos,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS v
+  FROM embeddings
+),
+mm AS (SELECT min(v) AS mn, max(v) AS mx FROM base),
+j AS (
+  SELECT least({_N_BINS - 1},
+               CAST(floor(CAST(v - mn AS DOUBLE)
+                          / CAST(mx - mn AS DOUBLE) * {_N_BINS})
+                    AS INTEGER)) AS bin,
+         CAST(floor(CAST(v - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+                    * 1000000.0) AS BIGINT) AS nq,
+         pos
+  FROM base CROSS JOIN mm
+),
+bins AS (
+  SELECT bin, count(*) AS n,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+         CAST(sum(nq) AS BIGINT) AS sum_nq
+  FROM j GROUP BY bin
+),
+tot AS (SELECT sum(n) AS nn FROM bins),
+withe AS (
+  SELECT bin, n, n_pos,
+         CAST(floor(CAST(sum_nq AS DOUBLE) / CAST(n AS DOUBLE))
+              AS BIGINT) AS conf_micro,
+         CAST(floor(CAST(n_pos AS DOUBLE) * 1000000.0
+                    / CAST(n AS DOUBLE)) AS BIGINT) AS acc_micro,
+         CAST(floor(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
+                    * abs(CAST(n_pos AS DOUBLE) * 1000000.0
+                          / CAST(n AS DOUBLE)
+                          - CAST(sum_nq AS DOUBLE) / CAST(n AS DOUBLE)))
+              AS BIGINT) AS ece_term_micro
+  FROM bins CROSS JOIN tot
+),
+ece AS (SELECT CAST(sum(ece_term_micro) AS BIGINT) AS ece_micro
+        FROM withe)
+SELECT CAST(bin AS INTEGER) AS bin, CAST(n AS BIGINT) AS n,
+       CAST(n_pos AS BIGINT) AS n_pos, conf_micro, acc_micro,
+       e.ece_micro
+FROM withe CROSS JOIN ece e
+ORDER BY bin
+"""
+
+
+def ml_classification_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Confusion matrix and precision/recall/F1 for the dim-0 scorer at
+    threshold 0 — four exact counts from one scan, three floored-micro
+    ratios (F1 computed as 2·tp/(2·tp+fp+fn), integer-composed)."""
+    base = _scored(spark, sf)
+    pred = F.col("v") >= 0
+    agg = base.agg(
+        F.sum(F.when(pred & F.col("pos"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(pred & ~F.col("pos"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~pred & F.col("pos"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~pred & ~F.col("pos"), 1).otherwise(0)).alias("tn"))
+    prec = (F.col("tp").cast("double") * 1000000.0
+            / (F.col("tp") + F.col("fp")).cast("double"))
+    rec = (F.col("tp").cast("double") * 1000000.0
+           / (F.col("tp") + F.col("fn")).cast("double"))
+    f1 = (2.0 * F.col("tp").cast("double") * 1000000.0
+          / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"))
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        F.floor(prec).cast("long").alias("precision_micro"),
+        F.floor(rec).cast("long").alias("recall_micro"),
+        F.floor(f1).cast("long").alias("f1_micro"))
+
+
+CLS_METRICS_SQL = """
+WITH base AS (
+  SELECT label = 1 AS pos,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS v
+  FROM embeddings
+),
+agg AS (
+  SELECT sum(CASE WHEN v >= 0 AND pos THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN v >= 0 AND NOT pos THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN v < 0 AND pos THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN v < 0 AND NOT pos THEN 1 ELSE 0 END) AS tn
+  FROM base
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       CAST(floor(CAST(tp AS DOUBLE) * 1000000.0
+                  / CAST(tp + fp AS DOUBLE)) AS BIGINT)
+         AS precision_micro,
+       CAST(floor(CAST(tp AS DOUBLE) * 1000000.0
+                  / CAST(tp + fn AS DOUBLE)) AS BIGINT)
+         AS recall_micro,
+       CAST(floor(2.0 * CAST(tp AS DOUBLE) * 1000000.0
+                  / CAST(2 * tp + fp + fn AS DOUBLE)) AS BIGINT)
+         AS f1_micro
+FROM agg
+"""
+
+
+def sample_kfold_group_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-integrity k-fold assignment for cross-validation: every
+    document's fold is md5(source-group) % k, so a GROUP never
+    straddles folds (the leakage rule of GroupKFold — same discipline
+    as sample_split_leakage_safe, keyed by source here).  Reports fold
+    sizes, group counts, and the positive-length share per fold."""
+    docs = t(spark, sf, "documents")
+    fold = (F.conv(F.substring(F.md5(F.col("source")), 1, 15), 16, 10)
+            .cast("decimal(19,0)") % _KFOLDS).cast("long")
+    per = (docs.select(fold.alias("fold"), "source", "n_chars")
+           .groupBy("fold")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.countDistinct("source").alias("n_groups"),
+                F.sum("n_chars").alias("n_chars")))
+    tot = per.agg(F.sum("n_docs").alias("nn"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("fold", "n_docs", "n_groups", "n_chars",
+                    F.floor(F.col("n_docs") * 1000000 / F.col("nn"))
+                    .cast("long").alias("share_micro"))
+            .orderBy("fold"))
+
+
+KFOLD_SQL = f"""
+WITH per AS (
+  SELECT CAST(CAST(('0x' || substring(md5(source), 1, 15)) AS BIGINT)
+              % {_KFOLDS} AS BIGINT) AS fold,
+         count(*) AS n_docs, count(DISTINCT source) AS n_groups,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n_docs) AS nn FROM per)
+SELECT fold, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_groups AS BIGINT) AS n_groups, n_chars,
+       CAST(floor(n_docs * 1000000 / nn) AS BIGINT) AS share_micro
+FROM per CROSS JOIN tot
+ORDER BY fold
+"""
+
+
+QUERIES = {
+    "ml_calibration_ece": (ml_calibration_ece, CALIBRATION_SQL),
+    "ml_classification_metrics": (ml_classification_metrics,
+                                  CLS_METRICS_SQL),
+    "sample_kfold_group_assign": (sample_kfold_group_assign, KFOLD_SQL),
+}
