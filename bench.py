@@ -130,7 +130,7 @@ BENCH_QUERIES = [
     "text_query_expansion_prf",
     "stats_welch_ttest", "ml_auc_roc",
     "ml_calibration_ece", "ml_classification_metrics",
-    "sample_kfold_group_assign",
+    "sample_kfold_group_assign", "ml_ndcg_at_k",
     # storage layout
     "layout_compaction_plan", "layout_bucketed_join",
     # batch 16

@@ -206,9 +206,95 @@ ORDER BY fold
 """
 
 
+_NDCG_K = 100
+
+
+def ml_ndcg_at_k(spark: SparkSession, sf: str) -> DataFrame:
+    """NDCG@100 of the dim-0 scorer with binary relevance (label=1):
+    DCG = Σ_{i≤k} rel_i/log₂(i+1) over the score-descending ranking
+    (ties broken by vec_id), IDCG the same sum over the ideal prefix.
+
+    Scale shape: the global sort materializes only k rows
+    (TakeOrderedAndProject), then rank positions and both discount
+    sums live on a 100-row frame; per-position discount terms are
+    floored to micros before the exact integer sum so the (tiny) sum
+    is still order-independent.  log₂ is evaluated identically on
+    equal integer inputs by both engines (one IEEE expression)."""
+    emb = t(spark, sf, "embeddings")
+    base = emb.select(
+        "vec_id", (F.col("label") == 1).alias("pos"),
+        F.floor(F.element_at("embedding", 1).cast("double") * 1000000)
+        .cast("long").alias("v"))
+    from pyspark.sql import Window
+
+    # global top-k materializes k rows (TakeOrderedAndProject); the
+    # rank window then runs on the 100-row frame only
+    ranked = (base.orderBy(F.desc("v"), "vec_id").limit(_NDCG_K)
+              .withColumn("rk", F.row_number().over(
+                  Window.orderBy(F.desc("v"), "vec_id"))))
+    disc = 1000000.0 / F.log2(F.col("rk").cast("double") + 1.0)
+    dcg = (ranked.agg(
+        F.sum(F.when(F.col("pos"), F.floor(disc).cast("long"))
+              .otherwise(0)).alias("dcg_micro"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("k_pos")))
+    n_pos = base.agg(
+        F.least(F.sum(F.when(F.col("pos"), 1).otherwise(0)),
+                F.lit(_NDCG_K)).alias("ideal_n"))
+    ideal = (spark.range(1, _NDCG_K + 1).toDF("rk")
+             .crossJoin(F.broadcast(n_pos))
+             .filter(F.col("rk") <= F.col("ideal_n"))
+             .agg(F.sum(F.floor(
+                 1000000.0 / F.log2(F.col("rk").cast("double") + 1.0))
+                 .cast("long")).alias("idcg_micro")))
+    ndcg = (F.col("dcg_micro").cast("double") * 1000000.0
+            / F.col("idcg_micro").cast("double"))
+    return (dcg.crossJoin(F.broadcast(ideal))
+            .select("k_pos", "dcg_micro", "idcg_micro",
+                    F.floor(ndcg).cast("long").alias("ndcg_micro")))
+
+
+NDCG_SQL = f"""
+WITH base AS (
+  SELECT vec_id, label = 1 AS pos,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS v
+  FROM embeddings
+),
+ranked AS (
+  SELECT pos, row_number() OVER (ORDER BY v DESC, vec_id) AS rk
+  FROM base ORDER BY v DESC, vec_id LIMIT {_NDCG_K}
+),
+dcg AS (
+  SELECT CAST(sum(CASE WHEN pos THEN CAST(floor(
+             1000000.0 / log2(CAST(rk AS DOUBLE) + 1.0)) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS dcg_micro,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS k_pos
+  FROM ranked
+),
+np AS (
+  SELECT least(sum(CASE WHEN pos THEN 1 ELSE 0 END), {_NDCG_K})
+           AS ideal_n
+  FROM base
+),
+ideal AS (
+  SELECT CAST(sum(CAST(floor(1000000.0
+             / log2(CAST(r.range + 1 AS DOUBLE) + 1.0)) AS BIGINT))
+           AS BIGINT) AS idcg_micro
+  FROM range({_NDCG_K}) r CROSS JOIN np
+  WHERE r.range + 1 <= np.ideal_n
+)
+SELECT CAST(d.k_pos AS BIGINT) AS k_pos, d.dcg_micro, i.idcg_micro,
+       CAST(floor(CAST(d.dcg_micro AS DOUBLE) * 1000000.0
+                  / CAST(i.idcg_micro AS DOUBLE)) AS BIGINT)
+         AS ndcg_micro
+FROM dcg d CROSS JOIN ideal i
+"""
+
+
 QUERIES = {
     "ml_calibration_ece": (ml_calibration_ece, CALIBRATION_SQL),
     "ml_classification_metrics": (ml_classification_metrics,
                                   CLS_METRICS_SQL),
     "sample_kfold_group_assign": (sample_kfold_group_assign, KFOLD_SQL),
+    "ml_ndcg_at_k": (ml_ndcg_at_k, NDCG_SQL),
 }

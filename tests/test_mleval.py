@@ -75,3 +75,23 @@ def test_kfold_groups_never_straddle_folds(spark, sf_dir):
     # every source appears in exactly one fold
     assert sum(r.n_groups for r in out) == docs.source.nunique()
     assert sum(r.n_docs for r in out) == len(docs)
+
+
+def test_ndcg_matches_numpy(spark, sf_dir):
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    v = np.floor(np.stack(pdf.embedding.values)[:, 0]
+                 .astype("float64") * 1e6).astype("int64")
+    pos = (pdf.label.values == 1)
+    order = np.lexsort((pdf.vec_id.values, -v))[:100]
+    rel = pos[order]
+    dcg = sum(math.floor(1e6 / math.log2(i + 2))
+              for i, r in enumerate(rel) if r)
+    ideal_n = min(int(pos.sum()), 100)
+    idcg = sum(math.floor(1e6 / math.log2(i + 2))
+               for i in range(ideal_n))
+    out = QUERIES["ml_ndcg_at_k"](spark, sf_dir).collect()[0]
+    assert out.k_pos == int(rel.sum())
+    assert out.dcg_micro == dcg
+    assert out.idcg_micro == idcg
+    assert out.ndcg_micro == math.floor(dcg * 1e6 / idcg)
+    assert 0 <= out.ndcg_micro <= 1_000_000
