@@ -215,9 +215,11 @@ def test_no_registry_query_windows_raw_data_in_one_task(spark, sf_dir):
     """Registry-wide closure of the r3 scale-killer class: NO query may
     run an unpartitioned Window (or WindowGroupLimit) directly over
     un-aggregated input — that is a single-task sort of the corpus at
-    100 TB.  Unpartitioned windows are allowed only above an Aggregate
-    (tiny bucket/offset tables).  The audit that motivated this found
-    exactly the three r3-flagged queries and nothing else."""
+    100 TB.  Unpartitioned windows are allowed only above a row-bounded
+    child: an Aggregate (tiny bucket/offset tables) or a GlobalLimit
+    (top-k frames, e.g. ml_ndcg_at_k ranks inside its LIMIT-100
+    TakeOrdered output).  The audit that motivated this found exactly
+    the three r3-flagged queries and nothing else."""
     offenders = {}
     for name, fn in QUERIES.items():
         root = fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
@@ -228,10 +230,12 @@ def test_no_registry_query_windows_raw_data_in_one_task(spark, sf_dir):
                 continue
             if not node.partitionSpec().isEmpty():
                 continue
-            has_agg_below = any(
+            has_bounded_below = any(
                 "Aggregate" in d.getClass().getSimpleName()
+                or "Limit" in d.getClass().getSimpleName()
+                or "TakeOrdered" in d.getClass().getSimpleName()
                 for d in _walk_physical(node.children().apply(0)))
-            if not has_agg_below:
+            if not has_bounded_below:
                 hits.append(node.getClass().getSimpleName())
         if hits:
             offenders[name] = hits
