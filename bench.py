@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "stats_welch_ttest", "ml_auc_roc",
     "ml_calibration_ece", "ml_classification_metrics",
     "sample_kfold_group_assign", "ml_ndcg_at_k",
+    "ml_mcc", "profile_tukey_fences",
     # storage layout
     "layout_compaction_plan", "layout_bucketed_join",
     # batch 16

@@ -298,3 +298,59 @@ QUERIES = {
     "sample_kfold_group_assign": (sample_kfold_group_assign, KFOLD_SQL),
     "ml_ndcg_at_k": (ml_ndcg_at_k, NDCG_SQL),
 }
+
+
+def ml_mcc(spark: SparkSession, sf: str) -> DataFrame:
+    """Matthews correlation coefficient for the threshold-0 dim-0
+    classifier: MCC = (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+    — the class-imbalance-robust single-number summary next to
+    ml_classification_metrics' P/R/F1, from the same four exact
+    counts (numerator in DECIMAL, one double division)."""
+    base = _scored(spark, sf)
+    pred = F.col("v") >= 0
+    agg = base.agg(
+        F.sum(F.when(pred & F.col("pos"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(pred & ~F.col("pos"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~pred & F.col("pos"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~pred & ~F.col("pos"), 1).otherwise(0)).alias("tn"))
+    d = "decimal(19,0)"
+    num = (F.col("tp").cast(d) * F.col("tn").cast(d)
+           - F.col("fp").cast(d) * F.col("fn").cast(d))
+    den = F.sqrt((F.col("tp") + F.col("fp")).cast("double")
+                 * (F.col("tp") + F.col("fn")).cast("double")
+                 * (F.col("tn") + F.col("fp")).cast("double")
+                 * (F.col("tn") + F.col("fn")).cast("double"))
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        F.floor(num.cast("double") / den * 1000000.0).cast("long")
+        .alias("mcc_micro"))
+
+
+MCC_SQL = """
+WITH base AS (
+  SELECT label = 1 AS pos,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS v
+  FROM embeddings
+),
+agg AS (
+  SELECT sum(CASE WHEN v >= 0 AND pos THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN v >= 0 AND NOT pos THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN v < 0 AND pos THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN v < 0 AND NOT pos THEN 1 ELSE 0 END) AS tn
+  FROM base
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       CAST(floor(CAST(CAST(tp AS HUGEINT) * tn
+                       - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+                  / sqrt(CAST(tp + fp AS DOUBLE)
+                         * CAST(tp + fn AS DOUBLE)
+                         * CAST(tn + fp AS DOUBLE)
+                         * CAST(tn + fn AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS mcc_micro
+FROM agg
+"""
+
+
+QUERIES["ml_mcc"] = (ml_mcc, MCC_SQL)

@@ -118,7 +118,58 @@ ORDER BY c_mktsegment
 """
 
 
+def profile_tukey_fences(spark: SparkSession, sf: str) -> DataFrame:
+    """Tukey-fence outlier profiling per brand: quartiles of retail
+    price cents (exact interpolated percentiles — identical (n−1)·p
+    arithmetic both engines), fences at Q1−1.5·IQR / Q3+1.5·IQR, and
+    the count outside.  Quartiles of integer cents land on quarter
+    grid points, so they ride ×4 as exact ints and the fence compare
+    is pure integers (cents×16 vs fence in ×16 units)."""
+    p = t(spark, sf, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    base = p.select(F.col("p_brand").alias("brand"), cents.alias("c"))
+    q = (base.groupBy("brand")
+         .agg(F.count(F.lit(1)).alias("n"),
+              (F.percentile("c", F.lit(0.25)) * 4).cast("long")
+              .alias("q1_x4"),
+              (F.percentile("c", F.lit(0.75)) * 4).cast("long")
+              .alias("q3_x4")))
+    lo = 4 * F.col("q1_x4") - 6 * (F.col("q3_x4") - F.col("q1_x4"))
+    hi = 4 * F.col("q3_x4") + 6 * (F.col("q3_x4") - F.col("q1_x4"))
+    j = base.join(F.broadcast(q), "brand")
+    return (j.groupBy("brand", "n", "q1_x4", "q3_x4")
+            .agg(F.sum(F.when((16 * F.col("c") < lo)
+                              | (16 * F.col("c") > hi), 1)
+                       .otherwise(0)).alias("n_outliers"))
+            .orderBy("brand"))
+
+
+TUKEY_SQL = """
+WITH base AS (
+  SELECT p_brand AS brand,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS c
+  FROM part
+),
+q AS (
+  SELECT brand, count(*) AS n,
+         CAST(quantile_cont(c, 0.25) * 4 AS BIGINT) AS q1_x4,
+         CAST(quantile_cont(c, 0.75) * 4 AS BIGINT) AS q3_x4
+  FROM base GROUP BY brand
+)
+SELECT b.brand, q.n, q.q1_x4, q.q3_x4,
+       CAST(sum(CASE WHEN 16 * b.c < 4 * q.q1_x4
+                                      - 6 * (q.q3_x4 - q.q1_x4)
+                       OR 16 * b.c > 4 * q.q3_x4
+                                      + 6 * (q.q3_x4 - q.q1_x4)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM base b JOIN q USING (brand)
+GROUP BY b.brand, q.n, q.q1_x4, q.q3_x4
+ORDER BY b.brand
+"""
+
+
 QUERIES = {
     "interval_union_coverage": (interval_union_coverage,
                                 INTERVAL_UNION_SQL),
+    "profile_tukey_fences": (profile_tukey_fences, TUKEY_SQL),
 }

@@ -95,3 +95,38 @@ def test_ndcg_matches_numpy(spark, sf_dir):
     assert out.idcg_micro == idcg
     assert out.ndcg_micro == math.floor(dcg * 1e6 / idcg)
     assert 0 <= out.ndcg_micro <= 1_000_000
+
+
+def test_mcc_matches_numpy(spark, sf_dir):
+    r = QUERIES["ml_mcc"](spark, sf_dir).collect()[0]
+    v, pos = _scores_labels(sf_dir)
+    pred = v >= 0
+    tp = int((pred & pos).sum())
+    fp = int((pred & ~pos).sum())
+    fn = int((~pred & pos).sum())
+    tn = int((~pred & ~pos).sum())
+    assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+    mcc = ((tp * tn - fp * fn)
+           / math.sqrt(float((tp + fp) * (tp + fn)
+                             * (tn + fp) * (tn + fn))))
+    assert r.mcc_micro == math.floor(mcc * 1e6)
+    assert -1_000_000 <= r.mcc_micro <= 1_000_000
+
+
+def test_tukey_fences_match_numpy(spark, sf_dir):
+    out = {r.brand: r for r in
+           QUERIES["profile_tukey_fences"](spark, sf_dir).collect()}
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_brand", "p_retailprice"])
+    part["c"] = (part.p_retailprice * 100).round().astype("int64")
+    for brand, g in part.groupby("p_brand"):
+        q1 = float(np.percentile(g.c.values, 25, method="linear"))
+        q3 = float(np.percentile(g.c.values, 75, method="linear"))
+        iqr = q3 - q1
+        n_out = int(((g.c < q1 - 1.5 * iqr)
+                     | (g.c > q3 + 1.5 * iqr)).sum())
+        r = out[brand]
+        assert r.n == len(g)
+        assert r.q1_x4 == int(round(q1 * 4))
+        assert r.q3_x4 == int(round(q3 * 4))
+        assert r.n_outliers == n_out
