@@ -75,43 +75,41 @@ for mod in (relational, relational2, relational3, relational4, relational5,
 # text surface) plus the 3 queries whose oracles were fixed this round
 # into the window.  Previously-green queries keep their recorded rows.
 _CHECK_FIRST = [
-    # Round-5 window: 50 of the 61 queries that had no driver CORRECTNESS
-    # row after r1-r4 (147/208 witnessed, all green — VERDICT r4 #1).
-    # Leads with the families the judge named (Debezium, semantic dedup,
-    # asof/range join, funnel/retention, CDC audit).  The 11 deferred to
-    # round 6 are all variants of already-witnessed exact forms: the 7
-    # *_tpr/*_approx percentile twins (exact siblings green r4 via
-    # agg_percentiles) plus rollup_two_level (grouping-sets machinery
-    # green 3x: agg_rollup/agg_cube/grouping_sets), seasonality_month
-    # (same plan as seasonality_weekday modulo date_part),
-    # cycle_time_percentiles and winsorized_prices (the two-pass-rank /
-    # percentile-clamp path witnessed via agg_percentiles +
-    # price_outliers_mad in this window).
-    # CDC / changelog surface
-    "cdc_debezium_normalize", "cdc_table_checksum", "cdc_seqno_gaps",
-    "cdc_scd2_bitemporal",
-    # semantic dedup + leakage-safe assembly (the r4-local-green chain)
-    "dedup_semantic", "dedup_semantic_incr", "sample_split_leakage_safe",
-    "dedup_minhash_calibration", "text_dup_ngram_fraction",
-    "embedding_drift_cells",
-    # temporal joins + event analytics
-    "asof_state_at_event", "range_join_follow_events",
-    "funnel_view_click_purchase", "retention_cohorts", "conversion_latency",
-    "session_paths", "event_transitions", "activity_streaks",
-    "rolling_distinct_users", "feed_freshness",
-    # time-series statistics
-    "time_weighted_avg", "gapfill_daily_locf", "anomaly_daily_counts",
-    "anomaly_cusum", "ewma_daily_counts", "forecast_holt",
-    "seasonality_weekday", "wow_movers", "slo_burn_rate", "drift_psi",
-    # distribution / robust statistics
-    "price_outliers_mad", "gini_revenue",
-    "benford_digits", "profile_entropy", "agg_regression",
-    "agg_decimal_exact", "cohort_ltv", "repeat_purchase_intervals",
-    # business analytics
-    "market_basket_rules", "market_concentration_hhi", "abc_classification",
-    "pareto_frontier_parts", "audience_overlap", "ab_test_conversion",
-    "discount_effectiveness", "overlapping_orders", "single_source_parts",
-    "integrity_audit", "fuzzy_match_parts", "hybrid_search_rrf",
+    # Round-6 window: 50 of the 123 queries that had no driver CORRECTNESS
+    # row after r1-r5 (197/320 witnessed, all green — VERDICT r5 #1).
+    # Staged per ROADMAP's backlog recipe: the round-5 third-session batch
+    # the r5 window couldn't fit first, then the second-session corpus
+    # batch, then the fourth-session sketch/graph/profiling/corpus/
+    # embedding families.  The 73 deferred to round 7 are the
+    # *_approx/*_tpr percentile twins + same-plan siblings (exact forms
+    # long green), the fifth-session stats_/layout_/pca/drift families,
+    # and the ts/ml/product-analytics remainder — all local-green at 3 SFs
+    # (CHECK_ALL.json) and independently spot-verified by the r5 judge.
+    # third-session batch: joins / asof / BPE / curation / profiling
+    "join_bloom_pruned", "join_salted_skew", "text_pii_redact",
+    "asof_state_tolerance", "asof_forward_next_purchase",
+    "tokenizer_bpe_merge_step", "tokenizer_bpe_train", "tokenizer_bpe_encode",
+    "sample_importance_weights", "curation_funnel", "sample_pack_contiguous",
+    "ann_truncation_recall", "lang_confusion", "dq_expectations",
+    "profile_key_skew", "ts_similarity_search", "ts_discord_detection",
+    "corpus_source_report", "sample_weighted_aes", "sample_temperature_draw",
+    # second-session corpus-analysis batch
+    "text_repeated_passages", "tokenizer_pair_counts", "text_idf_stopwords",
+    "sample_temperature_mix", "dedup_lsh_verified", "corpus_budget_cut",
+    "sample_shuffle_shard", "sample_pack_sequences",
+    # fourth-session graph + CDC-monitoring batch
+    "graph_jaccard_link_prediction", "graph_ra_link_prediction",
+    "graph_bfs_distance", "graph_degree_assortativity", "graph_kcore",
+    "cdc_out_of_order_rate", "cdc_key_churn_histogram",
+    # fourth-session sketches + retrieval
+    "sketch_theta_intersection", "sketch_cms_heavy_hitters", "sketch_ams_f2",
+    "text_bm25_search", "text_collocations_npmi",
+    # fourth-session profiling + corpus statistics
+    "profile_correlation_matrix", "profile_pmi_categories", "text_zipf_fit",
+    "text_ngram_novelty", "corpus_growth_curve", "text_js_divergence",
+    "text_diversity",
+    # fourth-session embedding diagnostics + ANN
+    "ann_range_search", "embedding_dim_stats", "embedding_outlier_zscore",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 assert all(n in _ALL for n in _CHECK_FIRST), "unknown name in _CHECK_FIRST"
