@@ -97,7 +97,17 @@ def bloom_prune_join(probe: DataFrame, build: DataFrame, probe_key: str,
 
     Size m_bits ≈ 10 × expected distinct build keys for ~2% fpp at
     k = 4; the bitmap costs m_bits/8 bytes on every task, so 2²⁰ bits
-    (128 KiB) covers ~10⁷ keys comfortably."""
+    (128 KiB) covers ~10⁷ keys comfortably.
+
+    Only inner-flavored joins are exact under pre-filter pruning: an
+    outer/anti ``how`` would need the dropped probe rows (they join to
+    NULL / survive the anti), so those are rejected rather than
+    silently losing rows."""
+    if how not in ("inner", "left_semi", "leftsemi", "semi"):
+        raise ValueError(
+            f"bloom_prune_join: how={how!r} is not exact under probe-side "
+            "pruning (pruned rows would be needed for outer/anti output); "
+            "use 'inner' or 'left_semi'")
     words = bloom_build(build, build_key, m_bits=m_bits, k=k)
     pruned = probe.filter(bloom_might_contain(probe_key, words, k=k))
     return pruned.join(build, pruned[probe_key] == build[build_key], how)

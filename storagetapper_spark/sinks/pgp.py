@@ -41,8 +41,10 @@ def _s2k_derive(passphrase: bytes, salt: bytes,
                 count_octet: int = _DEFAULT_COUNT_OCTET) -> bytes:
     """Iterated+salted S2K (RFC 4880 §3.7.1.3) with SHA-256 → 32-byte
     AES-256 key (single hash context: digest size == key size)."""
-    total = _s2k_count(count_octet)
     block = salt + passphrase
+    # §3.7.1.3: hash at least the full salt+passphrase once even when
+    # the iteration count is smaller than the block
+    total = max(_s2k_count(count_octet), len(block))
     h = hashlib.sha256()
     full, rem = divmod(total, len(block))
     h.update(block * full)
@@ -162,8 +164,9 @@ def decrypt_pgp_symmetric(blob: bytes, passphrase: str) -> bytes:
             if halg == _SHA256:
                 key = _s2k_derive(passphrase.encode(), salt, cnt)
             elif halg == 2:            # SHA-1: stretch to 32 bytes (§3.7.1.1)
-                total = _s2k_count(cnt)
                 block = salt + passphrase.encode()
+                # §3.7.1.3 clamp: never hash less than one full block
+                total = max(_s2k_count(cnt), len(block))
                 out = b""
                 for pre in range(2):   # two contexts, zero-preloaded
                     h = hashlib.sha1(b"\x00" * pre)

@@ -121,9 +121,20 @@ def parse_debezium(df: DataFrame, table_schema: T.StructType,
             F.regexp_extract(F.col("_env.source.file"), r"(\d+)$", 1)
              .cast("long"),
             F.lit(0))
+        # A null pos with seqno_from_ts=False would produce a NULL seqno
+        # that silently sorts last in latest_state's ORDER BY seqno DESC
+        # (the row always loses winner selection) — fail loudly instead
+        # so a feed with sporadically missing pos is surfaced, not
+        # silently state-corrupting.  Feeds without pos must opt into
+        # seqno_from_ts=True.
+        pos = F.col("_env.source.pos")
         seqno = F.when(
-            F.col("_env.source.pos").isNotNull(),
-            F.shiftleft(file_idx, 40) + F.col("_env.source.pos"))
+            pos.isNotNull(), F.shiftleft(file_idx, 40) + pos
+        ).otherwise(F.raise_error(F.concat(
+            F.lit("debezium_normalize: null source.pos with "
+                  "seqno_from_ts=False (row would get NULL seqno and "
+                  "always lose latest-state ordering); op="),
+            F.coalesce(F.col("_env.op"), F.lit("?")))))
     return (out.where(F.col("_op").isNotNull())
             .select(
                 *cols,

@@ -34,9 +34,10 @@ def ingest_batch(spark: SparkSession, batch: DataFrame, batch_id: int,
                  state_dir: str) -> None:
     """Write this batch's CMS cell-count delta (idempotent per id)."""
     delta = _batch_cells(batch)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # per-write dynamic overwrite — never mutate the session conf
     (delta.withColumn("_batch", F.lit(batch_id))
           .write.mode("overwrite").partitionBy("_batch")
+          .option("partitionOverwriteMode", "dynamic")
           .parquet(state_dir))
 
 

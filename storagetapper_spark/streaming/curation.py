@@ -87,12 +87,14 @@ def curate_batch(spark: SparkSession, batch: DataFrame, batch_id: int,
     fresh = fresh.localCheckpoint(eager=True)  # pin BEFORE state writes
     n_fresh = fresh.count()
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # per-write dynamic overwrite — never mutate the session conf
     (fresh.withColumn("_batch", F.lit(batch_id))
           .write.mode("overwrite").partitionBy("_batch")
+          .option("partitionOverwriteMode", "dynamic")
           .parquet(f"{root}/curated"))
     (fresh.select("h").withColumn("_batch", F.lit(batch_id))
           .write.mode("overwrite").partitionBy("_batch")
+          .option("partitionOverwriteMode", "dynamic")
           .parquet(hashes_path))
     return {"batch_id": batch_id, "n_in": n_in, "n_gated": n_gated,
             "n_accepted": n_fresh}

@@ -43,9 +43,10 @@ def ingest_batch(spark: SparkSession, batch: DataFrame, batch_id: int,
     delta = ex.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("d_raw"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("d_tgt"))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # per-write dynamic overwrite — never mutate the session conf
     (delta.withColumn("_batch", F.lit(batch_id))
           .write.mode("overwrite").partitionBy("_batch")
+          .option("partitionOverwriteMode", "dynamic")
           .parquet(state_dir))
 
 

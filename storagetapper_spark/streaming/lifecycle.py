@@ -33,9 +33,10 @@ def ingest_batch(spark: SparkSession, batch: DataFrame, batch_id: int,
     pres = (batch.select("user_id",
                          F.col("ts").cast("date").alias("day"))
             .distinct())
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # per-write dynamic overwrite — never mutate the session conf
     (pres.withColumn("_batch", F.lit(batch_id))
          .write.mode("overwrite").partitionBy("_batch")
+         .option("partitionOverwriteMode", "dynamic")
          .parquet(state_dir))
 
 

@@ -93,3 +93,17 @@ def test_bloom_properties_fuzz(spark):
         assert len(words) == m_bits // 64
         missed = build.filter(~bloom_might_contain("k", words, k=k)).count()
         assert missed == 0, (m_bits, k)
+
+
+def test_outer_how_rejected(spark):
+    """Pre-filter pruning is only exact for inner/semi joins: an outer
+    'how' would need the pruned probe rows (they join to NULL), so the
+    operator refuses rather than silently dropping them (ADVICE r5)."""
+    import pytest
+
+    a = spark.createDataFrame([(1,), (2,)], "k long")
+    b = spark.createDataFrame([(1,)], "j long")
+    for how in ("left", "left_outer", "full", "left_anti", "right"):
+        with pytest.raises(ValueError, match="not exact"):
+            bloom_prune_join(a, b, "k", "j", how=how)
+    assert bloom_prune_join(a, b, "k", "j", how="left_semi").count() == 1

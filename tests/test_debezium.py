@@ -5,6 +5,7 @@ and its composition with decompose_updates — the reference op mapping
 
 import json
 
+import pytest
 from pyspark.sql import types as T
 
 from storagetapper_spark.sources.changelog import decompose_updates
@@ -102,15 +103,16 @@ def test_parse_debezium_composite_pk_no_collision(spark):
 
 def test_parse_debezium_posless_feed_opt_in_ts(spark):
     """A connector that emits no source position must opt in to ts_ms
-    seqnos explicitly; by default posless rows get NULL seqno rather
-    than a silently incomparable wall-clock value."""
+    seqnos explicitly; by default a posless row RAISES rather than
+    getting a NULL seqno that silently always loses latest-state
+    winner selection (ADVICE r5)."""
     env = {"before": None, "after": {"id": 9, "name": "x", "balance": 0.0},
            "op": "c", "ts_ms": 1700000000000,
            "source": {"gtid": None, "file": None, "pos": None,
                       "db": "d", "table": "t"}}
     feed = spark.createDataFrame([(json.dumps(env),)], "value string")
-    assert parse_debezium(feed, TABLE, pk_cols=["id"]) \
-        .collect()[0].seqno is None
+    with pytest.raises(Exception, match="null source.pos"):
+        parse_debezium(feed, TABLE, pk_cols=["id"]).collect()
     assert parse_debezium(feed, TABLE, pk_cols=["id"],
                           seqno_from_ts=True) \
         .collect()[0].seqno == 1700000000000

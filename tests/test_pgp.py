@@ -86,3 +86,25 @@ def test_distributed_pgp_pass_is_gpg_compatible(spark, tmp_path):
     r = _gpg(["-o", str(out), "--decrypt", encrypted[0]])
     assert r.returncode == 0, r.stderr.decode()
     assert gzip.decompress(out.read_bytes()) == payload
+
+
+def test_s2k_small_count_clamps_to_full_block():
+    """RFC 4880 §3.7.1.3: at least the full salt+passphrase is hashed
+    even when the S2K count is smaller than the block (ADVICE r5) —
+    a foreign message with a tiny count + long passphrase must derive
+    the same key gpg would."""
+    import hashlib
+
+    from storagetapper_spark.sinks.pgp import _s2k_count, _s2k_derive
+
+    salt = bytes(range(8))
+    long_pw = b"p" * 4096                      # block 4104 > count(0)=1024
+    assert _s2k_count(0) < len(salt + long_pw)
+    assert _s2k_derive(long_pw, salt, 0) == \
+        hashlib.sha256(salt + long_pw).digest()
+    # and an unclamped count still hashes exactly `count` octets
+    block = salt + b"pw"
+    total = _s2k_count(0)
+    full, rem = divmod(total, len(block))
+    assert _s2k_derive(b"pw", salt, 0) == \
+        hashlib.sha256(block * full + block[:rem]).digest()
