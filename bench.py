@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     # in-engine PCA
     "embedding_pca_power_iteration", "embedding_scatter_matrix",
     "ts_rolling_robust_anomaly",
+    # round 6
+    "graph_jaccard_link_prediction_capped",
 ]
 
 
