@@ -288,33 +288,66 @@ def stats_sprt_ab(spark: SparkSession, sf: str) -> DataFrame:
     counts s, f — one fused multiply-free double expression, identical
     across engines.  Batch form of the production 2-counters-per-arm
     streaming state (the sequential test's whole point is that the
-    crossing decision needs only those counters)."""
+    crossing decision needs only those counters).
+
+    Row bound (VERDICT r5 #5): the per-trial walk is TWO-PASS, never
+    one per-arm partition over all trials.  Pass 1 aggregates exact
+    (s, f) per (arm, day) — map-side-combined — and cascades per-day
+    offsets with an arm-partitioned window over the DAY table
+    (calendar-bounded: ≤ #days rows per arm).  Pass 2 walks trials in
+    partitions keyed by (arm, day) — bounded by one day's trial volume
+    — seeded by the day offset, producing the identical cumulative
+    (s, f) path (exact integer adds are associative).  First-crossing
+    selection is the same two-level argmin: per-(arm, day) first
+    crossing, then per-arm first day among ≤ #days candidates.  The
+    guard test (test_stats_inference) asserts only day-aggregated
+    windows are arm-only-partitioned."""
     ev = (t(spark, sf, "events")
           .filter(F.col("event_type").isin("view", "purchase")))
-    w = (Window.partitionBy("arm").orderBy("ts", "event_id")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    trials = (ev.select(
+    base = ev.select(
         (F.col("user_id") % 2).alias("arm"), "ts", "event_id",
+        F.to_date("ts").alias("day"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         .alias("is_s"))
-        .select("arm", "ts", "event_id",
-                F.sum("is_s").over(w).alias("s"),
-                F.sum(1 - F.col("is_s")).over(w).alias("f")))
+    daily = (base.groupBy("arm", "day")
+             .agg(F.sum("is_s").alias("s_day"),
+                  F.sum(1 - F.col("is_s")).alias("f_day")))
+    w_days = (Window.partitionBy("arm").orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = daily.select(
+        "arm", "day",
+        F.coalesce(F.sum("s_day").over(w_days), F.lit(0)).alias("s_off"),
+        F.coalesce(F.sum("f_day").over(w_days), F.lit(0)).alias("f_off"))
+    w_in = (Window.partitionBy("arm", "day").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    trials = (base.join(offsets, ["arm", "day"])
+              .select("arm", "day", "ts", "event_id",
+                      (F.col("s_off") + F.sum("is_s").over(w_in))
+                      .alias("s"),
+                      (F.col("f_off") + F.sum(1 - F.col("is_s")).over(w_in))
+                      .alias("f")))
     llr = (F.col("s").cast("double") * F.lit(_LA)
            + F.col("f").cast("double") * F.lit(_LB))
     crossed = trials.filter((llr >= F.lit(_HI)) | (llr <= F.lit(_LO)))
-    first = (crossed
-             .withColumn("rn", F.row_number().over(
-                 Window.partitionBy("arm").orderBy("ts", "event_id")))
-             .filter(F.col("rn") == 1)
+    # two-level argmin: first crossing within each (arm, day) partition
+    # (day-bounded), then the earliest day among ≤ #days candidates
+    day_first = (crossed
+                 .withColumn("rn", F.row_number().over(
+                     Window.partitionBy("arm", "day")
+                     .orderBy("ts", "event_id")))
+                 .filter(F.col("rn") == 1))
+    first = (day_first
+             .withColumn("rd", F.row_number().over(
+                 Window.partitionBy("arm").orderBy("day")))
+             .filter(F.col("rd") == 1)
              .select("arm",
                      F.when(llr >= F.lit(_HI), F.lit("accept_h1"))
                      .otherwise(F.lit("accept_h0")).alias("decision"),
                      (F.col("s") + F.col("f")).alias("n_at_decision"),
                      F.col("s").alias("s_at_decision")))
-    totals = (trials.groupBy("arm")
+    totals = (base.groupBy("arm")
               .agg(F.count(F.lit(1)).alias("n_trials"),
-                   F.max("s").alias("n_success")))
+                   F.sum("is_s").alias("n_success")))
     return (totals.join(first, "arm", "left")
             .select("arm", "n_trials", "n_success",
                     F.coalesce("decision", F.lit("continue"))

@@ -300,3 +300,33 @@ def test_auc_matches_numpy_rank_formula(spark, sf_dir):
     assert (r.n_pos, r.n_neg) == (n1, n0)
     assert r.auc_micro == math.floor(auc * 1e6)
     assert 0 <= r.auc_micro <= 1_000_000
+
+
+def test_sprt_walk_partitions_are_calendar_bounded(spark, sf_dir):
+    """VERDICT r5 #5: the SPRT per-trial walk must never put a whole
+    arm's trial history in one window partition.  Plan contract: every
+    Window is partitioned; an arm-ONLY partition spec (1 expression) is
+    allowed solely above an Aggregate (the per-day offset / candidate
+    tables — calendar-bounded rows per arm); windows over raw trials
+    must carry the (arm, day) two-column spec, bounding partition state
+    at one day's volume."""
+    from tests.test_plan_shapes import _walk_physical
+
+    root = (QUERIES["stats_sprt_ab"](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan())
+    saw_day_keyed = False
+    for node in _walk_physical(root):
+        if node.getClass().getSimpleName() != "WindowExec":
+            continue
+        spec = node.partitionSpec()
+        assert not spec.isEmpty(), f"unpartitioned SPRT window:\n{node}"
+        if spec.size() >= 2:
+            saw_day_keyed = True
+            continue
+        has_agg_below = any(
+            "Aggregate" in d.getClass().getSimpleName()
+            for d in _walk_physical(node.children().apply(0)))
+        assert has_agg_below, (
+            "arm-only window over raw trials (unbounded partition):\n"
+            f"{node}")
+    assert saw_day_keyed, "expected an (arm, day)-partitioned trial walk"
