@@ -193,7 +193,14 @@ def main() -> int:
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "480"))
     sweep_start = time.time()
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    # --full: sweep EVERY registry query (no silent caps — VERDICT r5
+    # #6); the committed FULL_BENCH.json gives each registry query at
+    # least one recorded sf0.1 timing.  The default sweep stays the
+    # curated BENCH_QUERIES priority list so the driver's per-round
+    # budget holds.
+    full = "--full" in sys.argv
+    names = list(QUERIES) if full else BENCH_QUERIES
+    for name in names:
         fn = QUERIES[name]
         eff_reps = reps if time.time() - sweep_start < budget else 1
         best, n = float("inf"), 0
@@ -255,8 +262,9 @@ def main() -> int:
     # Full per-query result on disk: the driver's stdout capture keeps
     # only the LAST 2000 chars, so a 148-query JSON line gets its head
     # truncated and fails to parse (BENCH_r03.json `parsed: null`).
+    artifact = "FULL_BENCH.json" if full else "BENCH_LOCAL.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_LOCAL.json"), "w") as f:
+                           artifact), "w") as f:
         json.dump(payload, f, indent=1)
     # stdout: same shape, but the queries map is budgeted (in
     # BENCH_QUERIES priority order) so the whole line fits the capture.
