@@ -307,3 +307,32 @@ def pack_contiguous(df: DataFrame, window: int = 2048, shards: int = 16,
                      .alias("first_window"),
                     F.floor((F.col("start_token") + F.col(weight_col) - 1)
                             / window).alias("last_window")))
+
+
+def stratified_reservoir(df: DataFrame, strata_cols: list[str], k: int,
+                         id_col: str = "doc_id",
+                         salt: str = "") -> DataFrame:
+    """Exact-size uniform sample of k rows PER STRATUM as a
+    deterministic bottom-k sketch: rank rows by salted md5 of the id
+    and keep the k smallest per stratum.  A minimum over a uniform hash
+    is a uniform draw, so this equals reservoir sampling — but unlike a
+    sequential reservoir it is order-free, engine-portable, and
+    MERGEABLE: bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)),
+    which is what the streaming fold (streaming/reservoir.py) and any
+    map-side combine rely on.
+
+    Scale shape: the rank is a per-stratum window ordered by the hash;
+    Spark ≥ 3.5 plans a map-side WindowGroupLimit, so each task ships at
+    most k rows per stratum into the shuffle — never the corpus
+    (asserted in tests/test_reservoir.py).
+
+    Output adds ``sort_key`` (the hash) and ``rk`` (1-based rank)."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws("|", F.lit(salt),
+                            F.col(id_col).cast("string")))
+    w = (Window.partitionBy(*strata_cols)
+         .orderBy(F.col("sort_key"), F.col(id_col)))
+    return (df.withColumn("sort_key", key)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))
