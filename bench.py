@@ -140,7 +140,8 @@ BENCH_QUERIES = [
     "embedding_pca_power_iteration", "embedding_scatter_matrix",
     "ts_rolling_robust_anomaly",
     # round 6
-    "graph_jaccard_link_prediction_capped",
+    "graph_jaccard_link_prediction_capped", "graph_minhash_link_prediction",
+    "sample_reservoir_stratified",
 ]
 
 

@@ -254,6 +254,134 @@ LIMIT {_LP_TOPK}
 """
 
 
+_MH_H = 16          # signature components
+_MH_BANDS = 4       # 4 bands x 4 rows
+_MH_BUCKET_CAP = 128
+
+
+def graph_minhash_link_prediction(spark: SparkSession,
+                                  sf: str) -> DataFrame:
+    """MinHash-over-adjacency link prediction — the sketch-based scale
+    path (VERDICT r5 #2's second variant): estimate neighbor-set
+    Jaccard from 16-component minhash signatures instead of counting
+    common neighbors with a wedge join, so the pair-generation cost is
+    LSH-band-bounded rather than Σ deg(w)².
+
+    The dedup machinery applied to adjacency lists
+    (operators/dedup.minhash_signature house pattern: min over salted
+    md5 hex — lexicographic order on fixed-width hex == numeric order,
+    so the DuckDB oracle replays every component bit-for-bit):
+      1. signature: 16 min-md5 aggregates per node over its neighbor
+         ids — one map-side-combined groupBy, no explode;
+      2. candidates: 4-row band keys, self-join per band with a
+         128-member bucket cap (the dedup star-bound: a hub whose
+         leaves share identical 1-neighbor signatures would otherwise
+         produce a quadratic clique — capped buckets are skipped, and
+         the oracle replays the cap);
+      3. score: component-agreement count → floor(agree/16 · 10⁶),
+         existing edges anti-joined away, global top-20.
+    Estimates converge on the exact form's ranking for high-Jaccard
+    pairs — the regime link prediction cares about; both exact forms
+    stay registered for audit."""
+    e = _edges(spark, sf).persist()
+    adj = _adj(e)
+    sig = adj.groupBy("u").agg(*[
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)),
+                                F.col("v").cast("string"))))
+         .alias(f"mh_{i}") for i in range(_MH_H)])
+    sig = sig.persist()
+    rows_per_band = _MH_H // _MH_BANDS
+    bands = sig.select(
+        "u",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws(",", *[F.col(f"mh_{b * rows_per_band + r}")
+                                        for r in range(rows_per_band)])
+                     .alias("bkey"))
+            for b in range(_MH_BANDS)])).alias("bk")) \
+        .select("u", "bk.band", "bk.bkey")
+    from pyspark.sql import Window
+    bc = (bands.withColumn(
+        "n_bucket",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "bkey")))
+        .filter(F.col("n_bucket") <= _MH_BUCKET_CAP))
+    a = bc.select("band", "bkey", F.col("u").alias("cu"))
+    b = bc.select(F.col("band").alias("band2"), F.col("bkey").alias("bkey2"),
+                  F.col("u").alias("cv"))
+    cand = (a.join(b, (F.col("band") == F.col("band2"))
+                   & (F.col("bkey") == F.col("bkey2"))
+                   & (F.col("cu") < F.col("cv")))
+            .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+            .distinct())
+    cand = cand.join(e, (cand.u == e.pa) & (cand.v == e.pb), "left_anti")
+    su = sig.select(F.col("u").alias("su"),
+                    *[F.col(f"mh_{i}").alias(f"a_{i}")
+                      for i in range(_MH_H)])
+    sv = sig.select(F.col("u").alias("sv"),
+                    *[F.col(f"mh_{i}").alias(f"b_{i}")
+                      for i in range(_MH_H)])
+    scored = (cand.join(su, F.col("u") == F.col("su"))
+              .join(sv, F.col("v") == F.col("sv")))
+    n_agree = sum(F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1)
+                  .otherwise(0) for i in range(_MH_H))
+    return (scored.select(
+        "u", "v", n_agree.cast("long").alias("n_agree"),
+        F.floor(n_agree.cast("double") / _MH_H * 1000000)
+         .cast("long").alias("jaccard_est_micro"))
+        .orderBy(F.desc("jaccard_est_micro"), "u", "v")
+        .limit(_LP_TOPK))
+
+
+_MH_SIG_COLS = ",\n         ".join(
+    f"min(md5('{i}' || '|' || CAST(v AS VARCHAR))) AS mh_{i}"
+    for i in range(_MH_H))
+_MH_BAND_ROWS = " UNION ALL ".join(
+    "SELECT u, {b} AS band, {key} AS bkey FROM sig".format(
+        b=b, key=" || ',' || ".join(
+            f"mh_{b * (_MH_H // _MH_BANDS) + r}"
+            for r in range(_MH_H // _MH_BANDS)))
+    for b in range(_MH_BANDS))
+_MH_AGREE = " + ".join(
+    f"CASE WHEN su.mh_{i} = sv.mh_{i} THEN 1 ELSE 0 END"
+    for i in range(_MH_H))
+
+MINHASH_LINK_SQL = f"""
+WITH {_EDGE_SQL},
+sig AS (
+  SELECT u,
+         {_MH_SIG_COLS}
+  FROM adj GROUP BY u
+),
+bands AS ({_MH_BAND_ROWS}),
+bc AS (
+  SELECT * FROM (
+    SELECT u, band, bkey,
+           count(*) OVER (PARTITION BY band, bkey) AS n_bucket
+    FROM bands)
+  WHERE n_bucket <= {_MH_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.u AS u, b.u AS v
+  FROM bc a JOIN bc b ON a.band = b.band AND a.bkey = b.bkey
+                     AND a.u < b.u
+),
+nonedge AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN e ON e.pa = c.u AND e.pb = c.v
+  WHERE e.pa IS NULL
+)
+SELECT n.u, n.v,
+       CAST({_MH_AGREE} AS BIGINT) AS n_agree,
+       CAST(floor(CAST({_MH_AGREE} AS DOUBLE) / {_MH_H} * 1000000)
+            AS BIGINT) AS jaccard_est_micro
+FROM nonedge n
+JOIN sig su ON su.u = n.u
+JOIN sig sv ON sv.u = n.v
+ORDER BY jaccard_est_micro DESC, n.u, n.v
+LIMIT {_LP_TOPK}
+"""
+
+
 QUERIES = {
     "graph_jaccard_link_prediction":
         (graph_jaccard_link_prediction, LINK_PREDICTION_SQL),
@@ -261,6 +389,8 @@ QUERIES = {
         (graph_ra_link_prediction, RA_LINK_SQL),
     "graph_jaccard_link_prediction_capped":
         (graph_jaccard_link_prediction_capped, LINK_PREDICTION_CAPPED_SQL),
+    "graph_minhash_link_prediction":
+        (graph_minhash_link_prediction, MINHASH_LINK_SQL),
 }
 
 

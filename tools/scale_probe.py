@@ -83,6 +83,8 @@ PROBES = [
     "ts_autocorrelation",      # lag-exploded within-series self-join
     "graph_jaccard_link_prediction",  # distance-2 wedge join
     "graph_jaccard_link_prediction_capped",  # top-K-per-center bounded wedges
+    "graph_minhash_link_prediction",  # banded signature join (dedup machinery)
+    "sample_reservoir_stratified",  # map-side bottom-k per stratum
     "graph_kcore",             # iterative peel (eager generations)
     "recsys_item_item_cosine",  # basket-bounded pair fan-out
     "text_ngram_novelty",      # per-doc-distinct grams + min_by reduce
