@@ -141,7 +141,8 @@ BENCH_QUERIES = [
     "ts_rolling_robust_anomaly",
     # round 6
     "graph_jaccard_link_prediction_capped", "graph_minhash_link_prediction",
-    "sample_reservoir_stratified",
+    "sample_reservoir_stratified", "ml_kmeans_lloyd", "stats_fdr_bh",
+    "embedding_pq_assign",
 ]
 
 

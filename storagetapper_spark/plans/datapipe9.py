@@ -61,3 +61,104 @@ QUERIES = {
     "sample_reservoir_stratified":
         (sample_reservoir_stratified, SAMPLE_RESERVOIR_SQL),
 }
+
+
+_PQ_SUBS = 4        # subspaces of 16 dims each
+_PQ_SUBDIM = 16
+_PQ_K = 8           # codebook entries per subspace
+_PQ_DIM = 64
+
+
+def embedding_pq_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization assignment over the embedding table: split
+    each 64-dim vector into 4×16-dim subvectors and code each against
+    an 8-entry per-subspace codebook — 4 bytes per vector, the 64×
+    compression every billion-scale ANN index (IVF-PQ) starts from.
+
+    Codebooks are seeded deterministically from vec_id 0..7's
+    subvectors (k-means refinement of a codebook is exactly
+    ml_kmeans_lloyd run per subspace; this query is the ASSIGN/encode
+    path).  The quantized-integer discipline: micro-int coordinates,
+    exact int64 subspace distances (≤ 16·(2·10⁶ µ)² ≈ 6·10¹³ per
+    pair), argmin ties to the lowest code in both engines, distortion
+    sums in DECIMAL(38,0)/HUGEINT so the aggregate never overflows at
+    any corpus size.
+
+    Scale shape: one NARROW map pass per row against 4×8×16 literal
+    centroids (the codebook broadcasts; rows never shuffle for
+    assignment), then one 32-key aggregation with map-side partials.
+    Output: (subspace, code, n_vecs, distortion_sum) — 32 rows."""
+    xq = (t(spark, sf, "embeddings")
+          .select("vec_id",
+                  F.transform(F.col("embedding"),
+                              lambda x: F.floor(x.cast("double") * 1000000)
+                              .cast("long")).alias("xq")))
+    seeds = (xq.filter(F.col("vec_id") < _PQ_K)
+             .select("vec_id", "xq").collect())
+    cb = {int(r.vec_id): [int(v) for v in r.xq] for r in seeds}
+    assert len(cb) == _PQ_K
+
+    def _sub_assign(s: int):
+        sub = F.slice("xq", s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+        ds = F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(v) for v in
+                                  cb[k][s * _PQ_SUBDIM:
+                                        (s + 1) * _PQ_SUBDIM]]),
+                        lambda x, c: (x - c) * (x - c)),
+                    F.lit(0).cast("long"), lambda a, x: a + x)
+                .alias("d"),
+                F.lit(k).cast("long").alias("k"))
+            for k in sorted(cb)])
+        best = F.array_min(ds)
+        return F.struct(F.lit(s).cast("long").alias("sub"),
+                        best["k"].alias("code"), best["d"].alias("d"))
+
+    assigned = xq.select(
+        "vec_id",
+        F.explode(F.array(*[_sub_assign(s)
+                            for s in range(_PQ_SUBS)])).alias("a"))
+    return (assigned
+            .groupBy(F.col("a.sub").alias("subspace"),
+                     F.col("a.code").alias("code"))
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 # decimal accumulation (overflow-safe at any scale),
+                 # BIGINT at the boundary (HUGEINT→float64 pandas trap)
+                 F.sum(F.col("a.d").cast("decimal(38,0)"))
+                 .cast("long").alias("distortion_sum"))
+            .orderBy("subspace", "code"))
+
+
+PQ_ASSIGN_SQL = f"""
+WITH x AS MATERIALIZED (
+  SELECT vec_id, jj.range AS j,
+         CAST(floor(CAST(embedding[CAST(jj.range AS INTEGER) + 1]
+                         AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM embeddings CROSS JOIN range({_PQ_DIM}) jj
+),
+cb AS (SELECT vec_id AS k, j, x AS c FROM x WHERE vec_id < {_PQ_K}),
+dist AS (
+  SELECT x.vec_id, x.j // {_PQ_SUBDIM} AS sub, cb.k,
+         CAST(sum((x.x - cb.c) * (x.x - cb.c)) AS BIGINT) AS d
+  FROM x JOIN cb ON x.j = cb.j
+  GROUP BY x.vec_id, x.j // {_PQ_SUBDIM}, cb.k
+),
+assigned AS (
+  SELECT vec_id, sub, k AS code, d FROM (
+    SELECT dist.*, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, sub ORDER BY d ASC, k ASC) AS rn
+    FROM dist)
+  WHERE rn = 1
+)
+SELECT sub AS subspace, code, count(*) AS n_vecs,
+       CAST(sum(CAST(d AS HUGEINT)) AS BIGINT) AS distortion_sum
+FROM assigned
+GROUP BY sub, code
+ORDER BY subspace, code
+"""
+
+
+QUERIES["embedding_pq_assign"] = (embedding_pq_assign, PQ_ASSIGN_SQL)

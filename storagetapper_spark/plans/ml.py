@@ -277,3 +277,129 @@ ORDER BY true_lang, pred_lang
 
 
 QUERIES["ml_naive_bayes_confusion"] = (ml_naive_bayes_confusion, NB_SQL)
+
+
+_KM_K = 4
+_KM_ITERS = 3
+_KM_DIM = 64
+
+
+def ml_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
+    """In-engine k-means: 3 Lloyd rounds over micro-quantized
+    embeddings, K=4, centroids seeded from vec_id 0..3 (deterministic).
+
+    The quantized-generation discipline of ml_logistic_gd /
+    embedding_pca_power_iteration: coordinates are micro ints, every
+    distance is an EXACT int64 (|x−c| ≤ 2·10⁷ µ ⇒ Σ₆₄ (x−c)² ≤
+    2.6·10¹⁶), centroid updates are floor(Σx/n) integer division —
+    so each generation is bit-identical to the unrolled DuckDB oracle
+    regardless of row order, and argmin ties break to the lowest k in
+    both engines.
+
+    Scale shape (100 TB): per round one NARROW map pass computes the
+    K distances per row against the K×64 centroid LITERALS (the model
+    broadcasts to executors — rows never visit the driver) and one
+    posexplode aggregation recomputes centroids with map-side partials
+    (shuffle carries K×64 rows per task); driver traffic is K×64
+    integers per round — the canonical distributed Lloyd.  Output:
+    (k, dim, c_micro, n_members, inertia_k) — K×64 rows."""
+    xq = (t(spark, sf, "embeddings")
+          .select("vec_id",
+                  F.transform(F.col("embedding"),
+                              lambda x: F.floor(x.cast("double") * 1000000)
+                              .cast("long")).alias("xq"))
+          .persist())
+    seeds = (xq.filter(F.col("vec_id") < _KM_K)
+             .select("vec_id", "xq").collect())
+    cent = {int(r.vec_id): [int(v) for v in r.xq] for r in seeds}
+    assert len(cent) == _KM_K
+
+    def _assign():
+        ds = F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        "xq", F.array(*[F.lit(v) for v in cent[k]]),
+                        lambda x, c: (x - c) * (x - c)),
+                    F.lit(0).cast("long"), lambda a, x: a + x)
+                .alias("d"),
+                F.lit(k).cast("long").alias("k"))
+            for k in sorted(cent)])
+        best = F.array_min(ds)
+        return xq.select("vec_id", "xq", best["k"].alias("k"),
+                         best["d"].alias("d"))
+
+    assigned = None
+    for _ in range(_KM_ITERS):
+        assigned = _assign()
+        rows = (assigned.select("k", F.posexplode("xq").alias("j", "x"))
+                .groupBy("k", "j")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                .select("k", "j",
+                        F.floor(F.col("s") / F.col("n")).cast("long")
+                        .alias("c"))
+                .collect())
+        cent = {}
+        for r in rows:
+            cent.setdefault(int(r.k), [0] * _KM_DIM)[int(r.j)] = int(r.c)
+    stats = (assigned.groupBy("k")
+             .agg(F.count(F.lit(1)).alias("n_members"),
+                  F.sum("d").alias("inertia_k")))
+    cent_rows = [(k, j, cent[k][j]) for k in sorted(cent)
+                 for j in range(_KM_DIM)]
+    cdf = spark.createDataFrame(cent_rows, "k bigint, dim bigint, "
+                                           "c_micro bigint")
+    return (cdf.join(F.broadcast(stats), "k")
+            .select("k", "dim", "c_micro", "n_members", "inertia_k")
+            .orderBy("k", "dim"))
+
+
+def _km_iter_sql(i: int, prev_c: str) -> str:
+    # NOTE: the new centroids c{i} are computed from the PREVIOUS
+    # round's assignment a{i}; the final reported assignment stats come
+    # from a FRESH assignment against c{_KM_ITERS} — mirroring the
+    # Spark loop where the last _assign() happens inside round N and
+    # stats read that assignment.
+    return f"""
+a{i} AS MATERIALIZED (
+  SELECT vec_id, k, d FROM (
+    SELECT x.vec_id, {prev_c}.k,
+           CAST(sum((x.x - {prev_c}.c) * (x.x - {prev_c}.c)) AS BIGINT)
+             AS d,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY CAST(sum((x.x - {prev_c}.c) * (x.x - {prev_c}.c))
+                           AS BIGINT) ASC, {prev_c}.k ASC) AS rn
+    FROM x JOIN {prev_c} ON x.j = {prev_c}.j
+    GROUP BY x.vec_id, {prev_c}.k)
+  WHERE rn = 1
+),
+c{i} AS MATERIALIZED (
+  SELECT a{i}.k, x.j,
+         CAST(floor(CAST(sum(x.x) AS DOUBLE) / count(*)) AS BIGINT) AS c
+  FROM x JOIN a{i} USING (vec_id)
+  GROUP BY a{i}.k, x.j
+)"""
+
+
+KMEANS_SQL = f"""
+WITH x AS MATERIALIZED (
+  SELECT vec_id, jj.range AS j,
+         CAST(floor(CAST(embedding[CAST(jj.range AS INTEGER) + 1]
+                         AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM embeddings CROSS JOIN range({_KM_DIM}) jj
+),
+c0 AS (SELECT vec_id AS k, j, x AS c FROM x WHERE vec_id < {_KM_K}),
+{",".join(_km_iter_sql(i + 1, f"c{i}") for i in range(_KM_ITERS))},
+stats AS (
+  SELECT k, count(*) AS n_members, CAST(sum(d) AS BIGINT) AS inertia_k
+  FROM a{_KM_ITERS} GROUP BY k
+)
+SELECT c{_KM_ITERS}.k, c{_KM_ITERS}.j AS dim, c{_KM_ITERS}.c AS c_micro,
+       stats.n_members, stats.inertia_k
+FROM c{_KM_ITERS} JOIN stats USING (k)
+ORDER BY k, dim
+"""
+
+
+QUERIES["ml_kmeans_lloyd"] = (ml_kmeans_lloyd, KMEANS_SQL)

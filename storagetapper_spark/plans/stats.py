@@ -1249,3 +1249,127 @@ QUERIES = {
     "stats_sprt_ab": (stats_sprt_ab, SPRT_SQL),
     "stats_bootstrap_ci": (stats_bootstrap_ci, BOOTSTRAP_SQL),
 }
+
+
+# BH step-up z-thresholds Φ⁻¹(1 − α·i/(2m)) for α=0.05, m=25 brands,
+# i=1..25, precomputed as LITERALS (the stats_power_sample_size
+# discipline: normal quantiles never touch libm at query time, so
+# there is no erf to disagree across engines).
+_BH_M = 25
+_BH_THR_MICRO = [3090232, 2878161, 2747781, 2652069, 2575829, 2512144,
+                 2457263, 2408915, 2365618, 2326347, 2290367, 2257129,
+                 2226211, 2197286, 2170090, 2144410, 2120071, 2096927,
+                 2074854, 2053748, 2033520, 2014090, 1995393, 1977368,
+                 1959963]
+
+
+def stats_fdr_bh(spark: SparkSession, sf: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction across the 25 per-brand
+    two-sample z-tests (brand mean list price vs all other brands) —
+    the multiple-testing layer every metrics platform runs on top of
+    its per-segment tests.
+
+    BH on p-values from one normal test family is EQUIVALENT to
+    comparing the rank-i largest |z| against the literal threshold
+    Φ⁻¹(1 − α·i/2m): reject ranks 1..i* where i* is the LAST rank
+    whose |z| clears its threshold (step-up).  Working in |z| space
+    keeps the whole query on exact integer moments + one double z
+    expression (micro-floored) and literal thresholds — no erf at
+    query time, nothing engine-divergent.
+
+    Scale: per-brand moments are one map-side-combined aggregation;
+    the BH walk is two windows over the 25-row brand table (bounded
+    domain, registered in the plan-guard allowlist)."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").select("p_partkey", "p_brand")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per = (li.join(p, li.l_partkey == p.p_partkey)
+           .select("p_brand", cents.alias("c"))
+           .groupBy("p_brand")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+                F.sum((F.col("c").cast("decimal(38,0)")
+                       * F.col("c")).cast("decimal(38,0)")).alias("s2")))
+    tot = per.agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"),
+                  F.sum("s2").alias("ts2"))
+    j = per.crossJoin(F.broadcast(tot)).select(
+        "p_brand", "n", "s", "s2",
+        (F.col("tn") - F.col("n")).alias("rn"),
+        (F.col("ts") - F.col("s")).alias("rs"),
+        (F.col("ts2") - F.col("s2")).alias("rs2"))
+    mb = F.col("s").cast("double") / F.col("n").cast("double")
+    mr = F.col("rs").cast("double") / F.col("rn").cast("double")
+    vb = ((F.col("s2").cast("double")
+           - F.col("s").cast("double") * mb)
+          / (F.col("n") - 1).cast("double"))
+    vr = ((F.col("rs2").cast("double")
+           - F.col("rs").cast("double") * mr)
+          / (F.col("rn") - 1).cast("double"))
+    z = (mb - mr) / F.sqrt(vb / F.col("n").cast("double")
+                           + vr / F.col("rn").cast("double"))
+    zt = j.select("p_brand", "n",
+                  F.floor(F.abs(z) * 1000000).cast("long")
+                  .alias("abs_z_micro"))
+    thr = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(_BH_THR_MICRO)],
+        "rk bigint, thr_micro bigint")
+    ranked = (zt.withColumn(
+        "rk", F.row_number().over(
+            Window.orderBy(F.desc("abs_z_micro"), F.asc("p_brand"))))
+        .join(F.broadcast(thr), "rk"))
+    istar = F.max(F.when(F.col("abs_z_micro") >= F.col("thr_micro"),
+                         F.col("rk"))).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    return (ranked.select(
+        "p_brand", "n", "abs_z_micro", "rk", "thr_micro",
+        (F.col("rk") <= F.coalesce(istar, F.lit(0))).alias("rejected"))
+        .orderBy("rk"))
+
+
+BH_SQL = f"""
+WITH per AS (
+  SELECT p_brand, count(*) AS n,
+         sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS s,
+         sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS s2
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, sum(s) AS ts,
+               sum(s2) AS ts2 FROM per),
+zt AS (
+  SELECT p_brand, n,
+         CAST(floor(abs(
+           (CAST(s AS DOUBLE) / n - CAST(ts - s AS DOUBLE) / (tn - n))
+           / sqrt(
+               ((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE)
+                 * (CAST(s AS DOUBLE) / n)) / (n - 1)) / n
+             + ((CAST(ts2 - s2 AS DOUBLE) - CAST(ts - s AS DOUBLE)
+                 * (CAST(ts - s AS DOUBLE) / (tn - n))) / (tn - n - 1))
+               / (tn - n))) * 1000000) AS BIGINT) AS abs_z_micro
+  FROM per CROSS JOIN tot
+),
+thr AS (
+  SELECT CAST(i.range + 1 AS BIGINT) AS rk,
+         CAST(m.v AS BIGINT) AS thr_micro
+  FROM range({_BH_M}) i
+  JOIN (VALUES {", ".join(f"({i + 1}, {v})"
+                          for i, v in enumerate(_BH_THR_MICRO))})
+       m(rk, v) ON m.rk = i.range + 1
+),
+ranked AS (
+  SELECT zt.*, ROW_NUMBER() OVER (ORDER BY abs_z_micro DESC,
+                                  p_brand ASC) AS rk
+  FROM zt
+)
+SELECT r.p_brand, r.n, r.abs_z_micro, r.rk, thr.thr_micro,
+       r.rk <= coalesce(
+         max(CASE WHEN r.abs_z_micro >= thr.thr_micro
+                  THEN r.rk END) OVER (), 0) AS rejected
+FROM ranked r JOIN thr USING (rk)
+ORDER BY r.rk
+"""
+
+
+QUERIES["stats_fdr_bh"] = (stats_fdr_bh, BH_SQL)

@@ -254,6 +254,7 @@ _BOUNDED_DOMAIN_ALLOWLIST = {
     "profile_equidepth_histogram": "distinct value grid (price cents)",
     # categorical grids: fixed small domains
     "profile_pmi_categories": "brand x container grid (≤ ~2k cells)",
+    "stats_fdr_bh": "brand domain (25 rows; BH rank + step-up walk)",
     # vocabulary-sized: distinct token types, Heaps'-law sublinear
     # (~1e7 types at web scale — one fat task, acceptable for a
     # model-sized output; two_pass_rank is the migration path)

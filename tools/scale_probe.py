@@ -85,6 +85,9 @@ PROBES = [
     "graph_jaccard_link_prediction_capped",  # top-K-per-center bounded wedges
     "graph_minhash_link_prediction",  # banded signature join (dedup machinery)
     "sample_reservoir_stratified",  # map-side bottom-k per stratum
+    "ml_kmeans_lloyd",         # literal-centroid narrow pass + K*64 agg
+    "stats_fdr_bh",            # brand moments + 25-row BH walk
+    "embedding_pq_assign",     # literal-codebook narrow pass + 32-key agg
     "graph_kcore",             # iterative peel (eager generations)
     "recsys_item_item_cosine",  # basket-bounded pair fan-out
     "text_ngram_novelty",      # per-doc-distinct grams + min_by reduce
