@@ -515,3 +515,69 @@ FROM s
 
 QUERIES["graph_degree_assortativity"] = (graph_degree_assortativity,
                                          ASSORTATIVITY_SQL)
+
+
+_LPA_ROUNDS = 3
+
+
+def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection by min-label propagation over the
+    co-purchase graph: every node starts labeled with its own id; each
+    round every node takes the minimum label in its closed
+    neighborhood.  After k rounds label(u) = min node id within k hops
+    — a deterministic, engine-exact fixed point ladder (full
+    convergence = connected components, the entity_resolution_parts
+    machinery; a FIXED round count keeps the oracle an unrolled CTE,
+    the tokenizer_bpe_train discipline).  Output: the community-size
+    histogram (size, n_communities) plus singleton-free totals — the
+    shape that tells a curation pipeline whether near-dup communities
+    are a long tail or a few giant blobs.
+
+    Scale shape: each round is one equi-join frontier (adj ⋈ labels,
+    shuffle on node id) + one map-side-combined min aggregation — the
+    persisted-generation pattern (eager localCheckpoint per round keeps
+    the logical plan round-sized; operators/graph.py lesson)."""
+    e = _edges(spark, sf).persist()
+    adj = _adj(e).persist()
+    labels = (adj.select("u").distinct()
+              .select("u", F.col("u").alias("l"))
+              .localCheckpoint(eager=True))
+    for _ in range(_LPA_ROUNDS):
+        nbr = (adj.join(labels.withColumnRenamed("u", "v"), "v")
+               .select("u", "l"))
+        labels = (labels.unionByName(nbr)
+                  .groupBy("u").agg(F.min("l").alias("l"))
+                  .localCheckpoint(eager=True))
+    sizes = labels.groupBy("l").agg(F.count(F.lit(1)).alias("size"))
+    return (sizes.groupBy("size")
+            .agg(F.count(F.lit(1)).alias("n_communities"))
+            .orderBy("size"))
+
+
+def _lpa_iter_sql(i: int) -> str:
+    return f"""
+l{i} AS MATERIALIZED (
+  SELECT u, min(l) AS l FROM (
+    SELECT u, l FROM l{i - 1}
+    UNION ALL
+    SELECT a.u, p.l FROM adj a JOIN l{i - 1} p ON p.u = a.v
+  ) GROUP BY u
+)"""
+
+
+LABEL_PROP_SQL = f"""
+WITH {_EDGE_SQL},
+l0 AS MATERIALIZED (
+  SELECT u, u AS l FROM (SELECT DISTINCT u FROM adj)
+),
+{",".join(_lpa_iter_sql(i + 1) for i in range(_LPA_ROUNDS))},
+sizes AS (
+  SELECT l, count(*) AS size FROM l{_LPA_ROUNDS} GROUP BY l
+)
+SELECT size, count(*) AS n_communities
+FROM sizes GROUP BY size ORDER BY size
+"""
+
+
+QUERIES["graph_label_propagation"] = (graph_label_propagation,
+                                      LABEL_PROP_SQL)
