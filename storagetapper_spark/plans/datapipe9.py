@@ -162,3 +162,202 @@ ORDER BY subspace, code
 
 
 QUERIES["embedding_pq_assign"] = (embedding_pq_assign, PQ_ASSIGN_SQL)
+
+
+_IVFPQ_CELLS = 8     # coarse cells (centroids = first 8 corpus vecs)
+_IVFPQ_NPROBE = 2
+_IVFPQ_TOPK = 5
+
+
+def ann_ivf_pq_search(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ approximate nearest-neighbor search — the composition of
+    the coarse-cell (ann_ivf) and product-quantization
+    (embedding_pq_assign) layers into the billion-scale serving shape:
+    queries probe nprobe=2 of 8 coarse cells, and distances inside a
+    cell are asymmetric-distance (ADC) lookups against the 4×8 PQ
+    codebook instead of full-vector math.
+
+    Fully deterministic and oracle-replayed end to end: coarse
+    centroids = first 8 corpus vectors (vec_id 5..12), codebook
+    entries = subvectors of the next 8 (vec_id 13..20), micro-int
+    coordinates, exact int64 squared-L2 everywhere, every argmin
+    tie-broken on the lower id — the ann_ivf convention (queries =
+    vec_id < 5, corpus ≥ 5, k = 5).
+
+    Scale shape: cell assignment and PQ encoding are NARROW map passes
+    against literal centroid/codebook arrays (model broadcasts, rows
+    never shuffle to assign); the ADC lookup table is queries×4×8 = 160
+    rows broadcast; search touches only probed cells (partition
+    pruning by cell at 100 TB — the encoded table is written
+    partitioned by cell); the per-query top-k is a WindowGroupLimit
+    rank (map-side partial top-5)."""
+    from pyspark.sql import Window
+
+    emb = (t(spark, sf, "embeddings")
+           .select("vec_id",
+                   F.transform(F.col("embedding"),
+                               lambda x: F.floor(x.cast("double") * 1000000)
+                               .cast("long")).alias("xq")))
+    corpus = emb.filter(F.col("vec_id") >= 5).persist()
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    coarse_rows = (corpus.filter(F.col("vec_id") < 5 + _IVFPQ_CELLS)
+                   .select("vec_id", "xq").collect())
+    coarse = {i: [int(v) for v in r.xq]
+              for i, r in enumerate(sorted(coarse_rows,
+                                           key=lambda r: r.vec_id))}
+    cb_rows = (corpus.filter(
+        (F.col("vec_id") >= 5 + _IVFPQ_CELLS)
+        & (F.col("vec_id") < 5 + _IVFPQ_CELLS + _PQ_K))
+        .select("vec_id", "xq").collect())
+    cb = {i: [int(v) for v in r.xq]
+          for i, r in enumerate(sorted(cb_rows, key=lambda r: r.vec_id))}
+    assert len(coarse) == _IVFPQ_CELLS and len(cb) == _PQ_K
+
+    def _argmin_struct(vec_col, centroids, lo=None, n=None):
+        """array_min over (exact-int L2², id) structs; optional slice."""
+        items = []
+        for k in sorted(centroids):
+            cvec = centroids[k] if lo is None else centroids[k][lo:lo + n]
+            sub = vec_col if lo is None else F.slice(vec_col, lo + 1, n)
+            items.append(F.struct(
+                F.aggregate(
+                    F.zip_with(sub, F.array(*[F.lit(v) for v in cvec]),
+                               lambda x, c: (x - c) * (x - c)),
+                    F.lit(0).cast("long"), lambda a, x: a + x).alias("d"),
+                F.lit(k).cast("long").alias("k")))
+        return F.array_min(F.array(*items))
+
+    assigned = corpus.select(
+        "vec_id", "xq",
+        _argmin_struct(F.col("xq"), coarse)["k"].alias("cell"))
+    encoded = assigned.select(
+        "vec_id", "cell",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(s).cast("long").alias("sub"),
+                _argmin_struct(F.col("xq"), cb, lo=s * _PQ_SUBDIM,
+                               n=_PQ_SUBDIM)["k"].alias("code"))
+            for s in range(_PQ_SUBS)])).alias("e")) \
+        .select("vec_id", "cell", "e.sub", "e.code")
+
+    # probe list: nprobe nearest coarse cells per query (tiny)
+    cells_arr = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with("xq", F.array(*[F.lit(v) for v in coarse[k]]),
+                           lambda x, c: (x - c) * (x - c)),
+                F.lit(0).cast("long"), lambda a, x: a + x).alias("d"),
+            F.lit(k).cast("long").alias("k"))
+        for k in sorted(coarse)])
+    probes = (queries.select(F.col("vec_id").alias("query_id"), "xq",
+                             F.explode(F.slice(F.array_sort(cells_arr),
+                                               1, _IVFPQ_NPROBE))
+                             .alias("p"))
+              .select("query_id", "xq", F.col("p.k").alias("cell")))
+
+    # ADC lookup table: queries × subspaces × codebook entries
+    lut = (queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(s).cast("long").alias("sub"),
+                     F.lit(k).cast("long").alias("code"),
+                     F.aggregate(
+                         F.zip_with(
+                             F.slice("xq", s * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+                             F.array(*[F.lit(v) for v in
+                                       cb[k][s * _PQ_SUBDIM:
+                                             (s + 1) * _PQ_SUBDIM]]),
+                             lambda x, c: (x - c) * (x - c)),
+                         F.lit(0).cast("long"),
+                         lambda a, x: a + x).alias("d"))
+            for s in range(_PQ_SUBS) for k in range(_PQ_K)])).alias("l"))
+        .select("query_id", "l.sub", "l.code", "l.d"))
+
+    cand = (encoded.join(probes.select("query_id", "cell").distinct(),
+                         "cell")
+            .join(F.broadcast(lut), ["query_id", "sub", "code"])
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum("d").alias("approx_d")))
+    w = Window.partitionBy("query_id").orderBy("approx_d", "vec_id")
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _IVFPQ_TOPK)
+            .select("query_id", "vec_id", "approx_d", "rank")
+            .orderBy("query_id", "rank"))
+
+
+_IVFPQ_L2 = ("CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT)")
+
+ANN_IVF_PQ_SQL = f"""
+WITH x AS MATERIALIZED (
+  SELECT vec_id, jj.range AS j,
+         CAST(floor(CAST(embedding[CAST(jj.range AS INTEGER) + 1]
+                         AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM embeddings CROSS JOIN range({_PQ_DIM}) jj
+),
+corpus AS (SELECT * FROM x WHERE vec_id >= 5),
+q AS (SELECT * FROM x WHERE vec_id < 5),
+coarse AS (
+  SELECT DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS cell, j, x
+  FROM corpus WHERE vec_id < 5 + {_IVFPQ_CELLS}
+),
+cb AS (
+  SELECT DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS code, j, x
+  FROM corpus
+  WHERE vec_id >= 5 + {_IVFPQ_CELLS}
+    AND vec_id < 5 + {_IVFPQ_CELLS} + {_PQ_K}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT a.vec_id, b.cell, {_IVFPQ_L2} AS d,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_IVFPQ_L2} ASC, b.cell ASC) AS rn
+    FROM corpus a JOIN coarse b ON a.j = b.j
+    GROUP BY a.vec_id, b.cell)
+  WHERE rn = 1
+),
+encoded AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT a.vec_id, a.j // {_PQ_SUBDIM} AS sub, b.code,
+           {_IVFPQ_L2} AS d,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id, a.j // {_PQ_SUBDIM}
+                              ORDER BY {_IVFPQ_L2} ASC, b.code ASC) AS rn
+    FROM corpus a JOIN cb b ON a.j = b.j
+    GROUP BY a.vec_id, a.j // {_PQ_SUBDIM}, b.code)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT a.vec_id AS query_id, b.cell, {_IVFPQ_L2} AS d,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_IVFPQ_L2} ASC, b.cell ASC) AS rn
+    FROM q a JOIN coarse b ON a.j = b.j
+    GROUP BY a.vec_id, b.cell)
+  WHERE rn <= {_IVFPQ_NPROBE}
+),
+lut AS (
+  SELECT a.vec_id AS query_id, a.j // {_PQ_SUBDIM} AS sub, b.code,
+         {_IVFPQ_L2} AS d
+  FROM q a JOIN cb b ON a.j = b.j
+  GROUP BY a.vec_id, a.j // {_PQ_SUBDIM}, b.code
+),
+cand AS (
+  SELECT l.query_id, e.vec_id, CAST(sum(l.d) AS BIGINT) AS approx_d
+  FROM encoded e
+  JOIN assign s ON s.vec_id = e.vec_id
+  JOIN probes p ON p.cell = s.cell
+  JOIN lut l ON l.query_id = p.query_id AND l.sub = e.sub
+            AND l.code = e.code
+  GROUP BY l.query_id, e.vec_id
+)
+SELECT query_id, vec_id, approx_d, rank FROM (
+  SELECT cand.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY approx_d ASC, vec_id ASC)
+           AS rank
+  FROM cand)
+WHERE rank <= {_IVFPQ_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+QUERIES["ann_ivf_pq_search"] = (ann_ivf_pq_search, ANN_IVF_PQ_SQL)

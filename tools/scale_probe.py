@@ -89,6 +89,7 @@ PROBES = [
     "stats_fdr_bh",            # brand moments + 25-row BH walk
     "embedding_pq_assign",     # literal-codebook narrow pass + 32-key agg
     "graph_label_propagation",  # 3 frontier joins, eager generations
+    "ann_ivf_pq_search",       # probed-cell ADC lookup join
     "graph_kcore",             # iterative peel (eager generations)
     "recsys_item_item_cosine",  # basket-bounded pair fan-out
     "text_ngram_novelty",      # per-doc-distinct grams + min_by reduce
