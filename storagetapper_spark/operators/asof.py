@@ -37,13 +37,25 @@ def asof_join(left: DataFrame, right: DataFrame, by: list[str],
     ``right.ts >= left.ts`` (pandas ``merge_asof`` semantics, same
     single-window plan with the sort reversed).
 
+    ``direction='nearest'``: whichever of the backward/forward matches
+    is closer in time (ties → backward, pandas ``merge_asof`` rule).
+    Both fills run over the SAME key-partitioned union — one shuffle,
+    two sorts — and the per-row winner is chosen by comparing the two
+    carried match timestamps, so "nearest" costs one extra window, not
+    a join of two asof results.
+
     ``tolerance_sec``: maximum staleness (backward) / lookahead
-    (forward) — matches further than the bound come back as nulls,
-    exactly pandas' ``tolerance``.  Implemented by carrying the matched
-    right timestamp through the window fill and null-masking after, so
-    it adds zero extra shuffles."""
+    (forward) / absolute distance (nearest) — matches further than the
+    bound come back as nulls, exactly pandas' ``tolerance``.
+    Implemented by carrying the matched right timestamp through the
+    window fill and null-masking after, so it adds zero extra
+    shuffles."""
+    if direction == "nearest":
+        return _asof_nearest(left, right, by, left_ts, right_ts,
+                             right_cols, suffix, tolerance_sec)
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction}")
     right_cols = right_cols or [c for c in right.columns
                                 if c not in by and c != right_ts]
     # tolerance needs the matched right timestamp to survive the fill —
@@ -94,6 +106,67 @@ def asof_join(left: DataFrame, right: DataFrame, by: list[str],
               for c in right_cols])
         return out
     return out.drop("_t", "_is_left", *[f"_r_{c}" for c in fill_cols])
+
+
+def _asof_nearest(left: DataFrame, right: DataFrame, by: list[str],
+                  left_ts: str, right_ts: str,
+                  right_cols: list[str] | None, suffix: str,
+                  tolerance_sec: float | None) -> DataFrame:
+    """direction='nearest': one key-shuffled union, a backward and a
+    forward last_value fill (two sorts, same exchange), winner by
+    smaller |Δt| with ties to backward (pandas merge_asof)."""
+    right_cols = right_cols or [c for c in right.columns
+                                if c not in by and c != right_ts]
+    fill_cols = list(right_cols) + ["_asof_rt"]
+    right = right.withColumn("_asof_rt", F.col(right_ts))
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in fill_cols],
+    )
+    r_tag = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in by],
+        *[F.col(c) for c in by],
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(f"_r_{c}") for c in fill_cols],
+    ).select(*l_tag.columns)
+    unioned = l_tag.unionByName(r_tag)
+    wb = (Window.partitionBy(*by).orderBy(F.col("_t"), F.col("_is_left"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy(*by)
+          .orderBy(F.col("_t").desc(), F.col("_is_left"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    filled = unioned.select(
+        "*",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(wb).alias(f"_b_{c}")
+          for c in fill_cols],
+        *[F.last(f"_r_{c}", ignorenulls=True).over(wf).alias(f"_f_{c}")
+          for c in fill_cols])
+    out = filled.filter(F.col("_is_left") == 1)
+    t = F.col("_t").cast("double")
+    lag_b = t - F.col("_b__asof_rt").cast("double")
+    lag_f = F.col("_f__asof_rt").cast("double") - t
+    if tolerance_sec is not None:
+        tol = F.lit(float(tolerance_sec))
+        b_ok = F.col("_b__asof_rt").isNotNull() & (lag_b <= tol)
+        f_ok = F.col("_f__asof_rt").isNotNull() & (lag_f <= tol)
+    else:
+        b_ok = F.col("_b__asof_rt").isNotNull()
+        f_ok = F.col("_f__asof_rt").isNotNull()
+    # backward wins ties (lag_b <= lag_f), and whenever forward is out
+    use_b = b_ok & (~f_ok | (lag_b <= lag_f))
+    use_f = f_ok & ~use_b
+    keep = [c for c in left.columns]
+    return out.select(
+        *keep,
+        *[F.when(use_b, F.col(f"_b_{c}"))
+           .when(use_f, F.col(f"_f_{c}"))
+           .alias(f"{c}{suffix}")
+          for c in right_cols])
 
 
 def time_range_join(left: DataFrame, right: DataFrame, by: list[str],

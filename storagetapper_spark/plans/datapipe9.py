@@ -361,3 +361,56 @@ ORDER BY query_id, rank
 
 
 QUERIES["ann_ivf_pq_search"] = (ann_ivf_pq_search, ANN_IVF_PQ_SQL)
+
+
+def asof_nearest_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest as-of: for every click, the purchase rate closest in
+    time in EITHER direction, ties to the earlier one — pandas
+    merge_asof direction='nearest', completing the backward /
+    forward / nearest trio (operators/asof.asof_join; parity with
+    pandas proven property-wise in test_asof_pandas_parity).
+
+    Plan: the same single key-shuffle union as backward asof, with a
+    second (reversed-order) window fill over the SAME exchange and a
+    per-row winner comparison — one shuffle total, no join of two asof
+    results.  The oracle replays nearest as an argmin over the
+    user-bounded click×rate candidates (|Δt|, backward-first)."""
+    from storagetapper_spark.operators.asof import asof_join
+
+    ev = t(spark, sf, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("event_id", "user_id", "ts"))
+    rates = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts")
+             .agg(F.round(F.max("value"), 2).alias("rate")))
+    out = asof_join(clicks, rates, by=["user_id"],
+                    left_ts="ts", right_ts="ts", right_cols=["rate"],
+                    direction="nearest", suffix="_near")
+    return (out.select("event_id", "user_id", "rate_near")
+            .orderBy("event_id"))
+
+
+ASOF_NEAREST_SQL = """
+WITH rates AS (
+  SELECT user_id, ts, round(max(value), 2) AS rate
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+cand AS (
+  SELECT c.event_id, c.user_id, r.rate,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.event_id
+           ORDER BY abs(epoch(c.ts) - epoch(r.ts)) ASC,
+                    CASE WHEN r.ts <= c.ts THEN 0 ELSE 1 END ASC) AS rn
+  FROM clicks c JOIN rates r ON c.user_id = r.user_id
+)
+SELECT c.event_id, c.user_id, cand.rate AS rate_near
+FROM clicks c LEFT JOIN cand
+  ON cand.event_id = c.event_id AND cand.rn = 1
+ORDER BY c.event_id
+"""
+
+
+QUERIES["asof_nearest_rate"] = (asof_nearest_rate, ASOF_NEAREST_SQL)

@@ -44,7 +44,7 @@ def _frames(draw):
 @st.composite
 def asof_case(draw):
     left, right = _frames(draw)
-    direction = draw(st.sampled_from(["backward", "forward"]))
+    direction = draw(st.sampled_from(["backward", "forward", "nearest"]))
     tolerance = draw(st.one_of(st.none(), st.integers(0, 30)))
     return left, right, direction, tolerance
 
