@@ -143,7 +143,7 @@ BENCH_QUERIES = [
     "graph_jaccard_link_prediction_capped", "graph_minhash_link_prediction",
     "sample_reservoir_stratified", "ml_kmeans_lloyd", "stats_fdr_bh",
     "embedding_pq_assign", "graph_label_propagation", "ann_ivf_pq_search",
-    "asof_nearest_rate",
+    "asof_nearest_rate", "ml_decision_stump", "stats_holm_bonferroni",
 ]
 
 

@@ -18,7 +18,7 @@ broadcast-join scoring pass.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from storagetapper_spark.plans.common import events_t, t
@@ -403,3 +403,100 @@ ORDER BY k, dim
 
 
 QUERIES["ml_kmeans_lloyd"] = (ml_kmeans_lloyd, KMEANS_SQL)
+
+
+def ml_decision_stump(spark: SparkSession, sf: str) -> DataFrame:
+    """One exact decision-stump fit (the unit of boosting / tree
+    ensembles): the price-cents threshold that best separates PROMO
+    from non-PROMO lineitems, found by scanning every candidate split
+    on the distinct-value grid with exact integer class counts.
+
+    Plan: one map-side-combined aggregation to per-value (pos, neg)
+    counts, one cumulative window over the VALUE GRID (price cents —
+    the bounded domain registered in the plan guard; the
+    stats_ks_two_sample shape), then an integer argmin of
+    misclassification count over splits with ties to the lowest
+    threshold.  Everything is exact BIGINTs — no impurity floats to
+    disagree across engines; at 100 TB the grid aggregation is the
+    only pass over the data.
+
+    Output: the chosen threshold, its misclassification count, class
+    totals, and training accuracy in exact micro units."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("pos"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    grid = (li.join(p, li.l_partkey == p.p_partkey)
+            .select(cents.alias("c"), "pos")
+            .groupBy("c")
+            .agg(F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("np"),
+                 F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("nn")))
+    w = (Window.orderBy("c")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot = grid.agg(F.sum("np").alias("tp"), F.sum("nn").alias("tn"))
+    cum = (grid.crossJoin(F.broadcast(tot))
+           .select("c", "tp", "tn",
+                   F.sum("np").over(w).alias("cp"),
+                   F.sum("nn").over(w).alias("cn")))
+    # split at value <= c: left predicts its majority, right likewise;
+    # misclassification = min over the two orientations
+    errs_a = F.col("cp") + (F.col("tn") - F.col("cn"))  # left=neg,right=pos
+    errs_b = F.col("cn") + (F.col("tp") - F.col("cp"))  # left=pos,right=neg
+    best = (cum.select(
+        "c", "tp", "tn",
+        F.least(errs_a, errs_b).alias("err"),
+        (errs_b <= errs_a).alias("left_is_pos"))
+        .withColumn("rn", F.row_number().over(
+            Window.orderBy("err", "c")))
+        .filter(F.col("rn") == 1))
+    return best.select(
+        F.col("c").alias("threshold_cents"),
+        F.col("err").alias("n_misclassified"),
+        F.col("tp").alias("n_pos"), F.col("tn").alias("n_neg"),
+        "left_is_pos",
+        F.floor((F.col("tp") + F.col("tn") - F.col("err"))
+                * F.lit(1000000) / (F.col("tp") + F.col("tn")))
+        .cast("long").alias("train_acc_micro"))
+
+
+STUMP_SQL = """
+WITH grid AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np,
+         CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN 0 ELSE 1 END)
+              AS BIGINT) AS nn
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(np) AS BIGINT) AS tp,
+               CAST(sum(nn) AS BIGINT) AS tn FROM grid),
+cum AS (
+  SELECT c, tp, tn,
+         CAST(sum(np) OVER (ORDER BY c
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+         CAST(sum(nn) OVER (ORDER BY c
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn
+  FROM grid CROSS JOIN tot
+),
+scored AS (
+  SELECT c, tp, tn,
+         least(cp + tn - cn, cn + tp - cp) AS err,
+         (cn + tp - cp) <= (cp + tn - cn) AS left_is_pos
+  FROM cum
+),
+best AS (
+  SELECT * FROM (
+    SELECT scored.*, ROW_NUMBER() OVER (ORDER BY err, c) AS rn
+    FROM scored)
+  WHERE rn = 1
+)
+SELECT c AS threshold_cents, err AS n_misclassified,
+       tp AS n_pos, tn AS n_neg, left_is_pos,
+       CAST(floor((tp + tn - err) * 1000000.0 / (tp + tn)) AS BIGINT)
+         AS train_acc_micro
+FROM best
+"""
+
+
+QUERIES["ml_decision_stump"] = (ml_decision_stump, STUMP_SQL)

@@ -1279,37 +1279,9 @@ def stats_fdr_bh(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: per-brand moments are one map-side-combined aggregation;
     the BH walk is two windows over the 25-row brand table (bounded
-    domain, registered in the plan-guard allowlist)."""
-    li = t(spark, sf, "lineitem")
-    p = t(spark, sf, "part").select("p_partkey", "p_brand")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    per = (li.join(p, li.l_partkey == p.p_partkey)
-           .select("p_brand", cents.alias("c"))
-           .groupBy("p_brand")
-           .agg(F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
-                F.sum((F.col("c").cast("decimal(38,0)")
-                       * F.col("c")).cast("decimal(38,0)")).alias("s2")))
-    tot = per.agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"),
-                  F.sum("s2").alias("ts2"))
-    j = per.crossJoin(F.broadcast(tot)).select(
-        "p_brand", "n", "s", "s2",
-        (F.col("tn") - F.col("n")).alias("rn"),
-        (F.col("ts") - F.col("s")).alias("rs"),
-        (F.col("ts2") - F.col("s2")).alias("rs2"))
-    mb = F.col("s").cast("double") / F.col("n").cast("double")
-    mr = F.col("rs").cast("double") / F.col("rn").cast("double")
-    vb = ((F.col("s2").cast("double")
-           - F.col("s").cast("double") * mb)
-          / (F.col("n") - 1).cast("double"))
-    vr = ((F.col("rs2").cast("double")
-           - F.col("rs").cast("double") * mr)
-          / (F.col("rn") - 1).cast("double"))
-    z = (mb - mr) / F.sqrt(vb / F.col("n").cast("double")
-                           + vr / F.col("rn").cast("double"))
-    zt = j.select("p_brand", "n",
-                  F.floor(F.abs(z) * 1000000).cast("long")
-                  .alias("abs_z_micro"))
+    domain, registered in the plan-guard allowlist).  The |z| table is
+    shared with stats_holm_bonferroni (_brand_z below)."""
+    zt = _brand_z(spark, sf)
     thr = spark.createDataFrame(
         [(i + 1, v) for i, v in enumerate(_BH_THR_MICRO)],
         "rk bigint, thr_micro bigint")
@@ -1373,3 +1345,122 @@ ORDER BY r.rk
 
 
 QUERIES["stats_fdr_bh"] = (stats_fdr_bh, BH_SQL)
+
+
+# Holm step-DOWN z-thresholds Φ⁻¹(1 − α/(2(m−i+1))) — FWER control,
+# the conservative sibling of the BH FDR thresholds above; same
+# literal-quantile discipline.
+_HOLM_THR_MICRO = [3090232, 3078088, 3065383, 3052065, 3038074, 3023341,
+                   3007786, 2991316, 2973819, 2955166, 2935199, 2913726,
+                   2890511, 2865260, 2837596, 2807033, 2772921, 2734368,
+                   2690109, 2638257, 2575829, 2497705, 2393979, 2241402,
+                   1959963]
+
+
+def _brand_z(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared per-brand |z| table for the multiple-testing family:
+    exact DECIMAL moments → one double z expression, micro-floored
+    (stats_fdr_bh's machinery, factored for reuse)."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").select("p_partkey", "p_brand")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per = (li.join(p, li.l_partkey == p.p_partkey)
+           .select("p_brand", cents.alias("c"))
+           .groupBy("p_brand")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+                F.sum((F.col("c").cast("decimal(38,0)")
+                       * F.col("c")).cast("decimal(38,0)")).alias("s2")))
+    tot = per.agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"),
+                  F.sum("s2").alias("ts2"))
+    j = per.crossJoin(F.broadcast(tot)).select(
+        "p_brand", "n", "s", "s2",
+        (F.col("tn") - F.col("n")).alias("rn"),
+        (F.col("ts") - F.col("s")).alias("rs"),
+        (F.col("ts2") - F.col("s2")).alias("rs2"))
+    mb = F.col("s").cast("double") / F.col("n").cast("double")
+    mr = F.col("rs").cast("double") / F.col("rn").cast("double")
+    vb = ((F.col("s2").cast("double")
+           - F.col("s").cast("double") * mb)
+          / (F.col("n") - 1).cast("double"))
+    vr = ((F.col("rs2").cast("double")
+           - F.col("rs").cast("double") * mr)
+          / (F.col("rn") - 1).cast("double"))
+    z = (mb - mr) / F.sqrt(vb / F.col("n").cast("double")
+                           + vr / F.col("rn").cast("double"))
+    return j.select("p_brand", "n",
+                    F.floor(F.abs(z) * 1000000).cast("long")
+                    .alias("abs_z_micro"))
+
+
+def stats_holm_bonferroni(spark: SparkSession, sf: str) -> DataFrame:
+    """Holm–Bonferroni step-DOWN over the same 25 per-brand z-tests as
+    stats_fdr_bh — familywise-error control where BH controls FDR.
+    Step-down semantics: walk ranks 1,2,… while each |z| clears its
+    Φ⁻¹(1 − α/(2(m−i+1))) literal threshold; the FIRST failure stops
+    everything after it (min failing rank), the mirror image of BH's
+    step-up (max passing rank).  Same bounded 25-row windows, same
+    no-erf discipline."""
+    zt = _brand_z(spark, sf)
+    thr = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(_HOLM_THR_MICRO)],
+        "rk bigint, thr_micro bigint")
+    ranked = (zt.withColumn(
+        "rk", F.row_number().over(
+            Window.orderBy(F.desc("abs_z_micro"), F.asc("p_brand"))))
+        .join(F.broadcast(thr), "rk"))
+    first_fail = F.min(F.when(F.col("abs_z_micro") < F.col("thr_micro"),
+                              F.col("rk"))).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    return (ranked.select(
+        "p_brand", "n", "abs_z_micro", "rk", "thr_micro",
+        (F.col("rk") < F.coalesce(first_fail, F.lit(_BH_M + 1)))
+        .alias("rejected"))
+        .orderBy("rk"))
+
+
+HOLM_SQL = f"""
+WITH per AS (
+  SELECT p_brand, count(*) AS n,
+         sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS s,
+         sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS s2
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, sum(s) AS ts,
+               sum(s2) AS ts2 FROM per),
+zt AS (
+  SELECT p_brand, n,
+         CAST(floor(abs(
+           (CAST(s AS DOUBLE) / n - CAST(ts - s AS DOUBLE) / (tn - n))
+           / sqrt(
+               ((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE)
+                 * (CAST(s AS DOUBLE) / n)) / (n - 1)) / n
+             + ((CAST(ts2 - s2 AS DOUBLE) - CAST(ts - s AS DOUBLE)
+                 * (CAST(ts - s AS DOUBLE) / (tn - n))) / (tn - n - 1))
+               / (tn - n))) * 1000000) AS BIGINT) AS abs_z_micro
+  FROM per CROSS JOIN tot
+),
+thr AS (
+  SELECT CAST(m.rk AS BIGINT) AS rk, CAST(m.v AS BIGINT) AS thr_micro
+  FROM (VALUES {", ".join(f"({i + 1}, {v})"
+                          for i, v in enumerate(_HOLM_THR_MICRO))})
+       m(rk, v)
+),
+ranked AS (
+  SELECT zt.*, ROW_NUMBER() OVER (ORDER BY abs_z_micro DESC,
+                                  p_brand ASC) AS rk
+  FROM zt
+)
+SELECT r.p_brand, r.n, r.abs_z_micro, r.rk, thr.thr_micro,
+       r.rk < coalesce(
+         min(CASE WHEN r.abs_z_micro < thr.thr_micro
+                  THEN r.rk END) OVER (), {_BH_M + 1}) AS rejected
+FROM ranked r JOIN thr USING (rk)
+ORDER BY r.rk
+"""
+
+
+QUERIES["stats_holm_bonferroni"] = (stats_holm_bonferroni, HOLM_SQL)

@@ -255,6 +255,8 @@ _BOUNDED_DOMAIN_ALLOWLIST = {
     # categorical grids: fixed small domains
     "profile_pmi_categories": "brand x container grid (≤ ~2k cells)",
     "stats_fdr_bh": "brand domain (25 rows; BH rank + step-up walk)",
+    "ml_decision_stump": "distinct value grid (price cents ≤ 1e7)",
+    "stats_holm_bonferroni": "brand domain (25 rows; step-down walk)",
     # vocabulary-sized: distinct token types, Heaps'-law sublinear
     # (~1e7 types at web scale — one fat task, acceptable for a
     # model-sized output; two_pass_rank is the migration path)
