@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "sample_reservoir_stratified", "ml_kmeans_lloyd", "stats_fdr_bh",
     "embedding_pq_assign", "graph_label_propagation", "ann_ivf_pq_search",
     "asof_nearest_rate", "ml_decision_stump", "stats_holm_bonferroni",
+    "privacy_k_anonymity", "privacy_l_diversity", "linkage_fellegi_sunter",
 ]
 
 

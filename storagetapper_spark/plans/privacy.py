@@ -1,0 +1,231 @@
+"""Privacy-risk auditing + probabilistic record linkage — the release
+gate a training-data pipeline runs before shipping a corpus extract
+(k-anonymity / l-diversity over quasi-identifiers, Fellegi-Sunter
+match scoring over blocked candidate pairs).
+
+Reference parity: the reference ships per-table validation jobs
+(main_test.go golden matrices) but no privacy layer; this extends the
+§2.7 training-data surface the same way the PII flag/redact queries do
+(operators/text.py) — audit queries over the shipped fixtures.
+
+Exactness: every statistic is an exact integer (counts, milli-weight
+sums, cents); the only doubles are the band expressions
+floor(acctbal / width) evaluated identically in both engines.
+
+Scale: one groupBy on the quasi-identifier (k-anon / l-div) — a single
+hash shuffle.  Linkage pairs come from an equi-join on the blocking
+key (nation x $5 acctbal band), never a cross join; block sizes are
+bounded by the band granularity, so pair fan-out per block stays
+distribution-bounded at any corpus size (same stance as the LSH
+band-bucket joins in operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storagetapper_spark.plans.common import t
+
+_K = 5          # k-anonymity threshold
+_L = 3          # l-diversity threshold
+_BAL_BAND = 1000.0   # quasi-identifier acctbal band width ($)
+_BLK_BAND = 500.0    # linkage blocking band width ($)
+
+
+def _qi(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer rows keyed by the quasi-identifier triple a re-identifier
+    would join on: (market segment, nation, $1000 balance band)."""
+    return t(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey",
+        F.floor(F.col("c_acctbal") / _BAL_BAND).cast("long")
+        .alias("bal_band"))
+
+
+def privacy_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit: group customers by the quasi-identifier
+    triple, then per market segment report how many equivalence
+    classes fall below k=5 and how many rows they expose."""
+    groups = (_qi(spark, sf)
+              .groupBy("c_mktsegment", "c_nationkey", "bal_band")
+              .agg(F.count(F.lit(1)).alias("sz")))
+    return (groups.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.min("sz").alias("k_anonymity"),
+                 F.sum(F.when(F.col("sz") < _K, 1).otherwise(0))
+                 .alias("groups_below_k"),
+                 F.sum(F.when(F.col("sz") < _K, F.col("sz"))
+                       .otherwise(0)).alias("exposed_rows"),
+                 F.sum("sz").alias("rows"))
+            .orderBy("c_mktsegment"))
+
+
+K_ANONYMITY_SQL = f"""
+WITH qi AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(floor(c_acctbal / {_BAL_BAND}) AS BIGINT) AS bal_band
+  FROM customer
+),
+groups AS (
+  SELECT c_mktsegment, c_nationkey, bal_band, count(*) AS sz
+  FROM qi GROUP BY 1, 2, 3
+)
+SELECT c_mktsegment,
+       count(*) AS n_groups,
+       min(sz) AS k_anonymity,
+       CAST(sum(CASE WHEN sz < {_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_k,
+       CAST(sum(CASE WHEN sz < {_K} THEN sz ELSE 0 END) AS BIGINT)
+         AS exposed_rows,
+       CAST(sum(sz) AS BIGINT) AS rows
+FROM groups
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def privacy_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity audit: within each quasi-identifier class, count the
+    DISTINCT values of the sensitive attribute (order priority of the
+    customer's orders); classes with fewer than l=3 distinct values
+    let an attacker infer the sensitive value from the QI alone."""
+    orders = t(spark, sf, "orders").select("o_custkey", "o_orderpriority")
+    joined = _qi(spark, sf).join(
+        orders, F.col("c_custkey") == F.col("o_custkey"))
+    groups = (joined
+              .groupBy("c_mktsegment", "c_nationkey", "bal_band")
+              .agg(F.countDistinct("o_orderpriority").alias("l_div"),
+                   F.count(F.lit(1)).alias("sz")))
+    return (groups.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.min("l_div").alias("min_l"),
+                 F.sum(F.when(F.col("l_div") < _L, 1).otherwise(0))
+                 .alias("groups_below_l"),
+                 F.sum(F.when(F.col("l_div") < _L, F.col("sz"))
+                       .otherwise(0)).alias("exposed_rows"))
+            .orderBy("c_mktsegment"))
+
+
+L_DIVERSITY_SQL = f"""
+WITH qi AS (
+  SELECT c_custkey, c_mktsegment, c_nationkey,
+         CAST(floor(c_acctbal / {_BAL_BAND}) AS BIGINT) AS bal_band
+  FROM customer
+),
+groups AS (
+  SELECT c_mktsegment, c_nationkey, bal_band,
+         count(DISTINCT o_orderpriority) AS l_div,
+         count(*) AS sz
+  FROM qi JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1, 2, 3
+)
+SELECT c_mktsegment,
+       count(*) AS n_groups,
+       CAST(min(l_div) AS BIGINT) AS min_l,
+       CAST(sum(CASE WHEN l_div < {_L} THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_l,
+       CAST(sum(CASE WHEN l_div < {_L} THEN sz ELSE 0 END) AS BIGINT)
+         AS exposed_rows
+FROM groups
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# Fellegi-Sunter field weights in milli-units: log2(m/u) for agreement,
+# log2((1-m)/(1-u)) for disagreement, from fixed (documented) m/u
+# estimates — m: P(agree | match), u: P(agree | non-match).
+#   segment  m=0.95 u=0.20 -> agree +2248, disagree -4000
+#   balance  m=0.90 u=0.05 -> agree +4170, disagree -3248
+#   name     m=0.98 u=0.01 -> agree +6615, disagree -5629
+_W = {
+    "seg": (2248, -4000),
+    "bal": (4170, -3248),
+    "name": (6615, -5629),
+}
+_BAL_TOL_CENTS = 2500   # |balance delta| <= $25 counts as agreement
+_T_MATCH = 6000         # milli-score thresholds
+_T_POSSIBLE = 0
+
+
+def linkage_fellegi_sunter(spark: SparkSession, sf: str) -> DataFrame:
+    """Probabilistic record linkage over blocked customer pairs:
+    candidate pairs share (nation, $500 balance band); each pair gets
+    the Fellegi-Sunter milli-weight sum over three field comparisons
+    (segment equality, balance within $25, name 3-suffix equality) and
+    a match / possible / nonmatch class by fixed thresholds.  Returns
+    the per-class pair counts and score profile."""
+    base = t(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        F.floor(F.col("c_acctbal") / _BLK_BAND).cast("long").alias("blk"),
+        F.expr("right(c_name, 3)").alias("name3"))
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+
+    def w(agree: F.Column, key: str) -> F.Column:
+        up, down = _W[key]
+        return F.when(agree, F.lit(up)).otherwise(F.lit(down))
+
+    score = (
+        w(F.col("a.c_mktsegment") == F.col("b.c_mktsegment"), "seg")
+        + w(F.abs(F.col("a.bal_cents") - F.col("b.bal_cents"))
+            <= _BAL_TOL_CENTS, "bal")
+        + w(F.col("a.name3") == F.col("b.name3"), "name"))
+    scored = pairs.select(score.alias("score"))
+    cls = (F.when(F.col("score") >= _T_MATCH, F.lit("match"))
+           .when(F.col("score") >= _T_POSSIBLE, F.lit("possible"))
+           .otherwise(F.lit("nonmatch")))
+    return (scored.select(cls.alias("link_class"), "score")
+            .groupBy("link_class")
+            .agg(F.count(F.lit(1)).alias("pairs"),
+                 F.min("score").alias("min_score"),
+                 F.max("score").alias("max_score"),
+                 F.floor(F.avg("score")).cast("long")
+                 .alias("avg_score_milli"))
+            .orderBy("link_class"))
+
+
+FELLEGI_SUNTER_SQL = f"""
+WITH base AS (
+  SELECT c_custkey, c_mktsegment, c_nationkey,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         CAST(floor(c_acctbal / {_BLK_BAND}) AS BIGINT) AS blk,
+         right(c_name, 3) AS name3
+  FROM customer
+),
+pairs AS (
+  SELECT (CASE WHEN a.c_mktsegment = b.c_mktsegment
+               THEN {_W['seg'][0]} ELSE {_W['seg'][1]} END)
+       + (CASE WHEN abs(a.bal_cents - b.bal_cents) <= {_BAL_TOL_CENTS}
+               THEN {_W['bal'][0]} ELSE {_W['bal'][1]} END)
+       + (CASE WHEN a.name3 = b.name3
+               THEN {_W['name'][0]} ELSE {_W['name'][1]} END) AS score
+  FROM base a JOIN base b
+    ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+   AND a.c_custkey < b.c_custkey
+)
+SELECT CASE WHEN score >= {_T_MATCH} THEN 'match'
+            WHEN score >= {_T_POSSIBLE} THEN 'possible'
+            ELSE 'nonmatch' END AS link_class,
+       count(*) AS pairs,
+       min(score) AS min_score,
+       max(score) AS max_score,
+       CAST(floor(avg(score)) AS BIGINT) AS avg_score_milli
+FROM pairs
+GROUP BY 1
+ORDER BY link_class
+"""
+
+
+QUERIES = {
+    "privacy_k_anonymity": (privacy_k_anonymity, K_ANONYMITY_SQL),
+    "privacy_l_diversity": (privacy_l_diversity, L_DIVERSITY_SQL),
+    "linkage_fellegi_sunter": (linkage_fellegi_sunter,
+                               FELLEGI_SUNTER_SQL),
+}
