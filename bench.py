@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "embedding_pq_assign", "graph_label_propagation", "ann_ivf_pq_search",
     "asof_nearest_rate", "ml_decision_stump", "stats_holm_bonferroni",
     "privacy_k_anonymity", "privacy_l_diversity", "linkage_fellegi_sunter",
+    "ml_conformal_split", "text_ccnet_buckets",
 ]
 
 

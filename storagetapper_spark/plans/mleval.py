@@ -354,3 +354,98 @@ FROM agg
 
 
 QUERIES["ml_mcc"] = (ml_mcc, MCC_SQL)
+
+
+def ml_conformal_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-conformal prediction for the positive class at alpha=0.1:
+    even vec_ids are the calibration fold, odd the test fold.
+    Nonconformity is -score (lower score = less conforming to "pos");
+    the threshold tau is the ceil((n_cal+1)*0.9)-th smallest
+    calibration nonconformity — an EXACT order statistic, computed
+    with the two-pass rank (operators/ranks.py) instead of a
+    corpus-wide window, then broadcast to the test fold.  Reports the
+    finite-sample coverage (>= 90% guaranteed by exchangeability) and
+    the prediction-set efficiency (fraction of test rows whose set
+    includes "pos")."""
+    from storagetapper_spark.operators.ranks import two_pass_rank
+
+    emb = t(spark, sf, "embeddings")
+    base = emb.select(
+        "vec_id", (F.col("label") == 1).alias("pos"),
+        F.floor(F.element_at("embedding", 1).cast("double") * 1000000)
+        .cast("long").alias("v"))
+    calib = (base.filter((F.col("vec_id") % 2 == 0) & F.col("pos"))
+             .select((-F.col("v")).alias("alpha"), "vec_id"))
+    ranked = two_pass_rank(
+        calib, order=[F.col("alpha"), F.col("vec_id")],
+        bucket=F.floor(F.col("alpha") / 100000).cast("long"))
+    tau = (ranked
+           .filter(F.col("_rank") == F.expr("(9 * (_n + 1) + 9) div 10"))
+           .select(F.col("alpha").alias("tau"),
+                   F.col("_n").alias("n_cal"),
+                   F.col("_rank").alias("k")))
+    test = base.filter(F.col("vec_id") % 2 == 1)
+    agg = (test.crossJoin(F.broadcast(tau))
+           .agg(F.first("n_cal").alias("n_cal"),
+                F.first("k").alias("k"),
+                F.first("tau").alias("tau"),
+                F.count(F.lit(1)).alias("n_test"),
+                F.sum(F.when(F.col("pos"), 1).otherwise(0))
+                .alias("n_test_pos"),
+                F.sum(F.when(F.col("pos") & (-F.col("v") <= F.col("tau")),
+                             1).otherwise(0)).alias("covered_pos"),
+                F.sum(F.when(-F.col("v") <= F.col("tau"), 1).otherwise(0))
+                .alias("pred_pos")))
+    return agg.select(
+        "n_cal", "k", "tau", "n_test", "n_test_pos", "covered_pos",
+        F.floor(F.col("covered_pos").cast("double") * 1000000.0
+                / F.col("n_test_pos").cast("double")).cast("long")
+        .alias("coverage_micro"),
+        F.floor(F.col("pred_pos").cast("double") * 1000000.0
+                / F.col("n_test").cast("double")).cast("long")
+        .alias("pred_pos_micro"))
+
+
+CONFORMAL_SQL = """
+WITH base AS (
+  SELECT vec_id, label = 1 AS pos,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS v
+  FROM embeddings
+),
+calib AS (
+  SELECT -v AS alpha, vec_id FROM base WHERE vec_id % 2 = 0 AND pos
+),
+ranked AS (
+  SELECT alpha, row_number() OVER (ORDER BY alpha, vec_id) AS rn,
+         count(*) OVER () AS n
+  FROM calib
+),
+thr AS (
+  SELECT alpha AS tau, n AS n_cal, rn AS k
+  FROM ranked WHERE rn = (9 * (n + 1) + 9) // 10
+),
+agg AS (
+  SELECT any_value(n_cal) AS n_cal, any_value(k) AS k,
+         any_value(tau) AS tau,
+         count(*) AS n_test,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_test_pos,
+         sum(CASE WHEN pos AND -v <= tau THEN 1 ELSE 0 END)
+           AS covered_pos,
+         sum(CASE WHEN -v <= tau THEN 1 ELSE 0 END) AS pred_pos
+  FROM base, thr WHERE vec_id % 2 = 1
+)
+SELECT CAST(n_cal AS BIGINT) AS n_cal, CAST(k AS BIGINT) AS k, tau,
+       n_test, CAST(n_test_pos AS BIGINT) AS n_test_pos,
+       CAST(covered_pos AS BIGINT) AS covered_pos,
+       CAST(floor(CAST(covered_pos AS DOUBLE) * 1000000.0
+                  / CAST(n_test_pos AS DOUBLE)) AS BIGINT)
+         AS coverage_micro,
+       CAST(floor(CAST(pred_pos AS DOUBLE) * 1000000.0
+                  / CAST(n_test AS DOUBLE)) AS BIGINT)
+         AS pred_pos_micro
+FROM agg
+"""
+
+
+QUERIES["ml_conformal_split"] = (ml_conformal_split, CONFORMAL_SQL)
