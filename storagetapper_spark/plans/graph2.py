@@ -581,3 +581,90 @@ FROM sizes GROUP BY size ORDER BY size
 
 QUERIES["graph_label_propagation"] = (graph_label_propagation,
                                       LABEL_PROP_SQL)
+
+
+_HITS_PPM = 1000000
+
+
+def graph_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs & authorities over the directed customer->part
+    purchase graph (Kleinberg 1999): two power-iteration rounds with
+    integer ppm re-normalization after every half-step (score * 1e6
+    div max — the quantized-iteration discipline of
+    embedding_pca_power_iteration, so every intermediate is an exact
+    BIGINT both engines reproduce).  Hubs are customers whose baskets
+    concentrate on high-authority parts; authorities are parts bought
+    by strong hubs.  Returns the top-15 of each role.
+
+    Scale: each half-step is one equi-join (edges x scores, shuffle on
+    the score key) + a map-side-combined sum; normalization is a 1-row
+    broadcast.  Growth stays bounded by the ppm clamp (max score 1e6,
+    so a sum fits BIGINT up to degree ~9e6; drop the scale to 1e3 per
+    round beyond that).  Top-k is a TakeOrdered, never a global sort."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+             .select(F.col("o_custkey").alias("c"),
+                     F.col("l_partkey").alias("p"))
+             .distinct().persist())
+    edges.count()
+
+    def norm(df: DataFrame, key: str) -> DataFrame:
+        m = df.agg(F.max("s").alias("m"))
+        # eager checkpoint per generation: a2 feeds BOTH h2 and the
+        # authority top-k — without it the second consumer replays the
+        # whole join ladder (the LPA persisted-generation lesson)
+        return (df.crossJoin(F.broadcast(m))
+                .select(key, F.expr(f"s * {_HITS_PPM} div m").alias("s"))
+                .localCheckpoint(eager=True))
+
+    a1 = norm(edges.groupBy("p").agg(F.count(F.lit(1)).alias("s")), "p")
+    h1 = norm(edges.join(a1, "p").groupBy("c").agg(F.sum("s").alias("s")),
+              "c")
+    a2 = norm(edges.join(h1, "c").groupBy("p").agg(F.sum("s").alias("s")),
+              "p")
+    h2 = norm(edges.join(a2, "p").groupBy("c").agg(F.sum("s").alias("s")),
+              "c")
+    top_a = (a2.orderBy(F.desc("s"), "p").limit(15)
+             .select(F.lit("authority").alias("role"),
+                     F.col("p").alias("node_id"),
+                     F.col("s").alias("score_ppm")))
+    top_h = (h2.orderBy(F.desc("s"), "c").limit(15)
+             .select(F.lit("hub").alias("role"),
+                     F.col("c").alias("node_id"),
+                     F.col("s").alias("score_ppm")))
+    return (top_a.unionByName(top_h)
+            .orderBy("role", F.desc("score_ppm"), "node_id"))
+
+
+HITS_SQL = f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+a1 AS (SELECT p, CAST(count(*) AS BIGINT) AS s FROM edges GROUP BY p),
+a1n AS MATERIALIZED (SELECT p, CAST(s * {_HITS_PPM} // (SELECT max(s) FROM a1)
+                       AS BIGINT) AS s FROM a1),
+h1 AS (SELECT c, CAST(sum(a1n.s) AS BIGINT) AS s
+       FROM edges JOIN a1n USING (p) GROUP BY c),
+h1n AS MATERIALIZED (SELECT c, CAST(s * {_HITS_PPM} // (SELECT max(s) FROM h1)
+                       AS BIGINT) AS s FROM h1),
+a2 AS (SELECT p, CAST(sum(h1n.s) AS BIGINT) AS s
+       FROM edges JOIN h1n USING (c) GROUP BY p),
+a2n AS MATERIALIZED (SELECT p, CAST(s * {_HITS_PPM} // (SELECT max(s) FROM a2)
+                       AS BIGINT) AS s FROM a2),
+h2 AS (SELECT c, CAST(sum(a2n.s) AS BIGINT) AS s
+       FROM edges JOIN a2n USING (p) GROUP BY c),
+h2n AS MATERIALIZED (SELECT c, CAST(s * {_HITS_PPM} // (SELECT max(s) FROM h2)
+                       AS BIGINT) AS s FROM h2)
+SELECT * FROM (
+  (SELECT 'authority' AS role, p AS node_id, s AS score_ppm
+   FROM a2n ORDER BY s DESC, p LIMIT 15)
+  UNION ALL
+  (SELECT 'hub' AS role, c AS node_id, s AS score_ppm
+   FROM h2n ORDER BY s DESC, c LIMIT 15))
+ORDER BY role, score_ppm DESC, node_id
+"""
+
+
+QUERIES["graph_hits"] = (graph_hits, HITS_SQL)
