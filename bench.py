@@ -146,7 +146,7 @@ BENCH_QUERIES = [
     "asof_nearest_rate", "ml_decision_stump", "stats_holm_bonferroni",
     "privacy_k_anonymity", "privacy_l_diversity", "linkage_fellegi_sunter",
     "ml_conformal_split", "text_ccnet_buckets",
-    "multimodal_ahash_neardup", "graph_hits",
+    "multimodal_ahash_neardup", "graph_hits", "ml_linreg_normal",
 ]
 
 

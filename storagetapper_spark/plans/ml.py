@@ -500,3 +500,95 @@ FROM best
 
 
 QUERIES["ml_decision_stump"] = (ml_decision_stump, STUMP_SQL)
+
+
+# Shared double-expression template for the OLS closed form: the SAME
+# string feeds Spark's selectExpr and the DuckDB oracle, so both
+# engines build structurally identical IEEE-double expression trees
+# over the exact BIGINT sufficient statistics (the
+# one-double-expression discipline — identical tree => identical
+# bits => identical floor).
+_OLS_A11 = ("(CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)"
+            " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))")
+_OLS_A12 = ("(CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)"
+            " - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))")
+_OLS_A22 = ("(CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)"
+            " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))")
+_OLS_B1 = ("(CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE)"
+           " - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE))")
+_OLS_B2 = ("(CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE)"
+           " - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE))")
+_OLS_T = ("(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+          " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))")
+_OLS_DET = f"({_OLS_A11} * {_OLS_A22} - {_OLS_A12} * {_OLS_A12})"
+_OLS_B1HAT = f"(({_OLS_B1} * {_OLS_A22} - {_OLS_B2} * {_OLS_A12}) / {_OLS_DET})"
+_OLS_B2HAT = f"(({_OLS_B2} * {_OLS_A11} - {_OLS_B1} * {_OLS_A12}) / {_OLS_DET})"
+_OLS_B0HAT = (f"((CAST(sy AS DOUBLE) - {_OLS_B1HAT} * CAST(s1 AS DOUBLE)"
+              f" - {_OLS_B2HAT} * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE))")
+_OLS_R2 = f"(({_OLS_B1HAT} * {_OLS_B1} + {_OLS_B2HAT} * {_OLS_B2}) / {_OLS_T})"
+_OLS_OUT_LIST = [
+    f"CAST(floor({_OLS_B0HAT} * 1000000) AS BIGINT) AS b0_micro",
+    f"CAST(floor({_OLS_B1HAT} * 1000000) AS BIGINT) AS b1_micro",
+    f"CAST(floor({_OLS_B2HAT} * 1000000) AS BIGINT) AS b2_micro",
+    f"CAST(floor({_OLS_R2} * 1000000) AS BIGINT) AS r2_micro",
+]
+_OLS_OUT = ", ".join(_OLS_OUT_LIST)
+
+
+def ml_linreg_normal(spark: SparkSession, sf: str) -> DataFrame:
+    """In-engine multiple linear regression by the normal equations:
+    price_dollars ~ quantity + discount_bps over lineitem, solved in
+    closed form (2x2 Cramer on the centered cross-products).  The map
+    side reduces the corpus to NINE exact BIGINT sufficient statistics
+    (one map-side-combined aggregate — the only shuffle is 32 partial
+    rows); the coefficient solve is a single driver-free double
+    expression shared verbatim with the oracle.  The in-engine OLS
+    twin of the scatter-matrix GEMM route (plans/pca.py): for p
+    features the same pattern ships p(p+3)/2 sums to a driver solve.
+
+    Magnitudes: dollar-unit y keeps n*syy within BIGINT up to ~1e9
+    rows; past that, widen the sums to DECIMAL(38,0) at the agg."""
+    li = t(spark, sf, "lineitem").select(
+        F.floor(F.col("l_quantity")).cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
+        .alias("x2"),
+        F.floor(F.col("l_extendedprice") + F.lit(0.5)).cast("long")
+        .alias("y"))
+    sums = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    return sums.selectExpr("n", *_OLS_OUT_LIST)
+
+
+LINREG_SQL = f"""
+WITH base AS (
+  SELECT CAST(floor(l_quantity) AS BIGINT) AS x1,
+         CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS x2,
+         CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+  FROM lineitem
+),
+sums AS (
+  SELECT count(*) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+         CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         CAST(sum(x1 * y) AS BIGINT) AS s1y,
+         CAST(sum(x2 * y) AS BIGINT) AS s2y,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM base
+)
+SELECT n, {_OLS_OUT}
+FROM sums
+"""
+
+
+QUERIES["ml_linreg_normal"] = (ml_linreg_normal, LINREG_SQL)
