@@ -86,3 +86,77 @@ ORDER BY lang, bucket
 
 
 QUERIES["text_ccnet_buckets"] = (text_ccnet_buckets, CCNET_BUCKETS_SQL)
+
+
+_NEG_POOL = 100
+_NEG_K = 5
+
+
+def sample_negatives_contrastive(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every user, K=5 parts they never purchased, drawn from the top-100
+    most-purchased candidate pool by salted-md5 order (popularity-
+    biased negatives — the standard recsys/contrastive recipe).
+
+    Scale: the candidate pool is a TakeOrdered top-100 broadcast, so
+    the candidate join is users x 100 (BuildRight broadcast — the
+    ann_brute_force-sanctioned shape), the anti-join removes seen
+    items on the (user, part) key, and the per-user ranking window
+    holds <= 100 rows per partition.  No corpus-wide window, no
+    unbounded fan-out; md5 draws make the sample replayable."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pos = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+           .select(F.col("o_custkey").alias("c"),
+                   F.col("l_partkey").alias("p"))
+           .distinct().persist())
+    pop = (pos.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.desc("n"), "p").limit(_NEG_POOL).select("p"))
+    users = pos.select("c").distinct()
+    cand = users.crossJoin(F.broadcast(pop))
+    neg = cand.join(pos, ["c", "p"], "left_anti")
+    from pyspark.sql import Window
+    rn = F.row_number().over(
+        Window.partitionBy("c").orderBy(
+            F.md5(F.concat(F.col("c").cast("string"), F.lit(":"),
+                           F.col("p").cast("string"))), "p"))
+    return (neg.select("c", "p", rn.alias("rnk"))
+            .filter(F.col("rnk") <= _NEG_K)
+            .select(F.col("c").alias("custkey"),
+                    F.col("p").alias("neg_partkey"), "rnk")
+            .orderBy("custkey", "rnk"))
+
+
+NEGATIVES_SQL = f"""
+WITH pos AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+pop AS (
+  SELECT p FROM (
+    SELECT p, count(*) AS n FROM pos GROUP BY p
+    ORDER BY n DESC, p LIMIT {_NEG_POOL})
+),
+users AS (SELECT DISTINCT c FROM pos),
+cand AS (SELECT u.c, pop.p FROM users u CROSS JOIN pop),
+neg AS (
+  SELECT cand.c, cand.p FROM cand
+  LEFT JOIN pos ON pos.c = cand.c AND pos.p = cand.p
+  WHERE pos.c IS NULL
+),
+ranked AS (
+  SELECT c, p,
+         row_number() OVER (
+           PARTITION BY c
+           ORDER BY md5(CAST(c AS VARCHAR) || ':' || CAST(p AS VARCHAR)),
+                    p) AS rn
+  FROM neg
+)
+SELECT c AS custkey, p AS neg_partkey, rn AS rnk
+FROM ranked WHERE rn <= {_NEG_K}
+ORDER BY custkey, rnk
+"""
+
+
+QUERIES["sample_negatives_contrastive"] = (sample_negatives_contrastive,
+                                           NEGATIVES_SQL)
