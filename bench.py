@@ -147,7 +147,7 @@ BENCH_QUERIES = [
     "privacy_k_anonymity", "privacy_l_diversity", "linkage_fellegi_sunter",
     "ml_conformal_split", "text_ccnet_buckets",
     "multimodal_ahash_neardup", "graph_hits", "ml_linreg_normal",
-    "sample_negatives_contrastive",
+    "sample_negatives_contrastive", "text_span_corruption_plan",
 ]
 
 

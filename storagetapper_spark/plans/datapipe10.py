@@ -160,3 +160,59 @@ ORDER BY custkey, rnk
 
 QUERIES["sample_negatives_contrastive"] = (sample_negatives_contrastive,
                                            NEGATIVES_SQL)
+
+
+_SPAN_LEN = 3
+
+
+def text_span_corruption_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """T5-style span-corruption plan: per document, mask ~15% of the
+    whitespace tokens in length-3 spans at deterministic, evenly-
+    strided start offsets (start_i = (i*n) div n_spans, stride >= 20
+    so spans never overlap).  A pure narrow generator — no shuffle, no
+    Python stage; the executor masking pass consumes exactly these
+    offsets, so the plan (not the corruptor) decides reproducibility.
+    Both engines build the offset arrays with identical integer
+    arithmetic."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id", word_count(F.col("text")).alias("n"))
+    planned = docs.select(
+        "doc_id", F.col("n").alias("n_tokens"),
+        F.expr("n div 20").alias("n_spans"))
+    return (planned.filter(F.col("n_spans") >= 1)
+            .select(
+                "doc_id", "n_tokens", "n_spans",
+                F.expr("transform(sequence(0, cast(n_spans as int) - 1), "
+                       "i -> (i * n_tokens) div n_spans)")
+                .alias("mask_starts"),
+                F.expr(f"(n_spans * {_SPAN_LEN} * 1000000) div n_tokens")
+                .alias("corrupted_micro"))
+            .orderBy("doc_id"))
+
+
+SPAN_CORRUPTION_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+              THEN 0
+              ELSE length(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                   - length(replace(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ', ''))
+                   + 1
+         END AS n_tokens
+  FROM documents
+),
+planned AS (
+  SELECT doc_id, n_tokens, n_tokens // 20 AS n_spans FROM docs
+)
+SELECT doc_id, n_tokens, n_spans,
+       list_transform(range(0, CAST(n_spans AS INTEGER)),
+                      i -> CAST((i * n_tokens) // n_spans AS BIGINT))
+         AS mask_starts,
+       (n_spans * {_SPAN_LEN} * 1000000) // n_tokens AS corrupted_micro
+FROM planned WHERE n_spans >= 1
+ORDER BY doc_id
+"""
+
+
+QUERIES["text_span_corruption_plan"] = (text_span_corruption_plan,
+                                        SPAN_CORRUPTION_SQL)
