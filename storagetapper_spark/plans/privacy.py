@@ -150,22 +150,36 @@ _T_POSSIBLE = 0
 
 def linkage_fellegi_sunter(spark: SparkSession, sf: str) -> DataFrame:
     """Probabilistic record linkage over blocked customer pairs:
-    candidate pairs share (nation, $500 balance band); each pair gets
-    the Fellegi-Sunter milli-weight sum over three field comparisons
+    candidates share a nation and sit within ONE $500 balance band of
+    each other (the left side probes the right side's band and both
+    adjacent bands — LSH-style multi-probing, so a $25-close pair
+    straddling a band boundary is never missed); each pair gets the
+    Fellegi-Sunter milli-weight sum over three field comparisons
     (segment equality, balance within $25, name 3-suffix equality) and
     a match / possible / nonmatch class by fixed thresholds.  Returns
-    the per-class pair counts and score profile."""
+    the per-class pair counts and score profile.
+
+    Scale: block size is the (nation, band) occupancy — the band width
+    is the knob, and multi-probing decouples it from the agreement
+    tolerance (any width >= the $25 tolerance keeps recall exact), so
+    at 1e9 customers the width shrinks to $25 and blocks stay
+    distribution-bounded while the candidate cost is a flat 3x.  The
+    probe explode is a narrow 3x generator on one side only."""
     base = t(spark, sf, "customer").select(
         "c_custkey", "c_mktsegment", "c_nationkey",
         F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
         F.floor(F.col("c_acctbal") / _BLK_BAND).cast("long").alias("blk"),
         F.expr("right(c_name, 3)").alias("name3"))
+    probes = base.select(
+        "*",
+        F.explode(F.array(F.col("blk") - 1, F.col("blk"),
+                          F.col("blk") + 1)).alias("probe"))
     a = base.alias("a")
-    b = base.alias("b")
+    b = probes.alias("b")
     pairs = a.join(
         b,
         (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.blk") == F.col("b.probe"))
         & (F.col("a.c_custkey") < F.col("b.c_custkey")))
 
     def w(agree: F.Column, key: str) -> F.Column:
@@ -207,7 +221,8 @@ pairs AS (
        + (CASE WHEN a.name3 = b.name3
                THEN {_W['name'][0]} ELSE {_W['name'][1]} END) AS score
   FROM base a JOIN base b
-    ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+    ON a.c_nationkey = b.c_nationkey
+   AND a.blk BETWEEN b.blk - 1 AND b.blk + 1
    AND a.c_custkey < b.c_custkey
 )
 SELECT CASE WHEN score >= {_T_MATCH} THEN 'match'

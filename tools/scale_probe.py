@@ -113,6 +113,17 @@ PROBES = [
     "drift_ks_by_feature",     # 3-feature value-grid KS
     "embedding_drift_mmd_linear",  # per-dim micro-moment diff
     "text_query_expansion_prf",  # BM25 top-k + R-set posting join
+    # round-6 privacy/conformal/multimodal batch
+    "privacy_k_anonymity",     # one QI hash shuffle
+    "privacy_l_diversity",     # QI join + distinct-sensitive agg
+    "linkage_fellegi_sunter",  # nation x $500-band blocked pair join
+    "ml_conformal_split",      # two-pass-rank order statistic
+    "text_ccnet_buckets",      # per-lang two-pass rank thirds
+    "multimodal_ahash_neardup",  # 64-pixel explode + band join
+    "graph_hits",              # 4 half-step joins, eager generations
+    "ml_linreg_normal",        # nine-sum map-side reduce
+    "sample_negatives_contrastive",  # broadcast pool cross + anti-join
+    "text_span_corruption_plan",  # pure narrow generator
 ]
 
 
