@@ -244,3 +244,104 @@ QUERIES = {
     "linkage_fellegi_sunter": (linkage_fellegi_sunter,
                                FELLEGI_SUNTER_SQL),
 }
+
+
+_T_CLOSE_MICRO = 250000   # t-closeness threshold t = 0.25
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+               "5-LOW"]
+
+
+def privacy_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness audit (Li/Li/Venkatasubramanian 2007): for each
+    quasi-identifier class, the ordered-category earth-mover distance
+    between the class's sensitive-attribute distribution (order
+    priority, 5 ordered values) and the GLOBAL distribution.  EMD for
+    ordered categories = (1/(m-1)) * sum_k |cumP_class(k) −
+    cumP_global(k)|; both cumulative fractions are rationals, so the
+    distance is computed EXACTLY as the integer
+    sum_k |cum_class(k)*N − cum_global(k)*n_class| scaled by
+    n_class*N*(m-1) — no float until the final micro floor.
+
+    Scale: one (QI) hash aggregation with 5 conditional sums (the
+    sensitive domain is fixed), a 1-row global broadcast, a per-segment
+    rollup.  Same single-shuffle shape as privacy_k_anonymity."""
+    orders = t(spark, sf, "orders").select("o_custkey", "o_orderpriority")
+    joined = _qi(spark, sf).join(
+        orders, F.col("c_custkey") == F.col("o_custkey"))
+    conds = [F.sum(F.when(F.col("o_orderpriority") == p, 1).otherwise(0))
+             .alias(f"c{i}") for i, p in enumerate(_PRIORITIES)]
+    groups = (joined.groupBy("c_mktsegment", "c_nationkey", "bal_band")
+              .agg(F.count(F.lit(1)).alias("n"), *conds))
+    glob = groups.agg(
+        F.sum("n").alias("gn"),
+        *[F.sum(f"c{i}").alias(f"g{i}") for i in range(5)])
+    j = groups.crossJoin(F.broadcast(glob))
+    # cumulative counts (first 4 suffice: the 5th cum always matches)
+    emd = None
+    cg, cG = F.lit(0), F.lit(0)
+    for i in range(4):
+        cg = cg + F.col(f"c{i}")
+        cG = cG + F.col(f"g{i}")
+        term = F.abs(cg * F.col("gn") - cG * F.col("n"))
+        emd = term if emd is None else emd + term
+    t_micro = F.floor(
+        emd.cast("double") * 1000000.0
+        / (F.col("n") * F.col("gn") * 4).cast("double")).cast("long")
+    scored = j.select("c_mktsegment", "n", t_micro.alias("t_micro"))
+    return (scored.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.max("t_micro").alias("max_t_micro"),
+                 F.sum(F.when(F.col("t_micro") > _T_CLOSE_MICRO, 1)
+                       .otherwise(0)).alias("groups_above_t"),
+                 F.sum(F.when(F.col("t_micro") > _T_CLOSE_MICRO,
+                              F.col("n")).otherwise(0))
+                 .alias("exposed_rows"))
+            .orderBy("c_mktsegment"))
+
+
+_TC_CONDS = ",\n         ".join(
+    f"sum(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS c{i}"
+    for i, p in enumerate(_PRIORITIES))
+_TC_CUM = " + ".join(
+    f"abs(({' + '.join(f'c{j}' for j in range(i + 1))}) * gn"
+    f" - ({' + '.join(f'g{j}' for j in range(i + 1))}) * n)"
+    for i in range(4))
+
+T_CLOSENESS_SQL = f"""
+WITH qi AS (
+  SELECT c_custkey, c_mktsegment, c_nationkey,
+         CAST(floor(c_acctbal / {_BAL_BAND}) AS BIGINT) AS bal_band
+  FROM customer
+),
+groups AS (
+  SELECT c_mktsegment, c_nationkey, bal_band,
+         CAST(count(*) AS BIGINT) AS n,
+         {_TC_CONDS}
+  FROM qi JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1, 2, 3
+),
+gtot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS gn,
+         {", ".join(f"CAST(sum(c{i}) AS BIGINT) AS g{i}" for i in range(5))}
+  FROM groups
+),
+scored AS (
+  SELECT c_mktsegment, n,
+         CAST(floor(CAST({_TC_CUM} AS DOUBLE) * 1000000.0
+                    / CAST(n * gn * 4 AS DOUBLE)) AS BIGINT) AS t_micro
+  FROM groups, gtot
+)
+SELECT c_mktsegment,
+       count(*) AS n_groups,
+       max(t_micro) AS max_t_micro,
+       CAST(sum(CASE WHEN t_micro > {_T_CLOSE_MICRO} THEN 1 ELSE 0 END)
+            AS BIGINT) AS groups_above_t,
+       CAST(sum(CASE WHEN t_micro > {_T_CLOSE_MICRO} THEN n ELSE 0 END)
+            AS BIGINT) AS exposed_rows
+FROM scored
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+QUERIES["privacy_t_closeness"] = (privacy_t_closeness, T_CLOSENESS_SQL)
