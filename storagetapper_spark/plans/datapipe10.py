@@ -216,3 +216,110 @@ ORDER BY doc_id
 
 QUERIES["text_span_corruption_plan"] = (text_span_corruption_plan,
                                         SPAN_CORRUPTION_SQL)
+
+
+def text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style quality gate (Rae et al. 2021, table A1 subset) as
+    per-language rule diagnostics: word-count bounds, mean-word-length
+    band, symbol-to-word ratio, alphabetic-character fraction, and a
+    minimum stop-word count — every rule an exact integer comparison
+    (cross-multiplied ratios, never floats), one scan, one hash
+    aggregation by language."""
+    txt = F.col("text")
+    n_chars = F.length(txt).cast("long")
+    n_space = (F.length(txt)
+               - F.length(F.regexp_replace(txt, " ", ""))).cast("long")
+    words = word_count(txt)
+    alpha = F.length(F.regexp_replace(txt, "[^A-Za-z]", "")).cast("long")
+    symbols = (F.length(txt)
+               - F.length(F.regexp_replace(txt, "[#*@%]", ""))).cast("long")
+    padded = F.concat(F.lit(" "), F.lower(txt), F.lit(" "))
+    stop_hits = sum(
+        ((F.length(padded) - F.length(F.regexp_replace(padded, w, "")))
+         / F.lit(len(w.replace("\\", "")))).cast("long")
+        for w in [" the ", " and ", " of "])
+    base = t(spark, sf, "documents").select(
+        "lang",
+        words.alias("w"), n_chars.alias("nc"), n_space.alias("ns"),
+        alpha.alias("na"), symbols.alias("sy"),
+        stop_hits.alias("sh"))
+    r1 = (F.col("w") >= 50) & (F.col("w") <= 100000)
+    mwl_num = (F.col("nc") - F.col("ns")) * 1000000
+    r2 = ((mwl_num >= 3000000 * F.greatest(F.col("w"), F.lit(1)))
+          & (mwl_num <= 10000000 * F.greatest(F.col("w"), F.lit(1))))
+    r3 = F.col("sy") * 10 <= F.col("w")
+    r4 = F.col("na") * 10 >= (F.col("nc") - F.col("ns")) * 7
+    r5 = F.col("sh") >= 2
+    flags = base.select(
+        "lang",
+        r1.cast("int").alias("p1"), r2.cast("int").alias("p2"),
+        r3.cast("int").alias("p3"), r4.cast("int").alias("p4"),
+        r5.cast("int").alias("p5"),
+        (r1 & r2 & r3 & r4 & r5).cast("int").alias("pall"))
+    return (flags.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("p1").alias("pass_wordcount"),
+                 F.sum("p2").alias("pass_wordlen"),
+                 F.sum("p3").alias("pass_symbols"),
+                 F.sum("p4").alias("pass_alpha"),
+                 F.sum("p5").alias("pass_stopwords"),
+                 F.sum("pall").alias("pass_all"),
+                 F.floor(F.sum("pall") * 1000000 / F.count(F.lit(1)))
+                 .cast("long").alias("pass_rate_micro"))
+            .orderBy("lang"))
+
+
+GOPHER_SQL = """
+WITH base AS (
+  SELECT lang,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+              THEN 0
+              ELSE length(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                   - length(replace(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ', ''))
+                   + 1
+         END AS w,
+         CAST(length(text) AS BIGINT) AS nc,
+         CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+           AS ns,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              AS BIGINT) AS na,
+         CAST(length(text) - length(regexp_replace(text, '[#*@%]', '', 'g'))
+              AS BIGINT) AS sy,
+         CAST((length(' ' || lower(text) || ' ')
+               - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5
+              AS BIGINT)
+         + CAST((length(' ' || lower(text) || ' ')
+               - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5
+              AS BIGINT)
+         + CAST((length(' ' || lower(text) || ' ')
+               - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4
+              AS BIGINT) AS sh
+  FROM documents
+),
+flags AS (
+  SELECT lang,
+         CASE WHEN w >= 50 AND w <= 100000 THEN 1 ELSE 0 END AS p1,
+         CASE WHEN (nc - ns) * 1000000 >= 3000000 * greatest(w, 1)
+                AND (nc - ns) * 1000000 <= 10000000 * greatest(w, 1)
+              THEN 1 ELSE 0 END AS p2,
+         CASE WHEN sy * 10 <= w THEN 1 ELSE 0 END AS p3,
+         CASE WHEN na * 10 >= (nc - ns) * 7 THEN 1 ELSE 0 END AS p4,
+         CASE WHEN sh >= 2 THEN 1 ELSE 0 END AS p5
+  FROM base
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(p1) AS BIGINT) AS pass_wordcount,
+       CAST(sum(p2) AS BIGINT) AS pass_wordlen,
+       CAST(sum(p3) AS BIGINT) AS pass_symbols,
+       CAST(sum(p4) AS BIGINT) AS pass_alpha,
+       CAST(sum(p5) AS BIGINT) AS pass_stopwords,
+       CAST(sum(p1 * p2 * p3 * p4 * p5) AS BIGINT) AS pass_all,
+       CAST(floor(sum(p1 * p2 * p3 * p4 * p5) * 1000000 / count(*))
+            AS BIGINT) AS pass_rate_micro
+FROM flags
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES["text_gopher_rules"] = (text_gopher_rules, GOPHER_SQL)
