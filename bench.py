@@ -148,7 +148,7 @@ BENCH_QUERIES = [
     "ml_conformal_split", "text_ccnet_buckets",
     "multimodal_ahash_neardup", "graph_hits", "ml_linreg_normal",
     "sample_negatives_contrastive", "text_span_corruption_plan",
-    "privacy_t_closeness", "text_gopher_rules",
+    "privacy_t_closeness", "text_gopher_rules", "sketch_bloom_fp_audit",
 ]
 
 

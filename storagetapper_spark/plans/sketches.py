@@ -170,3 +170,116 @@ FROM agg CROSS JOIN exact
 
 
 QUERIES["sketch_ams_f2"] = (sketch_ams_f2, AMS_SQL)
+
+
+_BF_M = 4096   # bloom bits
+_BF_K = 3      # hash functions
+
+
+def sketch_bloom_fp_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter quality audit: build an m=4096-bit / k=3 filter
+    over one brand's part keys, probe it with EVERY part key, and
+    report the measured false-positive rate next to the exact truth —
+    the calibration readout a pipeline checks before trusting a Bloom
+    prune (operators/bloom.py) at a new key-set size.
+
+    Unlike the runtime filter (xxhash64, JVM-only), the audit hashes
+    with salted md5 so the oracle replays every bit position.  The set
+    of SET bits is a <= m-row table (distinct positions), broadcast to
+    the probe side; a probe hits when all k of its positions are set.
+    One scan of parts on each side, no collect."""
+    parts = t(spark, sf, "part")
+    members = parts.filter(F.col("p_brand") == "Brand#11") \
+                   .select("p_partkey")
+
+    def positions(df: DataFrame) -> DataFrame:
+        pos = F.explode(F.array(*[
+            F.pmod(F.conv(F.substring(F.md5(F.concat(
+                F.col("p_partkey").cast("string"), F.lit(f":{i}"))),
+                1, 15), 16, 10).cast("long"), F.lit(_BF_M))
+            for i in range(_BF_K)])).alias("pos")
+        return df.select("p_partkey", pos)
+
+    bits = positions(members).select("pos").distinct()
+    probes = positions(parts.select("p_partkey"))
+    hits = (probes.join(F.broadcast(bits), "pos")
+            .groupBy("p_partkey")
+            .agg(F.count(F.lit(1)).alias("nhit"))
+            .filter(F.col("nhit") == _BF_K)
+            .select("p_partkey", F.lit(1).alias("bloom_hit")))
+    truth = parts.select(
+        "p_partkey",
+        (F.col("p_brand") == "Brand#11").cast("int").alias("is_member"))
+    joined = truth.join(hits, "p_partkey", "left") \
+                  .fillna(0, subset=["bloom_hit"])
+    stats = joined.agg(
+        F.sum("is_member").alias("n_members"),
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("bloom_hit").alias("bloom_hits"),
+        F.sum(F.col("bloom_hit")
+              * (1 - F.col("is_member"))).alias("false_positives"),
+        F.sum(F.col("is_member")
+              * (1 - F.col("bloom_hit"))).alias("false_negatives"))
+    nbits = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    return (stats.crossJoin(F.broadcast(nbits))
+            .select("n_members", "n_probes", "bits_set", "bloom_hits",
+                    "false_positives", "false_negatives",
+                    F.floor(F.col("false_positives").cast("double")
+                            * 1000000.0
+                            / (F.col("n_probes")
+                               - F.col("n_members")).cast("double"))
+                    .cast("long").alias("fp_rate_micro")))
+
+
+def _bf_pos_sql(alias: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT p_partkey, CAST(('0x' || substring(md5("
+        f"CAST(p_partkey AS VARCHAR) || ':{i}'), 1, 15)) AS BIGINT)"
+        f" % {_BF_M} AS pos FROM {alias}"
+        for i in range(_BF_K))
+
+
+BLOOM_FP_SQL = f"""
+WITH members AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'
+),
+allparts AS (SELECT p_partkey FROM part),
+bits AS (
+  SELECT DISTINCT pos FROM ({_bf_pos_sql('members')})
+),
+probe_pos AS ({_bf_pos_sql('allparts')}),
+hits AS (
+  SELECT p_partkey, 1 AS bloom_hit
+  FROM probe_pos JOIN bits USING (pos)
+  GROUP BY p_partkey HAVING count(*) = {_BF_K}
+),
+truth AS (
+  SELECT p_partkey,
+         CASE WHEN p_brand = 'Brand#11' THEN 1 ELSE 0 END AS is_member
+  FROM part
+),
+joined AS (
+  SELECT t.is_member, coalesce(h.bloom_hit, 0) AS bloom_hit
+  FROM truth t LEFT JOIN hits h USING (p_partkey)
+),
+stats AS (
+  SELECT CAST(sum(is_member) AS BIGINT) AS n_members,
+         count(*) AS n_probes,
+         CAST(sum(bloom_hit) AS BIGINT) AS bloom_hits,
+         CAST(sum(bloom_hit * (1 - is_member)) AS BIGINT)
+           AS false_positives,
+         CAST(sum(is_member * (1 - bloom_hit)) AS BIGINT)
+           AS false_negatives
+  FROM joined
+)
+SELECT n_members, n_probes,
+       (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
+       bloom_hits, false_positives, false_negatives,
+       CAST(floor(CAST(false_positives AS DOUBLE) * 1000000.0
+                  / CAST(n_probes - n_members AS DOUBLE)) AS BIGINT)
+         AS fp_rate_micro
+FROM stats
+"""
+
+
+QUERIES["sketch_bloom_fp_audit"] = (sketch_bloom_fp_audit, BLOOM_FP_SQL)
