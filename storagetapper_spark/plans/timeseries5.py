@@ -479,3 +479,94 @@ ORDER BY day
 
 QUERIES["ts_rolling_robust_anomaly"] = (ts_rolling_robust_anomaly,
                                         TS_ROBUST_SQL)
+
+
+def ts_changepoint_mean_shift(spark: SparkSession, sf: str) -> DataFrame:
+    """Best single mean-shift changepoint over the daily order-count
+    series (binary-segmentation step 1): the split day maximizing the
+    between-segment sum of squares, via the identity
+    argmax_t [ S_L²/n_L + S_R²/n_R ] with S/n from exact BIGINT prefix
+    sums over the calendar grid.  The comparison score is the exact
+    integer S_L²·n_R + S_R²·n_L (common denominator n_L·n_R dropped —
+    it is NOT constant, so the full fraction is compared as one double
+    over exact ints; ties broken by day).  Output: the split day, both
+    segment means (micro), and the shift.
+
+    Scale: the raw scan reduces to the calendar grid (one hash agg);
+    the prefix window runs over the ≤ ~2.5k-day grid (registered in
+    the bounded-domain allowlist), and the argmax is a 1-row
+    TakeOrdered."""
+    daily = (t(spark, sf, "orders")
+             .groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg(F.count(F.lit(1)).alias("y")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    tot = daily.agg(F.sum("y").alias("s_all"),
+                    F.count(F.lit(1)).alias("n_all"))
+    pre = (daily
+           .withColumn("s_l", F.sum("y").over(w))
+           .withColumn("n_l", F.count(F.lit(1)).over(w))
+           .crossJoin(F.broadcast(tot))
+           .filter(F.col("n_l") < F.col("n_all")))
+    s_r = F.col("s_all") - F.col("s_l")
+    n_r = F.col("n_all") - F.col("n_l")
+    score = ((F.col("s_l") * F.col("s_l") * n_r
+              + s_r * s_r * F.col("n_l")).cast("double")
+             / (F.col("n_l") * n_r).cast("double"))
+    scored = pre.select(
+        "day", "n_l", s_r.alias("s_r"), "s_l", n_r.alias("n_r"),
+        F.floor(score).cast("long").alias("score"))
+    best = scored.orderBy(F.desc("score"), "day").limit(1)
+    return best.select(
+        F.col("day").alias("split_day"),
+        F.col("n_l").alias("n_left"), F.col("n_r").alias("n_right"),
+        F.floor(F.col("s_l") * 1000000 / F.col("n_l")).cast("long")
+        .alias("mean_left_micro"),
+        F.floor(F.col("s_r") * 1000000 / F.col("n_r")).cast("long")
+        .alias("mean_right_micro"),
+        (F.floor(F.col("s_r") * 1000000 / F.col("n_r"))
+         - F.floor(F.col("s_l") * 1000000 / F.col("n_l")))
+        .cast("long").alias("shift_micro"))
+
+
+CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(y) AS BIGINT) AS s_all, count(*) AS n_all FROM daily
+),
+pre AS (
+  SELECT day,
+         CAST(sum(y) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s_l,
+         CAST(count(*) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n_l,
+         s_all, n_all
+  FROM daily, tot
+),
+scored AS (
+  SELECT day, n_l, s_l, s_all - s_l AS s_r, n_all - n_l AS n_r,
+         CAST(floor(CAST(s_l * s_l * (n_all - n_l)
+                         + (s_all - s_l) * (s_all - s_l) * n_l
+                         AS DOUBLE)
+                    / CAST(n_l * (n_all - n_l) AS DOUBLE)) AS BIGINT)
+           AS score
+  FROM pre WHERE n_l < n_all
+)
+SELECT day AS split_day, n_l AS n_left, n_r AS n_right,
+       CAST(floor(s_l * 1000000 / n_l) AS BIGINT) AS mean_left_micro,
+       CAST(floor(s_r * 1000000 / n_r) AS BIGINT) AS mean_right_micro,
+       CAST(floor(s_r * 1000000 / n_r) - floor(s_l * 1000000 / n_l)
+            AS BIGINT) AS shift_micro
+FROM scored
+ORDER BY score DESC, day
+LIMIT 1
+"""
+
+
+QUERIES["ts_changepoint_mean_shift"] = (ts_changepoint_mean_shift,
+                                        CHANGEPOINT_SQL)

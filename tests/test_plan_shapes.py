@@ -233,12 +233,15 @@ _BOUNDED_DOMAIN_ALLOWLIST = {
     "window_distribution": "bucket-count offset table (≤ 4096 buckets)",
     "rfm_segments": "bucket-count offset table (≤ 4096 buckets)",
     "sample_pack_contiguous": "16-row shard-total offset cascade",
+    "ml_conformal_split": "bucket-count offset table (alpha grid / 1e5 "
+                          "buckets, <= ~40 rows)",
     "layout_zorder_pruning": "bucket-count offset table (two-pass rank "
                              "over the Morton order)",
     "layout_zone_map_pruning": "bucket-count offset tables (two-pass "
                                "rank, natural + sorted layouts)",
     # calendar-bounded grids: distinct days/weeks (≤ ~4k rows/decade)
     "slo_burn_rate": "daily grid (calendar-bounded)",
+    "ts_changepoint_mean_shift": "daily grid (calendar-bounded)",
     "ts_rolling_slope": "daily grid (calendar-bounded)",
     "corpus_growth_curve": "ingestion-batch grid (calendar-bounded)",
     "survival_km": "distinct session-duration minutes (≤ gap cap 30 min "
