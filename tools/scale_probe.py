@@ -124,6 +124,10 @@ PROBES = [
     "ml_linreg_normal",        # nine-sum map-side reduce
     "sample_negatives_contrastive",  # broadcast pool cross + anti-join
     "text_span_corruption_plan",  # pure narrow generator
+    "privacy_t_closeness",     # QI agg + 1-row broadcast EMD
+    "text_gopher_rules",       # one-scan integer rule flags
+    "sketch_bloom_fp_audit",   # bit-position explode + broadcast bits
+    "ts_changepoint_mean_shift",  # calendar-grid prefix argmax
 ]
 
 
