@@ -449,3 +449,86 @@ FROM agg
 
 
 QUERIES["ml_conformal_split"] = (ml_conformal_split, CONFORMAL_SQL)
+
+
+def ml_pr_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Precision-recall AUC (trapezoidal over distinct score
+    thresholds, descending) for the dim-0 scorer: at each distinct
+    quantized score v the operating point is (R, P) = (cum_pos/n_pos,
+    cum_pos/cum_n) over rows scoring >= v; the area term between
+    consecutive thresholds is floored to integer micros BEFORE the
+    final exact sum (the ECE discipline), and the previous point needs
+    NO lag — it is (cum_pos - c_p, cum_n - cnt) by construction.
+    P_0 = 1 by convention at the first threshold.  Same score-grid
+    window shape as ml_auc_roc (bounded-domain allowlist)."""
+    emb = t(spark, sf, "embeddings")
+    base = emb.select(
+        (F.col("label") == 1).alias("pos"),
+        F.floor(F.element_at("embedding", 1).cast("double") * 1000000)
+        .cast("long").alias("v"))
+    per_v = (base.groupBy("v")
+             .agg(F.sum(F.when(F.col("pos"), 1).otherwise(0))
+                  .alias("c_p"),
+                  F.count(F.lit(1)).alias("cnt")))
+    from pyspark.sql import Window
+    w = (Window.orderBy(F.desc("v"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = per_v.select(
+        "c_p", "cnt",
+        F.sum("c_p").over(w).alias("cum_p"),
+        F.sum("cnt").over(w).alias("cum_n"))
+    tot = per_v.agg(F.sum("c_p").alias("n_pos"),
+                    (F.sum("cnt") - F.sum("c_p")).alias("n_neg"))
+    j = cum.crossJoin(F.broadcast(tot))
+    p_cur = F.col("cum_p").cast("double") / F.col("cum_n").cast("double")
+    p_prev = F.when(
+        F.col("cum_n") - F.col("cnt") == 0, F.lit(1.0)).otherwise(
+        (F.col("cum_p") - F.col("c_p")).cast("double")
+        / (F.col("cum_n") - F.col("cnt")).cast("double"))
+    term = F.floor(F.col("c_p").cast("double")
+                   / F.col("n_pos").cast("double")
+                   * (p_cur + p_prev) / 2.0 * 1000000.0).cast("long")
+    return (j.select("n_pos", "n_neg", term.alias("t"))
+            .groupBy("n_pos", "n_neg")
+            .agg(F.sum("t").alias("pr_auc_micro")))
+
+
+PR_AUC_SQL = """
+WITH base AS (
+  SELECT label = 1 AS pos,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS v
+  FROM embeddings
+),
+per_v AS (
+  SELECT v, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_p,
+         count(*) AS cnt
+  FROM base GROUP BY v
+),
+cum AS (
+  SELECT c_p, cnt,
+         CAST(sum(c_p) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_p,
+         CAST(sum(cnt) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_n
+  FROM per_v
+),
+tot AS (
+  SELECT CAST(sum(c_p) AS BIGINT) AS n_pos,
+         CAST(sum(cnt) - sum(c_p) AS BIGINT) AS n_neg
+  FROM per_v
+)
+SELECT n_pos, n_neg,
+       CAST(sum(CAST(floor(
+         CAST(c_p AS DOUBLE) / CAST(n_pos AS DOUBLE)
+         * (CAST(cum_p AS DOUBLE) / CAST(cum_n AS DOUBLE)
+            + CASE WHEN cum_n - cnt = 0 THEN 1.0
+                   ELSE CAST(cum_p - c_p AS DOUBLE)
+                        / CAST(cum_n - cnt AS DOUBLE) END)
+         / 2.0 * 1000000.0) AS BIGINT)) AS BIGINT) AS pr_auc_micro
+FROM cum, tot
+GROUP BY n_pos, n_neg
+"""
+
+
+QUERIES["ml_pr_auc"] = (ml_pr_auc, PR_AUC_SQL)
