@@ -668,3 +668,87 @@ ORDER BY role, score_ppm DESC, node_id
 
 
 QUERIES["graph_hits"] = (graph_hits, HITS_SQL)
+
+
+def graph_clustering_coefficient(spark: SparkSession, sf: str) -> DataFrame:
+    """Global + mean-local clustering coefficient of the co-purchase
+    graph: global = 3·triangles / wedges (wedges = Σ deg·(deg−1)/2,
+    exact BIGINT), local(u) = 2·tri(u) / (deg_u·(deg_u−1)) floored to
+    micros per node before the mean (deterministic both engines).
+    Triangles come from the oriented wedge join (graph_triangles,
+    relational10.py:1295 — each triangle generated exactly once), and
+    per-node counts from a 3-way stack of the triangle corners.
+
+    Scale: the same oriented-wedge bound as graph_triangles (switch
+    orientation to degree-then-id at 100 TB); everything after the
+    triangle join is node-sized."""
+    e = _edges(spark, sf).persist()
+    e.count()
+    deg = _adj(e).groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+           .join(e3, (F.col("e3.pa") == F.col("e1.pa"))
+                 & (F.col("e3.pb") == F.col("e2.pb")))
+           .select(F.col("e1.pa").alias("a"),
+                   F.col("e1.pb").alias("b"),
+                   F.col("e2.pb").alias("c"))
+           .persist())
+    n_tri = tri.count()
+    corners = tri.selectExpr("stack(3, a, b, c) as (u)")
+    t_u = corners.groupBy("u").agg(F.count(F.lit(1)).alias("t"))
+    local = (deg.filter(F.col("deg") >= 2)
+             .join(t_u, "u", "left").fillna(0, subset=["t"])
+             .select(F.floor(F.col("t") * 2000000
+                             / (F.col("deg") * (F.col("deg") - 1)))
+                     .cast("long").alias("cc")))
+    stats = local.agg(F.count(F.lit(1)).alias("n_nodes_deg2"),
+                      F.sum("cc").alias("cc_sum"))
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1)).alias("w2"))
+    return (stats.crossJoin(F.broadcast(wedges))
+            .select(
+                F.lit(n_tri).cast("long").alias("n_triangles"),
+                (F.col("w2") / 2).cast("long").alias("n_wedges"),
+                "n_nodes_deg2",
+                F.floor(F.lit(n_tri).cast("long") * 6000000 / F.col("w2"))
+                .cast("long").alias("global_cc_micro"),
+                F.floor(F.col("cc_sum") / F.col("n_nodes_deg2"))
+                .cast("long").alias("avg_local_cc_micro")))
+
+
+CLUSTERING_SQL = f"""
+WITH {_EDGE_SQL},
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY u),
+tri AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+corners AS (
+  SELECT a AS u FROM tri UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+t_u AS (SELECT u, CAST(count(*) AS BIGINT) AS t FROM corners GROUP BY u),
+local AS (
+  SELECT CAST(floor(coalesce(t, 0) * 2000000
+                    / (deg * (deg - 1))) AS BIGINT) AS cc
+  FROM deg LEFT JOIN t_u USING (u) WHERE deg >= 2
+),
+stats AS (
+  SELECT count(*) AS n_nodes_deg2, CAST(sum(cc) AS BIGINT) AS cc_sum
+  FROM local
+),
+w AS (SELECT CAST(sum(deg * (deg - 1)) AS BIGINT) AS w2 FROM deg),
+ntri AS (SELECT CAST(count(*) AS BIGINT) AS n_tri FROM tri)
+SELECT n_tri AS n_triangles,
+       CAST(w2 / 2 AS BIGINT) AS n_wedges,
+       n_nodes_deg2,
+       CAST(floor(n_tri * 6000000 / w2) AS BIGINT) AS global_cc_micro,
+       CAST(floor(cc_sum / n_nodes_deg2) AS BIGINT)
+         AS avg_local_cc_micro
+FROM stats, w, ntri
+"""
+
+
+QUERIES["graph_clustering_coefficient"] = (graph_clustering_coefficient,
+                                           CLUSTERING_SQL)
