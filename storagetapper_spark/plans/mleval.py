@@ -532,3 +532,94 @@ GROUP BY n_pos, n_neg
 
 
 QUERIES["ml_pr_auc"] = (ml_pr_auc, PR_AUC_SQL)
+
+
+def ml_lift_gains(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative gains / lift table at score deciles: for k = 1..10
+    the smallest descending-score prefix covering >= k/10 of the
+    population (first grid row with cum_n·10 >= k·N — exact integer
+    comparison, ties kept whole, so the 'decile' is the standard
+    tie-respecting one), with precision, recall and lift at that
+    operating point.  Same score-grid cumsum as ml_auc_roc/ml_pr_auc;
+    the decile probe is a 10-row broadcast."""
+    emb = t(spark, sf, "embeddings")
+    base = emb.select(
+        (F.col("label") == 1).alias("pos"),
+        F.floor(F.element_at("embedding", 1).cast("double") * 1000000)
+        .cast("long").alias("v"))
+    per_v = (base.groupBy("v")
+             .agg(F.sum(F.when(F.col("pos"), 1).otherwise(0))
+                  .alias("c_p"),
+                  F.count(F.lit(1)).alias("cnt")))
+    from pyspark.sql import Window
+    w = (Window.orderBy(F.desc("v"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = per_v.select(
+        F.sum("c_p").over(w).alias("cum_p"),
+        F.sum("cnt").over(w).alias("cum_n"))
+    tot = per_v.agg(F.sum("cnt").alias("nn"),
+                    F.sum("c_p").alias("n_pos"))
+    deciles = spark.range(1, 11).select(F.col("id").alias("k"))
+    picks = (cum.crossJoin(F.broadcast(tot))
+             .crossJoin(F.broadcast(deciles))
+             .filter(F.col("cum_n") * 10 >= F.col("k") * F.col("nn"))
+             .groupBy("k", "nn", "n_pos")
+             .agg(F.min("cum_n").alias("cum_n")))
+    out = picks.join(cum, "cum_n")
+    prec = F.col("cum_p").cast("double") / F.col("cum_n").cast("double")
+    rec = F.col("cum_p").cast("double") / F.col("n_pos").cast("double")
+    base_rate = F.col("n_pos").cast("double") / F.col("nn").cast("double")
+    return (out.select(
+        F.col("k").alias("decile"), "cum_n", "cum_p",
+        F.floor(prec * 1000000.0).cast("long").alias("precision_micro"),
+        F.floor(rec * 1000000.0).cast("long").alias("recall_micro"),
+        F.floor(prec / base_rate * 1000000.0).cast("long")
+        .alias("lift_micro"))
+        .orderBy("decile"))
+
+
+LIFT_GAINS_SQL = """
+WITH base AS (
+  SELECT label = 1 AS pos,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS v
+  FROM embeddings
+),
+per_v AS (
+  SELECT v, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_p,
+         count(*) AS cnt
+  FROM base GROUP BY v
+),
+cum AS (
+  SELECT CAST(sum(c_p) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_p,
+         CAST(sum(cnt) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_n
+  FROM per_v
+),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS nn,
+         CAST(sum(c_p) AS BIGINT) AS n_pos
+  FROM per_v
+),
+deciles AS (SELECT CAST(range AS BIGINT) AS k FROM range(1, 11)),
+picks AS (
+  SELECT k, nn, n_pos, min(cum_n) AS cum_n
+  FROM cum, tot, deciles
+  WHERE cum_n * 10 >= k * nn
+  GROUP BY k, nn, n_pos
+)
+SELECT k AS decile, cum_n, cum_p,
+       CAST(floor(CAST(cum_p AS DOUBLE) / CAST(cum_n AS DOUBLE)
+                  * 1000000.0) AS BIGINT) AS precision_micro,
+       CAST(floor(CAST(cum_p AS DOUBLE) / CAST(n_pos AS DOUBLE)
+                  * 1000000.0) AS BIGINT) AS recall_micro,
+       CAST(floor(CAST(cum_p AS DOUBLE) / CAST(cum_n AS DOUBLE)
+                  / (CAST(n_pos AS DOUBLE) / CAST(nn AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS lift_micro
+FROM picks JOIN cum USING (cum_n)
+ORDER BY decile
+"""
+
+
+QUERIES["ml_lift_gains"] = (ml_lift_gains, LIFT_GAINS_SQL)

@@ -255,6 +255,7 @@ _BOUNDED_DOMAIN_ALLOWLIST = {
     "stats_mann_whitney": "distinct value grid (price cents ≤ 1e7)",
     "ml_auc_roc": "distinct score grid (micro-quantized ≤ 1e6)",
     "ml_pr_auc": "distinct score grid (micro-quantized ≤ 1e6)",
+    "ml_lift_gains": "distinct score grid (micro-quantized ≤ 1e6)",
     "profile_equidepth_histogram": "distinct value grid (price cents)",
     # categorical grids: fixed small domains
     "profile_pmi_categories": "brand x container grid (≤ ~2k cells)",
