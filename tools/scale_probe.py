@@ -128,6 +128,9 @@ PROBES = [
     "text_gopher_rules",       # one-scan integer rule flags
     "sketch_bloom_fp_audit",   # bit-position explode + broadcast bits
     "ts_changepoint_mean_shift",  # calendar-grid prefix argmax
+    "ml_pr_auc",               # score-grid trapezoid
+    "ml_lift_gains",           # score-grid decile probes
+    "graph_clustering_coefficient",  # oriented wedge + corner stack
 ]
 
 
