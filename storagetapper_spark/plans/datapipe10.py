@@ -323,3 +323,142 @@ ORDER BY lang
 
 
 QUERIES["text_gopher_rules"] = (text_gopher_rules, GOPHER_SQL)
+
+
+_FH_BUCKETS = 1024
+
+
+def text_feature_hashing_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick collision audit: hash every distinct token type
+    into 1024 buckets (salted md5 — replayable) and report, per
+    language, the bucket occupancy profile a feature-hashing encoder
+    would suffer: types, buckets used, max types per bucket, and the
+    collision rate (types that share a bucket with another type /
+    types).  The standard pre-flight before fixing a hashed feature
+    dimension.
+
+    Scale: token explode -> (lang, type) distinct -> 1024-bucket agg;
+    all shuffles key-bounded (vocabulary is Heaps'-law sublinear)."""
+    toks = t(spark, sf, "documents").select(
+        "lang",
+        F.explode(F.split(F.trim(F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+            " +", " ")), " ")).alias("tok")).filter(F.col("tok") != "")
+    types = toks.select("lang", "tok").distinct()
+    bucketed = types.select(
+        "lang",
+        F.pmod(F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+               .cast("long"), F.lit(_FH_BUCKETS)).alias("b"))
+    occ = (bucketed.groupBy("lang", "b")
+           .agg(F.count(F.lit(1)).alias("n_types")))
+    return (occ.groupBy("lang")
+            .agg(F.sum("n_types").alias("n_types"),
+                 F.count(F.lit(1)).alias("buckets_used"),
+                 F.max("n_types").alias("max_bucket_types"),
+                 F.sum(F.when(F.col("n_types") > 1, F.col("n_types"))
+                       .otherwise(0)).alias("colliding_types"),
+                 F.floor(F.sum(F.when(F.col("n_types") > 1,
+                                      F.col("n_types")).otherwise(0))
+                         * 1000000 / F.sum("n_types")).cast("long")
+                 .alias("collision_rate_micro"))
+            .orderBy("lang"))
+
+
+FEATURE_HASHING_SQL = f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g')), ' ')) AS tok
+  FROM documents
+),
+types AS (
+  SELECT DISTINCT lang, tok FROM toks WHERE tok <> ''
+),
+bucketed AS (
+  SELECT lang,
+         CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT)
+           % {_FH_BUCKETS} AS b
+  FROM types
+),
+occ AS (
+  SELECT lang, b, count(*) AS n_types FROM bucketed GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(sum(n_types) AS BIGINT) AS n_types,
+       count(*) AS buckets_used,
+       CAST(max(n_types) AS BIGINT) AS max_bucket_types,
+       CAST(sum(CASE WHEN n_types > 1 THEN n_types ELSE 0 END)
+            AS BIGINT) AS colliding_types,
+       CAST(floor(sum(CASE WHEN n_types > 1 THEN n_types ELSE 0 END)
+                  * 1000000 / sum(n_types)) AS BIGINT)
+         AS collision_rate_micro
+FROM occ
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES["text_feature_hashing_audit"] = (text_feature_hashing_audit,
+                                         FEATURE_HASHING_SQL)
+
+
+_CTX_LEN = 512
+
+
+def text_padding_waste(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window padding audit: with a 512-token context and
+    one-doc-per-sequence batching, each doc costs ceil(tokens/512)
+    sequences and wastes (n_seq*512 - tokens) pad slots; against the
+    packed lower bound ceil(sum(tokens)/512) this is the utilization
+    gap that motivates sequence packing (sample_pack_*).  Per-language
+    totals in exact integers."""
+    docs = t(spark, sf, "documents").select(
+        "lang", word_count(F.col("text")).alias("tok"))
+    per = docs.select(
+        "lang", "tok",
+        F.expr(f"(tok + {_CTX_LEN} - 1) div {_CTX_LEN}").alias("n_seq"))
+    return (per.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum("tok").alias("tokens"),
+                 F.sum("n_seq").alias("padded_seqs"),
+                 F.expr(f"(sum(tok) + {_CTX_LEN} - 1) div {_CTX_LEN}")
+                 .alias("packed_seqs"),
+                 (F.sum("n_seq") * _CTX_LEN - F.sum("tok"))
+                 .alias("pad_slots"),
+                 F.floor((F.sum("n_seq") * _CTX_LEN - F.sum("tok"))
+                         * 1000000 / (F.sum("n_seq") * _CTX_LEN))
+                 .cast("long").alias("waste_micro"))
+            .orderBy("lang"))
+
+
+PADDING_WASTE_SQL = f"""
+WITH docs AS (
+  SELECT lang,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+              THEN 0
+              ELSE length(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                   - length(replace(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ', ''))
+                   + 1
+         END AS tok
+  FROM documents
+),
+per AS (
+  SELECT lang, tok, (tok + {_CTX_LEN} - 1) // {_CTX_LEN} AS n_seq
+  FROM docs
+)
+SELECT lang, count(*) AS docs,
+       CAST(sum(tok) AS BIGINT) AS tokens,
+       CAST(sum(n_seq) AS BIGINT) AS padded_seqs,
+       CAST((sum(tok) + {_CTX_LEN} - 1) // {_CTX_LEN} AS BIGINT)
+         AS packed_seqs,
+       CAST(sum(n_seq) * {_CTX_LEN} - sum(tok) AS BIGINT) AS pad_slots,
+       CAST(floor((sum(n_seq) * {_CTX_LEN} - sum(tok)) * 1000000
+                  / (sum(n_seq) * {_CTX_LEN})) AS BIGINT)
+         AS waste_micro
+FROM per
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES["text_padding_waste"] = (text_padding_waste, PADDING_WASTE_SQL)
