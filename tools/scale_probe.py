@@ -131,6 +131,8 @@ PROBES = [
     "ml_pr_auc",               # score-grid trapezoid
     "ml_lift_gains",           # score-grid decile probes
     "graph_clustering_coefficient",  # oriented wedge + corner stack
+    "text_feature_hashing_audit",  # vocab-bounded bucket agg
+    "text_padding_waste",      # one-scan integer planner
 ]
 
 
