@@ -592,3 +592,186 @@ FROM sums
 
 
 QUERIES["ml_linreg_normal"] = (ml_linreg_normal, LINREG_SQL)
+
+
+def _stump_best(grid: DataFrame, val: str, s: str, n: str) -> DataFrame:
+    """Best SSE-reducing split over a cumulative grid: the row whose
+    prefix maximizes S_L^2/n_L + S_R^2/n_R (exact sums, one double
+    score), ties to the smallest threshold.  Input columns: val
+    (threshold candidate), s/n (prefix sum + count), s_all/n_all."""
+    s_l, n_l = F.col(s), F.col(n)
+    s_r = F.col("s_all") - s_l
+    n_r = F.col("n_all") - n_l
+    d = "double"
+    # the score product is formed in DOUBLE (s^2*n overflows BIGINT at
+    # micro-unit sums); both engines build the identical tree
+    score = ((s_l.cast(d) * s_l.cast(d) * n_r.cast(d)
+              + s_r.cast(d) * s_r.cast(d) * n_l.cast(d))
+             / (n_l * n_r).cast(d))
+    return (grid.filter(n_l < F.col("n_all"))
+            .select(F.col(val).alias("thr"), s_l.alias("s_l"),
+                    n_l.alias("n_l"), s_r.alias("s_r"), n_r.alias("n_r"),
+                    F.floor(score).cast("long").alias("score"))
+            .orderBy(F.desc("score"), "thr").limit(1))
+
+
+def ml_boosted_stumps(spark: SparkSession, sf: str) -> DataFrame:
+    """Two rounds of gradient boosting with decision-stump base
+    learners (squared loss, shrinkage 1): stump 1 regresses the label
+    (micro units) on embedding dim 0; stump 2 fits the INTEGER
+    residuals on dim 1.  Each stump is the exact SSE-minimizing
+    threshold over the quantized feature grid — the changepoint
+    machinery (S_L^2/n_L + S_R^2/n_R maximized over exact prefix
+    sums) pointed at a feature column instead of a calendar.  All
+    residuals stay exact BIGINT micros, so both engines fit the SAME
+    ensemble; the output is the fitted model plus its training-SSE
+    ladder (micro^2 units, exact).
+
+    Scale: two grid aggregations + two bounded-grid windows
+    (allowlisted score grids) + 1-row broadcasts; the raw scan is
+    reduced map-side both rounds.  Sums fit BIGINT to ~1e6 rows at
+    micro units (residual^2 = 1e12-scale); widen the SSE accumulators
+    to DECIMAL(38,0) past that."""
+    emb = t(spark, sf, "embeddings")
+    base = emb.select(
+        (F.col("label").cast("long") * 1000000).alias("y"),
+        F.floor(F.element_at("embedding", 1).cast("double") * 1000000)
+        .cast("long").alias("f1"),
+        F.floor(F.element_at("embedding", 2).cast("double") * 1000000)
+        .cast("long").alias("f2")).persist()
+    tot = base.agg(F.sum("y").alias("s_all"),
+                   F.count(F.lit(1)).alias("n_all"),
+                   F.sum(F.col("y") * F.col("y")).alias("ss_all"))
+
+    from pyspark.sql import Window
+    w1 = Window.orderBy("f1").rowsBetween(Window.unboundedPreceding, 0)
+    g1 = (base.groupBy("f1").agg(F.sum("y").alias("gs"),
+                                 F.count(F.lit(1)).alias("gn"))
+          .select("f1", F.sum("gs").over(w1).alias("s"),
+                  F.sum("gn").over(w1).alias("n"))
+          .crossJoin(F.broadcast(tot)))
+    b1 = _stump_best(g1, "f1", "s", "n").select(
+        F.col("thr").alias("thr1"),
+        F.floor(F.col("s_l") / F.col("n_l")).cast("long").alias("m_l1"),
+        F.floor(F.col("s_r") / F.col("n_r")).cast("long").alias("m_r1"))
+
+    resid = (base.crossJoin(F.broadcast(b1))
+             .select("f2",
+                     (F.col("y") - F.when(F.col("f1") <= F.col("thr1"),
+                                          F.col("m_l1"))
+                      .otherwise(F.col("m_r1"))).alias("r"),
+                     "thr1", "m_l1", "m_r1"))
+    rtot = resid.agg(F.sum("r").alias("s_all"),
+                     F.count(F.lit(1)).alias("n_all"),
+                     F.sum(F.col("r") * F.col("r")).alias("ss1"))
+    w2 = Window.orderBy("f2").rowsBetween(Window.unboundedPreceding, 0)
+    g2 = (resid.groupBy("f2").agg(F.sum("r").alias("gs"),
+                                  F.count(F.lit(1)).alias("gn"))
+          .select("f2", F.sum("gs").over(w2).alias("s"),
+                  F.sum("gn").over(w2).alias("n"))
+          .crossJoin(F.broadcast(rtot)))
+    b2 = _stump_best(g2, "f2", "s", "n").select(
+        F.col("thr").alias("thr2"),
+        F.floor(F.col("s_l") / F.col("n_l")).cast("long").alias("d_l2"),
+        F.floor(F.col("s_r") / F.col("n_r")).cast("long").alias("d_r2"))
+
+    # SSE after round 2: sum over rows of (r - d)^2, d from stump 2
+    r2 = (resid.crossJoin(F.broadcast(b2))
+          .select((F.col("r") - F.when(F.col("f2") <= F.col("thr2"),
+                                       F.col("d_l2"))
+                   .otherwise(F.col("d_r2"))).alias("r2"),
+                  "thr1", "m_l1", "m_r1", "thr2", "d_l2", "d_r2"))
+    return (r2.groupBy("thr1", "m_l1", "m_r1", "thr2", "d_l2", "d_r2")
+            .agg(F.sum(F.col("r2") * F.col("r2")).alias("sse2"))
+            .crossJoin(F.broadcast(
+                tot.select("ss_all")))
+            .crossJoin(F.broadcast(rtot.select("ss1")))
+            .select("thr1", "m_l1", "m_r1", "thr2", "d_l2", "d_r2",
+                    F.col("ss_all").alias("sse0"),
+                    F.col("ss1").alias("sse1"), "sse2"))
+
+
+BOOSTED_STUMPS_SQL = """
+WITH base AS (
+  SELECT CAST(label AS BIGINT) * 1000000 AS y,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS f1,
+         CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT)
+           AS f2
+  FROM embeddings
+),
+tot AS (
+  SELECT CAST(sum(y) AS BIGINT) AS s_all, count(*) AS n_all,
+         CAST(sum(y * y) AS BIGINT) AS ss_all
+  FROM base
+),
+g1 AS (
+  SELECT f1,
+         CAST(sum(sum(y)) OVER (ORDER BY f1 ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS s,
+         CAST(sum(count(*)) OVER (ORDER BY f1 ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS n
+  FROM base GROUP BY f1
+),
+b1 AS (
+  SELECT f1 AS thr1,
+         CAST(floor(s / n) AS BIGINT) AS m_l1,
+         CAST(floor((s_all - s) / (n_all - n)) AS BIGINT) AS m_r1
+  FROM g1, tot WHERE n < n_all
+  ORDER BY CAST(floor((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       * CAST(n_all - n AS DOUBLE)
+                       + CAST(s_all - s AS DOUBLE)
+                         * CAST(s_all - s AS DOUBLE)
+                         * CAST(n AS DOUBLE))
+                      / CAST(n * (n_all - n) AS DOUBLE)) AS BIGINT)
+           DESC, f1
+  LIMIT 1
+),
+resid AS (
+  SELECT f2,
+         y - (CASE WHEN f1 <= thr1 THEN m_l1 ELSE m_r1 END) AS r,
+         thr1, m_l1, m_r1
+  FROM base, b1
+),
+rtot AS (
+  SELECT CAST(sum(r) AS BIGINT) AS s_all, count(*) AS n_all,
+         CAST(sum(r * r) AS BIGINT) AS ss1
+  FROM resid
+),
+g2 AS (
+  SELECT f2,
+         CAST(sum(sum(r)) OVER (ORDER BY f2 ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS s,
+         CAST(sum(count(*)) OVER (ORDER BY f2 ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS n
+  FROM resid GROUP BY f2
+),
+b2 AS (
+  SELECT f2 AS thr2,
+         CAST(floor(s / n) AS BIGINT) AS d_l2,
+         CAST(floor((s_all - s) / (n_all - n)) AS BIGINT) AS d_r2
+  FROM g2, rtot WHERE n < n_all
+  ORDER BY CAST(floor((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       * CAST(n_all - n AS DOUBLE)
+                       + CAST(s_all - s AS DOUBLE)
+                         * CAST(s_all - s AS DOUBLE)
+                         * CAST(n AS DOUBLE))
+                      / CAST(n * (n_all - n) AS DOUBLE)) AS BIGINT)
+           DESC, f2
+  LIMIT 1
+),
+r2 AS (
+  SELECT thr1, m_l1, m_r1, thr2, d_l2, d_r2,
+         r - (CASE WHEN f2 <= thr2 THEN d_l2 ELSE d_r2 END) AS rr
+  FROM resid, b2
+)
+SELECT thr1, m_l1, m_r1, thr2, d_l2, d_r2,
+       (SELECT ss_all FROM tot) AS sse0,
+       (SELECT ss1 FROM rtot) AS sse1,
+       CAST(sum(rr * rr) AS BIGINT) AS sse2
+FROM r2
+GROUP BY thr1, m_l1, m_r1, thr2, d_l2, d_r2
+"""
+
+
+QUERIES["ml_boosted_stumps"] = (ml_boosted_stumps, BOOSTED_STUMPS_SQL)

@@ -334,3 +334,67 @@ QUERIES = {
     "approx_distinct": (approx_distinct, APPROX_DISTINCT_SQL),
     "array_functions": (array_functions, ARRAY_SQL),
 }
+
+
+def agg_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantity-weighted median of extended price: the smallest price
+    whose cumulative weight reaches half the total — exact integers on
+    the price-cents grid (the percentile-grid discipline: group by
+    quantized value, cumulative window over the bounded grid, one
+    integer comparison 2*cumw >= W).  The plain median is reported
+    next to it for the skew contrast."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        F.floor(F.col("l_quantity")).cast("long").alias("wt"))
+    grid = li.groupBy("v").agg(F.sum("wt").alias("w"),
+                               F.count(F.lit(1)).alias("c"))
+    win = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select("v", F.sum("w").over(win).alias("cw"),
+                      F.sum("c").over(win).alias("cc"))
+    tot = grid.agg(F.sum("w").alias("tw"), F.sum("c").alias("tc"))
+    j = cum.crossJoin(F.broadcast(tot))
+    wmed = (j.filter(F.col("cw") * 2 >= F.col("tw"))
+            .agg(F.min("v").alias("weighted_median_cents")))
+    med = (j.filter(F.col("cc") * 2 >= F.col("tc"))
+           .agg(F.min("v").alias("median_cents")))
+    return (tot.crossJoin(F.broadcast(wmed)).crossJoin(F.broadcast(med))
+            .select(F.col("tw").alias("total_weight"),
+                    F.col("tc").alias("rows"),
+                    "weighted_median_cents", "median_cents"))
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH li AS (
+  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(floor(l_quantity) AS BIGINT) AS wt
+  FROM lineitem
+),
+grid AS (
+  SELECT v, CAST(sum(wt) AS BIGINT) AS w, count(*) AS c
+  FROM li GROUP BY v
+),
+cum AS (
+  SELECT v,
+         CAST(sum(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cw,
+         CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cc
+  FROM grid
+),
+tot AS (
+  SELECT CAST(sum(w) AS BIGINT) AS tw, CAST(sum(c) AS BIGINT) AS tc
+  FROM grid
+)
+SELECT tw AS total_weight, tc AS rows,
+       (SELECT min(v) FROM cum, tot WHERE cw * 2 >= tw)
+         AS weighted_median_cents,
+       (SELECT min(v) FROM cum, tot WHERE cc * 2 >= tc)
+         AS median_cents
+FROM tot
+"""
+
+
+QUERIES["agg_weighted_median"] = (agg_weighted_median,
+                                  WEIGHTED_MEDIAN_SQL)

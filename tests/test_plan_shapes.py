@@ -256,7 +256,10 @@ _BOUNDED_DOMAIN_ALLOWLIST = {
     "ml_auc_roc": "distinct score grid (micro-quantized ≤ 1e6)",
     "ml_pr_auc": "distinct score grid (micro-quantized ≤ 1e6)",
     "ml_lift_gains": "distinct score grid (micro-quantized ≤ 1e6)",
+    "ml_boosted_stumps": "distinct feature grid (micro-quantized ≤ 1e6, "
+                         "both boosting rounds)",
     "profile_equidepth_histogram": "distinct value grid (price cents)",
+    "agg_weighted_median": "distinct value grid (price cents ≤ 1e7)",
     # categorical grids: fixed small domains
     "profile_pmi_categories": "brand x container grid (≤ ~2k cells)",
     "stats_fdr_bh": "brand domain (25 rows; BH rank + step-up walk)",

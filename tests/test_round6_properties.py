@@ -192,3 +192,9 @@ def test_lift_gains_final_decile_is_identity(spark, sf_dir):
     # cumulative counts are non-decreasing down the table
     for a, b in zip(rows, rows[1:]):
         assert b.cum_n >= a.cum_n and b.cum_p >= a.cum_p
+
+
+def test_boosted_stumps_sse_ladder_decreases(spark, sf_dir):
+    row = QUERIES["ml_boosted_stumps"](spark, sf_dir).collect()[0]
+    assert row.sse0 >= row.sse1 >= row.sse2
+    assert row.sse1 < row.sse0  # stump 1 must actually cut SSE
