@@ -133,6 +133,8 @@ PROBES = [
     "graph_clustering_coefficient",  # oriented wedge + corner stack
     "text_feature_hashing_audit",  # vocab-bounded bucket agg
     "text_padding_waste",      # one-scan integer planner
+    "ml_boosted_stumps",       # two grid-argmax boosting rounds
+    "agg_weighted_median",     # weighted cumulative value grid
 ]
 
 
