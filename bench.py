@@ -151,7 +151,7 @@ BENCH_QUERIES = [
     "privacy_t_closeness", "text_gopher_rules", "sketch_bloom_fp_audit",
     "ts_changepoint_mean_shift", "ml_pr_auc", "graph_clustering_coefficient",
     "ml_lift_gains", "text_feature_hashing_audit", "text_padding_waste",
-    "ml_boosted_stumps", "agg_weighted_median",
+    "ml_boosted_stumps", "agg_weighted_median", "events_bot_detection",
 ]
 
 

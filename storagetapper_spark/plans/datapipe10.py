@@ -462,3 +462,124 @@ ORDER BY lang
 
 
 QUERIES["text_padding_waste"] = (text_padding_waste, PADDING_WASTE_SQL)
+
+
+_BOT_RATE = 3          # events per active day
+_BOT_CV2_MICRO = 700000   # gap-CV^2 below this = suspiciously regular
+_BOT_MIN_GAPS = 10
+
+
+def events_bot_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """Rule-based bot screening over the event stream — the traffic-
+    cleaning pass a training pipeline runs before behavioral data is
+    trusted: per user, the event rate per active day and the
+    inter-arrival regularity (squared coefficient of variation of the
+    gap series; near-constant gaps = automation).  Gap moments are
+    exact BIGINT sums; CV^2 is one double expression over them; both
+    rules are integer/floored comparisons.  Output: the per-class user
+    and event census (both / high_rate / too_regular / clean).
+
+    Scale: one per-user window (per-key partitions) + one per-user
+    agg + a 4-row rollup.  Thresholds are fixture-calibrated config
+    constants (rate >= 3/day, CV^2 <= 0.7 with >= 10 gaps)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf, "events").select(
+        "user_id", "event_id",
+        F.col("ts").cast("long").alias("e"),
+        F.to_date("ts").alias("dd"))
+    w = Window.partitionBy("user_id").orderBy("e", "event_id")
+    g = ev.select(
+        "user_id", "dd",
+        (F.col("e") - F.lag("e").over(w)).alias("gap"))
+    pu = (g.groupBy("user_id")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.countDistinct("dd").alias("nd"),
+               F.count("gap").alias("ng"),
+               F.sum("gap").alias("sg"),
+               F.sum(F.col("gap") * F.col("gap")).alias("sg2")))
+    d = "double"
+    cv2_micro = F.when(
+        (F.col("ng") >= _BOT_MIN_GAPS) & (F.col("sg") > 0),
+        F.floor((F.col("ng").cast(d) * F.col("sg2").cast(d)
+                 - F.col("sg").cast(d) * F.col("sg").cast(d))
+                / (F.col("sg").cast(d) * F.col("sg").cast(d))
+                * 1000000.0).cast("long"))
+    flagged = pu.select(
+        "n",
+        (F.col("n") >= F.col("nd") * _BOT_RATE).alias("high_rate"),
+        (F.coalesce(cv2_micro, F.lit(None)) <= _BOT_CV2_MICRO)
+        .alias("too_regular"))
+    reason = (F.when(F.col("high_rate")
+                     & F.coalesce(F.col("too_regular"), F.lit(False)),
+                     "both")
+              .when(F.col("high_rate"), "high_rate")
+              .when(F.coalesce(F.col("too_regular"), F.lit(False)),
+                    "too_regular")
+              .otherwise("clean"))
+    tot = flagged.agg(F.sum("n").alias("all_events"))
+    return (flagged.select(reason.alias("reason"), "n")
+            .groupBy("reason")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("n").alias("n_events"))
+            .crossJoin(F.broadcast(tot))
+            .select("reason", "n_users", "n_events",
+                    F.floor(F.col("n_events") * 1000000
+                            / F.col("all_events")).cast("long")
+                    .alias("event_share_micro"))
+            .orderBy("reason"))
+
+
+BOT_DETECTION_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS e,
+         CAST(ts AS DATE) AS dd
+  FROM events
+),
+g AS (
+  SELECT user_id, dd,
+         e - lag(e) OVER (PARTITION BY user_id ORDER BY e, event_id)
+           AS gap
+  FROM ev
+),
+pu AS (
+  SELECT user_id, count(*) AS n, count(DISTINCT dd) AS nd,
+         count(gap) AS ng,
+         CAST(sum(gap) AS BIGINT) AS sg,
+         CAST(sum(gap * gap) AS BIGINT) AS sg2
+  FROM g GROUP BY user_id
+),
+flagged AS (
+  SELECT n,
+         n >= nd * {_BOT_RATE} AS high_rate,
+         (CASE WHEN ng >= {_BOT_MIN_GAPS} AND sg > 0
+               THEN CAST(floor((CAST(ng AS DOUBLE) * CAST(sg2 AS DOUBLE)
+                                - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                               / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                               * 1000000.0) AS BIGINT)
+          END) <= {_BOT_CV2_MICRO} AS too_regular
+  FROM pu
+),
+classed AS (
+  SELECT CASE WHEN high_rate AND coalesce(too_regular, false)
+              THEN 'both'
+              WHEN high_rate THEN 'high_rate'
+              WHEN coalesce(too_regular, false) THEN 'too_regular'
+              ELSE 'clean' END AS reason,
+         n
+  FROM flagged
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS all_events FROM classed)
+SELECT reason, count(*) AS n_users,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(floor(sum(n) * 1000000 / all_events) AS BIGINT)
+         AS event_share_micro
+FROM classed, tot
+GROUP BY reason, all_events
+ORDER BY reason
+"""
+
+
+QUERIES["events_bot_detection"] = (events_bot_detection,
+                                   BOT_DETECTION_SQL)

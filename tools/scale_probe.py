@@ -135,6 +135,7 @@ PROBES = [
     "text_padding_waste",      # one-scan integer planner
     "ml_boosted_stumps",       # two grid-argmax boosting rounds
     "agg_weighted_median",     # weighted cumulative value grid
+    "events_bot_detection",    # per-user gap window + 4-row rollup
 ]
 
 
