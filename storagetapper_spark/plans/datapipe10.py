@@ -583,3 +583,163 @@ ORDER BY reason
 
 QUERIES["events_bot_detection"] = (events_bot_detection,
                                    BOT_DETECTION_SQL)
+
+
+_NP_QUERIES = 5
+_NP_K = 5
+_NP_CENTROIDS = 16
+_NP_SWEEP = [1, 2, 4, 8]
+
+
+def ann_ivf_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF recall-vs-cost sweep over the probe count: for nprobe in
+    {1,2,4,8}, the recall@5 against the exact cosine top-5 AND the
+    candidate rows scanned — the measured trade a 100 TB vector
+    deployment tunes (each +probe reads another 1/16 of the corpus).
+    Assignment and probing are cosine-rank based (deterministic
+    tie-break by centroid id) so the oracle replays the whole sweep;
+    candidates carry their cell's probe rank, so ONE scoring pass
+    serves every cutoff."""
+    from pyspark.sql import Window
+
+    from storagetapper_spark.operators.similarity import cosine
+
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qs = (emb.filter(F.col("vec_id") < _NP_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("v").alias("qv")))
+    corpus = emb.filter(F.col("vec_id") >= _NP_QUERIES)
+    cent = (corpus.orderBy("vec_id").limit(_NP_CENTROIDS)
+            .select((F.row_number().over(Window.orderBy("vec_id")) - 1)
+                    .alias("centroid_id"), F.col("v").alias("cv")))
+    # corpus -> nearest centroid (rank 1), queries -> ranked probes
+    ca = (corpus.crossJoin(F.broadcast(cent))
+          .withColumn("rn", F.row_number().over(
+              Window.partitionBy("vec_id").orderBy(
+                  F.round(cosine(F.col("v"), F.col("cv")), 6).desc(),
+                  F.col("centroid_id"))))
+          .filter(F.col("rn") == 1).select("vec_id", "v", "centroid_id"))
+    probes = (qs.crossJoin(F.broadcast(cent))
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("query_id").orderBy(
+                      F.round(cosine(F.col("qv"), F.col("cv")), 6).desc(),
+                      F.col("centroid_id"))))
+              .filter(F.col("rn") <= max(_NP_SWEEP))
+              .select("query_id", "qv", "centroid_id",
+                      F.col("rn").alias("cell_rank")))
+    scored = (ca.join(F.broadcast(probes), "centroid_id")
+              .select("query_id", "vec_id", "cell_rank",
+                      F.round(cosine(F.col("v"), F.col("qv")), 6)
+                      .alias("sim")))
+    exact = (corpus.crossJoin(F.broadcast(qs))
+             .select("query_id", "vec_id",
+                     F.round(cosine(F.col("v"), F.col("qv")), 6)
+                     .alias("sim"))
+             .withColumn("r", F.row_number().over(
+                 Window.partitionBy("query_id").orderBy(
+                     F.desc("sim"), "vec_id")))
+             .filter(F.col("r") <= _NP_K)
+             .select("query_id", "vec_id"))
+    sweep = spark.createDataFrame([(p,) for p in _NP_SWEEP], ["nprobe"])
+    cand = (scored.crossJoin(F.broadcast(sweep))
+            .filter(F.col("cell_rank") <= F.col("nprobe")))
+    approx = (cand.withColumn("r", F.row_number().over(
+        Window.partitionBy("nprobe", "query_id").orderBy(
+            F.desc("sim"), "vec_id")))
+        .filter(F.col("r") <= _NP_K)
+        .select("nprobe", "query_id", "vec_id"))
+    common = (approx.join(exact, ["query_id", "vec_id"])
+              .groupBy("nprobe").agg(F.count(F.lit(1)).alias("n_common")))
+    cost = cand.groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("candidate_rows"))
+    denom = _NP_QUERIES * _NP_K
+    return (sweep.join(common, "nprobe", "left")
+            .join(cost, "nprobe", "left")
+            .select("nprobe",
+                    F.coalesce("n_common", F.lit(0)).cast("long")
+                    .alias("n_common"),
+                    F.coalesce("candidate_rows", F.lit(0)).cast("long")
+                    .alias("candidate_rows"),
+                    F.floor(F.coalesce("n_common", F.lit(0))
+                            * 1000000 / denom).cast("long")
+                    .alias("recall_micro"))
+            .orderBy("nprobe"))
+
+
+_NP_COS = ("round(list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b}))), 6)")
+
+NPROBE_SWEEP_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {_NP_QUERIES}),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id >= {_NP_QUERIES}),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cv
+  FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT {_NP_CENTROIDS})
+),
+assign AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT c.vec_id, c.v, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             {_NP_COS.format(a='c.v', b='cent.cv')} DESC, cent.centroid_id
+           ) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, centroid_id, rn AS cell_rank FROM (
+    SELECT q.query_id, q.qv, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_NP_COS.format(a='q.qv', b='cent.cv')} DESC, cent.centroid_id
+           ) AS rn
+    FROM q CROSS JOIN cent) WHERE rn <= {max(_NP_SWEEP)}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, p.cell_rank,
+         {_NP_COS.format(a='a.v', b='p.qv')} AS sim
+  FROM assign a JOIN probes p USING (centroid_id)
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_NP_COS.format(a='c.v', b='q.qv')} DESC, c.vec_id) AS r
+    FROM c CROSS JOIN q) WHERE r <= {_NP_K}
+),
+sweep AS (SELECT unnest({_NP_SWEEP}) AS nprobe),
+cand AS (
+  SELECT s.nprobe, sc.query_id, sc.vec_id, sc.sim
+  FROM scored sc JOIN sweep s ON sc.cell_rank <= s.nprobe
+),
+approx AS (
+  SELECT nprobe, query_id, vec_id FROM (
+    SELECT nprobe, query_id, vec_id,
+           row_number() OVER (PARTITION BY nprobe, query_id
+             ORDER BY sim DESC, vec_id) AS r
+    FROM cand) WHERE r <= {_NP_K}
+),
+common AS (
+  SELECT nprobe, CAST(count(*) AS BIGINT) AS n_common
+  FROM approx JOIN exact USING (query_id, vec_id)
+  GROUP BY nprobe
+),
+cost AS (
+  SELECT nprobe, CAST(count(*) AS BIGINT) AS candidate_rows
+  FROM cand GROUP BY nprobe
+)
+SELECT s.nprobe,
+       CAST(coalesce(common.n_common, 0) AS BIGINT) AS n_common,
+       CAST(coalesce(cost.candidate_rows, 0) AS BIGINT)
+         AS candidate_rows,
+       CAST(floor(coalesce(common.n_common, 0) * 1000000
+                  / {_NP_QUERIES * _NP_K}) AS BIGINT) AS recall_micro
+FROM sweep s
+LEFT JOIN common ON common.nprobe = s.nprobe
+LEFT JOIN cost ON cost.nprobe = s.nprobe
+ORDER BY s.nprobe
+"""
+
+
+QUERIES["ann_ivf_nprobe_sweep"] = (ann_ivf_nprobe_sweep, NPROBE_SWEEP_SQL)

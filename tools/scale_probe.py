@@ -136,6 +136,7 @@ PROBES = [
     "ml_boosted_stumps",       # two grid-argmax boosting rounds
     "agg_weighted_median",     # weighted cumulative value grid
     "events_bot_detection",    # per-user gap window + 4-row rollup
+    "ann_ivf_nprobe_sweep",    # one scoring pass serves 4 cutoffs
 ]
 
 
