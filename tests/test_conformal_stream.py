@@ -50,3 +50,24 @@ def test_streamed_threshold_equals_batch_order_statistic(
     want = QUERIES["ml_conformal_split"](spark, sf_dir).collect()[0]
     assert (got.n_cal, got.k, got.tau) == \
         (want.n_cal, want.k, want.tau)
+
+
+def test_availablenow_conformal_sink(spark, sf_dir, tmp_path):
+    """Real foreachBatch availableNow run: stream the calibration fold
+    through conformal_sink, then recover the batch query's exact
+    threshold from the landed state."""
+    calib = _calib(spark, sf_dir)
+    src = str(tmp_path / "src")
+    calib.write.mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema).parquet(src))
+    state = str(tmp_path / "state")
+    q = (stream.writeStream
+         .foreachBatch(C.conformal_sink(state))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = C.current_threshold(spark, state).collect()[0]
+    want = QUERIES["ml_conformal_split"](spark, sf_dir).collect()[0]
+    assert (got.n_cal, got.k, got.tau) == \
+        (want.n_cal, want.k, want.tau)
