@@ -51,6 +51,19 @@ def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
             for i in range(k)]
 
 
+def md5_positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """k bit positions per key from salted md5 — slower than xxhash64
+    but replayable in DuckDB, so the audit query
+    (plans/sketches.sketch_bloom_fp_audit) and the streaming filter
+    (streaming/bloom.py) share one definition the oracle can mirror."""
+    return [
+        F.pmod(F.conv(F.substring(F.md5(F.concat(
+            key.cast("string"), F.lit(f":{i}"))), 1, 15), 16, 10)
+            .cast("long"), F.lit(m_bits))
+        for i in range(k)
+    ]
+
+
 def bloom_build(build: DataFrame, key: str, m_bits: int = 1 << 16,
                 k: int = 4) -> list[int]:
     """Aggregate the build side's keys into an m_bits Bloom bitmap,

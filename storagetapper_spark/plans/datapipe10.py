@@ -508,8 +508,7 @@ def events_bot_detection(spark: SparkSession, sf: str) -> DataFrame:
     flagged = pu.select(
         "n",
         (F.col("n") >= F.col("nd") * _BOT_RATE).alias("high_rate"),
-        (F.coalesce(cv2_micro, F.lit(None)) <= _BOT_CV2_MICRO)
-        .alias("too_regular"))
+        (cv2_micro <= _BOT_CV2_MICRO).alias("too_regular"))
     reason = (F.when(F.col("high_rate")
                      & F.coalesce(F.col("too_regular"), F.lit(False)),
                      "both")

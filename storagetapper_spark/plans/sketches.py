@@ -192,12 +192,11 @@ def sketch_bloom_fp_audit(spark: SparkSession, sf: str) -> DataFrame:
     members = parts.filter(F.col("p_brand") == "Brand#11") \
                    .select("p_partkey")
 
+    from storagetapper_spark.operators.bloom import md5_positions
+
     def positions(df: DataFrame) -> DataFrame:
-        pos = F.explode(F.array(*[
-            F.pmod(F.conv(F.substring(F.md5(F.concat(
-                F.col("p_partkey").cast("string"), F.lit(f":{i}"))),
-                1, 15), 16, 10).cast("long"), F.lit(_BF_M))
-            for i in range(_BF_K)])).alias("pos")
+        pos = F.explode(F.array(
+            *md5_positions(F.col("p_partkey"), _BF_M, _BF_K))).alias("pos")
         return df.select("p_partkey", pos)
 
     bits = positions(members).select("pos").distinct()

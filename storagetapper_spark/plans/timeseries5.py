@@ -509,9 +509,12 @@ def ts_changepoint_mean_shift(spark: SparkSession, sf: str) -> DataFrame:
            .filter(F.col("n_l") < F.col("n_all")))
     s_r = F.col("s_all") - F.col("s_l")
     n_r = F.col("n_all") - F.col("n_l")
-    score = ((F.col("s_l") * F.col("s_l") * n_r
-              + s_r * s_r * F.col("n_l")).cast("double")
-             / (F.col("n_l") * n_r).cast("double"))
+    d = "double"
+    # products formed in DOUBLE: s_all^2 * n_l passes 2^63 near sf50
+    # (the ml.py _stump_best lesson); exact-int inputs, identical trees
+    score = ((F.col("s_l").cast(d) * F.col("s_l").cast(d) * n_r.cast(d)
+              + s_r.cast(d) * s_r.cast(d) * F.col("n_l").cast(d))
+             / (F.col("n_l") * n_r).cast(d))
     scored = pre.select(
         "day", "n_l", s_r.alias("s_r"), "s_l", n_r.alias("n_r"),
         F.floor(score).cast("long").alias("score"))
@@ -550,9 +553,11 @@ pre AS (
 ),
 scored AS (
   SELECT day, n_l, s_l, s_all - s_l AS s_r, n_all - n_l AS n_r,
-         CAST(floor(CAST(s_l * s_l * (n_all - n_l)
-                         + (s_all - s_l) * (s_all - s_l) * n_l
-                         AS DOUBLE)
+         CAST(floor((CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE)
+                       * CAST(n_all - n_l AS DOUBLE)
+                     + CAST(s_all - s_l AS DOUBLE)
+                       * CAST(s_all - s_l AS DOUBLE)
+                       * CAST(n_l AS DOUBLE))
                     / CAST(n_l * (n_all - n_l) AS DOUBLE)) AS BIGINT)
            AS score
   FROM pre WHERE n_l < n_all

@@ -25,20 +25,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from storagetapper_spark.operators.bloom import _MASKS, md5_positions
+
 _M_BITS = 4096
 _K = 3
 
-# MASKS[j] = 1 << j as a signed 64-bit long (operators/bloom.py)
-_MASKS = [(1 << j) - (1 << 64 if j == 63 else 0) for j in range(64)]
-
 
 def _positions(key: Column) -> list[Column]:
-    return [
-        F.pmod(F.conv(F.substring(F.md5(F.concat(
-            key.cast("string"), F.lit(f":{i}"))), 1, 15), 16, 10)
-            .cast("long"), F.lit(_M_BITS))
-        for i in range(_K)
-    ]
+    return md5_positions(key, _M_BITS, _K)
 
 
 def _batch_words(batch: DataFrame, key_col: str) -> DataFrame:
@@ -72,9 +66,14 @@ def current_filter(spark: SparkSession, state_dir: str) -> DataFrame:
 def might_contain(filter_df: DataFrame, probes: DataFrame,
                   key_col: str = "doc_id") -> DataFrame:
     """Append a ``bloom_hit`` flag: true iff all k positions are set.
-    The filter side is <= m/64 rows — broadcast; no false negatives."""
+    The filter side is <= m/64 rows — broadcast; no false negatives.
+    Probe keys are deduplicated BEFORE the position explode: a
+    duplicated probe key would otherwise contribute 2k set-bit rows
+    and fail the == k test — a false negative on exactly the
+    duplicate-heavy input this pre-filter exists for."""
+    keys = probes.select(key_col).distinct()
     pos = F.explode(F.array(*_positions(F.col(key_col)))).alias("pos")
-    hits = (probes.select(key_col, pos)
+    hits = (keys.select(key_col, pos)
             .select(key_col, "pos",
                     (F.col("pos") / 64).cast("int").alias("word_idx"),
                     F.element_at(F.lit(_MASKS),

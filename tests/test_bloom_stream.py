@@ -50,3 +50,18 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark, sf_dir, tmp_path):
     n_non = non.count()
     fp = non.filter(F.col("bloom_hit")).count()
     assert fp <= max(2, n_non // 5), (fp, n_non)
+
+
+def test_bloom_no_false_negatives_on_duplicate_probes(spark, sf_dir,
+                                                      tmp_path):
+    """A duplicated probe key must still hit (the pre-filter's input is
+    duplicate-heavy by definition — that's what it screens)."""
+    state = str(tmp_path / "bloom")
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    members = docs.filter(F.col("doc_id") % 2 == 0)
+    B.ingest_batch(spark, members, 0, state)
+    filt = B.current_filter(spark, state)
+    dup_probes = members.unionAll(members).unionAll(members)
+    probed = B.might_contain(filt, dup_probes, "doc_id")
+    assert probed.count() == members.count() * 3
+    assert probed.filter(~F.col("bloom_hit")).count() == 0

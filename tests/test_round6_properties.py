@@ -35,9 +35,7 @@ def test_linkage_multiprobe_finds_every_balance_close_pair(spark, sf_dir):
     cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
     cents = (cust.c_acctbal * 100).apply(math.floor)
     name3 = cust.c_name.str[-3:]
-    n = len(cust)
     import itertools
-    want_match = 0
     rows = list(zip(cust.c_custkey, cust.c_nationkey, cents,
                     cust.c_mktsegment, name3))
     by_nation = {}
@@ -66,8 +64,6 @@ def test_ahash_banding_finds_all_hamming3_pairs(spark, sf_dir):
     res = QUERIES["multimodal_ahash_neardup"](spark, sf_dir)
     found = {(r.doc_a, r.doc_b) for r in res.collect()}
     # brute-force over the hashed frame (tiny at test SF)
-    from storagetapper_spark.plans.multimodal2 import (
-        multimodal_ahash_neardup)  # noqa: F401 (same lineage)
     import duckdb
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
