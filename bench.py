@@ -152,7 +152,8 @@ BENCH_QUERIES = [
     "ts_changepoint_mean_shift", "ml_pr_auc", "graph_clustering_coefficient",
     "ml_lift_gains", "text_feature_hashing_audit", "text_padding_waste",
     "ml_boosted_stumps", "agg_weighted_median", "events_bot_detection",
-    "ann_ivf_nprobe_sweep",
+    "ann_ivf_nprobe_sweep", "privacy_k_anonymity_generalization",
+    "ml_threshold_sweep_f1",
 ]
 
 

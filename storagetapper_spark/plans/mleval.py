@@ -623,3 +623,94 @@ ORDER BY decile
 
 
 QUERIES["ml_lift_gains"] = (ml_lift_gains, LIFT_GAINS_SQL)
+
+
+def ml_threshold_sweep_f1(spark: SparkSession, sf: str) -> DataFrame:
+    """Best-F1 operating point: every distinct quantized score is a
+    candidate threshold (predict positive when score >= v); TP/FP/FN
+    come from the same descending-grid cumsums as ml_pr_auc, F1 is one
+    double expression over them, and the argmax is a grid-bounded
+    TakeOrdered with deterministic ties (higher threshold wins).
+    Returns the chosen threshold with its confusion row and
+    P/R/F1 micros — the deployment-threshold picker next to the
+    threshold-free AUC metrics."""
+    emb = t(spark, sf, "embeddings")
+    base = emb.select(
+        (F.col("label") == 1).alias("pos"),
+        F.floor(F.element_at("embedding", 1).cast("double") * 1000000)
+        .cast("long").alias("v"))
+    per_v = (base.groupBy("v")
+             .agg(F.sum(F.when(F.col("pos"), 1).otherwise(0))
+                  .alias("c_p"),
+                  F.count(F.lit(1)).alias("cnt")))
+    from pyspark.sql import Window
+    w = (Window.orderBy(F.desc("v"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = per_v.select(
+        "v",
+        F.sum("c_p").over(w).alias("tp"),
+        (F.sum("cnt").over(w) - F.sum("c_p").over(w)).alias("fp"))
+    tot = per_v.agg(F.sum("c_p").alias("n_pos"))
+    j = cum.crossJoin(F.broadcast(tot))
+    fn = F.col("n_pos") - F.col("tp")
+    # F1 = 2TP / (2TP + FP + FN), exact integers in one double expr
+    f1 = (F.lit(2.0) * F.col("tp").cast("double")
+          / (2 * F.col("tp") + F.col("fp") + fn).cast("double"))
+    scored = j.select(
+        "v", "tp", "fp", fn.alias("fn"), "n_pos",
+        F.floor(f1 * 1000000.0).cast("long").alias("f1_micro"))
+    best = scored.orderBy(F.desc("f1_micro"), F.desc("v")).limit(1)
+    return best.select(
+        F.col("v").alias("threshold"), "tp", "fp", "fn",
+        F.floor(F.col("tp").cast("double") * 1000000.0
+                / (F.col("tp") + F.col("fp")).cast("double"))
+        .cast("long").alias("precision_micro"),
+        F.floor(F.col("tp").cast("double") * 1000000.0
+                / F.col("n_pos").cast("double")).cast("long")
+        .alias("recall_micro"),
+        "f1_micro")
+
+
+F1_SWEEP_SQL = """
+WITH base AS (
+  SELECT label = 1 AS pos,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS v
+  FROM embeddings
+),
+per_v AS (
+  SELECT v, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_p,
+         count(*) AS cnt
+  FROM base GROUP BY v
+),
+cum AS (
+  SELECT v,
+         CAST(sum(c_p) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS tp,
+         CAST(sum(cnt) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+              - sum(c_p) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS fp
+  FROM per_v
+),
+tot AS (SELECT CAST(sum(c_p) AS BIGINT) AS n_pos FROM per_v),
+scored AS (
+  SELECT v, tp, fp, n_pos - tp AS fn, n_pos,
+         CAST(floor(2.0 * CAST(tp AS DOUBLE)
+                    / CAST(2 * tp + fp + (n_pos - tp) AS DOUBLE)
+                    * 1000000.0) AS BIGINT) AS f1_micro
+  FROM cum, tot
+)
+SELECT v AS threshold, tp, fp, fn,
+       CAST(floor(CAST(tp AS DOUBLE) * 1000000.0
+                  / CAST(tp + fp AS DOUBLE)) AS BIGINT)
+         AS precision_micro,
+       CAST(floor(CAST(tp AS DOUBLE) * 1000000.0
+                  / CAST(n_pos AS DOUBLE)) AS BIGINT) AS recall_micro,
+       f1_micro
+FROM scored
+ORDER BY f1_micro DESC, v DESC
+LIMIT 1
+"""
+
+
+QUERIES["ml_threshold_sweep_f1"] = (ml_threshold_sweep_f1, F1_SWEEP_SQL)

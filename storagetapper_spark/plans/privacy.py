@@ -345,3 +345,63 @@ ORDER BY c_mktsegment
 
 
 QUERIES["privacy_t_closeness"] = (privacy_t_closeness, T_CLOSENESS_SQL)
+
+
+_GEN_WIDTHS = [500, 1000, 2000, 4000]
+
+
+def privacy_k_anonymity_generalization(spark: SparkSession,
+                                       sf: str) -> DataFrame:
+    """Generalization-lattice sweep (the Incognito/Mondrian knob): for
+    each candidate balance-band width, the k-anonymity profile of the
+    quasi-identifier (segment, nation, band) — minimum class size,
+    violating classes, exposed rows.  Coarser bands trade attribute
+    utility for anonymity; the sweep is ONE query (widths explode as a
+    4-row literal, the grouping runs once per width).
+
+    Scale: 4x one hash aggregation; the width dimension is a literal
+    broadcast, so the sweep cost is a flat 4x of the k-anon audit."""
+    widths = F.explode(F.array(*[F.lit(w) for w in _GEN_WIDTHS])) \
+        .alias("width")
+    rows = t(spark, sf, "customer").select(
+        "c_mktsegment", "c_nationkey", "c_acctbal", widths)
+    groups = (rows.select(
+        "width", "c_mktsegment", "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.col("width")).cast("long")
+        .alias("band"))
+        .groupBy("width", "c_mktsegment", "c_nationkey", "band")
+        .agg(F.count(F.lit(1)).alias("sz")))
+    return (groups.groupBy("width")
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.min("sz").alias("k_anonymity"),
+                 F.sum(F.when(F.col("sz") < _K, 1).otherwise(0))
+                 .alias("groups_below_k"),
+                 F.sum(F.when(F.col("sz") < _K, F.col("sz"))
+                       .otherwise(0)).alias("exposed_rows"))
+            .orderBy("width"))
+
+
+K_ANON_GENERALIZATION_SQL = f"""
+WITH widths AS (SELECT unnest({_GEN_WIDTHS}) AS width),
+groups AS (
+  SELECT w.width, c_mktsegment, c_nationkey,
+         CAST(floor(c_acctbal / w.width) AS BIGINT) AS band,
+         count(*) AS sz
+  FROM customer, widths w
+  GROUP BY 1, 2, 3, 4
+)
+SELECT width,
+       count(*) AS n_groups,
+       min(sz) AS k_anonymity,
+       CAST(sum(CASE WHEN sz < {_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_k,
+       CAST(sum(CASE WHEN sz < {_K} THEN sz ELSE 0 END) AS BIGINT)
+         AS exposed_rows
+FROM groups
+GROUP BY width
+ORDER BY width
+"""
+
+
+QUERIES["privacy_k_anonymity_generalization"] = (
+    privacy_k_anonymity_generalization, K_ANON_GENERALIZATION_SQL)

@@ -256,6 +256,7 @@ _BOUNDED_DOMAIN_ALLOWLIST = {
     "ml_auc_roc": "distinct score grid (micro-quantized ≤ 1e6)",
     "ml_pr_auc": "distinct score grid (micro-quantized ≤ 1e6)",
     "ml_lift_gains": "distinct score grid (micro-quantized ≤ 1e6)",
+    "ml_threshold_sweep_f1": "distinct score grid (micro-quantized ≤ 1e6)",
     "ml_boosted_stumps": "distinct feature grid (micro-quantized ≤ 1e6, "
                          "both boosting rounds)",
     "profile_equidepth_histogram": "distinct value grid (price cents)",

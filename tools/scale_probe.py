@@ -137,6 +137,8 @@ PROBES = [
     "agg_weighted_median",     # weighted cumulative value grid
     "events_bot_detection",    # per-user gap window + 4-row rollup
     "ann_ivf_nprobe_sweep",    # one scoring pass serves 4 cutoffs
+    "privacy_k_anonymity_generalization",  # 4-width lattice sweep
+    "ml_threshold_sweep_f1",   # score-grid argmax
 ]
 
 
