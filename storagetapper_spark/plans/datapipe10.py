@@ -742,3 +742,72 @@ ORDER BY s.nprobe
 
 
 QUERIES["ann_ivf_nprobe_sweep"] = (ann_ivf_nprobe_sweep, NPROBE_SWEEP_SQL)
+
+
+_PREF_GROUP = 20
+_PREF_MARGIN = 100000   # minimum micro-score separation
+
+
+def sample_preference_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF-style training: within
+    each prompt group (vec_id div 20 — the candidate-responses-per-
+    prompt convention), pair the highest-scoring candidate (chosen)
+    with the lowest (rejected), keep pairs whose margin clears 0.1,
+    and emit (prompt, chosen, rejected, margin).  Scores are exact
+    micro ints; winners are min_by/max_by with deterministic id
+    tie-breaks, so both engines build the identical pair set.
+
+    Scale: one groupBy on the prompt key (bounded 20-row groups) —
+    min_by/max_by aggregate map-side; no window, no self-join."""
+    emb = t(spark, sf, "embeddings")
+    base = emb.select(
+        (F.col("vec_id") / _PREF_GROUP).cast("long").alias("prompt_id"),
+        "vec_id",
+        F.floor(F.element_at("embedding", 1).cast("double") * 1000000)
+        .cast("long").alias("s"))
+    # deterministic ties: prefer the LOWER vec_id on equal scores, via
+    # a composite ordering key (score desc -> (s, -vec_id) max)
+    g = (base.groupBy("prompt_id")
+         .agg(F.max(F.struct(F.col("s"), (-F.col("vec_id")).alias("nv")))
+              .alias("hi"),
+              F.min(F.struct(F.col("s"), F.col("vec_id").alias("v")))
+              .alias("lo"),
+              F.count(F.lit(1)).alias("n_candidates")))
+    out = g.select(
+        "prompt_id", "n_candidates",
+        (-F.col("hi.nv")).alias("chosen_vec"),
+        F.col("lo.v").alias("rejected_vec"),
+        (F.col("hi.s") - F.col("lo.s")).alias("margin_micro"))
+    return (out.filter(F.col("margin_micro") >= _PREF_MARGIN)
+            .orderBy("prompt_id"))
+
+
+PREFERENCE_PAIRS_SQL = f"""
+WITH base AS (
+  SELECT CAST(vec_id // {_PREF_GROUP} AS BIGINT) AS prompt_id, vec_id,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS s
+  FROM embeddings
+),
+g AS (
+  SELECT prompt_id, max(s) AS hi_s, min(s) AS lo_s,
+         count(*) AS n_candidates
+  FROM base GROUP BY prompt_id
+),
+picked AS (
+  SELECT b.prompt_id, g.n_candidates,
+         min(CASE WHEN b.s = g.hi_s THEN b.vec_id END) AS chosen_vec,
+         min(CASE WHEN b.s = g.lo_s THEN b.vec_id END) AS rejected_vec,
+         g.hi_s - g.lo_s AS margin_micro
+  FROM base b JOIN g USING (prompt_id)
+  GROUP BY b.prompt_id, g.n_candidates, g.hi_s, g.lo_s
+)
+SELECT prompt_id, n_candidates, chosen_vec, rejected_vec, margin_micro
+FROM picked
+WHERE margin_micro >= {_PREF_MARGIN}
+ORDER BY prompt_id
+"""
+
+
+QUERIES["sample_preference_pairs"] = (sample_preference_pairs,
+                                      PREFERENCE_PAIRS_SQL)

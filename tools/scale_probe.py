@@ -139,6 +139,7 @@ PROBES = [
     "ann_ivf_nprobe_sweep",    # one scoring pass serves 4 cutoffs
     "privacy_k_anonymity_generalization",  # 4-width lattice sweep
     "ml_threshold_sweep_f1",   # score-grid argmax
+    "sample_preference_pairs",  # bounded-group min/max_by pairs
 ]
 
 
