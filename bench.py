@@ -153,7 +153,7 @@ BENCH_QUERIES = [
     "ml_lift_gains", "text_feature_hashing_audit", "text_padding_waste",
     "ml_boosted_stumps", "agg_weighted_median", "events_bot_detection",
     "ann_ivf_nprobe_sweep", "privacy_k_anonymity_generalization",
-    "ml_threshold_sweep_f1", "sample_preference_pairs",
+    "ml_threshold_sweep_f1", "sample_preference_pairs", "ml_knn_eval_ivf",
 ]
 
 

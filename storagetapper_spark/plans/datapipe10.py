@@ -811,3 +811,150 @@ ORDER BY prompt_id
 
 QUERIES["sample_preference_pairs"] = (sample_preference_pairs,
                                       PREFERENCE_PAIRS_SQL)
+
+
+_KNN_K = 5
+_KNN_CENTROIDS = 16
+_KNN_PROBE = 4
+
+
+def ml_knn_eval_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-quality eval by k-NN label prediction THROUGH the IVF
+    serving path: even vec_ids are the reference set, odd the eval set;
+    each eval vector takes its 5 nearest reference neighbors from the
+    4-probed IVF cells (the production candidate path, not brute
+    force) and predicts by strict majority (ties -> negative).
+    Output: the confusion row + accuracy — the standard probe of
+    whether an embedding space separates labels, measured with the
+    same recall/cost trade the ANN serving tier will actually use.
+
+    Scale: reference cell assignment is the rank-based IVF pass
+    (bucketed by centroid at ingest at 100 TB); per-eval work is
+    bounded by the probed cells; the top-5 window partitions by eval
+    id."""
+    from pyspark.sql import Window
+
+    from storagetapper_spark.operators.similarity import cosine
+
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"),
+        (F.col("label") == 1).alias("pos"))
+    train = emb.filter(F.col("vec_id") % 2 == 0)
+    test = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("pos").alias("q_pos"))
+    cent = (train.orderBy("vec_id").limit(_KNN_CENTROIDS)
+            .select((F.row_number().over(Window.orderBy("vec_id")) - 1)
+                    .alias("centroid_id"), F.col("v").alias("cv")))
+    ta = (train.crossJoin(F.broadcast(cent))
+          .withColumn("rn", F.row_number().over(
+              Window.partitionBy("vec_id").orderBy(
+                  F.round(cosine(F.col("v"), F.col("cv")), 6).desc(),
+                  F.col("centroid_id"))))
+          .filter(F.col("rn") == 1)
+          .select("vec_id", "v", "pos", "centroid_id"))
+    probes = (test.crossJoin(F.broadcast(cent))
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("qid").orderBy(
+                      F.round(cosine(F.col("qv"), F.col("cv")), 6).desc(),
+                      F.col("centroid_id"))))
+              .filter(F.col("rn") <= _KNN_PROBE)
+              .select("qid", "qv", "q_pos", "centroid_id"))
+    nn = (ta.join(probes, "centroid_id")
+          .withColumn("r", F.row_number().over(
+              Window.partitionBy("qid").orderBy(
+                  F.round(cosine(F.col("v"), F.col("qv")), 6).desc(),
+                  F.col("vec_id"))))
+          .filter(F.col("r") <= _KNN_K))
+    voted = (nn.groupBy("qid", "q_pos")
+             .agg(F.count(F.lit(1)).alias("k_got"),
+                  F.sum(F.when(F.col("pos"), 1).otherwise(0))
+                  .alias("k_pos")))
+    pred = (F.col("k_pos") * 2 > F.col("k_got"))
+    scored = voted.select(
+        "q_pos", pred.alias("pred_pos"))
+    n_test = test.count()
+    return (scored.agg(
+        F.lit(n_test).cast("long").alias("n_test"),
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(F.when(F.col("pred_pos") & F.col("q_pos"), 1)
+              .otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("pred_pos") & ~F.col("q_pos"), 1)
+              .otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("pred_pos") & F.col("q_pos"), 1)
+              .otherwise(0)).alias("fn"),
+        F.sum(F.when(~F.col("pred_pos") & ~F.col("q_pos"), 1)
+              .otherwise(0)).alias("tn"))
+        .select("n_test", "n_scored", "tp", "fp", "fn", "tn",
+                F.floor((F.col("tp") + F.col("tn")).cast("double")
+                        * 1000000.0 / F.col("n_scored").cast("double"))
+                .cast("long").alias("accuracy_micro")))
+
+
+_KNN_COS = ("round(list_dot_product({a}, {b}) / "
+            "(sqrt(list_dot_product({a}, {a})) * "
+            "sqrt(list_dot_product({b}, {b}))), 6)")
+
+KNN_EVAL_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label = 1 AS pos
+  FROM embeddings
+),
+train AS (SELECT * FROM emb WHERE vec_id % 2 = 0),
+test AS (SELECT vec_id AS qid, v AS qv, pos AS q_pos
+         FROM emb WHERE vec_id % 2 = 1),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cv
+  FROM (SELECT vec_id, v FROM train ORDER BY vec_id
+        LIMIT {_KNN_CENTROIDS})
+),
+ta AS (
+  SELECT vec_id, v, pos, centroid_id FROM (
+    SELECT t.vec_id, t.v, t.pos, cent.centroid_id,
+           row_number() OVER (PARTITION BY t.vec_id ORDER BY
+             {_KNN_COS.format(a='t.v', b='cent.cv')} DESC,
+             cent.centroid_id) AS rn
+    FROM train t CROSS JOIN cent) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, qv, q_pos, centroid_id FROM (
+    SELECT q.qid, q.qv, q.q_pos, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             {_KNN_COS.format(a='q.qv', b='cent.cv')} DESC,
+             cent.centroid_id) AS rn
+    FROM test q CROSS JOIN cent) WHERE rn <= {_KNN_PROBE}
+),
+nn AS (
+  SELECT qid, q_pos, pos FROM (
+    SELECT p.qid, p.q_pos, a.pos,
+           row_number() OVER (PARTITION BY p.qid ORDER BY
+             {_KNN_COS.format(a='a.v', b='p.qv')} DESC, a.vec_id) AS r
+    FROM ta a JOIN probes p USING (centroid_id)) WHERE r <= {_KNN_K}
+),
+voted AS (
+  SELECT qid, q_pos, count(*) AS k_got,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS k_pos
+  FROM nn GROUP BY qid, q_pos
+),
+scored AS (
+  SELECT q_pos, k_pos * 2 > k_got AS pred_pos FROM voted
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM test) AS n_test,
+       count(*) AS n_scored,
+       CAST(sum(CASE WHEN pred_pos AND q_pos THEN 1 ELSE 0 END)
+            AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN pred_pos AND NOT q_pos THEN 1 ELSE 0 END)
+            AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN NOT pred_pos AND q_pos THEN 1 ELSE 0 END)
+            AS BIGINT) AS fn,
+       CAST(sum(CASE WHEN NOT pred_pos AND NOT q_pos THEN 1 ELSE 0 END)
+            AS BIGINT) AS tn,
+       CAST(floor(CAST(sum(CASE WHEN pred_pos = q_pos THEN 1 ELSE 0 END)
+                       AS DOUBLE) * 1000000.0
+                  / CAST(count(*) AS DOUBLE)) AS BIGINT)
+         AS accuracy_micro
+FROM scored
+"""
+
+
+QUERIES["ml_knn_eval_ivf"] = (ml_knn_eval_ivf, KNN_EVAL_SQL)

@@ -140,6 +140,7 @@ PROBES = [
     "privacy_k_anonymity_generalization",  # 4-width lattice sweep
     "ml_threshold_sweep_f1",   # score-grid argmax
     "sample_preference_pairs",  # bounded-group min/max_by pairs
+    "ml_knn_eval_ivf",         # IVF-path kNN label eval
 ]
 
 
