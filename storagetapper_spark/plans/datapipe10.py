@@ -816,6 +816,7 @@ QUERIES["sample_preference_pairs"] = (sample_preference_pairs,
 _KNN_K = 5
 _KNN_CENTROIDS = 16
 _KNN_PROBE = 4
+_KNN_PANEL = 1000   # fixed eval panel: odd vec_ids below this
 
 
 def ml_knn_eval_ivf(spark: SparkSession, sf: str) -> DataFrame:
@@ -828,10 +829,13 @@ def ml_knn_eval_ivf(spark: SparkSession, sf: str) -> DataFrame:
     whether an embedding space separates labels, measured with the
     same recall/cost trade the ANN serving tier will actually use.
 
-    Scale: reference cell assignment is the rank-based IVF pass
-    (bucketed by centroid at ingest at 100 TB); per-eval work is
-    bounded by the probed cells; the top-5 window partitions by eval
-    id."""
+    Scale: the eval panel is FIXED (500 queries), so total probe work
+    is panel x nprobe/n_centroids x |reference| — linear in the corpus
+    with a fixed cell count.  The production knob is n_centroids
+    (operators/similarity.train_centroids scales it ~sqrt(N), making
+    per-query cost sqrt(N)); the fixture keeps 16 literal cells so the
+    oracle replays the assignment.  The top-5 window partitions by
+    eval id."""
     from pyspark.sql import Window
 
     from storagetapper_spark.operators.similarity import cosine
@@ -840,9 +844,10 @@ def ml_knn_eval_ivf(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v"),
         (F.col("label") == 1).alias("pos"))
     train = emb.filter(F.col("vec_id") % 2 == 0)
-    test = emb.filter(F.col("vec_id") % 2 == 1).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
-        F.col("pos").alias("q_pos"))
+    test = (emb.filter((F.col("vec_id") % 2 == 1)
+                       & (F.col("vec_id") < _KNN_PANEL))
+            .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+                    F.col("pos").alias("q_pos")))
     cent = (train.orderBy("vec_id").limit(_KNN_CENTROIDS)
             .select((F.row_number().over(Window.orderBy("vec_id")) - 1)
                     .alias("centroid_id"), F.col("v").alias("cv")))
@@ -902,7 +907,7 @@ WITH emb AS (
 ),
 train AS (SELECT * FROM emb WHERE vec_id % 2 = 0),
 test AS (SELECT vec_id AS qid, v AS qv, pos AS q_pos
-         FROM emb WHERE vec_id % 2 = 1),
+         FROM emb WHERE vec_id % 2 = 1 AND vec_id < {_KNN_PANEL}),
 cent AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cv
   FROM (SELECT vec_id, v FROM train ORDER BY vec_id
