@@ -584,6 +584,24 @@ QUERIES["events_bot_detection"] = (events_bot_detection,
                                    BOT_DETECTION_SQL)
 
 
+def _cell_rank(df: DataFrame, cent: DataFrame, id_col: str,
+               vec_col: str, max_rank: int) -> DataFrame:
+    """Rank IVF cells per row by rounded cosine (deterministic
+    centroid-id tie-break) and keep ranks <= max_rank — the one
+    Spark-side definition of cell assignment (max_rank=1) and probe
+    selection, shared by ann_ivf_nprobe_sweep and ml_knn_eval_ivf."""
+    from pyspark.sql import Window
+
+    from storagetapper_spark.operators.similarity import cosine
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(cosine(F.col(vec_col), F.col("cv")), 6).desc(),
+        F.col("centroid_id"))
+    return (df.crossJoin(F.broadcast(cent))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_rank))
+
+
 _NP_QUERIES = 5
 _NP_K = 5
 _NP_CENTROIDS = 16
@@ -613,18 +631,9 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
             .select((F.row_number().over(Window.orderBy("vec_id")) - 1)
                     .alias("centroid_id"), F.col("v").alias("cv")))
     # corpus -> nearest centroid (rank 1), queries -> ranked probes
-    ca = (corpus.crossJoin(F.broadcast(cent))
-          .withColumn("rn", F.row_number().over(
-              Window.partitionBy("vec_id").orderBy(
-                  F.round(cosine(F.col("v"), F.col("cv")), 6).desc(),
-                  F.col("centroid_id"))))
-          .filter(F.col("rn") == 1).select("vec_id", "v", "centroid_id"))
-    probes = (qs.crossJoin(F.broadcast(cent))
-              .withColumn("rn", F.row_number().over(
-                  Window.partitionBy("query_id").orderBy(
-                      F.round(cosine(F.col("qv"), F.col("cv")), 6).desc(),
-                      F.col("centroid_id"))))
-              .filter(F.col("rn") <= max(_NP_SWEEP))
+    ca = _cell_rank(corpus, cent, "vec_id", "v", 1) \
+        .select("vec_id", "v", "centroid_id")
+    probes = (_cell_rank(qs, cent, "query_id", "qv", max(_NP_SWEEP))
               .select("query_id", "qv", "centroid_id",
                       F.col("rn").alias("cell_rank")))
     scored = (ca.join(F.broadcast(probes), "centroid_id")
@@ -666,9 +675,13 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("nprobe"))
 
 
-_NP_COS = ("round(list_dot_product({a}, {b}) / "
-           "(sqrt(list_dot_product({a}, {a})) * "
-           "sqrt(list_dot_product({b}, {b}))), 6)")
+# shared by the nprobe sweep and the kNN eval — ONE definition of the
+# rounded-cosine macro and the rank-based cell assignment, so the two
+# IVF consumers cannot fork semantics
+_IVF_COS_SQL = ("round(list_dot_product({a}, {b}) / "
+                "(sqrt(list_dot_product({a}, {a})) * "
+                "sqrt(list_dot_product({b}, {b}))), 6)")
+_NP_COS = _IVF_COS_SQL
 
 NPROBE_SWEEP_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -851,20 +864,10 @@ def ml_knn_eval_ivf(spark: SparkSession, sf: str) -> DataFrame:
     cent = (train.orderBy("vec_id").limit(_KNN_CENTROIDS)
             .select((F.row_number().over(Window.orderBy("vec_id")) - 1)
                     .alias("centroid_id"), F.col("v").alias("cv")))
-    ta = (train.crossJoin(F.broadcast(cent))
-          .withColumn("rn", F.row_number().over(
-              Window.partitionBy("vec_id").orderBy(
-                  F.round(cosine(F.col("v"), F.col("cv")), 6).desc(),
-                  F.col("centroid_id"))))
-          .filter(F.col("rn") == 1)
-          .select("vec_id", "v", "pos", "centroid_id"))
-    probes = (test.crossJoin(F.broadcast(cent))
-              .withColumn("rn", F.row_number().over(
-                  Window.partitionBy("qid").orderBy(
-                      F.round(cosine(F.col("qv"), F.col("cv")), 6).desc(),
-                      F.col("centroid_id"))))
-              .filter(F.col("rn") <= _KNN_PROBE)
-              .select("qid", "qv", "q_pos", "centroid_id"))
+    ta = _cell_rank(train, cent, "vec_id", "v", 1) \
+        .select("vec_id", "v", "pos", "centroid_id")
+    probes = _cell_rank(test, cent, "qid", "qv", _KNN_PROBE) \
+        .select("qid", "qv", "q_pos", "centroid_id")
     nn = (ta.join(probes, "centroid_id")
           .withColumn("r", F.row_number().over(
               Window.partitionBy("qid").orderBy(
@@ -878,9 +881,9 @@ def ml_knn_eval_ivf(spark: SparkSession, sf: str) -> DataFrame:
     pred = (F.col("k_pos") * 2 > F.col("k_got"))
     scored = voted.select(
         "q_pos", pred.alias("pred_pos"))
-    n_test = test.count()
-    return (scored.agg(
-        F.lit(n_test).cast("long").alias("n_test"),
+    n_test = test.agg(F.count(F.lit(1)).alias("n_test"))
+    return (scored.crossJoin(F.broadcast(n_test)).agg(
+        F.first("n_test").alias("n_test"),
         F.count(F.lit(1)).alias("n_scored"),
         F.sum(F.when(F.col("pred_pos") & F.col("q_pos"), 1)
               .otherwise(0)).alias("tp"),
@@ -896,9 +899,7 @@ def ml_knn_eval_ivf(spark: SparkSession, sf: str) -> DataFrame:
                 .cast("long").alias("accuracy_micro")))
 
 
-_KNN_COS = ("round(list_dot_product({a}, {b}) / "
-            "(sqrt(list_dot_product({a}, {a})) * "
-            "sqrt(list_dot_product({b}, {b}))), 6)")
+_KNN_COS = _IVF_COS_SQL
 
 KNN_EVAL_SQL = f"""
 WITH emb AS (

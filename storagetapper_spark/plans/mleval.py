@@ -634,11 +634,7 @@ def ml_threshold_sweep_f1(spark: SparkSession, sf: str) -> DataFrame:
     Returns the chosen threshold with its confusion row and
     P/R/F1 micros — the deployment-threshold picker next to the
     threshold-free AUC metrics."""
-    emb = t(spark, sf, "embeddings")
-    base = emb.select(
-        (F.col("label") == 1).alias("pos"),
-        F.floor(F.element_at("embedding", 1).cast("double") * 1000000)
-        .cast("long").alias("v"))
+    base = _scored(spark, sf)
     per_v = (base.groupBy("v")
              .agg(F.sum(F.when(F.col("pos"), 1).otherwise(0))
                   .alias("c_p"),

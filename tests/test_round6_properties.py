@@ -194,3 +194,116 @@ def test_boosted_stumps_sse_ladder_decreases(spark, sf_dir):
     row = QUERIES["ml_boosted_stumps"](spark, sf_dir).collect()[0]
     assert row.sse0 >= row.sse1 >= row.sse2
     assert row.sse1 < row.sse0  # stump 1 must actually cut SSE
+
+
+def test_preference_pairs_match_python_fold(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    groups = {}
+    for r in emb:
+        s = math.floor(r.embedding[0] * 1000000)
+        groups.setdefault(r.vec_id // 20, []).append((s, r.vec_id))
+    want = {}
+    for pid, rows in groups.items():
+        hi = max(s for s, _ in rows)
+        lo = min(s for s, _ in rows)
+        if hi - lo >= 100000:
+            chosen = min(v for s, v in rows if s == hi)
+            rejected = min(v for s, v in rows if s == lo)
+            want[pid] = (len(rows), chosen, rejected, hi - lo)
+    got = {r.prompt_id: (r.n_candidates, r.chosen_vec, r.rejected_vec,
+                         r.margin_micro)
+           for r in QUERIES["sample_preference_pairs"](
+               spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_f1_sweep_matches_python_argmax(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    from collections import Counter
+    per_v = Counter()
+    pos_v = Counter()
+    for r in emb:
+        v = math.floor(r.embedding[0] * 1000000)
+        per_v[v] += 1
+        pos_v[v] += int(r.label == 1)
+    n_pos = sum(pos_v.values())
+    tp = fp = 0
+    best = None
+    for v in sorted(per_v, reverse=True):
+        tp += pos_v[v]
+        fp += per_v[v] - pos_v[v]
+        fn = n_pos - tp
+        f1 = math.floor(2.0 * tp / (2 * tp + fp + fn) * 1000000.0)
+        if best is None or f1 > best[0] or (f1 == best[0] and v > best[1]):
+            best = (f1, v, tp, fp, fn)
+    row = QUERIES["ml_threshold_sweep_f1"](spark, sf_dir).collect()[0]
+    assert (row.f1_micro, row.threshold, row.tp, row.fp, row.fn) == best
+
+
+def test_generalization_sweep_consistent_with_k_anonymity(spark, sf_dir):
+    """The width=1000 row of the lattice sweep must aggregate exactly
+    the per-segment privacy_k_anonymity audit (same QI, same data)."""
+    per_seg = QUERIES["privacy_k_anonymity"](spark, sf_dir).collect()
+    sweep = {r.width: r for r in
+             QUERIES["privacy_k_anonymity_generalization"](
+                 spark, sf_dir).collect()}
+    w1000 = sweep[1000]
+    assert w1000.n_groups == sum(r.n_groups for r in per_seg)
+    assert w1000.k_anonymity == min(r.k_anonymity for r in per_seg)
+    assert w1000.groups_below_k == sum(r.groups_below_k for r in per_seg)
+    assert w1000.exposed_rows == sum(r.exposed_rows for r in per_seg)
+    # coarser bands can only merge classes: monotone group counts
+    widths = sorted(sweep)
+    for a, b in zip(widths, widths[1:]):
+        assert sweep[b].n_groups <= sweep[a].n_groups
+
+
+def test_knn_eval_confusion_is_consistent(spark, sf_dir):
+    row = QUERIES["ml_knn_eval_ivf"](spark, sf_dir).collect()[0]
+    assert row.tp + row.fp + row.fn + row.tn == row.n_scored
+    assert row.n_scored <= row.n_test
+    assert row.accuracy_micro == math.floor(
+        (row.tp + row.tn) * 1000000.0 / row.n_scored)
+    # python replay of the full IVF path with Spark's HALF_UP rounding
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                               rounding=ROUND_HALF_UP))
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    import numpy as np
+    vecs = {r.vec_id: (np.array(r.embedding, dtype=np.float64),
+                       r.label == 1) for r in emb}
+
+    def cos(a, b):
+        return float(np.dot(a, b)
+                     / (np.sqrt(np.dot(a, a)) * np.sqrt(np.dot(b, b))))
+
+    train = sorted(v for v in vecs if v % 2 == 0)
+    test = sorted(v for v in vecs if v % 2 == 1 and v < 1000)
+    cent = [(i, vecs[v][0]) for i, v in enumerate(train[:16])]
+    assign = {}
+    for v in train:
+        ranked = sorted(((-r6(cos(vecs[v][0], cv)), ci)
+                         for ci, cv in cent))
+        assign.setdefault(ranked[0][1], []).append(v)
+    tp = fp = fn = tn = 0
+    for q in test:
+        ranked = sorted(((-r6(cos(vecs[q][0], cv)), ci)
+                         for ci, cv in cent))
+        cand = [v for _, ci in ranked[:4] for v in assign.get(ci, [])]
+        top = sorted(((-r6(cos(vecs[q][0], vecs[v][0])), v)
+                      for v in cand))[:5]
+        k_pos = sum(1 for _, v in top if vecs[v][1])
+        pred = k_pos * 2 > len(top)
+        truth = vecs[q][1]
+        if pred and truth:
+            tp += 1
+        elif pred:
+            fp += 1
+        elif truth:
+            fn += 1
+        else:
+            tn += 1
+    assert (row.tp, row.fp, row.fn, row.tn) == (tp, fp, fn, tn)
