@@ -78,41 +78,42 @@ for mod in (relational, relational2, relational3, relational4, relational5,
 # text surface) plus the 3 queries whose oracles were fixed this round
 # into the window.  Previously-green queries keep their recorded rows.
 _CHECK_FIRST = [
-    # Round-6 window: 50 of the 123 queries that had no driver CORRECTNESS
-    # row after r1-r5 (197/320 witnessed, all green — VERDICT r5 #1).
-    # Staged per ROADMAP's backlog recipe: the round-5 third-session batch
-    # the r5 window couldn't fit first, then the second-session corpus
-    # batch, then the fourth-session sketch/graph/profiling/corpus/
-    # embedding families.  The 73 deferred to round 7 are the
-    # *_approx/*_tpr percentile twins + same-plan siblings (exact forms
-    # long green), the fifth-session stats_/layout_/pca/drift families,
-    # and the ts/ml/product-analytics remainder — all local-green at 3 SFs
-    # (CHECK_ALL.json) and independently spot-verified by the r5 judge.
-    # third-session batch: joins / asof / BPE / curation / profiling
-    "join_bloom_pruned", "join_salted_skew", "text_pii_redact",
-    "asof_state_tolerance", "asof_forward_next_purchase",
-    "tokenizer_bpe_merge_step", "tokenizer_bpe_train", "tokenizer_bpe_encode",
-    "sample_importance_weights", "curation_funnel", "sample_pack_contiguous",
-    "ann_truncation_recall", "lang_confusion", "dq_expectations",
-    "profile_key_skew", "ts_similarity_search", "ts_discord_detection",
-    "corpus_source_report", "sample_weighted_aes", "sample_temperature_draw",
-    # second-session corpus-analysis batch
-    "text_repeated_passages", "tokenizer_pair_counts", "text_idf_stopwords",
-    "sample_temperature_mix", "dedup_lsh_verified", "corpus_budget_cut",
-    "sample_shuffle_shard", "sample_pack_sequences",
-    # fourth-session graph + CDC-monitoring batch
-    "graph_jaccard_link_prediction", "graph_ra_link_prediction",
-    "graph_bfs_distance", "graph_degree_assortativity", "graph_kcore",
-    "cdc_out_of_order_rate", "cdc_key_churn_histogram",
-    # fourth-session sketches + retrieval
-    "sketch_theta_intersection", "sketch_cms_heavy_hitters", "sketch_ams_f2",
-    "text_bm25_search", "text_collocations_npmi",
-    # fourth-session profiling + corpus statistics
-    "profile_correlation_matrix", "profile_pmi_categories", "text_zipf_fit",
-    "text_ngram_novelty", "corpus_growth_curve", "text_js_divergence",
-    "text_diversity",
-    # fourth-session embedding diagnostics + ANN
-    "ann_range_search", "embedding_dim_stats", "embedding_outlier_zscore",
+    # Round-7 window: 50 of the 111 queries that had no driver CORRECTNESS
+    # row after r1-r6 (247/358 witnessed, all green — VERDICT r6 #1).
+    # Staged per ROADMAP's "Round-7 rotation": the fifth-session
+    # stats_/layout_/pca/drift/mleval families first (oldest
+    # unwitnessed), then the ts/ml/product-analytics remainder.  The 61
+    # deferred to round 8 are the *_approx/*_tpr percentile twins (exact
+    # forms long green) plus the round-6 registrations — all local-green
+    # at 3 SFs (CHECK_ALL.json); 35 of them were independently
+    # re-verified by the r6 judge.
+    # fifth-session statistical-inference batch
+    "stats_ks_two_sample", "stats_kendall_tau", "stats_spearman_rho",
+    "stats_diff_in_diff", "stats_cuped_adjustment", "stats_power_sample_size",
+    "stats_welch_ttest", "ml_auc_roc", "stats_mann_whitney",
+    "stats_chi_square", "stats_sprt_ab", "stats_bootstrap_ci",
+    # fifth-session layout / data-placement batch
+    "layout_zone_map_pruning", "layout_compaction_plan",
+    "layout_bucketed_join", "layout_zorder_pruning",
+    # fifth-session PCA + drift batch
+    "embedding_pca_power_iteration", "embedding_scatter_matrix",
+    "drift_ks_by_feature", "embedding_drift_mmd_linear",
+    # fifth-session model-evaluation batch
+    "ml_calibration_ece", "ml_classification_metrics",
+    "sample_kfold_group_assign", "ml_ndcg_at_k", "ml_mcc",
+    # pre-round-6 relational / product-analytics remainder
+    "cycle_time_percentiles", "winsorized_prices", "seasonality_month",
+    "events_user_lifecycle", "sessionization_gap_sensitivity",
+    "customer_segment_migration", "orders_shipping_sla",
+    "ts_rolling_slope", "text_term_burstiness", "supplier_scorecard",
+    "rollup_two_level", "events_pattern_match",
+    # pre-round-6 time-series remainder
+    "ts_autocorrelation", "ts_cross_correlation", "ts_stl_seasonal",
+    "ts_theil_sen", "ts_stl_anomaly", "ts_rolling_robust_anomaly",
+    # pre-round-6 ANOVA / TF-IDF / fiscal / Markov / in-engine-ML batch
+    "price_anova_brands", "text_allpairs_cosine_tfidf",
+    "fiscal_quarter_rollup", "priority_mix_shift", "events_markov_stationary",
+    "ml_logistic_gd", "ml_naive_bayes_confusion",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 assert all(n in _ALL for n in _CHECK_FIRST), "unknown name in _CHECK_FIRST"
