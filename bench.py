@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "ml_boosted_stumps", "agg_weighted_median", "events_bot_detection",
     "ann_ivf_nprobe_sweep", "privacy_k_anonymity_generalization",
     "ml_threshold_sweep_f1", "sample_preference_pairs", "ml_knn_eval_ivf",
+    "graph_triangles_degree_oriented",
 ]
 
 

@@ -141,6 +141,7 @@ PROBES = [
     "ml_threshold_sweep_f1",   # score-grid argmax
     "sample_preference_pairs",  # bounded-group min/max_by pairs
     "ml_knn_eval_ivf",         # IVF-path kNN label eval
+    "graph_triangles_degree_oriented",  # compact-forward wedge bound
 ]
 
 
