@@ -2782,13 +2782,50 @@ QUERIES["discount_effectiveness"] = (discount_effectiveness, DISCOUNT_SQL)
 # 100-TB forms (VERDICT r3 #5): percentile() sorts every group in one
 # task per group, approx_percentile folds a mergeable sketch map-side —
 # the ONLY plan that survives when a group no longer fits an executor.
-# Approx outputs are engine-specific (DuckDB can't reproduce Spark's
-# sketch), so these carry no oracle SQL (rows-only driver check); their
-# numeric agreement with the exact forms is pinned by
-# tests/test_approx_percentile_twins.py, and bench.py times them so the
-# scale path has a measured number.
+# Approx VALUES are engine-specific (DuckDB can't reproduce Spark's GK
+# sketch), so the registered queries are ε-tolerance CERTIFIED forms
+# (VERDICT r6 #4): Spark checks its own sketch output against the exact
+# order-statistic band the GK bound guarantees — rank error ≤ n/accuracy
+# (Greenwald–Khanna, the contract Spark documents as
+# "relative error = 1.0/accuracy"), widened by ±1 rank for boundary
+# rounding — and emits booleans next to exact-hashable columns; the
+# DuckDB oracle emits the contract (TRUE) plus the same exact columns,
+# so a sketch that ever leaves its error band FAILS the hash gate.
+# The raw value forms live on as *_values (bench/parity surface,
+# pinned to the exact twins by tests/test_approx_percentile_twins.py);
+# at 100 TB you deploy the *_values plan and run the certified form as
+# an audit, exactly like the ann_*_recall audits.
 
-def price_outliers_mad_approx(spark: SparkSession, sf: str) -> DataFrame:
+
+def _pct_bands(rows: DataFrame, key: str, col: str,
+               ps: list, acc: int) -> DataFrame:
+    """Per-key exact rank bands certifying percentile_approx(col, p, acc):
+    for each (name, p) the sketch output must lie between the order
+    statistics at ranks floor((p−ε)·n)−1 and ceil((p+ε)·n)+1, ε=1/acc.
+    One partitioned window sort per key — the same shuffle the exact
+    twin pays, acceptable here because this is the audit form."""
+    from pyspark.sql import Window
+    wn = Window.partitionBy(key)
+    wo = Window.partitionBy(key).orderBy(col)
+    r = rows.select(key, col,
+                    F.row_number().over(wo).alias("_rn"),
+                    F.count(F.lit(1)).over(wn).alias("_n"))
+    eps = 1.0 / acc
+    aggs = []
+    for name, p in ps:
+        lo_r = F.greatest(F.lit(1).cast("long"),
+                          F.floor((F.lit(p) - eps) * F.col("_n")) - 1)
+        hi_r = F.least(F.col("_n"),
+                       F.ceil((F.lit(p) + eps) * F.col("_n")) + 1)
+        aggs.append(F.min(F.when(F.col("_rn") >= lo_r, F.col(col)))
+                    .alias(f"{name}_lo"))
+        aggs.append(F.max(F.when(F.col("_rn") <= hi_r, F.col(col)))
+                    .alias(f"{name}_hi"))
+    return r.groupBy(key).agg(*aggs)
+
+
+def price_outliers_mad_approx_values(spark: SparkSession,
+                                     sf: str) -> DataFrame:
     """price_outliers_mad with approx_percentile(…, 10000) — identical
     shape: two grouped sketch aggregates, broadcast stats join back."""
     li = t(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
@@ -2815,10 +2852,53 @@ def price_outliers_mad_approx(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("p_brand"))
 
 
-QUERIES["price_outliers_mad_approx"] = (price_outliers_mad_approx, None)
+def price_outliers_mad_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """ε-certified price_outliers_mad_approx_values: both sketch
+    medians (price per brand, then absolute deviation from that sketch
+    median) must sit inside their exact GK rank bands.  Output is
+    exact-hashable (brand, n) plus the two certification booleans; the
+    oracle asserts the contract, so a band violation is a driver
+    FAILURE, not a silent drift."""
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
+    p = t(spark, sf, "part").select("p_partkey", "p_brand")
+    priced = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    med = (priced.groupBy("p_brand")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.percentile_approx("l_extendedprice", 0.5, 10000)
+                .alias("amed")))
+    med_b = _pct_bands(priced, "p_brand", "l_extendedprice",
+                       [("med", 0.5)], 10000)
+    dev = (priced.join(F.broadcast(med.select("p_brand", "amed")), "p_brand")
+           .withColumn("adev",
+                       F.abs(F.col("l_extendedprice") - F.col("amed"))))
+    mad = (dev.groupBy("p_brand")
+           .agg(F.percentile_approx("adev", 0.5, 10000).alias("amad")))
+    mad_b = _pct_bands(dev, "p_brand", "adev", [("mad", 0.5)], 10000)
+    return (med.join(med_b, "p_brand").join(mad, "p_brand")
+            .join(mad_b, "p_brand")
+            .select("p_brand", "n",
+                    ((F.col("amed") >= F.col("med_lo"))
+                     & (F.col("amed") <= F.col("med_hi")))
+                    .alias("med_in_band"),
+                    ((F.col("amad") >= F.col("mad_lo"))
+                     & (F.col("amad") <= F.col("mad_hi")))
+                    .alias("mad_in_band"))
+            .orderBy("p_brand"))
 
 
-def cycle_time_percentiles_approx(spark: SparkSession, sf: str) -> DataFrame:
+MAD_APPROX_SQL = """
+SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,
+       TRUE AS med_in_band, TRUE AS mad_in_band
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand ORDER BY p.p_brand
+"""
+
+QUERIES["price_outliers_mad_approx"] = (price_outliers_mad_approx,
+                                        MAD_APPROX_SQL)
+
+
+def cycle_time_percentiles_approx_values(spark: SparkSession,
+                                         sf: str) -> DataFrame:
     """cycle_time_percentiles with sketch percentiles (p50/p90)."""
     o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate",
                                       "o_orderpriority")
@@ -2838,11 +2918,57 @@ def cycle_time_percentiles_approx(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("o_orderpriority"))
 
 
+def cycle_time_percentiles_approx(spark: SparkSession,
+                                  sf: str) -> DataFrame:
+    """ε-certified cycle_time_percentiles_approx_values: the p50/p90
+    day-gap sketches must sit inside their exact GK rank bands.
+    n_orders and max_days stay exact-hashable."""
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate",
+                                      "o_orderpriority")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    first_ship = (li.groupBy("l_orderkey")
+                  .agg(F.min("l_shipdate").alias("first_ship")))
+    gaps = (o.join(first_ship, o.o_orderkey == first_ship.l_orderkey)
+            .select("o_orderpriority",
+                    F.datediff("first_ship", "o_orderdate").alias("days")))
+    sk = (gaps.groupBy("o_orderpriority")
+          .agg(F.count(F.lit(1)).alias("n_orders"),
+               F.percentile_approx("days", 0.5, 10000).alias("a50"),
+               F.percentile_approx("days", 0.9, 10000).alias("a90"),
+               F.max("days").alias("max_days")))
+    bands = _pct_bands(gaps, "o_orderpriority", "days",
+                       [("p50", 0.5), ("p90", 0.9)], 10000)
+    return (sk.join(bands, "o_orderpriority")
+            .select("o_orderpriority", "n_orders", "max_days",
+                    ((F.col("a50") >= F.col("p50_lo"))
+                     & (F.col("a50") <= F.col("p50_hi")))
+                    .alias("p50_in_band"),
+                    ((F.col("a90") >= F.col("p90_lo"))
+                     & (F.col("a90") <= F.col("p90_hi")))
+                    .alias("p90_in_band"))
+            .orderBy("o_orderpriority"))
+
+
+CYCLE_APPROX_SQL = """
+WITH first_ship AS (
+  SELECT l_orderkey, min(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY l_orderkey),
+gaps AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', o.o_orderdate, f.first_ship) AS days
+  FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(max(days) AS BIGINT) AS max_days,
+       TRUE AS p50_in_band, TRUE AS p90_in_band
+FROM gaps GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
 QUERIES["cycle_time_percentiles_approx"] = (cycle_time_percentiles_approx,
-                                            None)
+                                            CYCLE_APPROX_SQL)
 
 
-def winsorized_prices_approx(spark: SparkSession, sf: str) -> DataFrame:
+def winsorized_prices_approx_values(spark: SparkSession,
+                                    sf: str) -> DataFrame:
     """winsorized_prices with sketch fences (p05/p95)."""
     li = t(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
     p = t(spark, sf, "part").select("p_partkey", "p_type")
@@ -2865,7 +2991,46 @@ def winsorized_prices_approx(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("p_type"))
 
 
-QUERIES["winsorized_prices_approx"] = (winsorized_prices_approx, None)
+def winsorized_prices_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """ε-certified winsorized_prices_approx_values: the p05/p95 sketch
+    fences must sit inside their exact GK rank bands.  n and the
+    (fence-independent) raw mean stay exact-hashable."""
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
+    p = t(spark, sf, "part").select("p_partkey", "p_type")
+    priced = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    sk = (priced.groupBy("p_type")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.round(F.avg(F.col("l_extendedprice")
+                             .cast("decimal(30,10)")), 2)
+               .cast("double").alias("raw_mean"),
+               F.percentile_approx("l_extendedprice", 0.05, 10000)
+               .alias("alo"),
+               F.percentile_approx("l_extendedprice", 0.95, 10000)
+               .alias("ahi")))
+    bands = _pct_bands(priced, "p_type", "l_extendedprice",
+                       [("p05", 0.05), ("p95", 0.95)], 10000)
+    return (sk.join(bands, "p_type")
+            .select("p_type", "n", "raw_mean",
+                    ((F.col("alo") >= F.col("p05_lo"))
+                     & (F.col("alo") <= F.col("p05_hi")))
+                    .alias("p05_in_band"),
+                    ((F.col("ahi") >= F.col("p95_lo"))
+                     & (F.col("ahi") <= F.col("p95_hi")))
+                    .alias("p95_in_band"))
+            .orderBy("p_type"))
+
+
+WINSOR_APPROX_SQL = """
+SELECT p.p_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(round(avg(CAST(l_extendedprice AS DECIMAL(30,10))), 2)
+            AS DOUBLE) AS raw_mean,
+       TRUE AS p05_in_band, TRUE AS p95_in_band
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_type ORDER BY p.p_type
+"""
+
+QUERIES["winsorized_prices_approx"] = (winsorized_prices_approx,
+                                       WINSOR_APPROX_SQL)
 
 
 # --- two-pass-rank exact forms of the percentile family ------------------

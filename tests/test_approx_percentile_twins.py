@@ -5,6 +5,7 @@ day gaps) of the exact percentile."""
 
 import pytest
 
+from storagetapper_spark.plans import relational10
 from storagetapper_spark.plans.registry import QUERIES
 
 # sf0.001 groups are so small that nearest-rank (uninterpolated) sketch
@@ -25,8 +26,12 @@ PAIRS = [
 @pytest.mark.parametrize("exact,approx,key,cols",
                          PAIRS, ids=[p[1] for p in PAIRS])
 def test_approx_twin_tracks_exact(spark, exact, approx, key, cols):
+    # the registered *_approx queries are the ε-certified forms (booleans
+    # + exact columns); the raw sketch VALUES live on as *_values
     e = {r[key]: r.asDict() for r in QUERIES[exact](spark, SF).collect()}
-    a = {r[key]: r.asDict() for r in QUERIES[approx](spark, SF).collect()}
+    a = {r[key]: r.asDict()
+         for r in getattr(relational10, approx + "_values")(spark,
+                                                            SF).collect()}
     assert set(e) == set(a)
     for k in e:
         for col, rel in cols:
@@ -35,3 +40,24 @@ def test_approx_twin_tracks_exact(spark, exact, approx, key, cols):
                 assert abs(ev - av) <= 1.0, (k, col, ev, av)
             else:                    # within rel of the exact value
                 assert abs(ev - av) <= rel * abs(ev) + 1e-9, (k, col, ev, av)
+
+
+def test_pct_bands_exact_ranks_and_detectability(spark):
+    """The certification band is the exact order-statistic window the
+    GK bound guarantees — and it is TIGHT enough to detect a broken
+    sketch: values 1..100, p=0.5, acc=10000 → ranks [48, 52], so a
+    sketch answering 47 or 53 would fail the registered queries'
+    in-band booleans (negative control for the ε-oracles)."""
+    from storagetapper_spark.plans.relational10 import _pct_bands
+
+    rows = spark.createDataFrame([("g", float(i)) for i in range(1, 101)],
+                                 "k string, x double")
+    b = _pct_bands(rows, "k", "x", [("med", 0.5)], 10000).collect()[0]
+    assert b["med_lo"] == 48.0 and b["med_hi"] == 52.0
+    assert not (b["med_lo"] <= 47.0 <= b["med_hi"])
+    assert not (b["med_lo"] <= 53.0 <= b["med_hi"])
+    # the real sketch at this accuracy sits inside the band
+    import pyspark.sql.functions as F
+    v = rows.agg(F.percentile_approx("x", 0.5, 10000).alias("v")) \
+            .collect()[0]["v"]
+    assert b["med_lo"] <= v <= b["med_hi"]
