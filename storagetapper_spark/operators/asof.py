@@ -21,6 +21,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
+
+
+def _with_tiebreak(right: DataFrame, by: list[str], right_ts: str,
+                   right_cols: list[str]) -> DataFrame:
+    """Stable right-side tiebreak (ADVICE r6): when several right rows
+    share (key, ts), the window fills below would otherwise pick an
+    unspecified one — nondeterministic across runs/partitionings.
+    xxhash64 over the row's own content is deterministic everywhere
+    (unlike monotonically_increasing_id, which depends on the physical
+    partitioning), so ordering the fill window by it makes the winner
+    the max-hash row: arbitrary but REPEATABLE.  Map-typed payload
+    columns are skipped (not hashable); two rows differing only in a
+    map column remain tied, which is then harmless for every hashable
+    column."""
+    src = [c for c in dict.fromkeys([*by, right_ts, *right_cols])
+           if not isinstance(right.schema[c].dataType, MapType)]
+    return right.withColumn("_asof_tie", F.xxhash64(*src))
 
 
 def asof_join(left: DataFrame, right: DataFrame, by: list[str],
@@ -58,6 +76,7 @@ def asof_join(left: DataFrame, right: DataFrame, by: list[str],
             f"direction must be backward|forward|nearest: {direction}")
     right_cols = right_cols or [c for c in right.columns
                                 if c not in by and c != right_ts]
+    right = _with_tiebreak(right, by, right_ts, right_cols)
     # tolerance needs the matched right timestamp to survive the fill —
     # carry it as one more payload column, mask, then drop
     fill_cols = list(right_cols)
@@ -68,6 +87,7 @@ def asof_join(left: DataFrame, right: DataFrame, by: list[str],
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_is_left"),
+        F.lit(None).cast("long").alias("_r__asof_tie"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
           for c in fill_cols],
     )
@@ -77,14 +97,17 @@ def asof_join(left: DataFrame, right: DataFrame, by: list[str],
         *[F.col(c) for c in by],
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_is_left"),
+        F.col("_asof_tie").alias("_r__asof_tie"),
         *[F.col(c).alias(f"_r_{c}") for c in fill_cols],
     ).select(*l_tag.columns)  # align column order
     unioned = l_tag.unionByName(r_tag)
     # right rows sort before left rows at equal ts (_is_left asc) so the
     # inclusive <=/>= semantics hold; forward = the same scan over
-    # reversed time, so "latest prior" becomes "earliest later"
+    # reversed time, so "latest prior" becomes "earliest later"; the
+    # content-hash tiebreak makes the pick among equal-ts right rows
+    # repeatable across runs/partitionings
     order = [F.col("_t") if direction == "backward" else F.col("_t").desc(),
-             F.col("_is_left")]
+             F.col("_is_left"), F.col("_r__asof_tie").asc_nulls_first()]
     w = (Window.partitionBy(*by).orderBy(*order)
                .rowsBetween(Window.unboundedPreceding, 0))
     filled = unioned.select(
@@ -105,7 +128,8 @@ def asof_join(left: DataFrame, right: DataFrame, by: list[str],
             *[F.when(in_tol, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
               for c in right_cols])
         return out
-    return out.drop("_t", "_is_left", *[f"_r_{c}" for c in fill_cols])
+    return out.drop("_t", "_is_left", "_r__asof_tie",
+                    *[f"_r_{c}" for c in fill_cols])
 
 
 def _asof_nearest(left: DataFrame, right: DataFrame, by: list[str],
@@ -117,12 +141,14 @@ def _asof_nearest(left: DataFrame, right: DataFrame, by: list[str],
     smaller |Δt| with ties to backward (pandas merge_asof)."""
     right_cols = right_cols or [c for c in right.columns
                                 if c not in by and c != right_ts]
+    right = _with_tiebreak(right, by, right_ts, right_cols)
     fill_cols = list(right_cols) + ["_asof_rt"]
     right = right.withColumn("_asof_rt", F.col(right_ts))
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_is_left"),
+        F.lit(None).cast("long").alias("_r__asof_tie"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
           for c in fill_cols],
     )
@@ -132,13 +158,16 @@ def _asof_nearest(left: DataFrame, right: DataFrame, by: list[str],
         *[F.col(c) for c in by],
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_is_left"),
+        F.col("_asof_tie").alias("_r__asof_tie"),
         *[F.col(c).alias(f"_r_{c}") for c in fill_cols],
     ).select(*l_tag.columns)
     unioned = l_tag.unionByName(r_tag)
-    wb = (Window.partitionBy(*by).orderBy(F.col("_t"), F.col("_is_left"))
+    tie = F.col("_r__asof_tie").asc_nulls_first()
+    wb = (Window.partitionBy(*by)
+          .orderBy(F.col("_t"), F.col("_is_left"), tie)
           .rowsBetween(Window.unboundedPreceding, 0))
     wf = (Window.partitionBy(*by)
-          .orderBy(F.col("_t").desc(), F.col("_is_left"))
+          .orderBy(F.col("_t").desc(), F.col("_is_left"), tie)
           .rowsBetween(Window.unboundedPreceding, 0))
     filled = unioned.select(
         "*",

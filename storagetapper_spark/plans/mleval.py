@@ -485,9 +485,14 @@ def ml_pr_auc(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cum_n") - F.col("cnt") == 0, F.lit(1.0)).otherwise(
         (F.col("cum_p") - F.col("c_p")).cast("double")
         / (F.col("cum_n") - F.col("cnt")).cast("double"))
-    term = F.floor(F.col("c_p").cast("double")
-                   / F.col("n_pos").cast("double")
-                   * (p_cur + p_prev) / 2.0 * 1000000.0).cast("long")
+    # n_pos = 0 guard (ADVICE r6): without it the term is NaN, which
+    # Spark's non-ANSI long cast nulls while DuckDB raises — emit an
+    # explicit 0 in BOTH engines on that degenerate input.
+    term = F.when(F.col("n_pos") > 0,
+                  F.floor(F.col("c_p").cast("double")
+                          / F.col("n_pos").cast("double")
+                          * (p_cur + p_prev) / 2.0 * 1000000.0)
+                  ).otherwise(F.lit(0)).cast("long")
     return (j.select("n_pos", "n_neg", term.alias("t"))
             .groupBy("n_pos", "n_neg")
             .agg(F.sum("t").alias("pr_auc_micro")))
@@ -519,13 +524,14 @@ tot AS (
   FROM per_v
 )
 SELECT n_pos, n_neg,
-       CAST(sum(CAST(floor(
+       CAST(sum(CASE WHEN n_pos > 0 THEN CAST(floor(
          CAST(c_p AS DOUBLE) / CAST(n_pos AS DOUBLE)
          * (CAST(cum_p AS DOUBLE) / CAST(cum_n AS DOUBLE)
             + CASE WHEN cum_n - cnt = 0 THEN 1.0
                    ELSE CAST(cum_p - c_p AS DOUBLE)
                         / CAST(cum_n - cnt AS DOUBLE) END)
-         / 2.0 * 1000000.0) AS BIGINT)) AS BIGINT) AS pr_auc_micro
+         / 2.0 * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS pr_auc_micro
 FROM cum, tot
 GROUP BY n_pos, n_neg
 """

@@ -83,7 +83,8 @@ def debezium_envelope_schema(table_schema: T.StructType,
 def parse_debezium(df: DataFrame, table_schema: T.StructType,
                    pk_cols: list[str], value_col: str = "value",
                    wrapped: bool = False,
-                   seqno_from_ts: bool = False) -> DataFrame:
+                   seqno_from_ts: bool = False,
+                   strict: bool = True) -> DataFrame:
     """Debezium JSON strings → the engine's changelog contract:
     data columns + op/seqno/row_key/ts (+ gtid for resume points).
 
@@ -96,7 +97,15 @@ def parse_debezium(df: DataFrame, table_schema: T.StructType,
     source position at all (e.g. some MongoDB/outbox setups): seqno
     falls back to ts_ms uniformly.  It is all-or-nothing by design —
     mixing per-row pos and ts_ms in one feed breaks the total order
-    (see module docstring)."""
+    (see module docstring).
+
+    ``strict=False`` (ADVICE r6): a feed with SPORADIC posless rows
+    (e.g. a connector emitting posless snapshot 'r' events) no longer
+    aborts the batch/stream — posless rows are EXCLUDED from the
+    normalized output; pair with ``quarantine_debezium`` on the same
+    raw frame to route them to a dead-letter sink.  The default stays
+    fail-loud: silently dropping changelog rows is state corruption
+    unless something downstream is watching the quarantine."""
     schema = debezium_envelope_schema(table_schema, wrapped=wrapped)
     env = F.from_json(F.col(value_col), schema)
     if wrapped:
@@ -128,13 +137,17 @@ def parse_debezium(df: DataFrame, table_schema: T.StructType,
         # silently state-corrupting.  Feeds without pos must opt into
         # seqno_from_ts=True.
         pos = F.col("_env.source.pos")
-        seqno = F.when(
-            pos.isNotNull(), F.shiftleft(file_idx, 40) + pos
-        ).otherwise(F.raise_error(F.concat(
-            F.lit("debezium_normalize: null source.pos with "
-                  "seqno_from_ts=False (row would get NULL seqno and "
-                  "always lose latest-state ordering); op="),
-            F.coalesce(F.col("_env.op"), F.lit("?")))))
+        if strict:
+            seqno = F.when(
+                pos.isNotNull(), F.shiftleft(file_idx, 40) + pos
+            ).otherwise(F.raise_error(F.concat(
+                F.lit("debezium_normalize: null source.pos with "
+                      "seqno_from_ts=False (row would get NULL seqno and "
+                      "always lose latest-state ordering); op="),
+                F.coalesce(F.col("_env.op"), F.lit("?")))))
+        else:
+            seqno = F.shiftleft(file_idx, 40) + pos
+            out = out.where(pos.isNotNull())
     return (out.where(F.col("_op").isNotNull())
             .select(
                 *cols,
@@ -144,3 +157,32 @@ def parse_debezium(df: DataFrame, table_schema: T.StructType,
                  .alias("row_key"),
                 F.timestamp_millis(F.col("_env.ts_ms")).alias("ts"),
                 F.col("_env.source.gtid").alias("gtid")))
+
+
+def quarantine_debezium(df: DataFrame, table_schema: T.StructType,
+                        value_col: str = "value",
+                        wrapped: bool = False) -> DataFrame:
+    """Dead-letter side of ``parse_debezium(strict=False)``: the raw
+    envelopes that parse to a recognized op but carry no source.pos
+    (the rows the non-strict normalizer excludes), with the reason and
+    whatever ordering hints survive, ready for a file/Kafka sink.
+    Pure Column expressions — batch and readStream alike.  A pipeline
+    wires both over the SAME raw frame:
+
+        main = parse_debezium(raw, schema, pks, strict=False)
+        dead = quarantine_debezium(raw, schema)
+    """
+    schema = debezium_envelope_schema(table_schema, wrapped=wrapped)
+    env = F.from_json(F.col(value_col), schema)
+    if wrapped:
+        env = env["payload"]
+    parsed = df.withColumn("_env", env)
+    return (parsed
+            .where(F.col("_env.op").isin("c", "r", "u", "d")
+                   & F.col("_env.source.pos").isNull())
+            .select(F.col(value_col).alias("raw"),
+                    F.col("_env.op").alias("op"),
+                    F.timestamp_millis(F.col("_env.ts_ms")).alias("ts"),
+                    F.col("_env.source.gtid").alias("gtid"),
+                    F.lit("null source.pos with seqno_from_ts=False")
+                    .alias("reason")))

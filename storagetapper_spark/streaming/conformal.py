@@ -54,17 +54,24 @@ def current_threshold(spark: SparkSession, state_dir: str,
     k = ceil((n+1) * (100-pct)/100) in pure integer arithmetic; tau is
     the smallest grid value whose cumulative count reaches k.  The
     cumulative window runs over the micro-quantized grid (bounded
-    domain), not rows."""
+    domain), not rows.
+
+    Always emits exactly one row: when the calibration set is too
+    small to support the level (k > n_cal — fewer than 9 positives at
+    the default 10%), tau is NULL with (n_cal, k) still populated, so
+    callers can tell 'insufficient calibration data' from 'no state'
+    (ADVICE r6 — previously the row vanished entirely)."""
     grid = current_grid(spark, state_dir)
     w = Window.orderBy("alpha").rowsBetween(Window.unboundedPreceding, 0)
     cum = grid.select("alpha", F.sum("c").over(w).alias("cum"))
     keep = 100 - alpha_level_pct
     tot = grid.agg(
-        F.sum("c").alias("n_cal")).select(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_cal")).select(
         "n_cal",
         F.expr(f"({keep} * (n_cal + 1) + 99) div 100").alias("k"))
-    return (cum.crossJoin(F.broadcast(tot))
-            .filter(F.col("cum") >= F.col("k"))
+    # left-join FROM the totals row: the threshold row survives even
+    # when no grid value reaches rank k (tau = NULL)
+    return (tot.join(cum, F.col("cum") >= F.col("k"), "left")
             .groupBy("n_cal", "k")
             .agg(F.min("alpha").alias("tau")))
 

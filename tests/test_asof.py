@@ -104,3 +104,25 @@ def test_asof_forward_tolerance(spark):
            asof_join(trades, quotes, by=["sym"], direction="forward",
                      tolerance_sec=300).collect()}
     assert got == {1: 100.0, 2: None}
+
+
+def test_asof_tie_among_equal_ts_right_rows_is_deterministic(spark):
+    """Several right rows sharing (key, ts): the fill must pick the
+    SAME one regardless of physical partitioning (ADVICE r6 — the
+    window now tiebreaks on a content hash, so the winner is the
+    max-xxhash64 row, arbitrary but repeatable)."""
+    dup = [("A", _ts("2024-01-01T10:00:00"), float(v)) for v in
+           (1.0, 2.0, 3.0, 4.0, 5.0)]
+    l = spark.createDataFrame(
+        [("A", _ts("2024-01-01T10:30:00"), 1)],
+        "sym string, ts timestamp, qty int")
+    picks = set()
+    for nparts in (1, 2, 7):
+        r = spark.createDataFrame(
+            dup, "sym string, ts timestamp, px double").repartition(nparts)
+        for direction in ("backward", "forward", "nearest"):
+            got = asof_join(l, r, by=["sym"],
+                            direction=direction).collect()[0].px_asof
+            picks.add((direction, got))
+    # one pick per direction, stable across all partitionings
+    assert len(picks) == 3, picks

@@ -71,3 +71,19 @@ def test_availablenow_conformal_sink(spark, sf_dir, tmp_path):
     want = QUERIES["ml_conformal_split"](spark, sf_dir).collect()[0]
     assert (got.n_cal, got.k, got.tau) == \
         (want.n_cal, want.k, want.tau)
+
+
+def test_insufficient_calibration_emits_null_tau(spark, tmp_path):
+    """k > n_cal (fewer than 9 positives at the default 10% level) must
+    still emit exactly one (n_cal, k, tau=NULL) row — callers can tell
+    'insufficient calibration data' from 'no threshold' (ADVICE r6)."""
+    state = str(tmp_path / "conf")
+    tiny = spark.createDataFrame(
+        [(1, [0.5, 0.1]), (1, [0.25, 0.2]), (0, [0.9, 0.3])],
+        "label int, embedding array<double>")
+    C.ingest_batch(spark, tiny, 0, state)
+    rows = C.current_threshold(spark, state).collect()
+    assert len(rows) == 1
+    got = rows[0]
+    # 2 positives in state; k = ceil(3 * 0.9) = 3 > n_cal = 2
+    assert (got.n_cal, got.k, got.tau) == (2, 3, None)

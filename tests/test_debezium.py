@@ -9,7 +9,8 @@ import pytest
 from pyspark.sql import types as T
 
 from storagetapper_spark.sources.changelog import decompose_updates
-from storagetapper_spark.sources.debezium import parse_debezium
+from storagetapper_spark.sources.debezium import (parse_debezium,
+                                                  quarantine_debezium)
 
 TABLE = T.StructType([
     T.StructField("id", T.LongType()),
@@ -158,3 +159,29 @@ def test_parse_debezium_streaming(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(60)
     assert spark.sql("select count(*) n from dbz_norm").collect()[0].n == 4
+
+
+def test_parse_debezium_nonstrict_quarantines_posless_rows(spark):
+    """strict=False (ADVICE r6): a feed with one sporadic posless row
+    keeps flowing — the good row is normalized, the posless one is
+    excluded from the output and surfaced by quarantine_debezium."""
+    good = {"before": None, "after": {"id": 1, "name": "a", "balance": 1.0},
+            "op": "c", "ts_ms": 1700000000000,
+            "source": {"gtid": "g1", "file": "binlog.000001", "pos": 100,
+                       "db": "d", "table": "t"}}
+    posless = {"before": None,
+               "after": {"id": 2, "name": "b", "balance": 2.0},
+               "op": "r", "ts_ms": 1700000001000,
+               "source": {"gtid": None, "file": None, "pos": None,
+                          "db": "d", "table": "t"}}
+    feed = spark.createDataFrame(
+        [(json.dumps(good),), (json.dumps(posless),)], "value string")
+    out = parse_debezium(feed, TABLE, pk_cols=["id"], strict=False).collect()
+    assert [r.id for r in out] == [1]
+    dead = quarantine_debezium(feed, TABLE).collect()
+    assert len(dead) == 1 and dead[0].op == "r"
+    assert "null source.pos" in dead[0].reason
+    assert json.loads(dead[0].raw)["after"]["id"] == 2
+    # strict default on the same feed still fails loudly
+    with pytest.raises(Exception, match="null source.pos"):
+        parse_debezium(feed, TABLE, pk_cols=["id"]).collect()
