@@ -1,0 +1,248 @@
+"""Survival-analysis batch 2: the Nelson-Aalen cumulative-hazard
+estimator and the two-sample log-rank test, completing the
+Kaplan-Meier family (plans/relational10.survival_km) over the same
+30-min-gap session durations with the same right-censoring rule
+(sessions still open within the gap of the corpus horizon).
+
+Scale shape (100 TB): identical to survival_km — events roll up to
+one row per session (keyed shuffle), then every estimator runs on the
+distinct-duration grid (whole minutes, duration-capped domain), so
+the ordered windows never touch raw event volume.  The ordered prefix
+sums run in the same sequence in both engines, so doubles are
+engine-exact before the final rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from storagetapper_spark.plans.common import events_t
+
+_GAP_US = 1800 * 1000000
+
+
+def _session_items(spark: SparkSession, sf: str, with_cohort: bool):
+    """(duration_minutes, event, [cohort]) per session — the KM rollup."""
+    ev = events_t(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts").cast("double")
+           - F.lag(F.col("ts").cast("double"), 1).over(w))
+    sess = (ev.withColumn("new_sess",
+                          F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+            .withColumn("session_id", F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("user_id", "session_id")
+            .agg(F.unix_micros(F.min("ts")).alias("s_us"),
+                 F.unix_micros(F.max("ts")).alias("e_us")))
+    horizon = ev.agg(F.unix_micros(F.max("ts")).alias("end_us"))
+    cols = [F.floor((F.col("e_us") - F.col("s_us")) / 60000000)
+            .alias("duration"),
+            ((F.col("end_us") - F.col("e_us")) >= _GAP_US)
+            .cast("int").alias("event")]
+    if with_cohort:
+        cols.append((F.col("user_id") % 2).alias("cohort"))
+    return sess.crossJoin(F.broadcast(horizon)).select(*cols)
+
+
+_SESSION_ITEMS_SQL = """
+tagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id,
+         ts
+  FROM tagged),
+iv AS (SELECT user_id, session_id,
+              epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+       FROM sess GROUP BY user_id, session_id),
+horizon AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
+items AS (
+  SELECT CAST(floor((e_us - s_us) / 60000000) AS BIGINT) AS duration,
+         CASE WHEN (SELECT end_us FROM horizon) - e_us
+                   >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS event,
+         user_id % 2 AS cohort
+  FROM iv)
+"""
+
+
+def survival_nelson_aalen(spark: SparkSession, sf: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H(t) = Σ_{t_j≤t} d_j/n_j with its
+    Poisson-type variance Σ d_j/n_j² — the estimator of choice when
+    hazard (not survival) is the modeled quantity, and the additive
+    sibling KM exponentiates.  At-risk counts are a reverse cumulative
+    sum on the duration grid; the hazard prefix sums are ordered
+    doubles over exact integer (d, n) pairs, micro-floored at the
+    output (reference semantics: uber/storagetapper has no survival
+    ops — this extends SURVEY §2.7's engagement-analytics surface)."""
+    items = _session_items(spark, sf, with_cohort=False)
+    per_t = (items.groupBy("duration")
+             .agg(F.sum("event").alias("d"),
+                  F.count(F.lit(1)).alias("c")))
+    total = items.count()
+    w_before = (Window.orderBy("duration")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    at_risk = per_t.withColumn(
+        "n_risk", F.lit(total) - F.coalesce(F.sum("c").over(w_before),
+                                            F.lit(0)))
+    w_cum = (Window.orderBy("duration")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    nd = F.col("d").cast("double")
+    nr = F.col("n_risk").cast("double")
+    cum_h = F.sum(nd / nr).over(w_cum)
+    cum_v = F.sum(nd / (nr * nr)).over(w_cum)
+    return (at_risk
+            .withColumn("cumhaz_micro",
+                        F.floor(cum_h * 1000000.0).cast("long"))
+            .withColumn("var_nano", F.floor(cum_v * 1e9).cast("long"))
+            .filter(F.col("d") > 0)
+            .select("duration", F.col("d").alias("n_events"),
+                    F.col("n_risk").cast("long").alias("n_at_risk"),
+                    "cumhaz_micro", "var_nano")
+            .orderBy("duration"))
+
+
+NELSON_AALEN_SQL = f"""
+WITH {_SESSION_ITEMS_SQL},
+per_t AS (SELECT duration, CAST(sum(event) AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM items GROUP BY duration),
+at_risk AS (
+  SELECT duration, d, c,
+         (SELECT count(*) FROM items)
+           - coalesce(sum(c) OVER (ORDER BY duration
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS n_risk
+  FROM per_t),
+cum AS (
+  SELECT duration, d, n_risk,
+         sum(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+           OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING) AS h,
+         sum(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE)
+                                  * CAST(n_risk AS DOUBLE)))
+           OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING) AS v
+  FROM at_risk)
+SELECT duration, d AS n_events, CAST(n_risk AS BIGINT) AS n_at_risk,
+       CAST(floor(h * 1000000.0) AS BIGINT) AS cumhaz_micro,
+       CAST(floor(v * 1e9) AS BIGINT) AS var_nano
+FROM cum WHERE d > 0
+ORDER BY duration
+"""
+
+
+def survival_logrank(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample log-rank test: do the even/odd user cohorts (the
+    deterministic A/B split used across the registry) share a session-
+    duration survival curve?  At each event time the observed cohort-1
+    events are compared to the hypergeometric expectation
+    E₁ = d·n₁/n with variance V = d·(n₁/n)·(n₀/n)·(n−d)/(n−1);
+    χ² = (ΣO₁−ΣE₁)²/ΣV.
+
+    Every per-time quantity is an exact integer pair of counts from
+    ONE pass over the duration grid (per-cohort at-risk via two
+    reverse cumulative sums); the χ² is one double expression over the
+    exact sums, micro-floored."""
+    items = _session_items(spark, sf, with_cohort=True)
+    per_t = (items.groupBy("duration")
+             .agg(F.sum("event").alias("d"),
+                  F.sum(F.when(F.col("cohort") == 1, F.col("event"))
+                        .otherwise(0)).alias("d1"),
+                  F.count(F.lit(1)).alias("c"),
+                  F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+                  .alias("c1")))
+    tot = items.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("n1_all"))
+    w_before = (Window.orderBy("duration")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    at_risk = (per_t.crossJoin(F.broadcast(tot))
+               .select("duration", "d", "d1",
+                       (F.col("n_all")
+                        - F.coalesce(F.sum("c").over(w_before), F.lit(0)))
+                       .alias("n_risk"),
+                       (F.col("n1_all")
+                        - F.coalesce(F.sum("c1").over(w_before), F.lit(0)))
+                       .alias("n1_risk")))
+    dd = F.col("d").cast("double")
+    nn = F.col("n_risk").cast("double")
+    n1 = F.col("n1_risk").cast("double")
+    e1 = dd * n1 / nn
+    v = F.when(F.col("n_risk") > 1,
+               dd * (n1 / nn) * ((nn - n1) / nn)
+               * (nn - dd) / (nn - 1.0)).otherwise(F.lit(0.0))
+    agg = (at_risk.filter(F.col("d") > 0)
+           .agg(F.sum("d1").alias("o1"),
+                F.sum(e1).alias("e1_sum"), F.sum(v).alias("v_sum"),
+                F.count(F.lit(1)).alias("n_event_times")))
+    chi2 = ((F.col("o1").cast("double") - F.col("e1_sum"))
+            * (F.col("o1").cast("double") - F.col("e1_sum"))
+            / F.col("v_sum"))
+    return agg.select(
+        "n_event_times", F.col("o1").alias("observed_1"),
+        F.floor(F.col("e1_sum") * 1000000.0).cast("long")
+        .alias("expected_1_micro"),
+        F.floor(F.col("v_sum") * 1000000.0).cast("long")
+        .alias("variance_micro"),
+        F.floor(chi2 * 1000000.0).cast("long").alias("chi2_micro"))
+
+
+LOGRANK_SQL = f"""
+WITH {_SESSION_ITEMS_SQL},
+per_t AS (
+  SELECT duration, CAST(sum(event) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN cohort = 1 THEN event ELSE 0 END) AS BIGINT)
+           AS d1,
+         CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c1
+  FROM items GROUP BY duration),
+tot AS (
+  SELECT count(*) AS n_all,
+         CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1_all
+  FROM items),
+at_risk AS (
+  SELECT duration, d, d1,
+         n_all - coalesce(sum(c) OVER (ORDER BY duration
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS n_risk,
+         n1_all - coalesce(sum(c1) OVER (ORDER BY duration
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS n1_risk
+  FROM per_t, tot),
+agg AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+         sum(CAST(d AS DOUBLE) * CAST(n1_risk AS DOUBLE)
+             / CAST(n_risk AS DOUBLE)) AS e1_sum,
+         sum(CASE WHEN n_risk > 1
+                  THEN CAST(d AS DOUBLE)
+                       * (CAST(n1_risk AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                       * (CAST(n_risk - n1_risk AS DOUBLE)
+                          / CAST(n_risk AS DOUBLE))
+                       * (CAST(n_risk AS DOUBLE) - CAST(d AS DOUBLE))
+                       / (CAST(n_risk AS DOUBLE) - 1.0)
+                  ELSE 0.0 END) AS v_sum,
+         count(*) AS n_event_times
+  FROM at_risk WHERE d > 0)
+SELECT n_event_times, o1 AS observed_1,
+       CAST(floor(e1_sum * 1000000.0) AS BIGINT) AS expected_1_micro,
+       CAST(floor(v_sum * 1000000.0) AS BIGINT) AS variance_micro,
+       CAST(floor((CAST(o1 AS DOUBLE) - e1_sum)
+                  * (CAST(o1 AS DOUBLE) - e1_sum) / v_sum
+                  * 1000000.0) AS BIGINT) AS chi2_micro
+FROM agg
+"""
+
+
+QUERIES = {
+    "survival_nelson_aalen": (survival_nelson_aalen, NELSON_AALEN_SQL),
+    "survival_logrank": (survival_logrank, LOGRANK_SQL),
+}

@@ -246,10 +246,16 @@ _BOUNDED_DOMAIN_ALLOWLIST = {
     "corpus_growth_curve": "ingestion-batch grid (calendar-bounded)",
     "survival_km": "distinct session-duration minutes (≤ gap cap 30 min "
                    "x sessions; whole-minute domain is duration-capped)",
+    "survival_nelson_aalen": "distinct session-duration minutes (same "
+                             "duration-capped grid as survival_km)",
+    "survival_logrank": "distinct session-duration minutes (same "
+                        "duration-capped grid as survival_km)",
     # quantized-value grids: distinct micro-quantized values, bounded by
     # the quantization (price cents ≤ 1e7 distinct; rank grids collapse
     # equal values first)
     "stats_ks_two_sample": "distinct value grid (price cents ≤ 1e7)",
+    "stats_kruskal_wallis": "distinct value grid (integer quantities, "
+                            "≤ 50 rows)",
     "stats_kendall_tau": "distinct value grid (price cents ≤ 1e7)",
     "stats_spearman_rho": "distinct value grid (price cents ≤ 1e7)",
     "stats_mann_whitney": "distinct value grid (price cents ≤ 1e7)",

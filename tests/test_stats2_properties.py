@@ -1,0 +1,109 @@
+"""Property tests for the round-7 statistical-inference batch 2: each
+test statistic is replayed against an independent literal-Python/numpy
+computation over the raw parquet (textbook formulas — no shared code
+with the Spark plans), plus the structural guarantees the designs
+promise (randomization determinism, jackknife bias identity)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from storagetapper_spark.plans.registry import QUERIES
+
+
+def test_kruskal_wallis_matches_textbook_replay(spark, sf_dir):
+    row = QUERIES["stats_kruskal_wallis"](spark, sf_dir).collect()[0]
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_returnflag"])
+    v = li.l_quantity.astype(np.int64).to_numpy()
+    g = li.l_returnflag.to_numpy()
+    # textbook: midranks via scipy-style average ranking
+    order = np.argsort(v, kind="stable")
+    ranks = np.empty(len(v), dtype=np.float64)
+    sv = v[order]
+    i = 0
+    pos = 1
+    tie_term = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        t = j - i
+        ranks[order[i:j]] = pos + (t - 1) / 2.0
+        tie_term += t ** 3 - t
+        pos += t
+        i = j
+    n = len(v)
+    h = 0.0
+    for flag in "ANR":
+        m = g == flag
+        h += ranks[m].sum() ** 2 / m.sum()
+    h = 12.0 / (n * (n + 1)) * h - 3.0 * (n + 1)
+    c = 1.0 - tie_term / (n ** 3 - n)
+    assert row.tie_term == tie_term
+    assert abs(row.h_micro / 1e6 - h) < 1e-4
+    assert abs(row.h_tie_adj_micro / 1e6 - h / c) < 1e-4
+
+
+def test_brown_forsythe_matches_textbook_replay(spark, sf_dir):
+    row = QUERIES["stats_levene_brown_forsythe"](spark, sf_dir).collect()[0]
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    # half-away-from-zero like SQL round(), not numpy's half-even
+    cents = np.floor(
+        (li.l_extendedprice * (1 - li.l_discount) * 100).to_numpy() + 0.5
+    ).astype(np.int64)
+    g = li.l_returnflag.to_numpy()
+    devs, means, ns = [], [], []
+    for flag in "ANR":
+        x = np.sort(cents[g == flag])
+        n = len(x)
+        med2 = x[(n - 1) // 2] + x[n // 2]  # lower + upper middle
+        d = np.abs(2 * x - med2)
+        devs.append(d)
+        means.append(d.mean())
+        ns.append(n)
+    alld = np.concatenate(devs)
+    grand = alld.mean()
+    k, n_tot = 3, len(alld)
+    ssb = sum(n * (m - grand) ** 2 for n, m in zip(ns, means))
+    ssw = sum(((d - m) ** 2).sum() for d, m in zip(devs, means))
+    f = (ssb / (k - 1)) / (ssw / (n_tot - k))
+    assert row.n_groups == k and row.n_total == n_tot
+    assert abs(row.f_micro / 1e6 - f) < 1e-4
+
+
+def test_jackknife_ratio_matches_textbook_replay(spark, sf_dir):
+    row = QUERIES["stats_jackknife_ratio"](spark, sf_dir).collect()[0]
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    su = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    j = li.merge(su, left_on="l_suppkey", right_on="s_suppkey")
+    j["cents"] = np.floor(
+        (j.l_extendedprice * (1 - j.l_discount) * 100) + 0.5
+    ).astype(np.int64)
+    j["q"] = j.l_quantity.astype(np.int64)
+    per = j.groupby("s_nationkey").agg(s=("cents", "sum"), q=("q", "sum"))
+    S, Q, g = per.s.sum(), per.q.sum(), len(per)
+    r_i = (S - per.s) / (Q - per.q)
+    var_jack = (g - 1) / g * ((r_i - r_i.mean()) ** 2).sum()
+    assert row.n_groups == g
+    assert row.ratio_micro == math.floor(S / Q * 1e6)
+    assert abs(row.jack_se_micro / 1e6 - math.sqrt(var_jack)) < 1e-4
+
+
+def test_permutation_test_is_deterministic_and_valid(spark, sf_dir):
+    """Two runs give identical counts (md5 determinism), the p-value is
+    the add-one-smoothed extreme fraction, and the observed difference
+    replays from pandas."""
+    a = QUERIES["stats_permutation_test"](spark, sf_dir).collect()[0]
+    b = QUERIES["stats_permutation_test"](spark, sf_dir).collect()[0]
+    assert a == b
+    assert a.p_value_milli == math.floor(
+        (a.n_extreme + 1) * 1000 / (a.n_reps + 1))
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = np.floor(o.o_totalprice * 100 + 0.5).astype(np.int64)
+    tr = o.o_orderpriority.str.startswith("1-").to_numpy()
+    obs = c[tr].mean() - c[~tr].mean()
+    assert a.obs_diff_micro == math.floor(obs * 1e6)
+    assert 0 <= a.n_extreme <= a.n_reps == 120
