@@ -1,0 +1,95 @@
+"""Property tests for the ML feature-engineering batch: numpy replay
+of standardized ridge, shrinkage vs the OLS sibling, the LOO-encoding
+algebraic identity, and a pandas WoE/IV replay."""
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from storagetapper_spark.plans.registry import QUERIES
+
+
+def _lineitem_xy(sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    x1 = np.floor(li.l_quantity).astype(np.int64).to_numpy()
+    x2 = np.floor(li.l_discount * 10000 + 0.5).astype(np.int64).to_numpy()
+    y = np.floor(li.l_extendedprice + 0.5).astype(np.int64).to_numpy()
+    return x1, x2, y
+
+
+def test_ridge_matches_numpy_closed_form(spark, sf_dir):
+    row = QUERIES["ml_ridge_normal"](spark, sf_dir).collect()[0]
+    x1, x2, y = _lineitem_xy(sf_dir)
+    X = np.column_stack([x1, x2]).astype(np.float64)
+    yf = y.astype(np.float64)
+    Xs = (X - X.mean(0)) / X.std(0, ddof=0)
+    ys = (yf - yf.mean()) / yf.std(ddof=0)
+    n = len(yf)
+    alpha = 0.1
+    # standardized ridge: (R + aI)^-1 r with R the correlation matrix
+    R = (Xs.T @ Xs) / n
+    r = (Xs.T @ ys) / n
+    a = np.linalg.solve(R + alpha * np.eye(2), r)
+    b = a * yf.std(ddof=0) / X.std(0, ddof=0)
+    intercept = yf.mean() - b @ X.mean(0)
+    assert abs(row.a1_std_micro / 1e6 - a[0]) < 1e-4
+    assert abs(row.a2_std_micro / 1e6 - a[1]) < 1e-4
+    assert abs(row.b1_micro / 1e6 - b[0]) < 1e-3
+    assert abs(row.b2_micro / 1e6 - b[1]) < 1e-3
+    assert abs(row.intercept_milli / 1e3 - intercept) < 1e-1
+    # shrinkage: standardized slopes strictly inside the OLS solution
+    a_ols = np.linalg.solve(R, r)
+    assert abs(a[0]) < abs(a_ols[0]) and abs(a[1]) < abs(a_ols[1])
+
+
+def test_loo_encoding_identity_and_prior_pull(spark, sf_dir):
+    rows = QUERIES["ml_target_encoding_loo"](spark, sf_dir).collect()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_returnflag"])
+    p = pd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_brand"])
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    j["y"] = (j.l_returnflag == "R").astype(int)
+    prior = j.y.mean()
+    g = j.groupby("p_brand").y.agg(["sum", "count"])
+    m = 100.0
+    for r in rows:
+        s_g, n_g = g.loc[r.p_brand, "sum"], g.loc[r.p_brand, "count"]
+        assert (r.s_g, r.n_g) == (s_g, n_g)
+        enc = (s_g - r.y + m * prior) / (n_g - 1 + m)
+        assert r.enc_micro == math.floor(enc * 1e6)
+        # the label's own value is excluded: enc(y=1) < enc(y=0)
+    by_brand = {}
+    for r in rows:
+        by_brand.setdefault(r.p_brand, {})[r.y] = r.enc_micro
+    for brand, encs in by_brand.items():
+        if len(encs) == 2:
+            assert encs[1] < encs[0], brand
+
+
+def test_woe_iv_replay_and_zero_sum(spark, sf_dir):
+    rows = QUERIES["ml_woe_iv"](spark, sf_dir).collect()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_returnflag"])
+    p = pd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_brand"])
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    j["y"] = (j.l_returnflag == "R").astype(int)
+    e_all = j.y.sum()
+    ne_all = len(j) - e_all
+    iv_total = 0.0
+    for r in rows:
+        grp = j[j.p_brand == r.p_brand]
+        e = grp.y.sum()
+        ne = len(grp) - e
+        assert (r.e, r.ne) == (e, ne)
+        ed = (e + 0.5) / (e_all + 0.5)
+        ned = (ne + 0.5) / (ne_all + 0.5)
+        woe = math.log(ed / ned)
+        assert r.woe_micro == math.floor(woe * 1e6)
+        iv_total += (ed - ned) * woe
+    # IV is a sum of non-negative terms: every contribution >= 0
+    assert all(r.iv_contrib_nano >= 0 for r in rows)
+    assert abs(sum(r.iv_contrib_nano for r in rows) / 1e9
+               - iv_total) < 1e-6
