@@ -1,0 +1,103 @@
+"""Time-series batch 6: rolling-origin forecast backtesting with the
+MASE metric (Hyndman & Koehler 2006) — the scale-free forecast
+accuracy measure that makes seasonal-naive vs naive comparable across
+series, and the standard way to answer "is this forecaster better
+than doing nothing?" before any model ships.
+
+Scale shape (100 TB): the fact table reduces to the complete daily
+calendar grid in one map-side-combined aggregate (grid rows =
+calendar days, data-size-independent); every forecast is a lag on
+that grid, every error an exact integer count difference.  The only
+doubles are the final MAE ratios, micro-floored.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from storagetapper_spark.plans.common import t
+
+_SEASON = 7  # weekly seasonality on the daily grid
+
+
+def ts_forecast_backtest_mase(spark: SparkSession, sf: str) -> DataFrame:
+    """Backtest two baseline forecasters of DAILY ORDER COUNT — naive
+    (yesterday's value) and seasonal-naive (same weekday last week) —
+    over every day with a full one-week history, on the COMPLETE
+    calendar grid (missing days count 0, so lag(7) means 7 calendar
+    days, not 7 observed rows).
+
+    MASE(snaive) = MAE(snaive) / MAE(naive): < 1e6 micro-units means
+    weekly seasonality beats persistence.  Errors are exact integer
+    count differences; the two MAEs and their ratio are one double
+    expression, micro-floored."""
+    o = t(spark, sf, "orders")
+    per_day = (o.select(F.to_date("o_orderdate").alias("d"))
+               .groupBy("d").agg(F.count(F.lit(1)).alias("c")))
+    span = per_day.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    cal = (span.select(F.explode(F.sequence("d0", "d1")).alias("d"))
+           .join(per_day, "d", "left")
+           .select("d", F.coalesce("c", F.lit(0)).alias("c")))
+    w = Window.orderBy("d")
+    lagged = cal.select(
+        "d", "c",
+        F.lag("c", 1).over(w).alias("f_naive"),
+        F.lag("c", _SEASON).over(w).alias("f_snaive"))
+    scored = lagged.filter(F.col("f_snaive").isNotNull())
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(F.col("c") - F.col("f_naive"))).alias("ae_naive"),
+        F.sum(F.abs(F.col("c") - F.col("f_snaive"))).alias("ae_snaive"))
+    mae_n = F.col("ae_naive").cast("double") / F.col("n_days").cast("double")
+    mae_s = F.col("ae_snaive").cast("double") / F.col("n_days").cast("double")
+    return agg.select(
+        "n_days",
+        F.col("ae_naive").cast("long").alias("abs_err_naive"),
+        F.col("ae_snaive").cast("long").alias("abs_err_snaive"),
+        F.floor(mae_n * 1000.0).cast("long").alias("mae_naive_milli"),
+        F.floor(mae_s * 1000.0).cast("long").alias("mae_snaive_milli"),
+        F.floor(F.col("ae_snaive").cast("double")
+                / F.col("ae_naive").cast("double") * 1000000.0)
+        .cast("long").alias("mase_snaive_micro"))
+
+
+MASE_SQL = f"""
+WITH per_day AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS c
+  FROM orders GROUP BY 1
+),
+span AS (SELECT min(d) AS d0, max(d) AS d1 FROM per_day),
+cal AS (
+  SELECT gs.g AS d, coalesce(per_day.c, 0) AS c
+  FROM (SELECT unnest(generate_series(d0, d1,
+                                      INTERVAL 1 DAY))::DATE AS g
+        FROM span) gs
+  LEFT JOIN per_day ON per_day.d = gs.g
+),
+lagged AS (
+  SELECT d, c,
+         lag(c, 1) OVER (ORDER BY d) AS f_naive,
+         lag(c, {_SEASON}) OVER (ORDER BY d) AS f_snaive
+  FROM cal
+),
+agg AS (
+  SELECT count(*) AS n_days,
+         CAST(sum(abs(c - f_naive)) AS BIGINT) AS ae_naive,
+         CAST(sum(abs(c - f_snaive)) AS BIGINT) AS ae_snaive
+  FROM lagged WHERE f_snaive IS NOT NULL
+)
+SELECT n_days, ae_naive AS abs_err_naive, ae_snaive AS abs_err_snaive,
+       CAST(floor(CAST(ae_naive AS DOUBLE) / CAST(n_days AS DOUBLE)
+                  * 1000.0) AS BIGINT) AS mae_naive_milli,
+       CAST(floor(CAST(ae_snaive AS DOUBLE) / CAST(n_days AS DOUBLE)
+                  * 1000.0) AS BIGINT) AS mae_snaive_milli,
+       CAST(floor(CAST(ae_snaive AS DOUBLE) / CAST(ae_naive AS DOUBLE)
+                  * 1000000.0) AS BIGINT) AS mase_snaive_micro
+FROM agg
+"""
+
+
+QUERIES = {
+    "ts_forecast_backtest_mase": (ts_forecast_backtest_mase, MASE_SQL),
+}

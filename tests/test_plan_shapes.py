@@ -243,6 +243,8 @@ _BOUNDED_DOMAIN_ALLOWLIST = {
     "slo_burn_rate": "daily grid (calendar-bounded)",
     "ts_changepoint_mean_shift": "daily grid (calendar-bounded)",
     "ts_rolling_slope": "daily grid (calendar-bounded)",
+    "ts_forecast_backtest_mase": "daily grid (calendar-bounded, "
+                                 "complete calendar via sequence)",
     "corpus_growth_curve": "ingestion-batch grid (calendar-bounded)",
     "survival_km": "distinct session-duration minutes (≤ gap cap 30 min "
                    "x sessions; whole-minute domain is duration-capped)",
