@@ -133,3 +133,73 @@ ORDER BY b.bucket
 
 
 QUERIES["cdc_key_churn_histogram"] = (cdc_key_churn_histogram, CHURN_SQL)
+
+
+def cdc_tombstone_gc_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Log-compaction GC plan: which delete tombstones are safely
+    reclaimable?  A tombstone is the key's LATEST op (op = 'delete',
+    nothing newer) and is GC-eligible once it has aged past the
+    retention watermark (horizon − 7 days) — the Kafka
+    delete.retention.ms / RocksDB compaction-filter rule; dropping a
+    younger tombstone risks resurrecting the key on replay of an
+    older insert (reference analog: the is_deleted row marker,
+    encoder/avro.go:109-119, which downstream compaction consumes).
+
+    One key-ordered WindowGroupLimit pass picks each key's latest op
+    (the cdc_latest_state shuffle shape); the GC verdict is a per-day
+    rollup of eligible vs retained tombstones — grid-sized output."""
+    ev = events_t(spark, sf)
+    cdc = ev.select(
+        F.col("user_id").alias("row_key"),
+        F.col("event_id").cast("long").alias("seqno"),
+        "ts",
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update").alias("op"))
+    w = Window.partitionBy("row_key").orderBy(F.desc("seqno"))
+    latest = (cdc.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1))
+    horizon = ev.agg(F.max(F.col("ts").cast("double")).alias("h"))
+    tomb = (latest.filter(F.col("op") == "delete")
+            .crossJoin(F.broadcast(horizon))
+            .select(F.to_date("ts").alias("d"),
+                    ((F.col("h") - F.col("ts").cast("double"))
+                     >= 7 * 86400).cast("int").alias("gc_eligible")))
+    return (tomb.groupBy("d")
+            .agg(F.count(F.lit(1)).alias("n_tombstones"),
+                 F.sum("gc_eligible").alias("n_gc_eligible"),
+                 (F.count(F.lit(1)) - F.sum("gc_eligible"))
+                 .alias("n_retained"))
+            .orderBy("d"))
+
+
+TOMBSTONE_GC_SQL = """
+WITH cdc AS (
+  SELECT user_id AS row_key, CAST(event_id AS BIGINT) AS seqno, ts,
+         CASE WHEN event_type = 'signup' THEN 'insert'
+              WHEN event_type = 'error' THEN 'delete'
+              ELSE 'update' END AS op
+  FROM events
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY row_key
+                                 ORDER BY seqno DESC) AS rn
+    FROM cdc) WHERE rn = 1
+),
+horizon AS (SELECT max(epoch(ts)) AS h FROM events),
+tomb AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CASE WHEN h - epoch(ts) >= 7 * 86400 THEN 1 ELSE 0 END
+           AS gc_eligible
+  FROM latest, horizon WHERE op = 'delete'
+)
+SELECT d, count(*) AS n_tombstones,
+       CAST(sum(gc_eligible) AS BIGINT) AS n_gc_eligible,
+       CAST(count(*) - sum(gc_eligible) AS BIGINT) AS n_retained
+FROM tomb GROUP BY d ORDER BY d
+"""
+
+
+QUERIES["cdc_tombstone_gc_plan"] = (cdc_tombstone_gc_plan,
+                                    TOMBSTONE_GC_SQL)

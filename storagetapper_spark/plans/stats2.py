@@ -435,8 +435,111 @@ FROM agg
 """
 
 
+# ---------------------------------------------------- Welch ANOVA --
+
+
+def stats_welch_anova(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA (F*) of order totals
+    across the five order priorities — the k-sample extension of
+    stats_welch_ttest, and the test to reach for when
+    stats_levene_brown_forsythe REJECTS variance homogeneity (classic
+    ANOVA assumes it; Welch 1951 does not).
+
+    Unambiguous for unbalanced groups (unlike two-way decompositions).
+    Per-group (n, Σc, Σc²) are exact integers in one map-side-combined
+    agg; weights w_g = n_g/s_g² and the F* numerator/denominator are
+    one double expression over the 5 subtotal rows, micro-floored."""
+    o = t(spark, sf, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
+    per_g = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"),
+        F.sum(F.col("c").cast(_DEC) * F.col("c").cast(_DEC)).alias("ss"))
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    var = (ssd - sd * sd / nd) / (nd - 1.0)
+    # Welch weights: w_g = n_g / s_g² (s_g² the sample variance)
+    w = nd / var
+    terms = per_g.select(
+        "n", (F.lit(1)).alias("one"), w.alias("w"),
+        (w * (sd / nd)).alias("wm"),
+        (w * (sd / nd) * (sd / nd)).alias("wmm"),
+        nd.alias("nd"))
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("n").alias("n_total"),
+        F.sum("w").alias("w_sum"), F.sum("wm").alias("wm_sum"),
+        F.sum("wmm").alias("wmm_sum"))
+    # second pass for the denominator's Σ(1−w_g/W)²/(n_g−1): needs W,
+    # so join the 5 subtotal rows against the broadcast totals
+    den_terms = per_g.crossJoin(F.broadcast(agg)).select(
+        "k", "n_total", "w_sum", "wm_sum", "wmm_sum",
+        ((F.lit(1.0) - (nd / var) / F.col("w_sum"))
+         * (F.lit(1.0) - (nd / var) / F.col("w_sum"))
+         / (nd - 1.0)).alias("dterm"))
+    final = den_terms.groupBy("k", "n_total", "w_sum", "wm_sum",
+                              "wmm_sum").agg(
+        F.sum("dterm").alias("dsum"))
+    kd = F.col("k").cast("double")
+    grand = F.col("wm_sum") / F.col("w_sum")
+    num = ((F.col("wmm_sum") - F.col("w_sum") * grand * grand)
+           / (kd - 1.0))
+    den = (1.0 + 2.0 * (kd - 2.0) / (kd * kd - 1.0) * F.col("dsum"))
+    dof2 = (kd * kd - 1.0) / (3.0 * F.col("dsum"))
+    return final.select(
+        F.col("k").alias("n_groups"), "n_total",
+        F.floor(num / den * 1000000.0).cast("long").alias("f_star_micro"),
+        F.floor(dof2 * 1000.0).cast("long").alias("dof2_milli"))
+
+
+WELCH_ANOVA_SQL = """
+WITH base AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+per_g AS (
+  SELECT g, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+         sum(CAST(c AS HUGEINT) * c) AS ss
+  FROM base GROUP BY g
+),
+wg AS (
+  SELECT n,
+         CAST(n AS DOUBLE)
+           / ((CAST(ss AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1.0)) AS w,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m
+  FROM per_g
+),
+tots AS (
+  SELECT count(*) AS k, sum(n) AS n_total, sum(w) AS w_sum,
+         sum(w * m) AS wm_sum, sum(w * m * m) AS wmm_sum
+  FROM wg
+),
+dsum AS (
+  SELECT sum((1.0 - w / w_sum) * (1.0 - w / w_sum)
+             / (CAST(n AS DOUBLE) - 1.0)) AS dsum
+  FROM wg, tots
+)
+SELECT CAST(k AS BIGINT) AS n_groups, CAST(n_total AS BIGINT) AS n_total,
+       CAST(floor(((wmm_sum - w_sum * (wm_sum / w_sum) * (wm_sum / w_sum))
+                   / (CAST(k AS DOUBLE) - 1.0))
+                  / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+                         / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+                         * dsum)
+                  * 1000000.0) AS BIGINT) AS f_star_micro,
+       CAST(floor((CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+                  / (3.0 * dsum) * 1000.0) AS BIGINT) AS dof2_milli
+FROM tots, dsum
+"""
+
+
 QUERIES = {
     "stats_kruskal_wallis": (stats_kruskal_wallis, KRUSKAL_SQL),
+    "stats_welch_anova": (stats_welch_anova, WELCH_ANOVA_SQL),
     "stats_levene_brown_forsythe": (stats_levene_brown_forsythe,
                                     LEVENE_SQL),
     "stats_permutation_test": (stats_permutation_test, PERM_SQL),

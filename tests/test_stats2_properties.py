@@ -107,3 +107,42 @@ def test_permutation_test_is_deterministic_and_valid(spark, sf_dir):
     obs = c[tr].mean() - c[~tr].mean()
     assert a.obs_diff_micro == math.floor(obs * 1e6)
     assert 0 <= a.n_extreme <= a.n_reps == 120
+
+
+def test_welch_anova_matches_textbook_replay(spark, sf_dir):
+    row = QUERIES["stats_welch_anova"](spark, sf_dir).collect()[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = np.floor(o.o_totalprice * 100 + 0.5).astype(np.int64)
+    g = o.o_orderpriority
+    ns, ms, vs = [], [], []
+    for name, grp in c.groupby(g):
+        ns.append(len(grp))
+        ms.append(grp.mean())
+        vs.append(grp.var(ddof=1))
+    ns, ms, vs = map(np.asarray, (ns, ms, vs))
+    k = len(ns)
+    w = ns / vs
+    grand = (w * ms).sum() / w.sum()
+    num = (w * (ms - grand) ** 2).sum() / (k - 1)
+    dsum = ((1 - w / w.sum()) ** 2 / (ns - 1)).sum()
+    den = 1 + 2 * (k - 2) / (k ** 2 - 1) * dsum
+    f_star = num / den
+    dof2 = (k ** 2 - 1) / (3 * dsum)
+    assert row.n_groups == k and row.n_total == ns.sum()
+    assert abs(row.f_star_micro / 1e6 - f_star) < 1e-4
+    assert abs(row.dof2_milli / 1e3 - dof2) < 1e-1
+
+
+def test_tombstone_gc_partitions_every_latest_delete(spark, sf_dir):
+    """Eligible + retained == all latest-op deletes (pandas replay),
+    and every GC-eligible day predates every retained day boundary."""
+    rows = QUERIES["cdc_tombstone_gc_plan"](spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    latest = ev.sort_values("event_id").groupby("user_id").tail(1)
+    deletes = latest[latest.event_type == "error"]
+    horizon = ev.ts.max()
+    eligible = (horizon - deletes.ts).dt.total_seconds() >= 7 * 86400
+    assert sum(r.n_tombstones for r in rows) == len(deletes)
+    assert sum(r.n_gc_eligible for r in rows) == int(eligible.sum())
+    assert all(r.n_tombstones == r.n_gc_eligible + r.n_retained
+               for r in rows)

@@ -145,6 +145,19 @@ PROBES = [
     "sample_preference_pairs",  # bounded-group min/max_by pairs
     "ml_knn_eval_ivf",         # IVF-path kNN label eval
     "graph_triangles_degree_oriented",  # compact-forward wedge bound
+    # round-7 stats/survival/ml-features/ts/geo batch
+    "stats_kruskal_wallis",    # 50-value quantity-grid rank sums
+    "stats_levene_brown_forsythe",  # per-group median grid + dev agg
+    "stats_permutation_test",  # 120-replicate md5 explode
+    "stats_jackknife_ratio",   # 25 delete-one-group pseudo-values
+    "survival_nelson_aalen",   # duration-grid hazard prefix sums
+    "survival_logrank",        # two-cohort duration-grid sums
+    "ml_ridge_normal",         # nine-sum map-side reduce + solve
+    "ml_target_encoding_loo",  # brand-keyed counts, category output
+    "ml_woe_iv",               # brand-keyed event/non-event counts
+    "ts_forecast_backtest_mase",  # complete-calendar lag errors
+    "geo_grid_neighbors",      # 3x3-cell blocked radius join
+    "geo_dbscan_core",         # grid join + degree/border passes
 ]
 
 
