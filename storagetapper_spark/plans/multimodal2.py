@@ -260,3 +260,197 @@ ORDER BY doc_a, doc_b
 
 QUERIES["multimodal_ahash_neardup"] = (multimodal_ahash_neardup,
                                        AHASH_NEARDUP_SQL)
+
+
+# ---------------------------------------------------- pHash (DCT) ----
+
+_PH_HAM_MAX = 10
+
+# alpha(u)·cos((2x+1)·u·pi/16) flattened by x*8+u — the SAME literal
+# table drives both separable DCT stages in both engines (doubles
+# parsed from identical decimal literals are bit-identical; every
+# stage quantizes to integer micro-units BEFORE its sum, so no
+# cross-engine float-order hazard survives).
+import math as _math
+
+_DCT_W = [
+    (_math.sqrt(1 / 8) if u == 0 else 0.5)
+    * _math.cos((2 * x + 1) * u * _math.pi / 16)
+    for x in range(8) for u in range(8)]
+_DCT_W_LIT = ", ".join(repr(w) for w in _DCT_W)
+
+
+def multimodal_phash_dct(spark: SparkSession, sf: str) -> DataFrame:
+    """DCT perceptual hash (pHash) near-duplicate detection for the
+    image modality — the frequency-domain sibling of
+    multimodal_ahash_neardup: an 8x8 type-II DCT over the same
+    fake-decode pixel grid, each of the 63 AC coefficients thresholded
+    against their per-image MEDIAN → 63-bit hash → 16-bit band LSH →
+    bit_count-Hamming verify.  pHash survives brightness/contrast
+    shifts that flip aHash bits because the median-of-AC threshold is
+    invariant to affine pixel rescaling (both DCT and median are
+    affine-equivariant).
+
+    The DCT is SEPARABLE: stage 1 transforms rows (8-way fan-out,
+    micro-floored terms, integer sums), stage 2 transforms columns —
+    2x8 explode instead of the naive 64-way outer product.  The
+    median is an exact within-image order statistic (row_number over
+    63 rows per image, rank 32, deterministic (value, k) tie-break).
+    Banding/verification reuse the aHash tail: candidates from the
+    band equi-join, never all pairs."""
+    from pyspark.sql import Window
+
+    from storagetapper_spark.operators.text import normalize_text
+
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") % 3 == 0)
+    sized = docs.select(
+        "doc_id", normalize_text(F.col("text")).alias("norm"),
+    ).select(
+        "doc_id", "norm",
+        F.greatest(F.lit(1), F.expr("length(norm) div 64"))
+        .cast("int").alias("w"))
+    px = sized.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "transform(sequence(0, 63), i -> cast(conv(substring("
+            "md5(substring(norm, i * w + 1, w)), 1, 2), 16, 10) "
+            "as bigint))")).alias("i", "p"))
+    cw = f"array({_DCT_W_LIT})"
+    # stage 1: DCT along x for each pixel column y
+    s1 = (px.select(
+        "doc_id", (F.col("i") % 8).alias("y"),
+        F.col("p"), (F.col("i") / 8).cast("int").alias("x"),
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("u"))
+        .select("doc_id", "y", "u",
+                F.floor(F.col("p")
+                        * F.expr(f"element_at({cw}, x * 8 + u + 1)")
+                        * 1000000.0).cast("long").alias("t"))
+        .groupBy("doc_id", "u", "y")
+        .agg(F.sum("t").alias("t_micro")))
+    # stage 2: DCT along y
+    s2 = (s1.select(
+        "doc_id", "u", "t_micro", "y",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("v"))
+        .select("doc_id", "u", "v",
+                F.floor(F.col("t_micro")
+                        * F.expr(f"element_at({cw}, y * 8 + v + 1)"))
+                .cast("long").alias("c"))
+        .groupBy("doc_id", "u", "v")
+        .agg(F.sum("c").alias("c_micro")))
+    ac = (s2.select("doc_id",
+                    (F.col("u") * 8 + F.col("v")).alias("k"), "c_micro")
+          .filter(F.col("k") >= 1))
+    wrank = Window.partitionBy("doc_id").orderBy("c_micro", "k")
+    wdoc = Window.partitionBy("doc_id")
+    med = (ac.withColumn("rn", F.row_number().over(wrank))
+           .withColumn("med", F.max(F.when(F.col("rn") == 32,
+                                           F.col("c_micro"))).over(wdoc)))
+    hashed = (med.groupBy("doc_id")
+              .agg(F.sum(F.when((F.col("c_micro") > F.col("med"))
+                                & (F.col("k") < 32),
+                                F.expr("shiftleft(1L, k)"))
+                         .otherwise(F.lit(0))).alias("h1"),
+                   F.sum(F.when((F.col("c_micro") > F.col("med"))
+                                & (F.col("k") >= 32),
+                                F.expr("shiftleft(1L, k - 32)"))
+                         .otherwise(F.lit(0))).alias("h2")))
+    bands = hashed.selectExpr(
+        "doc_id", "h1", "h2",
+        "stack(4, 0, h1 & 65535, 1, shiftright(h1, 16) & 65535, "
+        "2, h2 & 65535, 3, shiftright(h2, 16) & 65535) "
+        "as (band_idx, band_val)")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+    ham = (F.bit_count(F.expr("a.h1 ^ b.h1"))
+           + F.bit_count(F.expr("a.h2 ^ b.h2")))
+    return (cand.select(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"),
+                        ham.cast("int").alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= _PH_HAM_MAX)
+            .orderBy("doc_a", "doc_b"))
+
+
+PHASH_SQL = f"""
+WITH sized AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id % 3 = 0
+),
+wdocs AS (
+  SELECT doc_id, norm, greatest(1, length(norm) // 64) AS w FROM sized
+),
+px AS (
+  SELECT doc_id, i.range AS i,
+         CAST(('0x' || substring(md5(substring(norm,
+                CAST(i.range AS INTEGER) * w + 1, w)), 1, 2))
+              AS BIGINT) AS p
+  FROM wdocs CROSS JOIN range(64) i
+),
+s1 AS (
+  SELECT doc_id, u.range AS u, i % 8 AS y,
+         CAST(sum(CAST(floor(p * ([{_DCT_W_LIT}])
+                             [(i // 8) * 8 + u.range + 1]
+                             * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS t_micro
+  FROM px CROSS JOIN range(8) u
+  GROUP BY doc_id, u.range, i % 8
+),
+s2 AS (
+  SELECT doc_id, u, v.range AS v,
+         CAST(sum(CAST(floor(t_micro * ([{_DCT_W_LIT}])
+                             [y * 8 + v.range + 1]) AS BIGINT))
+              AS BIGINT) AS c_micro
+  FROM s1 CROSS JOIN range(8) v
+  GROUP BY doc_id, u, v.range
+),
+ac AS (
+  SELECT doc_id, u * 8 + v AS k, c_micro FROM s2 WHERE u * 8 + v >= 1
+),
+med AS (
+  SELECT doc_id, k, c_micro,
+         max(CASE WHEN rn = 32 THEN c_micro END)
+           OVER (PARTITION BY doc_id) AS med
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c_micro, k) AS rn
+        FROM ac)
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN c_micro > med AND k < 32
+                       THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
+              AS BIGINT) AS h1,
+         CAST(sum(CASE WHEN c_micro > med AND k >= 32
+                       THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)
+              AS BIGINT) AS h2
+  FROM med GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, h1, h2, b.range AS band_idx,
+         CASE b.range
+           WHEN 0 THEN h1 & 65535
+           WHEN 1 THEN (h1 >> 16) & 65535
+           WHEN 2 THEN h2 & 65535
+           ELSE (h2 >> 16) & 65535 END AS band_val
+  FROM hashed CROSS JOIN range(4) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2))
+           AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+FROM cand WHERE hamming <= {_PH_HAM_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES["multimodal_phash_dct"] = (multimodal_phash_dct, PHASH_SQL)

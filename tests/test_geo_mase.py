@@ -77,3 +77,31 @@ def test_mase_replays_on_the_complete_calendar(spark, sf_dir):
     assert row.abs_err_snaive == ae_snaive
     assert row.mase_snaive_micro == int(
         np.floor(ae_snaive / ae_naive * 1e6))
+
+
+def test_phash_banding_finds_all_hamming3_pairs(spark, sf_dir):
+    """Pigeonhole: 4 bands of 16 bits guarantee recall for Hamming <= 3
+    — a brute-force DuckDB replay of the quantized DCT pipeline must
+    find no <=3 pair the banded query misses."""
+    import duckdb
+
+    from storagetapper_spark.plans.multimodal2 import PHASH_SQL
+
+    res = QUERIES["multimodal_phash_dct"](spark, sf_dir)
+    found = {(r.doc_a, r.doc_b): r.hamming for r in res.collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    hashed_cte = PHASH_SQL.split(",\nbands AS")[0]  # WITH ... hashed
+    brute = con.execute(hashed_cte + """
+SELECT a.doc_id, b.doc_id,
+       bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS ham
+FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+""").fetchall()
+    close = {(a, b): h for a, b, h in brute if h <= 3}
+    for pair, h in close.items():
+        assert pair in found and found[pair] == h, (pair, h)
+    # and every returned pair's hamming is the true hash distance
+    truth = {(a, b): h for a, b, h in brute}
+    for pair, h in found.items():
+        assert truth[pair] == h

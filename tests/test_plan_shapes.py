@@ -118,6 +118,7 @@ BATCH10_NO_CARTESIAN = [
     # blocked/equi-keyed pair generators from the batch-10 families
     "fuzzy_match_parts", "entity_resolution_parts",
     "overlapping_orders", "graph_triangles", "audience_overlap",
+    "multimodal_phash_dct",
 ]
 
 

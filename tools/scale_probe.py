@@ -158,6 +158,9 @@ PROBES = [
     "ts_forecast_backtest_mase",  # complete-calendar lag errors
     "geo_grid_neighbors",      # 3x3-cell blocked radius join
     "geo_dbscan_core",         # grid join + degree/border passes
+    "multimodal_phash_dct",    # separable DCT + band LSH
+    "stats_welch_anova",       # 5-group exact moments + solve
+    "cdc_tombstone_gc_plan",   # latest-op WindowGroupLimit + day rollup
 ]
 
 
