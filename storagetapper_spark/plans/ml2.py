@@ -276,3 +276,118 @@ QUERIES = {
     "ml_target_encoding_loo": (ml_target_encoding_loo, TE_SQL),
     "ml_woe_iv": (ml_woe_iv, WOE_SQL),
 }
+
+
+# ------------------------------------------- MI feature screen -------
+
+
+def ml_mutual_info_screen(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual-information feature screen: I(X;Y) in nats for three
+    quantized lineitem features against the return label — the
+    model-free relevance ranking next to ml_woe_iv (WoE/IV assumes a
+    monotone direction; MI does not).  I(X;Y) = Σ_xy p(x,y)
+    ln(n·n_xy/(n_x·n_y)), assembled from exact integer count grids
+    (levels are data-type-bounded: 50 quantities, 11 discount bps
+    steps, 12 ship months); the ln runs over exact-integer ratios
+    (BM25 precedent) and each cell's term is nano-floored BEFORE the
+    per-feature sum, so the reduction is order-independent integer
+    addition in both engines.  Normalized by H(Y) (same construction)
+    into a 0..1 relevance score."""
+    li = t(spark, sf, "lineitem")
+    base = li.select(
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+        F.floor(F.col("l_quantity")).cast("long").alias("f_quantity"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+        .alias("f_discount_pct"),
+        F.month("l_shipdate").cast("long").alias("f_ship_month"))
+    feats = base.selectExpr(
+        "y", "stack(3, 'f_quantity', f_quantity, "
+        "'f_discount_pct', f_discount_pct, "
+        "'f_ship_month', f_ship_month) as (feature, x)")
+    cells = feats.groupBy("feature", "x", "y").agg(
+        F.count(F.lit(1)).alias("n_xy"))
+    margx = cells.groupBy("feature", "x").agg(F.sum("n_xy").alias("n_x"))
+    margy = cells.groupBy("feature", "y").agg(F.sum("n_xy").alias("n_y"))
+    tot = cells.groupBy("feature").agg(F.sum("n_xy").alias("n"))
+    j = (cells.join(margx, ["feature", "x"])
+         .join(F.broadcast(margy), ["feature", "y"])
+         .join(F.broadcast(tot), ["feature"]))
+    term = (F.col("n_xy").cast("double") / F.col("n").cast("double")
+            * F.log(F.col("n").cast("double")
+                    * F.col("n_xy").cast("double")
+                    / (F.col("n_x").cast("double")
+                       * F.col("n_y").cast("double"))))
+    mi = (j.select("feature", F.floor(term * 1e9).cast("long").alias("t"),
+                   "x")
+          .groupBy("feature")
+          .agg(F.sum("t").alias("mi_nano"),
+               F.countDistinct("x").alias("n_levels")))
+    hy_term = (F.col("n_y").cast("double") / F.col("n").cast("double")
+               * F.log(F.col("n_y").cast("double")
+                       / F.col("n").cast("double")))
+    hy = (margy.join(F.broadcast(tot), "feature")
+          .select("feature",
+                  F.floor(-hy_term * 1e9).cast("long").alias("ht"))
+          .groupBy("feature").agg(F.sum("ht").alias("hy_nano")))
+    return (mi.join(hy, "feature")
+            .select("feature", "n_levels", "mi_nano", "hy_nano",
+                    F.floor(F.col("mi_nano").cast("double")
+                            / F.col("hy_nano").cast("double") * 1000000.0)
+                    .cast("long").alias("relevance_micro"))
+            .orderBy("feature"))
+
+
+MI_SQL = """
+WITH base AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CAST(floor(l_quantity) AS BIGINT) AS f_quantity,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS f_discount_pct,
+         CAST(month(l_shipdate) AS BIGINT) AS f_ship_month
+  FROM lineitem
+),
+feats AS (
+  SELECT y, 'f_quantity' AS feature, f_quantity AS x FROM base
+  UNION ALL
+  SELECT y, 'f_discount_pct', f_discount_pct FROM base
+  UNION ALL
+  SELECT y, 'f_ship_month', f_ship_month FROM base
+),
+cells AS (
+  SELECT feature, x, y, count(*) AS n_xy FROM feats GROUP BY 1, 2, 3
+),
+margx AS (SELECT feature, x, CAST(sum(n_xy) AS BIGINT) AS n_x
+          FROM cells GROUP BY 1, 2),
+margy AS (SELECT feature, y, CAST(sum(n_xy) AS BIGINT) AS n_y
+          FROM cells GROUP BY 1, 2),
+tot AS (SELECT feature, CAST(sum(n_xy) AS BIGINT) AS n
+        FROM cells GROUP BY 1),
+mi AS (
+  SELECT c.feature,
+         CAST(sum(CAST(floor(CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE)
+                    * ln(CAST(n AS DOUBLE) * CAST(n_xy AS DOUBLE)
+                         / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))
+                    * 1e9) AS BIGINT)) AS BIGINT) AS mi_nano,
+         count(DISTINCT c.x) AS n_levels
+  FROM cells c
+  JOIN margx USING (feature, x)
+  JOIN margy USING (feature, y)
+  JOIN tot USING (feature)
+  GROUP BY c.feature
+),
+hy AS (
+  SELECT feature,
+         CAST(sum(CAST(floor(-(CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE)
+                    * ln(CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * 1e9) AS BIGINT)) AS BIGINT) AS hy_nano
+  FROM margy JOIN tot USING (feature)
+  GROUP BY feature
+)
+SELECT feature, n_levels, mi_nano, hy_nano,
+       CAST(floor(CAST(mi_nano AS DOUBLE) / CAST(hy_nano AS DOUBLE)
+                  * 1000000.0) AS BIGINT) AS relevance_micro
+FROM mi JOIN hy USING (feature)
+ORDER BY feature
+"""
+
+
+QUERIES["ml_mutual_info_screen"] = (ml_mutual_info_screen, MI_SQL)

@@ -93,3 +93,34 @@ def test_woe_iv_replay_and_zero_sum(spark, sf_dir):
     assert all(r.iv_contrib_nano >= 0 for r in rows)
     assert abs(sum(r.iv_contrib_nano for r in rows) / 1e9
                - iv_total) < 1e-6
+
+
+def test_mutual_info_matches_textbook_replay(spark, sf_dir):
+    rows = {r.feature: r for r in
+            QUERIES["ml_mutual_info_screen"](spark, sf_dir).collect()}
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    y = (li.l_returnflag == "R").astype(int)
+    feats = {
+        "f_quantity": np.floor(li.l_quantity).astype(np.int64),
+        "f_discount_pct": np.floor(li.l_discount * 100 + 0.5
+                                   ).astype(np.int64),
+        "f_ship_month": li.l_shipdate.dt.month.astype(np.int64),
+    }
+    n = len(y)
+    py = y.value_counts(normalize=True)
+    h_y = -sum(p * math.log(p) for p in py)
+    for name, x in feats.items():
+        ct = pd.crosstab(x, y)
+        mi = 0.0
+        for xv in ct.index:
+            for yv in ct.columns:
+                nxy = ct.loc[xv, yv]
+                if nxy == 0:
+                    continue
+                mi += nxy / n * math.log(
+                    n * nxy / (ct.loc[xv].sum() * ct[yv].sum()))
+        r = rows[name]
+        assert r.n_levels == len(ct.index)
+        assert abs(r.mi_nano / 1e9 - mi) < 1e-5
+        assert abs(r.hy_nano / 1e9 - h_y) < 1e-6
+        assert 0 <= r.relevance_micro <= 1000000

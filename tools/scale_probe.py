@@ -161,6 +161,7 @@ PROBES = [
     "multimodal_phash_dct",    # separable DCT + band LSH
     "stats_welch_anova",       # 5-group exact moments + solve
     "cdc_tombstone_gc_plan",   # latest-op WindowGroupLimit + day rollup
+    "ml_mutual_info_screen",   # 3-feature count grids + ln terms
 ]
 
 
