@@ -259,6 +259,8 @@ _BOUNDED_DOMAIN_ALLOWLIST = {
     "stats_ks_two_sample": "distinct value grid (price cents ≤ 1e7)",
     "stats_kruskal_wallis": "distinct value grid (integer quantities, "
                             "≤ 50 rows)",
+    "stats_effect_sizes": "distinct value grid (integer quantities, "
+                          "≤ 50 rows)",
     "stats_kendall_tau": "distinct value grid (price cents ≤ 1e7)",
     "stats_spearman_rho": "distinct value grid (price cents ≤ 1e7)",
     "stats_mann_whitney": "distinct value grid (price cents ≤ 1e7)",

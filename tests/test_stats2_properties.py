@@ -146,3 +146,62 @@ def test_tombstone_gc_partitions_every_latest_delete(spark, sf_dir):
     assert sum(r.n_gc_eligible for r in rows) == int(eligible.sum())
     assert all(r.n_tombstones == r.n_gc_eligible + r.n_retained
                for r in rows)
+
+
+def test_skewness_kurtosis_matches_numpy_replay(spark, sf_dir):
+    rows = {r.g: r for r in
+            QUERIES["agg_skewness_kurtosis"](spark, sf_dir).collect()}
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice", "l_returnflag"])
+    v = np.floor(li.l_extendedprice + 0.5).astype(np.int64)
+    for flag in "ANR":
+        x = v[li.l_returnflag == flag].to_numpy().astype(np.float64)
+        m2 = ((x - x.mean()) ** 2).mean()
+        m3 = ((x - x.mean()) ** 3).mean()
+        m4 = ((x - x.mean()) ** 4).mean()
+        r = rows[flag]
+        assert r.n == len(x)
+        assert abs(r.skewness_micro / 1e6 - m3 / m2 ** 1.5) < 1e-4
+        assert abs(r.excess_kurtosis_micro / 1e6 - (m4 / m2 ** 2 - 3)) < 1e-4
+
+
+def test_effect_sizes_match_textbook_replay(spark, sf_dir):
+    row = QUERIES["stats_effect_sizes"](spark, sf_dir).collect()[0]
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_returnflag"])
+    li = li[li.l_returnflag.isin(["R", "N"])]
+    x = li[li.l_returnflag == "R"].l_quantity.astype(int).to_numpy()
+    y = li[li.l_returnflag == "N"].l_quantity.astype(int).to_numpy()
+    n1, n0 = len(x), len(y)
+    sp = math.sqrt(((n1 - 1) * x.var(ddof=1) + (n0 - 1) * y.var(ddof=1))
+                   / (n1 + n0 - 2))
+    d = (x.mean() - y.mean()) / sp
+    g = d * (1 - 3 / (4 * (n1 + n0) - 9))
+    # Cliff's delta by direct tie-halved pair counting (vectorized)
+    gt = sum(int((y < xv).sum()) for xv in np.unique(x)
+             for _ in range(int((x == xv).sum())))
+    ties = sum(int((y == xv).sum()) for xv in np.unique(x)
+               for _ in range(int((x == xv).sum())))
+    delta = (gt + 0.5 * ties) / (n1 * n0) * 2 - 1
+    assert (row.n_r, row.n_n) == (n1, n0)
+    assert abs(row.cohens_d_micro / 1e6 - d) < 1e-4
+    assert abs(row.hedges_g_micro / 1e6 - g) < 1e-4
+    assert abs(row.cliffs_delta_micro / 1e6 - delta) < 1e-4
+
+
+def test_qq_table_matches_numpy_percentile(spark, sf_dir):
+    rows = QUERIES["stats_qq_table"](spark, sf_dir).collect()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice", "l_returnflag"])
+    v = np.floor(li.l_extendedprice + 0.5).astype(np.int64)
+    xr = np.sort(v[li.l_returnflag == "R"].to_numpy())
+    xn = np.sort(v[li.l_returnflag == "N"].to_numpy())
+    assert len(rows) == 19
+    for r in rows:
+        p = r.p_pct / 100
+        # numpy 'linear' interpolation == percentile_cont
+        qr = np.percentile(xr, r.p_pct, method="linear")
+        qn = np.percentile(xn, r.p_pct, method="linear")
+        assert abs(r.q_r_milli / 1e3 - qr) < 2e-3, (r.p_pct, qr)
+        assert abs(r.q_n_milli / 1e3 - qn) < 2e-3, (r.p_pct, qn)
+        assert r.gap_milli == r.q_r_milli - r.q_n_milli

@@ -162,6 +162,9 @@ PROBES = [
     "stats_welch_anova",       # 5-group exact moments + solve
     "cdc_tombstone_gc_plan",   # latest-op WindowGroupLimit + day rollup
     "ml_mutual_info_screen",   # 3-feature count grids + ln terms
+    "agg_skewness_kurtosis",   # DECIMAL power sums, 3-row solve
+    "stats_effect_sizes",      # quantity-grid midranks + moments
+    "stats_qq_table",          # integer ventile interpolation
 ]
 
 
