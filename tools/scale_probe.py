@@ -165,6 +165,8 @@ PROBES = [
     "agg_skewness_kurtosis",   # DECIMAL power sums, 3-row solve
     "stats_effect_sizes",      # quantity-grid midranks + moments
     "stats_qq_table",          # integer ventile interpolation
+    "recsys_als_user_step",    # per-user 2x2 closed-form ridge
+    "agg_theil_index",         # per-customer entropy terms + rollup
 ]
 
 
