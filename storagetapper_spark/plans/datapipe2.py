@@ -280,3 +280,111 @@ QUERIES = {
     "ann_srp": (ann_srp, _srp_sql()),
     "dedup_embedding_srp": (dedup_embedding_srp, _srp_near_dup_sql()),
 }
+
+
+# ------------------------------- hash-sampled contamination screen ---
+
+# keep a shingle iff its 60-bit md5 hash < 2^60 / 8 (p = 1/8): the
+# benchmark's broadcast set and the per-doc counting work both shrink
+# 8x, and shared_sampled/own_sampled stays an unbiased containment
+# estimator (every shingle is kept independently of which side it is
+# on, so the sample is consistent across corpus and benchmark).
+_SCREEN_DIV = 8
+_SCREEN_THETA = (1 << 60) // _SCREEN_DIV
+
+
+def contamination_screen_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Audit of the hash-sampled contamination SCREEN against the exact
+    check at the same 1/5 threshold: the screen estimates each doc's
+    benchmark containment on the 1/8 hash-sampled shingle subspace
+    (broadcast set and join work 8x smaller — the 100 TB remedy for
+    contamination_check's full-benchmark broadcast), and this query
+    reports the confusion counts (screen vs exact) plus recall.  The
+    screen threshold is HALVED (1/10 vs the exact 1/5) and docs with
+    fewer than 8 sampled shingles pass through (binomial noise at that
+    size can mask true contamination) — the standard safety margin: a
+    screen's false positives just re-run the exact check, its false
+    negatives are silent leaks, so the margin buys recall with fp —
+    the ann_truncation_recall / sketch_bloom_fp_audit pattern: the
+    approximation ships WITH its measured error, never silently.
+
+    One regex pass feeds both paths; sampled-ness is a property of the
+    shingle's own hash, so the screen needs no second benchmark set —
+    a doc shingle is a sampled-hit iff (benchmark-hit AND hash < θ)."""
+    docs = t(spark, sf, "documents")
+    ex = C.shingle_set(docs, shingle_n=_SHINGLE_N)
+    bench_sh = (ex.filter(F.col("doc_id") % 37 == 0)
+                .select("sh").distinct()
+                .withColumn("hit", F.lit(1)))
+    h60 = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10) \
+        .cast("long")
+    marked = (ex.join(F.broadcast(bench_sh), "sh", "left")
+              .select("doc_id",
+                      F.coalesce("hit", F.lit(0)).alias("hit"),
+                      (h60 < F.lit(_SCREEN_THETA)).cast("int")
+                      .alias("samp")))
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.sum("hit").alias("n_shared"),
+        F.sum("samp").alias("n_samp"),
+        F.sum(F.col("hit") * F.col("samp")).alias("n_shared_samp"))
+    flagged = per_doc.select(
+        (F.col("n_shared") * 5 >= F.col("n_sh")).cast("int")
+        .alias("exact"),
+        ((F.col("n_samp") < 8)
+         | (F.col("n_shared_samp") * 10 >= F.col("n_samp"))).cast("int")
+        .alias("screen"))
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("exact").alias("n_flagged_exact"),
+        F.sum("screen").alias("n_flagged_screen"),
+        F.sum(F.col("exact") * F.col("screen")).alias("tp"),
+        F.sum(F.col("exact") * (1 - F.col("screen"))).alias("fn"),
+        F.sum((1 - F.col("exact")) * F.col("screen")).alias("fp"))
+    return agg.select(
+        "n_docs", "n_flagged_exact", "n_flagged_screen", "tp", "fn", "fp",
+        F.when(F.col("n_flagged_exact") > 0,
+               F.floor(F.col("tp") * 1000000 / F.col("n_flagged_exact")))
+        .otherwise(F.lit(1000000)).cast("long").alias("recall_micro"))
+
+
+SCREEN_AUDIT_SQL = f"""
+WITH {_SHINGLES_CTE},
+bench_sh AS (
+  SELECT DISTINCT s FROM ex WHERE doc_id % 37 = 0
+),
+marked AS (
+  SELECT ex.doc_id,
+         CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END AS hit,
+         CASE WHEN CAST(('0x' || substring(md5(ex.s), 1, 15)) AS BIGINT)
+                   < {_SCREEN_THETA} THEN 1 ELSE 0 END AS samp
+  FROM ex LEFT JOIN bench_sh b ON ex.s = b.s
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_sh,
+         CAST(sum(hit) AS BIGINT) AS n_shared,
+         CAST(sum(samp) AS BIGINT) AS n_samp,
+         CAST(sum(hit * samp) AS BIGINT) AS n_shared_samp
+  FROM marked GROUP BY doc_id
+),
+flagged AS (
+  SELECT CASE WHEN n_shared * 5 >= n_sh THEN 1 ELSE 0 END AS exact,
+         CASE WHEN n_samp < 8 OR n_shared_samp * 10 >= n_samp
+              THEN 1 ELSE 0 END AS screen
+  FROM per_doc
+)
+SELECT count(*) AS n_docs,
+       CAST(sum(exact) AS BIGINT) AS n_flagged_exact,
+       CAST(sum(screen) AS BIGINT) AS n_flagged_screen,
+       CAST(sum(exact * screen) AS BIGINT) AS tp,
+       CAST(sum(exact * (1 - screen)) AS BIGINT) AS fn,
+       CAST(sum((1 - exact) * screen) AS BIGINT) AS fp,
+       CAST(CASE WHEN sum(exact) > 0
+                 THEN floor(sum(exact * screen) * 1000000 / sum(exact))
+                 ELSE 1000000 END AS BIGINT) AS recall_micro
+FROM flagged
+"""
+
+
+QUERIES["contamination_screen_audit"] = (contamination_screen_audit,
+                                         SCREEN_AUDIT_SQL)

@@ -167,6 +167,7 @@ PROBES = [
     "stats_qq_table",          # integer ventile interpolation
     "recsys_als_user_step",    # per-user 2x2 closed-form ridge
     "agg_theil_index",         # per-customer entropy terms + rollup
+    "contamination_screen_audit",  # 1/8 hash-sampled containment screen
 ]
 
 
