@@ -880,3 +880,91 @@ ORDER BY metric
 
 QUERIES["graph_triangles_degree_oriented"] = (
     graph_triangles_degree_oriented, TRI_DEG_ORIENTED_SQL)
+
+
+def graph_rich_club(spark: SparkSession, sf: str) -> DataFrame:
+    """Rich-club coefficient phi(k) = 2·E_k / (N_k(N_k−1)) of the
+    co-purchase graph at degree thresholds k ∈ {2, 4, 8, 16, 32}: do
+    high-degree parts preferentially co-occur with each other?  (The
+    hub-interconnection diagnostic behind assortativity — compare
+    graph_degree_assortativity's single summary number.)
+
+    One pass over the edge list joined with both endpoint degrees:
+    E_k is a conditional count (min(deg_a, deg_b) > k for all five
+    thresholds simultaneously), N_k a conditional count on the degree
+    table — no per-k re-scan, no pair enumeration beyond the existing
+    edges."""
+    li = (t(spark, sf, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    e = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+         .groupBy(F.col("a.l_partkey").alias("pa"),
+                  F.col("b.l_partkey").alias("pb"))
+         .agg(F.count(F.lit(1)).alias("n_ab"))
+         .filter(F.col("n_ab") >= 2)
+         .select("pa", "pb"))
+    deg = (e.select(F.col("pa").alias("p"))
+           .unionAll(e.select(F.col("pb").alias("p")))
+           .groupBy("p").agg(F.count(F.lit(1)).alias("deg")))
+    ks = [2, 4, 8, 16, 32]
+    ej = (e.join(deg.withColumnRenamed("p", "pa")
+                 .withColumnRenamed("deg", "da"), "pa")
+          .join(deg.withColumnRenamed("p", "pb")
+                .withColumnRenamed("deg", "db"), "pb"))
+    e_counts = ej.agg(*[
+        F.sum(F.when((F.col("da") > k) & (F.col("db") > k), 1)
+              .otherwise(0)).alias(f"e_{k}") for k in ks])
+    n_counts = deg.agg(*[
+        F.sum(F.when(F.col("deg") > k, 1).otherwise(0)).alias(f"n_{k}")
+        for k in ks])
+    wide = e_counts.crossJoin(F.broadcast(n_counts))
+    rows = wide.selectExpr(
+        "stack(" + str(len(ks)) + ", "
+        + ", ".join(f"{k}, e_{k}, n_{k}" for k in ks)
+        + ") as (k, n_edges, n_nodes)")
+    phi = F.when(
+        F.col("n_nodes") >= 2,
+        F.floor(F.col("n_edges") * 2 * F.lit(1000000)
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1)))
+        .cast("long"))
+    return rows.select("k", "n_nodes", "n_edges",
+                       phi.alias("phi_micro")).orderBy("k")
+
+
+RICH_CLUB_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+),
+deg AS (
+  SELECT p, count(*) AS deg FROM (
+    SELECT pa AS p FROM e UNION ALL SELECT pb FROM e)
+  GROUP BY p
+),
+ej AS (
+  SELECT e.pa, e.pb, da.deg AS da, db.deg AS db
+  FROM e JOIN deg da ON e.pa = da.p JOIN deg db ON e.pb = db.p
+),
+ks AS (SELECT unnest([2, 4, 8, 16, 32]) AS k),
+rows_ AS (
+  SELECT k,
+         (SELECT count(*) FROM deg WHERE deg > k) AS n_nodes,
+         (SELECT count(*) FROM ej WHERE da > k AND db > k) AS n_edges
+  FROM ks
+)
+SELECT CAST(k AS INTEGER) AS k, CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CASE WHEN n_nodes >= 2
+            THEN CAST(floor(n_edges * 2 * 1000000
+                            / (n_nodes * (n_nodes - 1))) AS BIGINT)
+            END AS phi_micro
+FROM rows_ ORDER BY k
+"""
+
+
+QUERIES["graph_rich_club"] = (graph_rich_club, RICH_CLUB_SQL)

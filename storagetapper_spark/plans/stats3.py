@@ -444,3 +444,109 @@ ORDER BY segment
 
 
 QUERIES["agg_theil_index"] = (agg_theil_index, THEIL_SQL)
+
+
+def stats_cmh_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test: is PROMO exposure associated with
+    returns AFTER controlling for supplier nation?  The stratified
+    2x2 test that catches Simpson's-paradox reversals a pooled
+    chi-square (stats_chi_square) cannot — each nation contributes its
+    own 2x2 table and the test pools evidence without pooling rows.
+
+    Per stratum k: a_k (promo & returned), E_k = r1·c1/n,
+    V_k = r1·r0·c1·c0/(n²(n−1)); χ²_CMH = (|Σa−ΣE| − 0.5)²/ΣV with
+    the standard continuity correction, plus the Mantel-Haenszel
+    pooled odds ratio Σ(ad/n)/Σ(bc/n).  All cell counts are exact
+    integers from ONE keyed aggregate over 25 strata; the statistic is
+    one double expression, micro-floored."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("promo"))
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    base = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .select("s_nationkey", "promo",
+                    (F.col("l_returnflag") == "R").alias("ret")))
+    cells = base.groupBy("s_nationkey").agg(
+        F.sum(F.when(F.col("promo") & F.col("ret"), 1).otherwise(0))
+        .alias("a"),
+        F.sum(F.when(F.col("promo") & ~F.col("ret"), 1).otherwise(0))
+        .alias("b"),
+        F.sum(F.when(~F.col("promo") & F.col("ret"), 1).otherwise(0))
+        .alias("c"),
+        F.sum(F.when(~F.col("promo") & ~F.col("ret"), 1).otherwise(0))
+        .alias("d"))
+    a = F.col("a").cast("double")
+    b = F.col("b").cast("double")
+    c = F.col("c").cast("double")
+    d = F.col("d").cast("double")
+    n = a + b + c + d
+    e = (a + b) * (a + c) / n
+    v = ((a + b) * (c + d) * (a + c) * (b + d)) / (n * n * (n - 1.0))
+    terms = cells.select(
+        F.col("a").alias("a_int"), e.alias("e"), v.alias("v"),
+        (a * d / n).alias("ad_n"), (b * c / n).alias("bc_n"))
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("a_int").alias("sum_a"),
+        F.sum("e").alias("sum_e"), F.sum("v").alias("sum_v"),
+        F.sum("ad_n").alias("sum_ad"), F.sum("bc_n").alias("sum_bc"))
+    chi2 = ((F.abs(F.col("sum_a").cast("double") - F.col("sum_e")) - 0.5)
+            * (F.abs(F.col("sum_a").cast("double") - F.col("sum_e")) - 0.5)
+            / F.col("sum_v"))
+    return agg.select(
+        "n_strata", "sum_a",
+        F.floor(F.col("sum_e") * 1000.0).cast("long")
+        .alias("expected_milli"),
+        F.floor(chi2 * 1000000.0).cast("long").alias("chi2_micro"),
+        F.floor(F.col("sum_ad") / F.col("sum_bc") * 1000000.0)
+        .cast("long").alias("mh_odds_ratio_micro"))
+
+
+CMH_SQL = """
+WITH base AS (
+  SELECT s_nationkey, p_type LIKE 'PROMO%' AS promo,
+         l_returnflag = 'R' AS ret
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+),
+cells AS (
+  SELECT s_nationkey,
+         sum(CASE WHEN promo AND ret THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN promo AND NOT ret THEN 1 ELSE 0 END) AS b,
+         sum(CASE WHEN NOT promo AND ret THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN NOT promo AND NOT ret THEN 1 ELSE 0 END) AS d
+  FROM base GROUP BY s_nationkey
+),
+terms AS (
+  SELECT CAST(a AS BIGINT) AS a_int,
+         (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c)
+           / (CAST(a AS DOUBLE) + b + c + d) AS e,
+         ((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d)
+          * (CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d))
+         / ((CAST(a AS DOUBLE) + b + c + d)
+            * (CAST(a AS DOUBLE) + b + c + d)
+            * ((CAST(a AS DOUBLE) + b + c + d) - 1.0)) AS v,
+         CAST(a AS DOUBLE) * d / (CAST(a AS DOUBLE) + b + c + d) AS ad_n,
+         CAST(b AS DOUBLE) * c / (CAST(a AS DOUBLE) + b + c + d) AS bc_n
+  FROM cells
+),
+agg AS (
+  SELECT count(*) AS n_strata, CAST(sum(a_int) AS BIGINT) AS sum_a,
+         sum(e) AS sum_e, sum(v) AS sum_v,
+         sum(ad_n) AS sum_ad, sum(bc_n) AS sum_bc
+  FROM terms
+)
+SELECT CAST(n_strata AS BIGINT) AS n_strata, sum_a,
+       CAST(floor(sum_e * 1000.0) AS BIGINT) AS expected_milli,
+       CAST(floor((abs(CAST(sum_a AS DOUBLE) - sum_e) - 0.5)
+                  * (abs(CAST(sum_a AS DOUBLE) - sum_e) - 0.5)
+                  / sum_v * 1000000.0) AS BIGINT) AS chi2_micro,
+       CAST(floor(sum_ad / sum_bc * 1000000.0) AS BIGINT)
+         AS mh_odds_ratio_micro
+FROM agg
+"""
+
+
+QUERIES["stats_cmh_test"] = (stats_cmh_test, CMH_SQL)

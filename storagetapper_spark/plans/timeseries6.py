@@ -101,3 +101,90 @@ FROM agg
 QUERIES = {
     "ts_forecast_backtest_mase": (ts_forecast_backtest_mase, MASE_SQL),
 }
+
+
+_N_FOLDS = 5
+_HORIZON = 14  # test-window days per fold
+
+
+def sample_time_split_folds(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-origin cross-validation plan: 5 expanding-window folds
+    over the order calendar, each testing the next 14 days — the split
+    design every forecast backtest (ts_forecast_backtest_mase) should
+    run under, and the time-series analog of sample_kfold_group_assign
+    (random K-fold leaks the future into training).
+
+    Cut points divide the span so fold i trains on days ≤ cut_i and
+    tests on (cut_i, cut_i + 14]; all boundaries are exact integer
+    day arithmetic off the span row, and the per-fold row/day counts
+    come from one conditional aggregate over the daily grid."""
+    o = t(spark, sf, "orders")
+    per_day = (o.select(F.to_date("o_orderdate").alias("d"))
+               .groupBy("d").agg(F.count(F.lit(1)).alias("c")))
+    span = per_day.agg(F.min("d").alias("d0"), F.max("d").alias("d1"),
+                       F.datediff(F.max("d"), F.min("d")).alias("len"))
+    folds = span.select(
+        "d0", "len",
+        F.explode(F.sequence(F.lit(1), F.lit(_N_FOLDS))).alias("fold"))
+    # cut_i = d0 + floor(len * i / (K+1)); test = (cut, cut+HORIZON]
+    cut = F.col("fold") * F.col("len")
+    folds = folds.select(
+        "fold",
+        F.date_add(F.col("d0"), F.floor(cut / (_N_FOLDS + 1))
+                   .cast("int")).alias("train_end"))
+    j = per_day.crossJoin(F.broadcast(folds))
+    agg = (j.groupBy("fold", "train_end")
+           .agg(F.sum(F.when(F.col("d") <= F.col("train_end"),
+                             F.col("c")).otherwise(0))
+                .alias("train_orders"),
+                F.sum(F.when(F.col("d") <= F.col("train_end"), 1)
+                      .otherwise(0)).alias("train_days"),
+                F.sum(F.when((F.col("d") > F.col("train_end"))
+                             & (F.col("d") <= F.date_add("train_end",
+                                                         _HORIZON)),
+                             F.col("c")).otherwise(0))
+                .alias("test_orders"),
+                F.sum(F.when((F.col("d") > F.col("train_end"))
+                             & (F.col("d") <= F.date_add("train_end",
+                                                         _HORIZON)), 1)
+                      .otherwise(0)).alias("test_days")))
+    return (agg.select("fold", "train_end", "train_days", "train_orders",
+                       "test_days", "test_orders")
+            .orderBy("fold"))
+
+
+TIME_SPLIT_SQL = f"""
+WITH per_day AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS c
+  FROM orders GROUP BY 1
+),
+span AS (
+  SELECT min(d) AS d0, max(d) AS d1, date_diff('day', min(d), max(d))
+           AS len
+  FROM per_day
+),
+folds AS (
+  SELECT f.range AS fold,
+         d0 + CAST(floor(f.range * len / {_N_FOLDS + 1}) AS INTEGER)
+           AS train_end
+  FROM span CROSS JOIN range(1, {_N_FOLDS + 1}) f
+)
+SELECT CAST(fold AS BIGINT) AS fold, train_end,
+       CAST(sum(CASE WHEN d <= train_end THEN 1 ELSE 0 END) AS BIGINT)
+         AS train_days,
+       CAST(sum(CASE WHEN d <= train_end THEN c ELSE 0 END) AS BIGINT)
+         AS train_orders,
+       CAST(sum(CASE WHEN d > train_end
+                      AND d <= train_end + {_HORIZON}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS test_days,
+       CAST(sum(CASE WHEN d > train_end
+                      AND d <= train_end + {_HORIZON}
+                     THEN c ELSE 0 END) AS BIGINT) AS test_orders
+FROM per_day CROSS JOIN folds
+GROUP BY fold, train_end
+ORDER BY fold
+"""
+
+
+QUERIES["sample_time_split_folds"] = (sample_time_split_folds,
+                                      TIME_SPLIT_SQL)

@@ -168,6 +168,10 @@ PROBES = [
     "recsys_als_user_step",    # per-user 2x2 closed-form ridge
     "agg_theil_index",         # per-customer entropy terms + rollup
     "contamination_screen_audit",  # 1/8 hash-sampled containment screen
+    "ml_auc_delong_ci",        # score-grid structural moments
+    "stats_cmh_test",          # 25-strata 2x2 cell counts
+    "graph_rich_club",         # edge+degree conditional counts
+    "sample_time_split_folds",  # daily-grid fold boundaries
 ]
 
 
