@@ -904,6 +904,11 @@ def graph_rich_club(spark: SparkSession, sf: str) -> DataFrame:
          .agg(F.count(F.lit(1)).alias("n_ab"))
          .filter(F.col("n_ab") >= 2)
          .select("pa", "pb"))
+    # deg and the double degree-join each reference e: the AUDITED
+    # lineage unrolls to 45 exchanges, but at runtime Spark's
+    # ReusedExchange collapses the identical subplans (measured: an
+    # explicit persist() here was SLOWER at base scale - it pays full
+    # materialization and blocks scan pruning - and no faster at 10x)
     deg = (e.select(F.col("pa").alias("p"))
            .unionAll(e.select(F.col("pb").alias("p")))
            .groupBy("p").agg(F.count(F.lit(1)).alias("deg")))

@@ -265,6 +265,8 @@ _BOUNDED_DOMAIN_ALLOWLIST = {
     "stats_spearman_rho": "distinct value grid (price cents ≤ 1e7)",
     "stats_mann_whitney": "distinct value grid (price cents ≤ 1e7)",
     "ml_auc_roc": "distinct score grid (micro-quantized ≤ 1e6)",
+    "ml_auc_delong_ci": "distinct score grid (micro-quantized ≤ 1e6, "
+                        "same grid as ml_auc_roc)",
     "ml_pr_auc": "distinct score grid (micro-quantized ≤ 1e6)",
     "ml_lift_gains": "distinct score grid (micro-quantized ≤ 1e6)",
     "ml_threshold_sweep_f1": "distinct score grid (micro-quantized ≤ 1e6)",
