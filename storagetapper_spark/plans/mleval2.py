@@ -146,3 +146,155 @@ FROM calc
 QUERIES = {
     "ml_auc_delong_ci": (ml_auc_delong_ci, DELONG_SQL),
 }
+
+
+_N_BINS = 10  # same reliability bins as ml_calibration_ece
+
+
+def ml_brier_decomposition(spark: SparkSession, sf: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for the calibration
+    scorer (min-max-normalized embedding dim 0, the ml_calibration_ece
+    setup): BS = REL − RES + UNC + WBV, where reliability penalizes
+    miscalibration, resolution rewards separating the classes,
+    uncertainty is the irreducible ȳ(1−ȳ), WBV is the within-bin
+    forecast variance, and COV the within-bin forecast-outcome
+    covariance — the two terms the textbook 3-term decomposition
+    silently drops for continuous forecasts (Stephenson et al. 2008);
+    with them the identity BS = REL − RES + UNC + WBV − 2·COV is
+    EXACT and tested.
+
+    Everything reduces to per-bin exact integers: n_b, Σy_b, Σp_b,
+    Σp_b² with p in micro-units, so the row-level Brier sum is an
+    exact DECIMAL of (p − 1e6·y)² — no order-dependent double
+    reduction anywhere; each component is one double over the 10-row
+    bin table, nano-floored."""
+    emb = t(spark, sf, "embeddings")
+    base = emb.select(
+        (F.col("label") == 1).alias("pos"),
+        F.floor(F.element_at("embedding", 1).cast("double") * 1000000)
+        .cast("long").alias("v"))
+    mm = base.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    j = base.crossJoin(F.broadcast(mm))
+    norm = ((F.col("v") - F.col("mn")).cast("double")
+            / (F.col("mx") - F.col("mn")).cast("double"))
+    binc = F.least(F.lit(_N_BINS - 1),
+                   F.floor(norm * _N_BINS).cast("int"))
+    nq = F.floor(norm * 1000000.0).cast("long")
+    y6 = F.when(F.col("pos"), 1000000).otherwise(0).cast("long")
+    rows = j.select(binc.alias("bin"), nq.alias("p"), y6.alias("y6"),
+                    F.when(F.col("pos"), 1).otherwise(0).alias("y"))
+    d = (F.col("p") - F.col("y6")).cast(_DEC)
+    bins = rows.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("p").alias("sp"),
+        F.sum(F.col("p").cast(_DEC) * F.col("p").cast(_DEC)).alias("spp"),
+        F.sum(F.col("p") * F.col("y")).alias("spy"),
+        F.sum(d * d).alias("sd2"))
+    tot = bins.agg(F.sum("n").alias("nn"), F.sum("sy").alias("sy_all"))
+    bj = bins.crossJoin(F.broadcast(tot))
+    nb = F.col("n").cast("double")
+    nn = F.col("nn").cast("double")
+    pbar = F.col("sp").cast("double") / nb / 1000000.0
+    ybar_b = F.col("sy").cast("double") / nb
+    ybar = F.col("sy_all").cast("double") / nn
+    rel_t = nb * (pbar - ybar_b) * (pbar - ybar_b) / nn
+    res_t = nb * (ybar_b - ybar) * (ybar_b - ybar) / nn
+    wbv_t = ((F.col("spp").cast("double") / 1e12
+              - F.col("sp").cast("double") * F.col("sp").cast("double")
+              / nb / 1e12) / nn)
+    # within-bin cov: (Σpy − p̄·Σy)/1e6 per bin, over N
+    cov_t = ((F.col("spy").cast("double")
+              - F.col("sp").cast("double") / nb
+              * F.col("sy").cast("double")) / 1e6 / nn)
+    bs_t = F.col("sd2").cast("double") / 1e12 / nn
+    agg = bj.select(
+        F.floor(rel_t * 1e9).cast("long").alias("rel_n"),
+        F.floor(res_t * 1e9).cast("long").alias("res_n"),
+        F.floor(wbv_t * 1e9).cast("long").alias("wbv_n"),
+        F.floor(cov_t * 1e9).cast("long").alias("cov_n"),
+        F.floor(bs_t * 1e9).cast("long").alias("bs_n"),
+        (ybar * (1.0 - ybar)).alias("unc"), F.col("nn")).groupBy(
+        "nn", "unc").agg(
+        F.sum("rel_n").alias("reliability_nano"),
+        F.sum("res_n").alias("resolution_nano"),
+        F.sum("wbv_n").alias("within_bin_var_nano"),
+        F.sum("cov_n").alias("within_bin_cov_nano"),
+        F.sum("bs_n").alias("brier_nano"))
+    return agg.select(
+        F.col("nn").alias("n"),
+        "brier_nano", "reliability_nano", "resolution_nano",
+        "within_bin_var_nano", "within_bin_cov_nano",
+        F.floor(F.col("unc") * 1e9).cast("long").alias("uncertainty_nano"))
+
+
+BRIER_SQL = f"""
+WITH base AS (
+  SELECT label = 1 AS pos,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS v
+  FROM embeddings
+),
+mm AS (SELECT min(v) AS mn, max(v) AS mx FROM base),
+rows_ AS (
+  SELECT least({_N_BINS - 1},
+               CAST(floor(CAST(v - mn AS DOUBLE)
+                          / CAST(mx - mn AS DOUBLE) * {_N_BINS})
+                    AS INTEGER)) AS bin,
+         CAST(floor(CAST(v - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+                    * 1000000.0) AS BIGINT) AS p,
+         CASE WHEN pos THEN 1000000 ELSE 0 END AS y6,
+         CASE WHEN pos THEN 1 ELSE 0 END AS y
+  FROM base, mm
+),
+bins AS (
+  SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(p) AS BIGINT) AS sp,
+         sum(CAST(p AS HUGEINT) * p) AS spp,
+         CAST(sum(p * y) AS BIGINT) AS spy,
+         sum(CAST(p - y6 AS HUGEINT) * (p - y6)) AS sd2
+  FROM rows_ GROUP BY bin
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(sy) AS BIGINT) AS sy_all FROM bins),
+terms AS (
+  SELECT CAST(floor(CAST(n AS DOUBLE)
+                    * (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+                       - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+                       - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                    / CAST(nn AS DOUBLE) * 1e9) AS BIGINT) AS rel_n,
+         CAST(floor(CAST(n AS DOUBLE)
+                    * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                       - CAST(sy_all AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                       - CAST(sy_all AS DOUBLE) / CAST(nn AS DOUBLE))
+                    / CAST(nn AS DOUBLE) * 1e9) AS BIGINT) AS res_n,
+         CAST(floor((CAST(spp AS DOUBLE) / 1e12
+                     - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+                       / CAST(n AS DOUBLE) / 1e12)
+                    / CAST(nn AS DOUBLE) * 1e9) AS BIGINT) AS wbv_n,
+         CAST(floor((CAST(spy AS DOUBLE)
+                     - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
+                       * CAST(sy AS DOUBLE)) / 1e6
+                    / CAST(nn AS DOUBLE) * 1e9) AS BIGINT) AS cov_n,
+         CAST(floor(CAST(sd2 AS DOUBLE) / 1e12 / CAST(nn AS DOUBLE)
+                    * 1e9) AS BIGINT) AS bs_n,
+         (CAST(sy_all AS DOUBLE) / CAST(nn AS DOUBLE))
+           * (1.0 - CAST(sy_all AS DOUBLE) / CAST(nn AS DOUBLE)) AS unc,
+         nn
+  FROM bins, tot
+)
+SELECT nn AS n,
+       CAST(sum(bs_n) AS BIGINT) AS brier_nano,
+       CAST(sum(rel_n) AS BIGINT) AS reliability_nano,
+       CAST(sum(res_n) AS BIGINT) AS resolution_nano,
+       CAST(sum(wbv_n) AS BIGINT) AS within_bin_var_nano,
+       CAST(sum(cov_n) AS BIGINT) AS within_bin_cov_nano,
+       CAST(floor(unc * 1e9) AS BIGINT) AS uncertainty_nano
+FROM terms
+GROUP BY nn, unc
+"""
+
+
+QUERIES["ml_brier_decomposition"] = (ml_brier_decomposition, BRIER_SQL)

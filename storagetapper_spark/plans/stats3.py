@@ -550,3 +550,72 @@ FROM agg
 
 
 QUERIES["stats_cmh_test"] = (stats_cmh_test, CMH_SQL)
+
+
+def stats_overdispersion_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Poisson overdispersion (dispersion-index) test on DAILY order
+    counts over the complete calendar: D = Σ(c−c̄)²/c̄ ~ χ²(n−1) under
+    a homogeneous Poisson arrival process; the variance-to-mean ratio
+    answers "can I model arrivals as Poisson?" before any
+    queueing/forecast model assumes it.  Complete-grid counts (the
+    MASE convention — missing days are real zeros), exact integer
+    (n, Σc, Σc²), one double expression."""
+    o = t(spark, sf, "orders")
+    per_day = (o.select(F.to_date("o_orderdate").alias("d"))
+               .groupBy("d").agg(F.count(F.lit(1)).alias("c")))
+    span = per_day.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    cal = (span.select(F.explode(F.sequence("d0", "d1")).alias("d"))
+           .join(per_day, "d", "left")
+           .select(F.coalesce("c", F.lit(0)).alias("c")))
+    agg = cal.agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"),
+                  F.sum(F.col("c") * F.col("c")).alias("ss"))
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    mean = s / n
+    var = (ss - s * s / n) / (n - 1.0)
+    disp = (ss - s * s / n) / mean
+    return agg.select(
+        F.col("n").alias("n_days"), F.col("s").alias("n_orders"),
+        F.floor(mean * 1000.0).cast("long").alias("mean_milli"),
+        F.floor(var / mean * 1000000.0).cast("long").alias("vmr_micro"),
+        F.floor(disp * 1000.0).cast("long").alias("dispersion_milli"))
+
+
+OVERDISP_SQL = """
+WITH per_day AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS c
+  FROM orders GROUP BY 1
+),
+span AS (SELECT min(d) AS d0, max(d) AS d1 FROM per_day),
+cal AS (
+  SELECT coalesce(per_day.c, 0) AS c
+  FROM (SELECT unnest(generate_series(d0, d1,
+                                      INTERVAL 1 DAY))::DATE AS g
+        FROM span) gs
+  LEFT JOIN per_day ON per_day.d = gs.g
+),
+agg AS (
+  SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS ss
+  FROM cal
+)
+SELECT n AS n_days, s AS n_orders,
+       CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000.0)
+            AS BIGINT) AS mean_milli,
+       CAST(floor(((CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+                  / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS vmr_micro,
+       CAST(floor((CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                  / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * 1000.0) AS BIGINT) AS dispersion_milli
+FROM agg
+"""
+
+
+QUERIES["stats_overdispersion_test"] = (stats_overdispersion_test,
+                                        OVERDISP_SQL)

@@ -103,3 +103,40 @@ def test_time_split_folds_never_leak_and_expand(spark, sf_dir):
             ((days > te) & (days <= te + pd.Timedelta(days=14))).sum())
         # train + test never exceeds the corpus (no double counting)
         assert r.train_orders + r.test_orders <= total
+
+
+def test_brier_decomposition_identity_and_replay(spark, sf_dir):
+    """BS = REL − RES + UNC + WBV − 2·COV exactly (nano tolerance for
+    the per-component floors), and BS matches a direct numpy replay."""
+    row = QUERIES["ml_brier_decomposition"](spark, sf_dir).collect()[0]
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    v = np.floor(np.array([e[0] for e in emb.embedding],
+                          dtype=np.float64) * 1e6).astype(np.int64)
+    y = (emb.label == 1).to_numpy().astype(np.int64)
+    mn, mx = v.min(), v.max()
+    p = np.floor((v - mn) / (mx - mn) * 1e6).astype(np.int64) / 1e6
+    bs = ((p - y) ** 2).mean()
+    assert row.n == len(y)
+    assert abs(row.brier_nano / 1e9 - bs) < 1e-6
+    lhs = row.brier_nano
+    rhs = (row.reliability_nano - row.resolution_nano
+           + row.uncertainty_nano + row.within_bin_var_nano
+           - 2 * row.within_bin_cov_nano)
+    # each of 6 components floored to nano over <=10 bins
+    assert abs(lhs - rhs) <= 60
+    assert row.resolution_nano >= 0 and row.reliability_nano >= 0
+    assert row.within_bin_var_nano >= 0
+
+
+def test_overdispersion_matches_numpy(spark, sf_dir):
+    row = QUERIES["stats_overdispersion_test"](spark, sf_dir).collect()[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate"])
+    per = o.groupby(o.o_orderdate.dt.normalize()).size()
+    c = per.reindex(pd.date_range(per.index.min(), per.index.max(),
+                                  freq="D"), fill_value=0).to_numpy()
+    assert row.n_days == len(c) and row.n_orders == c.sum()
+    vmr = c.var(ddof=1) / c.mean()
+    disp = ((c - c.mean()) ** 2).sum() / c.mean()
+    assert abs(row.vmr_micro / 1e6 - vmr) < 1e-4
+    assert abs(row.dispersion_milli / 1e3 - disp) < 1e-1

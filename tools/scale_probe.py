@@ -172,6 +172,8 @@ PROBES = [
     "stats_cmh_test",          # 25-strata 2x2 cell counts
     "graph_rich_club",         # edge+degree conditional counts
     "sample_time_split_folds",  # daily-grid fold boundaries
+    "ml_brier_decomposition",  # 10-bin exact moment table
+    "stats_overdispersion_test",  # complete-calendar count moments
 ]
 
 
