@@ -218,3 +218,68 @@ ORDER BY p.size
 
 
 QUERIES["basket_size_histogram"] = (basket_size_histogram, BASKET_SQL)
+
+
+def dedup_normalized_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup AFTER text canonicalization (lowercase, strip
+    non-alphanumerics, collapse whitespace) — the layer between raw
+    exact dedup and MinHash that catches byte-differing re-encodes of
+    the same content (case, punctuation, wrapping).  Reports how many
+    extra duplicates normalization surfaces over raw exact dedup
+    (dedup_exact's hash) and the largest normalized cluster.
+
+    Scale: two content-hash groupBys (raw and normalized) over one
+    scan — the same single-shuffle shape as dedup_exact; the summary
+    is a scalar reduce."""
+    docs = t(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+        " +", " "))
+    hashed = docs.select(
+        F.md5(F.col("text")).alias("h_raw"),
+        F.md5(norm).alias("h_norm"))
+    per_norm = hashed.groupBy("h_norm").agg(F.count(F.lit(1)).alias("c"))
+    raw_distinct = hashed.agg(
+        F.countDistinct("h_raw").alias("distinct_raw"),
+        F.count(F.lit(1)).alias("n_docs"))
+    norm_stats = per_norm.agg(
+        F.count(F.lit(1)).alias("distinct_norm"),
+        F.max("c").alias("largest_cluster"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .alias("docs_in_dup_clusters"))
+    return (raw_distinct.crossJoin(F.broadcast(norm_stats))
+            .select("n_docs", "distinct_raw", "distinct_norm",
+                    (F.col("n_docs") - F.col("distinct_norm"))
+                    .alias("dupes_normalized"),
+                    (F.col("distinct_raw") - F.col("distinct_norm"))
+                    .alias("extra_vs_raw"),
+                    "largest_cluster", "docs_in_dup_clusters"))
+
+
+NORM_EXACT_SQL = """
+WITH hashed AS (
+  SELECT md5(text) AS h_raw,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h_norm
+  FROM documents
+),
+per_norm AS (SELECT h_norm, count(*) AS c FROM hashed GROUP BY 1),
+raw_d AS (
+  SELECT count(DISTINCT h_raw) AS distinct_raw, count(*) AS n_docs
+  FROM hashed
+),
+norm_s AS (
+  SELECT count(*) AS distinct_norm, max(c) AS largest_cluster,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+           AS docs_in_dup_clusters
+  FROM per_norm
+)
+SELECT n_docs, distinct_raw, distinct_norm,
+       n_docs - distinct_norm AS dupes_normalized,
+       distinct_raw - distinct_norm AS extra_vs_raw,
+       largest_cluster, docs_in_dup_clusters
+FROM raw_d CROSS JOIN norm_s
+"""
+
+
+QUERIES["dedup_normalized_exact"] = (dedup_normalized_exact, NORM_EXACT_SQL)

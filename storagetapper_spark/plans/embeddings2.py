@@ -154,3 +154,76 @@ LIMIT {_TOPK_OUT}
 
 QUERIES["embedding_outlier_zscore"] = (embedding_outlier_zscore,
                                        OUTLIER_SQL)
+
+
+def embedding_quantization_error(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension int8 calibration audit — the reconstruction-error
+    side of the compression story ann_quantized_recall tells from the
+    retrieval side: symmetric per-DIM max-abs scales (the layout a
+    columnar vector store actually calibrates), round-half-up
+    quantization, and the worst / mean absolute dequantization error
+    per dimension in micro units plus the worst relative error in ppm
+    of the dim's scale.  Dims whose max_rel_err_ppm spikes are the ones
+    that need per-block scales.
+
+    Exactness: dim values land on the floor(x*1e6) integer grid
+    (_long_q); quantize/dequantize are single double expressions over
+    those integers (identical trees both engines), errors floored back
+    to micro ints so the per-dim sums are exact integer aggregates.
+
+    Scale: one exploded pass (n x 64 rows) with a map-side-combined
+    per-dim max, a 64-row broadcast back, then one more per-dim agg —
+    no shuffle keyed by anything wider than the 64-dim domain."""
+    lng = _long_q(spark, sf)
+    amax = (lng.groupBy("pos")
+            .agg(F.max(F.abs(F.col("xq"))).alias("amax")))
+    d = "double"
+    j = lng.join(F.broadcast(amax), "pos")
+    q = F.floor(F.col("xq").cast(d) * 127.0 / F.col("amax").cast(d) + 0.5)
+    err = F.abs(q * F.col("amax").cast(d) / 127.0 - F.col("xq").cast(d))
+    per = (j.select("pos", "amax",
+                    F.floor(err).cast("long").alias("err_u"))
+           .groupBy("pos", "amax")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.max("err_u").alias("max_err"),
+                F.sum("err_u").alias("sum_err")))
+    return (per.select(
+        F.col("pos").alias("dim"), "n",
+        F.col("amax").alias("amax_micro"),
+        F.col("max_err").alias("max_abs_err_micro"),
+        F.floor(F.col("sum_err").cast(d) / F.col("n").cast(d))
+        .cast("long").alias("mean_abs_err_micro"),
+        F.floor(F.col("max_err").cast(d) * 1000000.0
+                / F.col("amax").cast(d)).cast("long")
+        .alias("max_rel_err_ppm"))
+        .orderBy("dim"))
+
+
+QUANT_ERR_SQL = f"""
+WITH {_LONG_SQL},
+amax AS (
+  SELECT pos, max(abs(xq)) AS amax FROM longq GROUP BY pos
+),
+errs AS (
+  SELECT l.pos, a.amax,
+         CAST(floor(abs(
+           floor(CAST(l.xq AS DOUBLE) * 127.0 / CAST(a.amax AS DOUBLE) + 0.5)
+           * CAST(a.amax AS DOUBLE) / 127.0
+           - CAST(l.xq AS DOUBLE))) AS BIGINT) AS err_u
+  FROM longq l JOIN amax a ON l.pos = a.pos
+)
+SELECT pos AS dim, count(*) AS n, amax AS amax_micro,
+       max(err_u) AS max_abs_err_micro,
+       CAST(floor(CAST(CAST(sum(err_u) AS BIGINT) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)) AS BIGINT)
+         AS mean_abs_err_micro,
+       CAST(floor(CAST(max(err_u) AS DOUBLE) * 1000000.0
+                  / CAST(amax AS DOUBLE)) AS BIGINT) AS max_rel_err_ppm
+FROM errs
+GROUP BY pos, amax
+ORDER BY dim
+"""
+
+
+QUERIES["embedding_quantization_error"] = (
+    embedding_quantization_error, QUANT_ERR_SQL)

@@ -973,3 +973,107 @@ FROM rows_ ORDER BY k
 
 
 QUERIES["graph_rich_club"] = (graph_rich_club, RICH_CLUB_SQL)
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Per-undirected-edge triangle support: every triangle from the
+    degree-oriented enumeration (each counted exactly once) is exploded
+    to its 3 canonical (min-id, max-id) edges and counted.  The wedge
+    work stays inside the compact-forward O(m^1.5) bound — the naive
+    common-neighbor join per edge would be hub-quadratic."""
+    tri = _triangles_degree_oriented(e)
+    pairs = tri.select(F.explode(F.array(
+        F.struct(F.least("a", "b").alias("x"),
+                 F.greatest("a", "b").alias("y")),
+        F.struct(F.least("a", "c").alias("x"),
+                 F.greatest("a", "c").alias("y")),
+        F.struct(F.least("b", "c").alias("x"),
+                 F.greatest("b", "c").alias("y")))).alias("p")
+    ).select("p.x", "p.y")
+    return pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("sup"))
+
+
+def graph_ktruss(spark: SparkSession, sf: str) -> DataFrame:
+    """4-truss peeling of the co-purchase graph, 2 rounds: an edge
+    survives a round iff it participates in >= k-2 = 2 triangles among
+    the surviving edges — the standard cohesion refinement between
+    triangle counting and cliques (a k-truss is a (k-1)-core of the
+    triangle graph).  Fixed 2-round unroll (the bounded-iteration
+    discipline of graph_hits/label_propagation); output reports
+    edges_in -> edges_kept per round so convergence is visible.
+
+    Scale: each round is one degree-oriented triangle enumeration
+    (O(m^1.5) wedge bound, see _degree_oriented_edges) + an edge-keyed
+    agg + a broadcast-sized semi-join back onto the edge list; rounds
+    are persisted so lineage never re-derives round 1 inside round 2."""
+    k_minus_2 = 2
+    e0 = _edges(spark, sf).persist()
+    e0.count()
+
+    def peel(e: DataFrame) -> DataFrame:
+        sup = _edge_support(e)
+        return (e.join(sup, (F.col("pa") == F.col("x"))
+                       & (F.col("pb") == F.col("y")), "left")
+                .filter(F.coalesce(F.col("sup"), F.lit(0)) >= k_minus_2)
+                .select("pa", "pb"))
+
+    e1 = peel(e0).persist()
+    e1.count()
+    e2 = peel(e1)
+    s1 = (e0.agg(F.count(F.lit(1)).alias("edges_in"))
+          .crossJoin(e1.agg(F.count(F.lit(1)).alias("edges_kept")))
+          .select(F.lit(1).cast("int").alias("round"),
+                  "edges_in", "edges_kept"))
+    s2 = (e1.agg(F.count(F.lit(1)).alias("edges_in"))
+          .crossJoin(e2.agg(F.count(F.lit(1)).alias("edges_kept")))
+          .select(F.lit(2).cast("int").alias("round"),
+                  "edges_in", "edges_kept"))
+    return s1.unionAll(s2).orderBy("round")
+
+
+KTRUSS_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+adj0 AS (SELECT pa AS u, pb AS v FROM e0
+         UNION ALL SELECT pb, pa FROM e0),
+sup0 AS (
+  SELECT e.pa, e.pb, count(*) AS sup
+  FROM e0 e
+  JOIN adj0 x ON x.u = e.pa
+  JOIN adj0 y ON y.u = e.pb AND y.v = x.v
+  GROUP BY 1, 2
+),
+e1 AS (
+  SELECT e.pa, e.pb FROM e0 e
+  JOIN sup0 s ON s.pa = e.pa AND s.pb = e.pb AND s.sup >= 2
+),
+adj1 AS (SELECT pa AS u, pb AS v FROM e1
+         UNION ALL SELECT pb, pa FROM e1),
+sup1 AS (
+  SELECT e.pa, e.pb, count(*) AS sup
+  FROM e1 e
+  JOIN adj1 x ON x.u = e.pa
+  JOIN adj1 y ON y.u = e.pb AND y.v = x.v
+  GROUP BY 1, 2
+),
+e2 AS (
+  SELECT e.pa, e.pb FROM e1 e
+  JOIN sup1 s ON s.pa = e.pa AND s.pb = e.pb AND s.sup >= 2
+)
+SELECT CAST(1 AS INT) AS round,
+       (SELECT count(*) FROM e0) AS edges_in,
+       (SELECT count(*) FROM e1) AS edges_kept
+UNION ALL
+SELECT CAST(2 AS INT),
+       (SELECT count(*) FROM e1),
+       (SELECT count(*) FROM e2)
+ORDER BY round
+"""
+
+
+QUERIES["graph_ktruss"] = (graph_ktruss, KTRUSS_SQL)

@@ -298,3 +298,95 @@ GROUP BY nn, unc
 
 
 QUERIES["ml_brier_decomposition"] = (ml_brier_decomposition, BRIER_SQL)
+
+
+def ml_cohen_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa between two independent 3-class labeling rules on
+    orders — rater A: literal price terciles (<170k / <340k / rest),
+    rater B: priority mapped to urgency classes — the chance-corrected
+    agreement every labeling pipeline reports before trusting a cheap
+    heuristic as a silver label.  kappa = (po - pe) / (1 - pe) with
+    po the diagonal mass and pe the product of the marginals, all from
+    exact integer confusion counts.
+
+    Scale: one groupBy over the 3x3 class grid (9 cells, map-side
+    combined), then a 9-row reduce — nothing wider than the class
+    domain ever shuffles."""
+    o = t(spark, sf, "orders")
+    a = (F.when(F.col("o_totalprice") < 170000.0, "low")
+         .when(F.col("o_totalprice") < 340000.0, "mid").otherwise("high"))
+    b = (F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+         .when(F.col("o_orderpriority") == "3-MEDIUM", "mid")
+         .otherwise("low"))
+    cells = (o.select(a.alias("ra"), b.alias("rb"))
+             .groupBy("ra", "rb").agg(F.count(F.lit(1)).alias("c")))
+    s = cells.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), F.col("c"))
+              .otherwise(0)).alias("agree"),
+        *[F.sum(F.when(F.col("ra") == k, F.col("c")).otherwise(0))
+          .alias(f"a_{k}") for k in ("low", "mid", "high")],
+        *[F.sum(F.when(F.col("rb") == k, F.col("c")).otherwise(0))
+          .alias(f"b_{k}") for k in ("low", "mid", "high")])
+    d = "double"
+    n = F.col("n").cast(d)
+    po = F.col("agree").cast(d) / n
+    pe = (F.col("a_low").cast(d) * F.col("b_low").cast(d)
+          + F.col("a_mid").cast(d) * F.col("b_mid").cast(d)
+          + F.col("a_high").cast(d) * F.col("b_high").cast(d)) / (n * n)
+    kappa = (po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0))
+    return s.select(
+        "n", "agree",
+        F.floor(po * 1000000.0).cast("long").alias("po_micro"),
+        F.floor(pe * 1000000.0).cast("long").alias("pe_micro"),
+        F.floor(kappa * 1000.0).cast("long").alias("kappa_milli"))
+
+
+KAPPA_SQL = """
+WITH lab AS (
+  SELECT CASE WHEN o_totalprice < 170000.0 THEN 'low'
+              WHEN o_totalprice < 340000.0 THEN 'mid'
+              ELSE 'high' END AS ra,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+              WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+              ELSE 'low' END AS rb
+  FROM orders
+),
+cells AS (SELECT ra, rb, count(*) AS c FROM lab GROUP BY 1, 2),
+s AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN ra = rb THEN c ELSE 0 END) AS BIGINT) AS agree,
+         CAST(sum(CASE WHEN ra = 'low' THEN c ELSE 0 END) AS BIGINT) AS a_low,
+         CAST(sum(CASE WHEN ra = 'mid' THEN c ELSE 0 END) AS BIGINT) AS a_mid,
+         CAST(sum(CASE WHEN ra = 'high' THEN c ELSE 0 END) AS BIGINT)
+           AS a_high,
+         CAST(sum(CASE WHEN rb = 'low' THEN c ELSE 0 END) AS BIGINT) AS b_low,
+         CAST(sum(CASE WHEN rb = 'mid' THEN c ELSE 0 END) AS BIGINT) AS b_mid,
+         CAST(sum(CASE WHEN rb = 'high' THEN c ELSE 0 END) AS BIGINT)
+           AS b_high
+  FROM cells
+)
+SELECT n, agree,
+       CAST(floor(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0)
+            AS BIGINT) AS po_micro,
+       CAST(floor((CAST(a_low AS DOUBLE) * CAST(b_low AS DOUBLE)
+                   + CAST(a_mid AS DOUBLE) * CAST(b_mid AS DOUBLE)
+                   + CAST(a_high AS DOUBLE) * CAST(b_high AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1000000.0)
+            AS BIGINT) AS pe_micro,
+       CAST(floor(
+         (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+          - (CAST(a_low AS DOUBLE) * CAST(b_low AS DOUBLE)
+             + CAST(a_mid AS DOUBLE) * CAST(b_mid AS DOUBLE)
+             + CAST(a_high AS DOUBLE) * CAST(b_high AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         / nullif(1.0 - (CAST(a_low AS DOUBLE) * CAST(b_low AS DOUBLE)
+                         + CAST(a_mid AS DOUBLE) * CAST(b_mid AS DOUBLE)
+                         + CAST(a_high AS DOUBLE) * CAST(b_high AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0)
+         * 1000.0) AS BIGINT) AS kappa_milli
+FROM s
+"""
+
+
+QUERIES["ml_cohen_kappa"] = (ml_cohen_kappa, KAPPA_SQL)

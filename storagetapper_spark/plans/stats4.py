@@ -1,0 +1,534 @@
+"""Statistical-inference batch 4: the paired/blocked nonparametric
+family (McNemar, Cochran's Q, Friedman) that plans/stats.py's
+independent-sample tests can't answer — "did the SAME subjects change?"
+— plus two serial-dependence diagnostics (Wald-Wolfowitz runs test,
+Ljung-Box portmanteau) and an empirical-Bayes beta shrinkage of
+per-part return rates (the quality-score smoothing step every
+training-data curation pipeline runs before thresholding sparse
+per-source rates).
+
+Exactness discipline (plans/stats3.py): every sufficient statistic is
+an exact BIGINT/DECIMAL(38,0) aggregate; each test statistic is ONE
+double expression with byte-identical literals in the Spark plan and
+the DuckDB oracle, milli/micro-floored.  Degenerate denominators are
+NULL-guarded identically on both sides (the ml_pr_auc ADVICE lesson).
+
+Scale notes per query in the docstrings; none of these shuffles more
+than one groupBy of the fact table, and every window is either
+partitioned by a real key or runs over a calendar-bounded daily grid
+(registered in the plan-guard allowlist with its bound).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from storagetapper_spark.plans.common import t
+
+_DEC = "decimal(38,0)"
+
+
+# ---------------------------------------------------------------------------
+# McNemar's test — paired binary outcomes on the same subjects
+# ---------------------------------------------------------------------------
+
+def stats_mcnemar_test(spark: SparkSession, sf: str) -> DataFrame:
+    """McNemar's chi-square (continuity-corrected) on paired binary
+    outcomes: per customer, "ordered in the early era (<= 1997)" vs
+    "ordered in the late era (>= 1999)" — the within-subject churn
+    question an independent two-sample test gets wrong.  Only the
+    discordant cells b (early only) and c (late only) inform the test:
+    chi2_cc = (|b - c| - 1)^2 / (b + c).
+
+    Scale: one groupBy(custkey) with map-side-combined max() indicators
+    (the 2x2 table is a 4-integer reduce); no window, no join."""
+    o = t(spark, sf, "orders")
+    yr = F.year("o_orderdate")
+    per_c = (o.groupBy("o_custkey")
+             .agg(F.max(F.when(yr <= 1997, 1).otherwise(0)).alias("early"),
+                  F.max(F.when(yr >= 1999, 1).otherwise(0)).alias("late")))
+    e, l = F.col("early"), F.col("late")
+    cells = per_c.agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.sum(e * l).alias("both_eras"),
+        F.sum(e * (1 - l)).alias("early_only"),
+        F.sum((1 - e) * l).alias("late_only"),
+        F.sum((1 - e) * (1 - l)).alias("neither"))
+    b, c = F.col("early_only").cast("double"), F.col("late_only").cast("double")
+    chi2 = (F.abs(b - c) - 1.0) * (F.abs(b - c) - 1.0) \
+        / F.nullif(b + c, F.lit(0.0))
+    return cells.select(
+        "n_subjects", "both_eras", "early_only", "late_only", "neither",
+        F.floor(chi2 * 1000.0).cast("long").alias("chi2_cc_milli"))
+
+
+MCNEMAR_SQL = """
+WITH per_c AS (
+  SELECT o_custkey,
+         max(CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END) AS early,
+         max(CASE WHEN year(o_orderdate) >= 1999 THEN 1 ELSE 0 END) AS late
+  FROM orders GROUP BY o_custkey
+),
+cells AS (
+  SELECT count(*) AS n_subjects,
+         CAST(sum(early * late) AS BIGINT) AS both_eras,
+         CAST(sum(early * (1 - late)) AS BIGINT) AS early_only,
+         CAST(sum((1 - early) * late) AS BIGINT) AS late_only,
+         CAST(sum((1 - early) * (1 - late)) AS BIGINT) AS neither
+  FROM per_c
+)
+SELECT n_subjects, both_eras, early_only, late_only, neither,
+       CAST(floor(
+         (abs(CAST(early_only AS DOUBLE) - CAST(late_only AS DOUBLE)) - 1.0)
+         * (abs(CAST(early_only AS DOUBLE) - CAST(late_only AS DOUBLE)) - 1.0)
+         / nullif(CAST(early_only AS DOUBLE) + CAST(late_only AS DOUBLE), 0.0)
+         * 1000.0) AS BIGINT) AS chi2_cc_milli
+FROM cells
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q — k binary treatments over the same blocks
+# ---------------------------------------------------------------------------
+
+def stats_cochran_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Cochran's Q over k=3 binary "treatments" (did the customer ever
+    place an URGENT / HIGH / MEDIUM priority order) on customer blocks —
+    the k-treatment generalization of McNemar.  Blocks with all-0 or
+    all-k rows are uninformative and dropped (the textbook convention).
+    Q = (k-1) * (k * sum(C_j^2) - T^2) / (k*T - sum(R_i^2)),
+    df = k - 1.
+
+    Scale: one groupBy(custkey) building the 3 indicators, then a
+    single-row reduce of 5 integer sums; no window, no join."""
+    o = t(spark, sf, "orders")
+    p = F.col("o_orderpriority")
+    k = 3
+    per_b = (o.groupBy("o_custkey")
+             .agg(F.max(F.when(p == "1-URGENT", 1).otherwise(0)).alias("x1"),
+                  F.max(F.when(p == "2-HIGH", 1).otherwise(0)).alias("x2"),
+                  F.max(F.when(p == "3-MEDIUM", 1).otherwise(0)).alias("x3"))
+             .withColumn("r", F.col("x1") + F.col("x2") + F.col("x3"))
+             .filter((F.col("r") > 0) & (F.col("r") < k)))
+    s = per_b.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("x1").alias("c1"), F.sum("x2").alias("c2"),
+        F.sum("x3").alias("c3"),
+        F.sum("r").alias("t_sum"),
+        F.sum(F.col("r") * F.col("r")).alias("r2_sum"))
+    d = "double"
+    c1, c2, c3 = (F.col(x).cast(d) for x in ("c1", "c2", "c3"))
+    tt, r2 = F.col("t_sum").cast(d), F.col("r2_sum").cast(d)
+    q = (2.0 * (3.0 * (c1 * c1 + c2 * c2 + c3 * c3) - tt * tt)
+         / F.nullif(3.0 * tt - r2, F.lit(0.0)))
+    return s.select("n_blocks", "c1", "c2", "c3", "t_sum",
+                    F.floor(q * 1000.0).cast("long").alias("q_milli"),
+                    F.lit(k - 1).cast("int").alias("df"))
+
+
+COCHRAN_SQL = """
+WITH per_b AS (
+  SELECT o_custkey,
+         max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS x1,
+         max(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS x2,
+         max(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS x3
+  FROM orders GROUP BY o_custkey
+),
+kept AS (
+  SELECT x1, x2, x3, x1 + x2 + x3 AS r FROM per_b
+  WHERE x1 + x2 + x3 > 0 AND x1 + x2 + x3 < 3
+),
+s AS (
+  SELECT count(*) AS n_blocks, CAST(sum(x1) AS BIGINT) AS c1,
+         CAST(sum(x2) AS BIGINT) AS c2, CAST(sum(x3) AS BIGINT) AS c3,
+         CAST(sum(r) AS BIGINT) AS t_sum,
+         CAST(sum(r * r) AS BIGINT) AS r2_sum
+  FROM kept
+)
+SELECT n_blocks, c1, c2, c3, t_sum,
+       CAST(floor(
+         2.0 * (3.0 * (CAST(c1 AS DOUBLE) * CAST(c1 AS DOUBLE)
+                       + CAST(c2 AS DOUBLE) * CAST(c2 AS DOUBLE)
+                       + CAST(c3 AS DOUBLE) * CAST(c3 AS DOUBLE))
+                - CAST(t_sum AS DOUBLE) * CAST(t_sum AS DOUBLE))
+         / nullif(3.0 * CAST(t_sum AS DOUBLE) - CAST(r2_sum AS DOUBLE), 0.0)
+         * 1000.0) AS BIGINT) AS q_milli,
+       CAST(2 AS INT) AS df
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Friedman test — within-block ranks of k repeated measures
+# ---------------------------------------------------------------------------
+
+def stats_friedman_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Friedman rank test of per-customer yearly spend across the k=3
+    treatment years 1995/1996/1997, restricted to complete blocks
+    (customers ordering in all three).  Mid-ranks are computed IN
+    INTEGERS doubled (rank2 = 2*#smaller + #equal + 1, #equal counting
+    self) via a within-block self-join (k^2 = 9 comparisons per block),
+    so ties never touch floats.  chi2 = 3*sum(R2_j^2)/(n*k*(k+1))
+    - 3*n*(k+1) with R2_j the doubled rank sums.
+
+    Scale: spend reduces per (custkey, year) in one hash agg; the
+    self-join is keyed by custkey (3x3 per block) — work is 9n pairs,
+    shuffle-partitioned by block key, never global."""
+    o = t(spark, sf, "orders")
+    yr = F.year("o_orderdate")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    yearly = (o.filter(yr.isin(1995, 1996, 1997))
+              .groupBy(F.col("o_custkey").alias("ck"), yr.alias("yr"))
+              .agg(F.sum(cents).alias("v")))
+    complete = (yearly.groupBy("ck").agg(F.count(F.lit(1)).alias("k_i"))
+                .filter(F.col("k_i") == 3).select("ck"))
+    blk = yearly.join(complete, "ck")
+    other = blk.select(F.col("ck").alias("ck2"), F.col("v").alias("v2"))
+    ranked = (blk.join(other, F.col("ck") == F.col("ck2"))
+              .groupBy("ck", "yr")
+              .agg((2 * F.sum(F.when(F.col("v2") < F.col("v"), 1).otherwise(0))
+                    + F.sum(F.when(F.col("v2") == F.col("v"), 1).otherwise(0))
+                    + 1).alias("rank2")))
+    per_j = ranked.groupBy("yr").agg(F.sum("rank2").alias("r2j"),
+                                     F.count(F.lit(1)).alias("n"))
+    s = per_j.agg(F.max("n").alias("n_blocks"),
+                  F.sum(F.col("r2j").cast(_DEC) * F.col("r2j").cast(_DEC))
+                  .alias("ss"))
+    n = F.col("n_blocks").cast("double")
+    chi2 = 3.0 * F.col("ss").cast("double") / (n * 12.0) - 12.0 * n
+    return s.select("n_blocks",
+                    F.lit(3).cast("int").alias("k_treatments"),
+                    F.floor(chi2 * 1000.0).cast("long").alias("chi2_milli"),
+                    F.lit(2).cast("int").alias("df"))
+
+
+FRIEDMAN_SQL = """
+WITH yearly AS (
+  SELECT o_custkey AS ck, year(o_orderdate) AS yr,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996, 1997)
+  GROUP BY 1, 2
+),
+complete AS (
+  SELECT ck FROM yearly GROUP BY ck HAVING count(*) = 3
+),
+blk AS (
+  SELECT y.ck, y.yr, y.v FROM yearly y JOIN complete c ON y.ck = c.ck
+),
+ranked AS (
+  SELECT a.ck, a.yr,
+         2 * sum(CASE WHEN b.v < a.v THEN 1 ELSE 0 END)
+         + sum(CASE WHEN b.v = a.v THEN 1 ELSE 0 END) + 1 AS rank2
+  FROM blk a JOIN blk b ON a.ck = b.ck
+  GROUP BY a.ck, a.yr
+),
+per_j AS (
+  SELECT yr, sum(rank2) AS r2j, count(*) AS n FROM ranked GROUP BY yr
+),
+s AS (
+  SELECT max(n) AS n_blocks,
+         sum(CAST(r2j AS HUGEINT) * CAST(r2j AS HUGEINT)) AS ss
+  FROM per_j
+)
+SELECT n_blocks, CAST(3 AS INT) AS k_treatments,
+       CAST(floor(
+         (3.0 * CAST(ss AS DOUBLE) / (CAST(n_blocks AS DOUBLE) * 12.0)
+          - 12.0 * CAST(n_blocks AS DOUBLE)) * 1000.0) AS BIGINT)
+         AS chi2_milli,
+       CAST(2 AS INT) AS df
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test — serial randomness of the daily series
+# ---------------------------------------------------------------------------
+
+def stats_runs_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald-Wolfowitz runs test: is the daily order-count series's
+    above/below-mean sign pattern serially random?  The sign is decided
+    EXACTLY in integers (y_t * n_days > total, i.e. strictly above the
+    mean), runs are counted with one lag over the day-ordered grid, and
+    z = (R - mu) / sigma with mu = 2*n1*n2/n + 1 and
+    sigma^2 = 2*n1*n2*(2*n1*n2 - n) / (n^2 * (n - 1)).
+
+    Scale: the raw scan collapses to the calendar grid (one hash agg,
+    <= ~2.5k rows/decade); the lag window over that grid is registered
+    in the bounded-domain allowlist."""
+    o = t(spark, sf, "orders")
+    daily = (o.groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg(F.count(F.lit(1)).alias("y")))
+    tot = daily.agg(F.sum("y").alias("s_all"),
+                    F.count(F.lit(1)).alias("n_all"))
+    signed = (daily.crossJoin(F.broadcast(tot))
+              .withColumn("above",
+                          (F.col("y") * F.col("n_all")
+                           > F.col("s_all")).cast("int")))
+    w = Window.orderBy("day")
+    runs = (signed
+            .withColumn("chg",
+                        F.when(F.lag("above").over(w).isNull(), 1)
+                        .when(F.lag("above").over(w) != F.col("above"), 1)
+                        .otherwise(0)))
+    s = runs.agg(F.count(F.lit(1)).alias("n_days"),
+                 F.sum("above").alias("n_above"),
+                 F.sum(1 - F.col("above")).alias("n_below"),
+                 F.sum("chg").alias("runs"))
+    d = "double"
+    n1, n2 = F.col("n_above").cast(d), F.col("n_below").cast(d)
+    n, r = F.col("n_days").cast(d), F.col("runs").cast(d)
+    mu = 2.0 * n1 * n2 / n + 1.0
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+           / (n * n * (n - 1.0)))
+    z = (r - mu) / F.nullif(F.sqrt(var), F.lit(0.0))
+    return s.select("n_days", "n_above", "n_below", "runs",
+                    F.floor(z * 1000.0).cast("long").alias("z_milli"))
+
+
+RUNS_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS y
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(y) AS s_all, count(*) AS n_all FROM daily),
+signed AS (
+  SELECT day, CASE WHEN y * n_all > s_all THEN 1 ELSE 0 END AS above
+  FROM daily CROSS JOIN tot
+),
+runs_t AS (
+  SELECT above,
+         CASE WHEN lag(above) OVER (ORDER BY day) IS NULL THEN 1
+              WHEN lag(above) OVER (ORDER BY day) <> above THEN 1
+              ELSE 0 END AS chg
+  FROM signed
+),
+s AS (
+  SELECT count(*) AS n_days, CAST(sum(above) AS BIGINT) AS n_above,
+         CAST(sum(1 - above) AS BIGINT) AS n_below,
+         CAST(sum(chg) AS BIGINT) AS runs
+  FROM runs_t
+)
+SELECT n_days, n_above, n_below, runs,
+       CAST(floor(
+         (CAST(runs AS DOUBLE)
+          - (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+             / CAST(n_days AS DOUBLE) + 1.0))
+         / nullif(sqrt(
+             2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+             * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                - CAST(n_days AS DOUBLE))
+             / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+                * (CAST(n_days AS DOUBLE) - 1.0))), 0.0)
+         * 1000.0) AS BIGINT) AS z_milli
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau — per-series whiteness test
+# ---------------------------------------------------------------------------
+
+_LB_LAGS = 7
+
+
+def ts_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
+    """Ljung-Box Q (m=7 lags) per event-type daily-count series — the
+    whiteness test over the FIXED-mean ACF estimator rho_k =
+    sum(d_t * d_{t+k}) / sum(d_t^2) with d_t = n*x_t - S (mean-centering
+    multiplied through by n so every sum is an exact integer;
+    ts_autocorrelation's per-lag Pearson is the sliding-mean variant).
+    Q = n*(n+2) * sum_k rho_k^2 / (n-k).
+
+    Scale: the raw scan reduces per (event_type, day) in one hash agg;
+    lag pairs come from an (i - k) equi-join keyed by event_type
+    (7*len(series) pairs, partitioned by series key — no global
+    window); products are DECIMAL(38,0)-exact."""
+    ev = t(spark, sf, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("x")))
+    tot = daily.groupBy("event_type").agg(F.sum("x").alias("s"),
+                                          F.count(F.lit(1)).alias("n"))
+    cent = (daily.join(tot, "event_type")
+            .select("event_type", "day", "n",
+                    (F.col("x") * F.col("n") - F.col("s")).alias("dv")))
+    idx = cent.withColumn(
+        "i", F.row_number().over(
+            Window.partitionBy("event_type").orderBy("day")))
+    lags = F.explode(F.array(*[F.lit(k) for k in range(1, _LB_LAGS + 1)]))
+    a = idx.select("event_type", "n", "dv", "i", lags.alias("lag_k"))
+    b = idx.select(F.col("event_type").alias("bt"),
+                   F.col("dv").alias("dv2"), F.col("i").alias("bi"))
+    num = (a.join(b, (F.col("bt") == F.col("event_type"))
+                  & (F.col("bi") == F.col("i") + F.col("lag_k")))
+           .groupBy("event_type", "n", "lag_k")
+           .agg(F.sum(F.col("dv").cast(_DEC) * F.col("dv2").cast(_DEC))
+                .alias("num_k")))
+    den = cent.groupBy("event_type").agg(
+        F.sum(F.col("dv").cast(_DEC) * F.col("dv").cast(_DEC)).alias("den"))
+    d = "double"
+    rho = F.col("num_k").cast(d) / F.col("den").cast(d)
+    terms = (num.join(den, "event_type")
+             .select("event_type", "n", "lag_k",
+                     (rho * rho / (F.col("n") - F.col("lag_k")).cast(d))
+                     .alias("term"),
+                     rho.alias("rho")))
+    per_s = (terms.groupBy("event_type", "n")
+             .agg(F.sum("term").alias("tsum"),
+                  F.max(F.when(F.col("lag_k") == 1, F.col("rho")))
+                  .alias("rho1")))
+    n = F.col("n").cast(d)
+    return (per_s.select(
+        "event_type", F.col("n").alias("n_days"),
+        F.floor(F.col("rho1") * 1000000.0).cast("long").alias("rho1_micro"),
+        F.floor(n * (n + 2.0) * F.col("tsum") * 1000.0).cast("long")
+        .alias("q_lb_milli"))
+        .orderBy("event_type"))
+
+
+LJUNG_BOX_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, sum(x) AS s, count(*) AS n FROM daily GROUP BY 1
+),
+cent AS (
+  SELECT d.event_type, d.day, t.n, d.x * t.n - t.s AS dv
+  FROM daily d JOIN tot t ON d.event_type = t.event_type
+),
+idx AS (
+  SELECT event_type, n, dv,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM cent
+),
+num AS (
+  SELECT a.event_type, a.n, l.lag_k,
+         sum(CAST(a.dv AS HUGEINT) * CAST(b.dv AS HUGEINT)) AS num_k
+  FROM idx a
+  CROSS JOIN (SELECT unnest(range(1, {_LB_LAGS + 1})) AS lag_k) l
+  JOIN idx b ON b.event_type = a.event_type AND b.i = a.i + l.lag_k
+  GROUP BY 1, 2, 3
+),
+den AS (
+  SELECT event_type, sum(CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT)) AS den
+  FROM cent GROUP BY 1
+),
+terms AS (
+  SELECT n.event_type, n.n,
+         (CAST(n.num_k AS DOUBLE) / CAST(d.den AS DOUBLE))
+         * (CAST(n.num_k AS DOUBLE) / CAST(d.den AS DOUBLE))
+         / CAST(n.n - n.lag_k AS DOUBLE) AS term,
+         CASE WHEN n.lag_k = 1
+              THEN CAST(n.num_k AS DOUBLE) / CAST(d.den AS DOUBLE) END AS rho1
+  FROM num n JOIN den d ON n.event_type = d.event_type
+)
+SELECT event_type, n AS n_days,
+       CAST(floor(max(rho1) * 1000000.0) AS BIGINT) AS rho1_micro,
+       CAST(floor(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                  * sum(term) * 1000.0) AS BIGINT) AS q_lb_milli
+FROM terms
+GROUP BY event_type, n
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes beta shrinkage of sparse per-group rates
+# ---------------------------------------------------------------------------
+
+def ml_eb_shrinkage(spark: SparkSession, sf: str) -> DataFrame:
+    """Empirical-Bayes beta shrinkage of per-part return rates — the
+    smoothing every curation pipeline applies before thresholding a
+    rate estimated from 30 observations.  Method of moments on the
+    micro-quantized per-part rates (rate_u = k*1e6 div n, an exact
+    integer, so the moment sums never touch float accumulation):
+    alpha + beta = m*(1-m)/v - 1, alpha = m*(alpha+beta); the shrunk
+    rate is (k + alpha) / (n + alpha + beta).  Output: the 15
+    highest-volume parts with raw and shrunk micro-rates.
+
+    Scale: one groupBy(partkey) over the fact table, a 1-row moment
+    reduce broadcast back, and a TakeOrdered(15) — the prior fit is
+    model-sized driver traffic only."""
+    li = t(spark, sf, "lineitem")
+    per_p = (li.groupBy("l_partkey")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+                  .alias("k")))
+    per_p = per_p.withColumn(
+        "rate_u", F.expr("k * 1000000 div n").cast("long"))
+    mom = per_p.agg(F.count(F.lit(1)).alias("p"),
+                    F.sum("rate_u").alias("s1"),
+                    F.sum(F.col("rate_u").cast(_DEC)
+                          * F.col("rate_u").cast(_DEC)).alias("s2"))
+    d = "double"
+    p = F.col("p").cast(d)
+    m = F.col("s1").cast(d) / p / 1000000.0
+    ex2 = F.col("s2").cast(d) / p / 1000000.0 / 1000000.0
+    v = ex2 - m * m
+    ab = m * (1.0 - m) / v - 1.0
+    prior = mom.select(m.alias("m"), v.alias("v"), ab.alias("ab"),
+                       (m * ab).alias("alpha"))
+    joined = per_p.crossJoin(F.broadcast(prior))
+    shrunk = ((F.col("k").cast(d) + F.col("alpha"))
+              / (F.col("n").cast(d) + F.col("ab")))
+    return (joined.select(
+        "l_partkey", "n", "k",
+        F.col("rate_u").alias("raw_rate_micro"),
+        F.floor(shrunk * 1000000.0).cast("long").alias("shrunk_rate_micro"),
+        F.floor(F.col("alpha") * 1000.0).cast("long").alias("alpha_milli"),
+        F.floor((F.col("ab") - F.col("alpha")) * 1000.0).cast("long")
+        .alias("beta_milli"))
+        .orderBy(F.desc("n"), "l_partkey").limit(15))
+
+
+EB_SHRINK_SQL = """
+WITH per_p AS (
+  SELECT l_partkey, count(*) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM lineitem GROUP BY 1
+),
+rated AS (
+  SELECT l_partkey, n, k, CAST((k * 1000000) // n AS BIGINT) AS rate_u
+  FROM per_p
+),
+mom AS (
+  SELECT count(*) AS p, sum(rate_u) AS s1,
+         sum(CAST(rate_u AS HUGEINT) * CAST(rate_u AS HUGEINT)) AS s2
+  FROM rated
+),
+prior AS (
+  SELECT
+    CAST(s1 AS DOUBLE) / CAST(p AS DOUBLE) / 1000000.0 AS m,
+    CAST(s2 AS DOUBLE) / CAST(p AS DOUBLE) / 1000000.0 / 1000000.0
+      - (CAST(s1 AS DOUBLE) / CAST(p AS DOUBLE) / 1000000.0)
+        * (CAST(s1 AS DOUBLE) / CAST(p AS DOUBLE) / 1000000.0) AS v
+  FROM mom
+),
+prior2 AS (
+  SELECT m, v, m * (1.0 - m) / v - 1.0 AS ab,
+         m * (m * (1.0 - m) / v - 1.0) AS alpha
+  FROM prior
+)
+SELECT l_partkey, n, k, rate_u AS raw_rate_micro,
+       CAST(floor((CAST(k AS DOUBLE) + alpha)
+                  / (CAST(n AS DOUBLE) + ab) * 1000000.0) AS BIGINT)
+         AS shrunk_rate_micro,
+       CAST(floor(alpha * 1000.0) AS BIGINT) AS alpha_milli,
+       CAST(floor((ab - alpha) * 1000.0) AS BIGINT) AS beta_milli
+FROM rated CROSS JOIN prior2
+ORDER BY n DESC, l_partkey
+LIMIT 15
+"""
+
+
+QUERIES = {
+    "stats_mcnemar_test": (stats_mcnemar_test, MCNEMAR_SQL),
+    "stats_cochran_q": (stats_cochran_q, COCHRAN_SQL),
+    "stats_friedman_test": (stats_friedman_test, FRIEDMAN_SQL),
+    "stats_runs_test": (stats_runs_test, RUNS_SQL),
+    "ts_ljung_box": (ts_ljung_box, LJUNG_BOX_SQL),
+    "ml_eb_shrinkage": (ml_eb_shrinkage, EB_SHRINK_SQL),
+}

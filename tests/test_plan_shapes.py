@@ -242,6 +242,7 @@ _BOUNDED_DOMAIN_ALLOWLIST = {
                                "rank, natural + sorted layouts)",
     # calendar-bounded grids: distinct days/weeks (≤ ~4k rows/decade)
     "slo_burn_rate": "daily grid (calendar-bounded)",
+    "stats_runs_test": "daily grid (calendar-bounded)",
     "ts_changepoint_mean_shift": "daily grid (calendar-bounded)",
     "ts_rolling_slope": "daily grid (calendar-bounded)",
     "ts_forecast_backtest_mase": "daily grid (calendar-bounded, "
