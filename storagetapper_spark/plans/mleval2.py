@@ -300,26 +300,23 @@ GROUP BY nn, unc
 QUERIES["ml_brier_decomposition"] = (ml_brier_decomposition, BRIER_SQL)
 
 
-def ml_cohen_kappa(spark: SparkSession, sf: str) -> DataFrame:
-    """Cohen's kappa between two independent 3-class labeling rules on
-    orders — rater A: literal price terciles (<170k / <340k / rest),
-    rater B: priority mapped to urgency classes — the chance-corrected
-    agreement every labeling pipeline reports before trusting a cheap
-    heuristic as a silver label.  kappa = (po - pe) / (1 - pe) with
-    po the diagonal mass and pe the product of the marginals, all from
-    exact integer confusion counts.
-
-    Scale: one groupBy over the 3x3 class grid (9 cells, map-side
-    combined), then a 9-row reduce — nothing wider than the class
-    domain ever shuffles."""
-    o = t(spark, sf, "orders")
+def kappa_raters(df: DataFrame) -> DataFrame:
+    """The two literal 3-class labeling rules behind ml_cohen_kappa
+    (shared with streaming/agreement.py so the streamed confusion fold
+    inherits this query's oracle bit-exactly): rater A = price terciles
+    (<170k / <340k / rest), rater B = priority urgency classes."""
     a = (F.when(F.col("o_totalprice") < 170000.0, "low")
          .when(F.col("o_totalprice") < 340000.0, "mid").otherwise("high"))
     b = (F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
          .when(F.col("o_orderpriority") == "3-MEDIUM", "mid")
          .otherwise("low"))
-    cells = (o.select(a.alias("ra"), b.alias("rb"))
-             .groupBy("ra", "rb").agg(F.count(F.lit(1)).alias("c")))
+    return df.select(a.alias("ra"), b.alias("rb"))
+
+
+def kappa_from_cells(cells: DataFrame) -> DataFrame:
+    """Cohen's kappa summary row from a (ra, rb, c) confusion-cell
+    table — the one double expression both the registered batch query
+    and the streaming fold serve through."""
     s = cells.agg(
         F.sum("c").alias("n"),
         F.sum(F.when(F.col("ra") == F.col("rb"), F.col("c"))
@@ -340,6 +337,23 @@ def ml_cohen_kappa(spark: SparkSession, sf: str) -> DataFrame:
         F.floor(po * 1000000.0).cast("long").alias("po_micro"),
         F.floor(pe * 1000000.0).cast("long").alias("pe_micro"),
         F.floor(kappa * 1000.0).cast("long").alias("kappa_milli"))
+
+
+def ml_cohen_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa between two independent 3-class labeling rules on
+    orders (kappa_raters) — the chance-corrected agreement every
+    labeling pipeline reports before trusting a cheap heuristic as a
+    silver label.  kappa = (po - pe) / (1 - pe) with po the diagonal
+    mass and pe the product of the marginals, all from exact integer
+    confusion counts (kappa_from_cells, shared with the streaming
+    agreement monitor).
+
+    Scale: one groupBy over the 3x3 class grid (9 cells, map-side
+    combined), then a 9-row reduce — nothing wider than the class
+    domain ever shuffles."""
+    cells = (kappa_raters(t(spark, sf, "orders"))
+             .groupBy("ra", "rb").agg(F.count(F.lit(1)).alias("c")))
+    return kappa_from_cells(cells)
 
 
 KAPPA_SQL = """

@@ -532,3 +532,243 @@ QUERIES = {
     "ts_ljung_box": (ts_ljung_box, LJUNG_BOX_SQL),
     "ml_eb_shrinkage": (ml_eb_shrinkage, EB_SHRINK_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Dunn's post-hoc test — which pairs differ, after Kruskal-Wallis fires
+# ---------------------------------------------------------------------------
+
+def stats_dunn_posthoc(spark: SparkSession, sf: str) -> DataFrame:
+    """Dunn's pairwise post-hoc z (tie-corrected) for the three
+    return-flag populations of l_quantity — the "which pairs actually
+    differ" follow-up to stats_kruskal_wallis, with the Bonferroni
+    significance verdict at alpha=0.05 over the 3 comparisons
+    (|z| > 2.638, the literal two-sided 0.05/3 threshold in milli).
+
+    Same doubled-rank-sum identity as Kruskal-Wallis (stats2.py:41):
+    2*R_g on the 50-value quantity grid from exact integer counts;
+    sigma^2 = [N(N+1)/12 - sum(t^3-t)/(12(N-1))] * (1/n_i + 1/n_j).
+    One grid shuffle; pairs come from a 1-row stack, never a join."""
+    li = t(spark, sf, "lineitem")
+    per_v = (li.select(F.col("l_quantity").cast("long").alias("v"),
+                       "l_returnflag")
+             .groupBy("v")
+             .agg(*[F.sum(F.when(F.col("l_returnflag") == g, 1)
+                          .otherwise(0)).alias(f"c_{g.lower()}")
+                    for g in ("A", "N", "R")],
+                  F.count(F.lit(1)).alias("cnt")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    terms = per_v.select(
+        "*", (F.sum("cnt").over(w) - F.col("cnt")).alias("before"))
+    rank_wt = (F.lit(2).cast(_DEC) * F.col("before").cast(_DEC)
+               + F.col("cnt").cast(_DEC) + F.lit(1).cast(_DEC))
+    agg = terms.agg(
+        *[F.sum(f"c_{g}").alias(f"n_{g}") for g in ("a", "n", "r")],
+        *[F.sum(F.col(f"c_{g}").cast(_DEC) * rank_wt).alias(f"r2_{g}")
+          for g in ("a", "n", "r")],
+        F.sum(F.col("cnt").cast(_DEC) * F.col("cnt").cast(_DEC)
+              * F.col("cnt").cast(_DEC) - F.col("cnt").cast(_DEC))
+        .alias("tie_term"))
+    d = "double"
+    n = (F.col("n_a") + F.col("n_n") + F.col("n_r")).cast(d)
+    sig2_base = (n * (n + 1.0) / 12.0
+                 - F.col("tie_term").cast(d) / (12.0 * (n - 1.0)))
+
+    def _z(gi: str, gj: str):
+        ri = F.col(f"r2_{gi}").cast(d) / 2.0 / F.col(f"n_{gi}").cast(d)
+        rj = F.col(f"r2_{gj}").cast(d) / 2.0 / F.col(f"n_{gj}").cast(d)
+        se = F.sqrt(sig2_base * (1.0 / F.col(f"n_{gi}").cast(d)
+                                 + 1.0 / F.col(f"n_{gj}").cast(d)))
+        return F.floor((ri - rj) / se * 1000.0).cast("long")
+
+    row = agg.select(
+        "n_a", "n_n", "n_r",
+        _z("a", "n").alias("z_an"), _z("a", "r").alias("z_ar"),
+        _z("n", "r").alias("z_nr"))
+    out = row.selectExpr(
+        "stack(3, 'A-N', n_a, n_n, z_an, 'A-R', n_a, n_r, z_ar, "
+        "'N-R', n_n, n_r, z_nr) AS (pair, n_i, n_j, z_milli)")
+    return (out.withColumn(
+        "significant_bonf",
+        (F.abs(F.col("z_milli")) > 2638).cast("boolean"))
+        .orderBy("pair"))
+
+
+DUNN_SQL = """
+WITH per_v AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS c_a,
+         sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS c_n,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c_r,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1
+),
+terms AS (
+  SELECT *, sum(cnt) OVER (ORDER BY v) - cnt AS before FROM per_v
+),
+agg AS (
+  SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+         CAST(sum(c_n) AS BIGINT) AS n_n,
+         CAST(sum(c_r) AS BIGINT) AS n_r,
+         sum(CAST(c_a AS HUGEINT) * (2 * before + cnt + 1)) AS r2_a,
+         sum(CAST(c_n AS HUGEINT) * (2 * before + cnt + 1)) AS r2_n,
+         sum(CAST(c_r AS HUGEINT) * (2 * before + cnt + 1)) AS r2_r,
+         sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_term
+  FROM terms
+),
+z AS (
+  SELECT n_a, n_n, n_r,
+         CAST(n_a + n_n + n_r AS DOUBLE) AS nn,
+         CAST(r2_a AS DOUBLE) / 2.0 / CAST(n_a AS DOUBLE) AS rb_a,
+         CAST(r2_n AS DOUBLE) / 2.0 / CAST(n_n AS DOUBLE) AS rb_n,
+         CAST(r2_r AS DOUBLE) / 2.0 / CAST(n_r AS DOUBLE) AS rb_r,
+         CAST(tie_term AS DOUBLE) AS tie
+  FROM agg
+),
+z2 AS (
+  SELECT n_a, n_n, n_r, rb_a, rb_n, rb_r,
+         nn * (nn + 1.0) / 12.0 - tie / (12.0 * (nn - 1.0)) AS s2
+  FROM z
+),
+pairs AS (
+  SELECT 'A-N' AS pair, n_a AS n_i, n_n AS n_j,
+         CAST(floor((rb_a - rb_n)
+           / sqrt(s2 * (1.0 / CAST(n_a AS DOUBLE)
+                        + 1.0 / CAST(n_n AS DOUBLE))) * 1000.0) AS BIGINT)
+           AS z_milli
+  FROM z2
+  UNION ALL
+  SELECT 'A-R', n_a, n_r,
+         CAST(floor((rb_a - rb_r)
+           / sqrt(s2 * (1.0 / CAST(n_a AS DOUBLE)
+                        + 1.0 / CAST(n_r AS DOUBLE))) * 1000.0) AS BIGINT)
+  FROM z2
+  UNION ALL
+  SELECT 'N-R', n_n, n_r,
+         CAST(floor((rb_n - rb_r)
+           / sqrt(s2 * (1.0 / CAST(n_n AS DOUBLE)
+                        + 1.0 / CAST(n_r AS DOUBLE))) * 1000.0) AS BIGINT)
+  FROM z2
+)
+SELECT pair, n_i, n_j, z_milli, abs(z_milli) > 2638 AS significant_bonf
+FROM pairs ORDER BY pair
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bartlett's test — parametric variance homogeneity
+# ---------------------------------------------------------------------------
+
+def stats_bartlett_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Bartlett's chi-square for equality of the three return-flag
+    price variances — the parametric (normality-assuming) sibling of
+    stats_levene_brown_forsythe; when both are registered a pipeline
+    can report robust and classical verdicts side by side.  Unbiased
+    per-group variances come EXACTLY from DECIMAL(38,0) cent sums
+    (s2 = (n*Sxx - Sx^2)/(n*(n-1)), cents^2 units); the statistic
+    [(N-k)*ln(s2_p) - sum((n_i-1)*ln(s2_i))] / C is one double
+    expression (ln over exact-integer-derived doubles, the
+    ml_mutual_info_screen precedent).
+
+    Scale: one map-side-combined 3-group moment agg; a 1-row solve."""
+    li = t(spark, sf, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    base = li.select(F.col("l_returnflag").alias("g"), cents.alias("x"))
+    agg = base.agg(
+        *[F.sum(F.when(F.col("g") == g, 1).otherwise(0))
+          .alias(f"n_{g.lower()}") for g in ("A", "N", "R")],
+        *[F.sum(F.when(F.col("g") == g, F.col("x")).otherwise(0))
+          .cast(_DEC).alias(f"sx_{g.lower()}") for g in ("A", "N", "R")],
+        *[F.sum(F.when(F.col("g") == g,
+                       F.col("x").cast(_DEC) * F.col("x").cast(_DEC))
+                .otherwise(F.lit(0).cast(_DEC)))
+          .alias(f"sxx_{g.lower()}") for g in ("A", "N", "R")])
+    d = "double"
+
+    def s2(g: str):
+        n = F.col(f"n_{g}").cast(d)
+        return ((n * F.col(f"sxx_{g}").cast(d)
+                 - F.col(f"sx_{g}").cast(d) * F.col(f"sx_{g}").cast(d))
+                / (n * (n - 1.0)))
+
+    n_tot = sum((F.col(f"n_{g}").cast(d) for g in ("a", "n", "r")),
+                F.lit(0.0))
+    k = F.lit(3.0)
+    sp2 = sum(((F.col(f"n_{g}").cast(d) - 1.0) * s2(g)
+               for g in ("a", "n", "r")), F.lit(0.0)) / (n_tot - k)
+    num = ((n_tot - k) * F.log(sp2)
+           - sum(((F.col(f"n_{g}").cast(d) - 1.0) * F.log(s2(g))
+                  for g in ("a", "n", "r")), F.lit(0.0)))
+    corr = (1.0 + (sum((1.0 / (F.col(f"n_{g}").cast(d) - 1.0)
+                        for g in ("a", "n", "r")), F.lit(0.0))
+                   - 1.0 / (n_tot - k)) / (3.0 * (k - 1.0)))
+    return agg.select(
+        "n_a", "n_n", "n_r",
+        *[F.floor(s2(g) / 10000.0).cast("long")
+          .alias(f"var_{g}_dollars2") for g in ("a", "n", "r")],
+        F.floor(num / corr * 1000.0).cast("long").alias("chi2_milli"),
+        F.floor(corr * 1000000.0).cast("long").alias("correction_micro"),
+        F.lit(2).cast("int").alias("df"))
+
+
+BARTLETT_SQL = """
+WITH base AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x
+  FROM lineitem
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
+    CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+    sum(CASE WHEN g = 'A' THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx_a,
+    sum(CASE WHEN g = 'N' THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx_n,
+    sum(CASE WHEN g = 'R' THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx_r,
+    sum(CASE WHEN g = 'A' THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxx_a,
+    sum(CASE WHEN g = 'N' THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxx_n,
+    sum(CASE WHEN g = 'R' THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxx_r
+  FROM base
+),
+v AS (
+  SELECT n_a, n_n, n_r,
+    (CAST(n_a AS DOUBLE) * CAST(sxx_a AS DOUBLE)
+     - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE))
+      / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) AS s2_a,
+    (CAST(n_n AS DOUBLE) * CAST(sxx_n AS DOUBLE)
+     - CAST(sx_n AS DOUBLE) * CAST(sx_n AS DOUBLE))
+      / (CAST(n_n AS DOUBLE) * (CAST(n_n AS DOUBLE) - 1.0)) AS s2_n,
+    (CAST(n_r AS DOUBLE) * CAST(sxx_r AS DOUBLE)
+     - CAST(sx_r AS DOUBLE) * CAST(sx_r AS DOUBLE))
+      / (CAST(n_r AS DOUBLE) * (CAST(n_r AS DOUBLE) - 1.0)) AS s2_r,
+    CAST(n_a + n_n + n_r AS DOUBLE) AS nt
+  FROM agg
+),
+v2 AS (
+  SELECT *,
+    ((CAST(n_a AS DOUBLE) - 1.0) * s2_a + (CAST(n_n AS DOUBLE) - 1.0) * s2_n
+     + (CAST(n_r AS DOUBLE) - 1.0) * s2_r) / (nt - 3.0) AS sp2,
+    1.0 + ((1.0 / (CAST(n_a AS DOUBLE) - 1.0)
+            + 1.0 / (CAST(n_n AS DOUBLE) - 1.0)
+            + 1.0 / (CAST(n_r AS DOUBLE) - 1.0))
+           - 1.0 / (nt - 3.0)) / (3.0 * (3.0 - 1.0)) AS corr
+  FROM v
+)
+SELECT n_a, n_n, n_r,
+       CAST(floor(s2_a / 10000.0) AS BIGINT) AS var_a_dollars2,
+       CAST(floor(s2_n / 10000.0) AS BIGINT) AS var_n_dollars2,
+       CAST(floor(s2_r / 10000.0) AS BIGINT) AS var_r_dollars2,
+       CAST(floor(
+         ((nt - 3.0) * ln(sp2)
+          - ((CAST(n_a AS DOUBLE) - 1.0) * ln(s2_a)
+             + (CAST(n_n AS DOUBLE) - 1.0) * ln(s2_n)
+             + (CAST(n_r AS DOUBLE) - 1.0) * ln(s2_r))) / corr * 1000.0)
+         AS BIGINT) AS chi2_milli,
+       CAST(floor(corr * 1000000.0) AS BIGINT) AS correction_micro,
+       CAST(2 AS INT) AS df
+FROM v2
+"""
+
+
+QUERIES["stats_dunn_posthoc"] = (stats_dunn_posthoc, DUNN_SQL)
+QUERIES["stats_bartlett_test"] = (stats_bartlett_test, BARTLETT_SQL)

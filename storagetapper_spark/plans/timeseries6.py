@@ -188,3 +188,139 @@ ORDER BY fold
 
 QUERIES["sample_time_split_folds"] = (sample_time_split_folds,
                                       TIME_SPLIT_SQL)
+
+
+_RS_SCALES = [8, 16, 32, 64]
+
+
+def ts_hurst_rs(spark: SparkSession, sf: str) -> DataFrame:
+    """Hurst exponent of the daily order-count series by classical
+    rescaled-range (R/S) analysis: for block sizes 8/16/32/64, the
+    per-block range of cumulative mean-deviations over the population
+    std, averaged per scale; H is the log-log slope across the four
+    scales (H≈0.5 random walk, >0.5 persistent, <0.5 anti-persistent).
+
+    Exactness: with the deviation ladder multiplied through by the
+    block size s, Z'_j = s*prefix_j - j*total_b is an exact integer,
+    and R/S collapses to R' / sqrt(s*sum(y^2) - (sum y)^2) — ONE double
+    division per block over exact integers (constant blocks, D = 0,
+    are dropped).  Per-block ratios are micro-floored before the
+    per-scale mean so no float accumulation order leaks in; the slope
+    is one closed-form expression over the 4 (ln s, ln mean) points.
+
+    Scale: the raw scan reduces to the calendar grid (bounded-domain
+    allowlist); the explode is x4 grid rows; prefix/total windows are
+    partitioned by (scale, block) — never global over raw data."""
+    o = t(spark, sf, "orders")
+    daily = (o.groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg(F.count(F.lit(1)).alias("y")))
+    idx = daily.select(
+        "y", F.row_number().over(Window.orderBy("day")).alias("i"))
+    scaled = idx.select(
+        "y", "i",
+        F.explode(F.array(*[F.lit(s) for s in _RS_SCALES])).alias("s"))
+    scaled = scaled.withColumn(
+        "b", F.expr("(i - 1) div s")).withColumn(
+        "j", ((F.col("i") - 1) % F.col("s")) + 1)
+    wb = Window.partitionBy("s", "b")
+    wp = wb.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    rows = (scaled
+            .withColumn("tot", F.sum("y").over(wb))
+            .withColumn("prefix", F.sum("y").over(wp))
+            .withColumn("z", F.col("s") * F.col("prefix")
+                        - F.col("j") * F.col("tot")))
+    blocks = (rows.groupBy("s", "b")
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   F.max("tot").alias("sy"),
+                   F.sum(F.col("y") * F.col("y")).alias("syy"),
+                   F.max("z").alias("zmax"), F.min("z").alias("zmin")))
+    d = "double"
+    dd = (F.col("s") * F.col("syy") - F.col("sy") * F.col("sy"))
+    ok = blocks.filter((F.col("cnt") == F.col("s")) & (dd > 0))
+    rs_micro = F.floor((F.col("zmax") - F.col("zmin")).cast(d)
+                       / F.sqrt(dd.cast(d)) * 1000000.0).cast("long")
+    per_scale = (ok.select("s", rs_micro.alias("rsu"))
+                 .groupBy("s")
+                 .agg(F.count(F.lit(1)).alias("n_blocks"),
+                      F.sum("rsu").alias("rs_sum")))
+    mean_rs = F.col("rs_sum").cast(d) / F.col("n_blocks").cast(d) / 1000000.0
+    pts = per_scale.select(
+        "s", "n_blocks",
+        F.floor(mean_rs * 1000000.0).cast("long").alias("mean_rs_micro"),
+        F.log(F.col("s").cast(d)).alias("lx"),
+        F.log(mean_rs).alias("ly"))
+    fit = pts.agg(F.count(F.lit(1)).alias("np"),
+                  F.sum("lx").alias("sx"), F.sum("ly").alias("sy"),
+                  F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+                  F.sum(F.col("lx") * F.col("lx")).alias("sx2"))
+    slope = ((F.col("np").cast(d) * F.col("sxy")
+              - F.col("sx") * F.col("sy"))
+             / (F.col("np").cast(d) * F.col("sx2")
+                - F.col("sx") * F.col("sx")))
+    h = fit.select(F.floor(slope * 1000.0).cast("long").alias("hurst_milli"))
+    return (pts.select(F.col("s").alias("scale"), "n_blocks",
+                       "mean_rs_micro")
+            .crossJoin(F.broadcast(h))
+            .orderBy("scale"))
+
+
+HURST_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS y
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT y, row_number() OVER (ORDER BY day) AS i FROM daily
+),
+scaled AS (
+  SELECT y, i, t.s, (i - 1) // t.s AS b, ((i - 1) % t.s) + 1 AS j
+  FROM idx CROSS JOIN (SELECT unnest([{", ".join(map(str, _RS_SCALES))}])
+                       AS s) t
+),
+rows_z AS (
+  SELECT s, b, y,
+         sum(y) OVER (PARTITION BY s, b) AS tot,
+         s * sum(y) OVER (PARTITION BY s, b ORDER BY i) - j
+           * sum(y) OVER (PARTITION BY s, b) AS z
+  FROM scaled
+),
+blocks AS (
+  SELECT s, b, count(*) AS cnt, max(tot) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         max(z) AS zmax, min(z) AS zmin
+  FROM rows_z GROUP BY 1, 2
+),
+ok AS (
+  SELECT s,
+         CAST(floor(CAST(zmax - zmin AS DOUBLE)
+                    / sqrt(CAST(s * syy - sy * sy AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS rsu
+  FROM blocks WHERE cnt = s AND s * syy - sy * sy > 0
+),
+per_scale AS (
+  SELECT s, count(*) AS n_blocks, CAST(sum(rsu) AS BIGINT) AS rs_sum
+  FROM ok GROUP BY s
+),
+pts AS (
+  SELECT s, n_blocks,
+         CAST(floor(CAST(rs_sum AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+                    / 1000000.0 * 1000000.0) AS BIGINT) AS mean_rs_micro,
+         ln(CAST(s AS DOUBLE)) AS lx,
+         ln(CAST(rs_sum AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+            / 1000000.0) AS ly
+  FROM per_scale
+),
+fit AS (
+  SELECT CAST(floor(
+    (CAST(count(*) AS DOUBLE) * sum(lx * ly) - sum(lx) * sum(ly))
+    / (CAST(count(*) AS DOUBLE) * sum(lx * lx) - sum(lx) * sum(lx))
+    * 1000.0) AS BIGINT) AS hurst_milli
+  FROM pts
+)
+SELECT s AS scale, n_blocks, mean_rs_micro, hurst_milli
+FROM pts CROSS JOIN fit
+ORDER BY scale
+"""
+
+
+QUERIES["ts_hurst_rs"] = (ts_hurst_rs, HURST_SQL)

@@ -243,6 +243,8 @@ _BOUNDED_DOMAIN_ALLOWLIST = {
     # calendar-bounded grids: distinct days/weeks (≤ ~4k rows/decade)
     "slo_burn_rate": "daily grid (calendar-bounded)",
     "stats_runs_test": "daily grid (calendar-bounded)",
+    "ts_hurst_rs": "daily grid (calendar-bounded; block windows are "
+                   "(scale, block)-partitioned)",
     "ts_changepoint_mean_shift": "daily grid (calendar-bounded)",
     "ts_rolling_slope": "daily grid (calendar-bounded)",
     "ts_forecast_backtest_mase": "daily grid (calendar-bounded, "
@@ -260,6 +262,8 @@ _BOUNDED_DOMAIN_ALLOWLIST = {
     "stats_ks_two_sample": "distinct value grid (price cents ≤ 1e7)",
     "stats_kruskal_wallis": "distinct value grid (integer quantities, "
                             "≤ 50 rows)",
+    "stats_dunn_posthoc": "distinct value grid (integer quantities, "
+                          "≤ 50 rows — same grid as Kruskal-Wallis)",
     "stats_effect_sizes": "distinct value grid (integer quantities, "
                           "≤ 50 rows)",
     "stats_kendall_tau": "distinct value grid (price cents ≤ 1e7)",

@@ -173,6 +173,21 @@ PROBES = [
     "graph_rich_club",         # edge+degree conditional counts
     "sample_time_split_folds",  # daily-grid fold boundaries
     "ml_brier_decomposition",  # 10-bin exact moment table
+    # round-7 continuation: paired/blocked stats + pipeline audits
+    "stats_mcnemar_test",      # per-subject 2x2 indicator reduce
+    "stats_cochran_q",         # 3-treatment indicator reduce
+    "stats_friedman_test",     # within-block 3x3 self-join ranks
+    "stats_runs_test",         # calendar-grid sign-change lag
+    "ts_ljung_box",            # series-keyed (i-k) lag join
+    "ml_eb_shrinkage",         # part-keyed counts + 1-row prior
+    "embedding_quantization_error",  # 64-dim explode + broadcast scales
+    "ml_cohen_kappa",          # 3x3 confusion reduce
+    "dedup_normalized_exact",  # two content-hash groupBys, one scan
+    "sample_epoch_allocation",  # 5-lang token totals + broadcast budget
+    "graph_ktruss",            # 2 oriented-triangle peel rounds
+    "stats_dunn_posthoc",      # 50-value grid rank sums, 3-pair stack
+    "stats_bartlett_test",     # 3-group DECIMAL moment reduce
+    "ts_hurst_rs",             # calendar grid x4 scales, block windows
     "stats_overdispersion_test",  # complete-calendar count moments
 ]
 
