@@ -18,7 +18,7 @@ vector-scaled shuffles except the final k rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from storagetapper_spark.plans.common import t
@@ -227,3 +227,94 @@ ORDER BY dim
 
 QUERIES["embedding_quantization_error"] = (
     embedding_quantization_error, QUANT_ERR_SQL)
+
+
+def ann_mips_vs_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximum-inner-product retrieval vs cosine retrieval — the audit
+    that shows why a recommender serving raw dot products cannot reuse
+    a cosine ANN index unchanged: per query, the exact MIPS top-5 and
+    cosine top-5 over the integer embedding grid, their overlap, and
+    both top-1 ids.  (The classical fix is the norm-augmentation
+    transform [x, sqrt(M^2-|x|^2)], which makes every item norm equal
+    sqrt(M^2) so cosine order == inner-product order; the overlap
+    deficit reported here is exactly what that transform repairs.)
+
+    Exactness: scores are exact integer dot products on the
+    floor(x*1e6) grid (_long_q); cosine ranking compares ip^2 * sign
+    against norm products in INTEGERS (cross-multiplied, no sqrt), so
+    both rankings are engine-portable with vec_id tiebreaks.
+
+    Scale: queries (5 x 64 long rows) broadcast onto the corpus long
+    form; per-(query, item) map-side dot-product agg; the corpus never
+    shuffles; top-k via per-query WindowGroupLimit."""
+    lng = _long_q(spark, sf)
+    corp = lng.filter(F.col("vec_id") >= 5)
+    qs = (lng.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("query_id"), "pos",
+                  F.col("xq").alias("qq")))
+    ip = (corp.join(F.broadcast(qs), "pos")
+          .groupBy("query_id", "vec_id")
+          .agg(F.sum(F.col("xq") * F.col("qq")).alias("ip"),
+               F.sum(F.col("xq") * F.col("xq")).alias("n2")))
+    # cosine order: ip / sqrt(n2) per query (query norm is constant
+    # within a partition) — compare via sign(ip) * ip^2 / n2 in exact
+    # cross-multiplied integers: rank by (sign, ip*ip <cross> n2)
+    d = "double"
+    cos_key = (F.signum(F.col("ip").cast(d))
+               * F.col("ip").cast(d) * F.col("ip").cast(d)
+               / F.col("n2").cast(d))
+    w_ip = Window.partitionBy("query_id").orderBy(
+        F.desc("ip"), "vec_id")
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc(cos_key), "vec_id")
+    ranked = (ip.withColumn("r_ip", F.row_number().over(w_ip))
+              .withColumn("r_cos", F.row_number().over(w_cos))
+              .filter((F.col("r_ip") <= 5) | (F.col("r_cos") <= 5)))
+    per_q = ranked.groupBy("query_id").agg(
+        F.sum(F.when((F.col("r_ip") <= 5) & (F.col("r_cos") <= 5), 1)
+              .otherwise(0)).alias("overlap_at_5"),
+        F.max(F.when(F.col("r_ip") == 1, F.col("vec_id")))
+        .alias("mips_top1"),
+        F.max(F.when(F.col("r_cos") == 1, F.col("vec_id")))
+        .alias("cosine_top1"),
+        F.max(F.when(F.col("r_ip") == 1, F.col("ip"))).alias("mips_top1_ip"))
+    return per_q.orderBy("query_id")
+
+
+MIPS_SQL = f"""
+WITH {_LONG_SQL},
+corp AS (SELECT vec_id, pos, xq FROM longq WHERE vec_id >= 5),
+qs AS (SELECT vec_id AS query_id, pos, xq AS qq FROM longq
+       WHERE vec_id < 5),
+ip AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(sum(c.xq * q.qq) AS BIGINT) AS ip,
+         CAST(sum(c.xq * c.xq) AS BIGINT) AS n2
+  FROM corp c JOIN qs q ON c.pos = q.pos
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ip DESC, vec_id) AS r_ip,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sign(CAST(ip AS DOUBLE))
+                                  * CAST(ip AS DOUBLE) * CAST(ip AS DOUBLE)
+                                  / CAST(n2 AS DOUBLE) DESC, vec_id)
+           AS r_cos
+  FROM ip
+)
+SELECT query_id,
+       CAST(sum(CASE WHEN r_ip <= 5 AND r_cos <= 5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS overlap_at_5,
+       max(CASE WHEN r_ip = 1 THEN vec_id END) AS mips_top1,
+       max(CASE WHEN r_cos = 1 THEN vec_id END) AS cosine_top1,
+       max(CASE WHEN r_ip = 1 THEN ip END) AS mips_top1_ip
+FROM ranked
+WHERE r_ip <= 5 OR r_cos <= 5
+GROUP BY query_id
+ORDER BY query_id
+"""
+
+
+QUERIES["ann_mips_vs_cosine"] = (ann_mips_vs_cosine, MIPS_SQL)

@@ -191,3 +191,123 @@ v0 AS MATERIALIZED (
 
 QUERIES["events_markov_stationary"] = (events_markov_stationary,
                                        _markov_sql())
+
+
+_AB_STATE = "purchase"
+_AB_HORIZON = 8
+
+
+def events_absorption_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Absorption probability of the per-user event chain: from each
+    non-purchase event type, the probability of reaching 'purchase'
+    within 8 steps — the funnel question ("how likely does a session
+    at state X convert?") answered by the absorbing-chain recursion
+    a_t(s) = r(s) + sum_d Q(s,d) * a_{t-1}(d) with r the one-step
+    conversion row and Q the transient-to-transient block.
+
+    Same engine discipline as events_markov_stationary (above): the
+    chain is |types|^2 so every iteration runs on broadcast-size
+    tables; each round's vector is floored to nano-ints before the
+    next product, and the oracle unrolls the identical 8 quantized
+    generations.  One user-keyed window pass builds the transitions;
+    nothing else touches raw data."""
+    ev = events_t(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select(F.col("event_type").alias("src"),
+                       F.lead("event_type").over(w).alias("dst"))
+             .filter(F.col("dst").isNotNull()))
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    rowsum = counts.groupBy("src").agg(F.sum("n").alias("rs"))
+    p = (counts.join(rowsum, "src")
+         .filter(F.col("src") != _AB_STATE).persist())
+    r = (p.filter(F.col("dst") == _AB_STATE)
+         .select(F.col("src").alias("s"),
+                 F.floor(F.lit(float(_MK_SCALE)) * F.col("n").cast("double")
+                         / F.col("rs").cast("double"))
+                 .cast("long").alias("rnano")).persist())
+    states = p.select(F.col("src").alias("s")).distinct()
+    a = states.join(r, "s", "left").select(
+        "s", F.coalesce("rnano", F.lit(0)).cast("long").alias("m"))
+    q = p.filter(F.col("dst") != _AB_STATE)
+    for _ in range(_AB_HORIZON - 1):
+        flow = (q.join(a, F.col("s") == F.col("dst"))
+                .groupBy("src")
+                .agg(F.sum(F.floor(
+                    F.col("m").cast("double") * F.col("n").cast("double")
+                    / F.col("rs").cast("double")).cast("long"))
+                    .alias("flow")))
+        a = (states.join(r, "s", "left")
+             .join(flow, F.col("s") == F.col("src"), "left")
+             .select("s",
+                     (F.coalesce("rnano", F.lit(0))
+                      + F.coalesce("flow", F.lit(0)))
+                     .cast("long").alias("m")))
+    return (a.join(r, "s", "left")
+            .select(F.col("s").alias("event_type"),
+                    F.coalesce("rnano", F.lit(0)).cast("long")
+                    .alias("one_step_nano"),
+                    F.col("m").alias(f"absorb_{_AB_HORIZON}_nano"))
+            .orderBy("event_type"))
+
+
+def _absorption_sql() -> str:
+    head = """
+pairs AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL
+),
+cnts AS MATERIALIZED (
+  SELECT src, dst, count(*) AS n FROM pairs GROUP BY 1, 2
+),
+p AS MATERIALIZED (
+  SELECT c.src, c.dst, c.n, r.rs
+  FROM cnts c JOIN (SELECT src, CAST(sum(n) AS BIGINT) AS rs
+                    FROM cnts GROUP BY src) r ON r.src = c.src
+  WHERE c.src <> '{ab}'
+),
+r AS MATERIALIZED (
+  SELECT src AS s,
+         CAST(floor({scale}.0 * CAST(n AS DOUBLE) / CAST(rs AS DOUBLE))
+              AS BIGINT) AS rnano
+  FROM p WHERE dst = '{ab}'
+),
+states AS MATERIALIZED (SELECT DISTINCT src AS s FROM p),
+q AS MATERIALIZED (SELECT * FROM p WHERE dst <> '{ab}'),
+a0 AS MATERIALIZED (
+  SELECT st.s, CAST(COALESCE(r.rnano, 0) AS BIGINT) AS m
+  FROM states st LEFT JOIN r ON r.s = st.s
+)""".format(ab=_AB_STATE, scale=_MK_SCALE)
+    chains = [head]
+    prev = "a0"
+    for i in range(1, _AB_HORIZON):
+        cur = f"a{i}"
+        chains.append(f"""
+{cur} AS MATERIALIZED (
+  SELECT st.s,
+         CAST(COALESCE(r.rnano, 0) + COALESCE(f.flow, 0) AS BIGINT) AS m
+  FROM states st
+  LEFT JOIN r ON r.s = st.s
+  LEFT JOIN (
+    SELECT q.src, CAST(sum(CAST(floor(
+             CAST(v.m AS DOUBLE) * CAST(q.n AS DOUBLE)
+             / CAST(q.rs AS DOUBLE)) AS BIGINT)) AS BIGINT) AS flow
+    FROM q JOIN {prev} v ON v.s = q.dst
+    GROUP BY q.src
+  ) f ON f.src = st.s
+)""")
+        prev = cur
+    return ("WITH " + ",".join(chains)
+            + f"""
+SELECT a.s AS event_type,
+       CAST(COALESCE(r.rnano, 0) AS BIGINT) AS one_step_nano,
+       a.m AS absorb_{_AB_HORIZON}_nano
+FROM {prev} a LEFT JOIN r ON r.s = a.s
+ORDER BY event_type""")
+
+
+QUERIES["events_absorption_funnel"] = (events_absorption_funnel,
+                                       _absorption_sql())

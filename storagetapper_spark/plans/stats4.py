@@ -772,3 +772,127 @@ FROM v2
 
 QUERIES["stats_dunn_posthoc"] = (stats_dunn_posthoc, DUNN_SQL)
 QUERIES["stats_bartlett_test"] = (stats_bartlett_test, BARTLETT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Anderson-Darling k-sample — tail-sensitive distribution equality
+# ---------------------------------------------------------------------------
+
+def stats_anderson_darling(spark: SparkSession, sf: str) -> DataFrame:
+    """Scholz-Stephens k-sample Anderson-Darling A2 (the tie-adjusted
+    midpoint version) across the three return-flag populations of
+    l_quantity — the tail-weighted companion to stats_ks_two_sample
+    and stats_kruskal_wallis (AD up-weights the distribution tails
+    where KS is blind).  With the midpoint quantities doubled
+    (M2 = 2*before_i + f_i, B2 = 2*before + l), each grid term is
+      (l_j / N) * (N*M2 - n_i*B2)^2 / (B2*(2N - B2) - N*l_j)
+    over exact integers; per-row terms are micro-floored before the
+    per-sample sums so no float accumulation order leaks in, and
+    A2 = (N-1)/N * sum_i S_i / n_i.  Under H0, E[A2] = k-1 = 2.
+
+    Scale: the raw scan reduces to the <= 50-row quantity grid (one
+    hash agg); the cumulative window runs there (bounded-domain
+    allowlist, same grid as Kruskal-Wallis); everything after is a
+    1-row reduce."""
+    li = t(spark, sf, "lineitem")
+    per_v = (li.select(F.col("l_quantity").cast("long").alias("v"),
+                       "l_returnflag")
+             .groupBy("v")
+             .agg(*[F.sum(F.when(F.col("l_returnflag") == g, 1)
+                          .otherwise(0)).alias(f"f_{g.lower()}")
+                    for g in ("A", "N", "R")],
+                  F.count(F.lit(1)).alias("l")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    grid = per_v.select(
+        "*",
+        *[(F.sum(f"f_{g}").over(w) - F.col(f"f_{g}")).alias(f"bef_{g}")
+          for g in ("a", "n", "r")],
+        (F.sum("l").over(w) - F.col("l")).alias("bef"))
+    tot = per_v.agg(*[F.sum(f"f_{g}").alias(f"n_{g}")
+                      for g in ("a", "n", "r")],
+                    F.sum("l").alias("nn"))
+    j = grid.crossJoin(F.broadcast(tot))
+    d = "double"
+    b2 = (2 * F.col("bef") + F.col("l")).cast(d)
+    nN = F.col("nn").cast(d)
+    den = b2 * (2.0 * nN - b2) - nN * F.col("l").cast(d)
+
+    def term(g: str):
+        m2 = (2 * F.col(f"bef_{g}") + F.col(f"f_{g}")).cast(d)
+        num = nN * m2 - F.col(f"n_{g}").cast(d) * b2
+        return F.sum(F.when(
+            den > 0,
+            F.floor(F.col("l").cast(d) / nN * num * num / den
+                    * 1000000.0).cast("long")).otherwise(0)).alias(f"s_{g}")
+
+    s = (j.groupBy("n_a", "n_n", "n_r", "nn")
+         .agg(term("a"), term("n"), term("r"),
+              F.count(F.lit(1)).alias("n_values")))
+    a2 = ((nN - 1.0) / nN
+          * sum((F.col(f"s_{g}").cast(d) / 1000000.0
+                 / F.col(f"n_{g}").cast(d) for g in ("a", "n", "r")),
+                F.lit(0.0)))
+    return s.select(
+        "n_a", "n_n", "n_r", "n_values",
+        F.floor(a2 * 1000000.0).cast("long").alias("a2_micro"))
+
+
+AD_KSAMPLE_SQL = """
+WITH per_v AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS f_a,
+         sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS f_n,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS f_r,
+         count(*) AS l
+  FROM lineitem GROUP BY 1
+),
+grid AS (
+  SELECT *,
+         sum(f_a) OVER (ORDER BY v) - f_a AS bef_a,
+         sum(f_n) OVER (ORDER BY v) - f_n AS bef_n,
+         sum(f_r) OVER (ORDER BY v) - f_r AS bef_r,
+         sum(l) OVER (ORDER BY v) - l AS bef
+  FROM per_v
+),
+tot AS (
+  SELECT CAST(sum(f_a) AS BIGINT) AS n_a, CAST(sum(f_n) AS BIGINT) AS n_n,
+         CAST(sum(f_r) AS BIGINT) AS n_r, CAST(sum(l) AS BIGINT) AS nn
+  FROM per_v
+),
+terms AS (
+  SELECT t.n_a, t.n_n, t.n_r, t.nn,
+         CAST(2 * g.bef + g.l AS DOUBLE) AS b2,
+         CAST(g.l AS DOUBLE) AS l,
+         CAST(2 * g.bef_a + g.f_a AS DOUBLE) AS m2_a,
+         CAST(2 * g.bef_n + g.f_n AS DOUBLE) AS m2_n,
+         CAST(2 * g.bef_r + g.f_r AS DOUBLE) AS m2_r
+  FROM grid g CROSS JOIN tot t
+),
+s AS (
+  SELECT n_a, n_n, n_r, nn, count(*) AS n_values,
+    sum(CASE WHEN b2 * (2.0 * nn - b2) - nn * l > 0 THEN
+      CAST(floor(l / nn * (nn * m2_a - n_a * b2) * (nn * m2_a - n_a * b2)
+                 / (b2 * (2.0 * nn - b2) - nn * l) * 1000000.0) AS BIGINT)
+      ELSE 0 END) AS s_a,
+    sum(CASE WHEN b2 * (2.0 * nn - b2) - nn * l > 0 THEN
+      CAST(floor(l / nn * (nn * m2_n - n_n * b2) * (nn * m2_n - n_n * b2)
+                 / (b2 * (2.0 * nn - b2) - nn * l) * 1000000.0) AS BIGINT)
+      ELSE 0 END) AS s_n,
+    sum(CASE WHEN b2 * (2.0 * nn - b2) - nn * l > 0 THEN
+      CAST(floor(l / nn * (nn * m2_r - n_r * b2) * (nn * m2_r - n_r * b2)
+                 / (b2 * (2.0 * nn - b2) - nn * l) * 1000000.0) AS BIGINT)
+      ELSE 0 END) AS s_r
+  FROM terms GROUP BY 1, 2, 3, 4
+)
+SELECT n_a, n_n, n_r, n_values,
+       CAST(floor(
+         (CAST(nn AS DOUBLE) - 1.0) / CAST(nn AS DOUBLE)
+         * (CAST(s_a AS DOUBLE) / 1000000.0 / CAST(n_a AS DOUBLE)
+            + CAST(s_n AS DOUBLE) / 1000000.0 / CAST(n_n AS DOUBLE)
+            + CAST(s_r AS DOUBLE) / 1000000.0 / CAST(n_r AS DOUBLE))
+         * 1000000.0) AS BIGINT) AS a2_micro
+FROM s
+"""
+
+
+QUERIES["stats_anderson_darling"] = (stats_anderson_darling, AD_KSAMPLE_SQL)

@@ -264,6 +264,8 @@ _BOUNDED_DOMAIN_ALLOWLIST = {
                             "≤ 50 rows)",
     "stats_dunn_posthoc": "distinct value grid (integer quantities, "
                           "≤ 50 rows — same grid as Kruskal-Wallis)",
+    "stats_anderson_darling": "distinct value grid (integer quantities, "
+                              "≤ 50 rows — same grid as Kruskal-Wallis)",
     "stats_effect_sizes": "distinct value grid (integer quantities, "
                           "≤ 50 rows)",
     "stats_kendall_tau": "distinct value grid (price cents ≤ 1e7)",

@@ -188,6 +188,9 @@ PROBES = [
     "stats_dunn_posthoc",      # 50-value grid rank sums, 3-pair stack
     "stats_bartlett_test",     # 3-group DECIMAL moment reduce
     "ts_hurst_rs",             # calendar grid x4 scales, block windows
+    "stats_anderson_darling",  # 50-value grid midpoint AD terms
+    "ann_mips_vs_cosine",      # broadcast query dots, dual rankings
+    "events_absorption_funnel",  # 8 quantized chain generations
     "stats_overdispersion_test",  # complete-calendar count moments
 ]
 
