@@ -246,3 +246,154 @@ QUERIES = {
     "survival_nelson_aalen": (survival_nelson_aalen, NELSON_AALEN_SQL),
     "survival_logrank": (survival_logrank, LOGRANK_SQL),
 }
+
+
+_C_SCORE_CAP = 64
+
+
+def ml_survival_concordance(spark: SparkSession, sf: str) -> DataFrame:
+    """Harrell's concordance index (C-index) for "session event count
+    predicts session survival": over all comparable session pairs
+    (shorter duration UNCENSORED, durations strictly different), the
+    fraction where the longer-lived session has the higher engagement
+    score (ties in score counted half).  The survival-analysis answer
+    to "is this risk score any good?" — 0.5 is coin-flip, 1.0 perfect.
+
+    Exact pair counting WITHOUT pairs: cells on the (duration-minute,
+    score) grid, score capped at 64 (monotone-preserving; cap ties
+    count as ties), with the score axis DENSIFIED by a sequence()
+    generator so the chained suffix sums are correct on sparse data
+    (the 2-D dominance identity needs every (d, s) lattice point, cf.
+    stats_kendall_tau's dense-grid note).  concordant / tied /
+    comparable are exact integer sums; C lands by integer division.
+
+    Scale: one session rollup (user-keyed shuffle), a <= 31 x 65
+    lattice, suffix windows partitioned by score or duration — nothing
+    unpartitioned, nothing pairwise, no cartesian (the lattice is a
+    per-duration generator explode)."""
+    ev = events_t(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts").cast("double")
+           - F.lag(F.col("ts").cast("double"), 1).over(w))
+    sess = (ev.withColumn("new_sess",
+                          F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+            .withColumn("session_id", F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("user_id", "session_id")
+            .agg(F.unix_micros(F.min("ts")).alias("s_us"),
+                 F.unix_micros(F.max("ts")).alias("e_us"),
+                 F.count(F.lit(1)).alias("n_ev")))
+    horizon = ev.agg(F.unix_micros(F.max("ts")).alias("end_us"))
+    items = (sess.crossJoin(F.broadcast(horizon))
+             .select(F.floor((F.col("e_us") - F.col("s_us")) / 60000000)
+                     .alias("d"),
+                     ((F.col("end_us") - F.col("e_us")) >= _GAP_US)
+                     .cast("int").alias("event"),
+                     F.least(F.col("n_ev"),
+                             F.lit(_C_SCORE_CAP)).alias("s")))
+    cells = (items.groupBy("d", "s")
+             .agg(F.count(F.lit(1)).alias("cnt"),
+                  F.sum("event").alias("ev_cnt")))
+    dmarg = cells.select("d").distinct()
+    lattice = dmarg.select(
+        "d", F.explode(F.sequence(F.lit(1), F.lit(_C_SCORE_CAP)))
+        .alias("s"))
+    dense = (lattice.join(cells, ["d", "s"], "left")
+             .select("d", "s",
+                     F.coalesce("cnt", F.lit(0)).alias("cnt"),
+                     F.coalesce("ev_cnt", F.lit(0)).alias("ev_cnt")))
+    w_d = (Window.partitionBy("s").orderBy("d")
+           .rowsBetween(1, Window.unboundedFollowing))
+    a1 = dense.withColumn(
+        "after_d", F.coalesce(F.sum("cnt").over(w_d), F.lit(0)))
+    w_s = (Window.partitionBy("d").orderBy("s")
+           .rowsBetween(1, Window.unboundedFollowing))
+    w_all = Window.partitionBy("d")
+    b = (a1.withColumn("conc_part",
+                       F.coalesce(F.sum("after_d").over(w_s), F.lit(0)))
+         .withColumn("comp_part", F.sum("after_d").over(w_all)))
+    _D = "decimal(38,0)"
+    tots = b.agg(
+        F.sum("cnt").alias("n_sessions"),
+        F.sum("ev_cnt").alias("n_uncensored"),
+        F.sum(F.col("ev_cnt").cast(_D) * F.col("comp_part").cast(_D))
+        .alias("comparable"),
+        F.sum(F.col("ev_cnt").cast(_D) * F.col("conc_part").cast(_D))
+        .alias("concordant"),
+        F.sum(F.col("ev_cnt").cast(_D) * F.col("after_d").cast(_D))
+        .alias("tied_score"))
+    return tots.select(
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.col("n_uncensored").cast("long").alias("n_uncensored"),
+        F.col("comparable").cast("long").alias("comparable_pairs"),
+        F.col("concordant").cast("long").alias("concordant"),
+        F.col("tied_score").cast("long").alias("tied_score"),
+        F.expr("CAST((2 * CAST(concordant AS DECIMAL(38,0)) + tied_score) "
+               "* 1000000 div (2 * comparable) AS BIGINT)")
+        .alias("c_index_micro"))
+
+
+CONCORDANCE_SQL = f"""
+WITH {_SESSION_ITEMS_SQL.replace("items AS (",
+ "items0 AS (").replace("user_id % 2 AS cohort", "user_id % 2 AS cohort")},
+counted AS (
+  SELECT user_id, session_id, count(*) AS n_ev
+  FROM sess GROUP BY user_id, session_id
+),
+items2 AS (
+  SELECT CAST(floor((iv.e_us - iv.s_us) / 60000000) AS BIGINT) AS d,
+         CASE WHEN (SELECT end_us FROM horizon) - iv.e_us
+                   >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS event,
+         least(c.n_ev, {_C_SCORE_CAP}) AS s
+  FROM iv JOIN counted c
+    ON c.user_id = iv.user_id AND c.session_id = iv.session_id
+),
+cells AS (
+  SELECT d, s, count(*) AS cnt, CAST(sum(event) AS BIGINT) AS ev_cnt
+  FROM items2 GROUP BY 1, 2
+),
+lattice AS (
+  SELECT dm.d, t.s
+  FROM (SELECT DISTINCT d FROM cells) dm
+  CROSS JOIN (SELECT unnest(range(1, {_C_SCORE_CAP + 1})) AS s) t
+),
+dense AS (
+  SELECT l.d, l.s, COALESCE(c.cnt, 0) AS cnt,
+         COALESCE(c.ev_cnt, 0) AS ev_cnt
+  FROM lattice l LEFT JOIN cells c ON c.d = l.d AND c.s = l.s
+),
+a1 AS (
+  SELECT *, COALESCE(sum(cnt) OVER (PARTITION BY s ORDER BY d
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+            AS after_d
+  FROM dense
+),
+b AS (
+  SELECT *,
+         COALESCE(sum(after_d) OVER (PARTITION BY d ORDER BY s
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+           AS conc_part,
+         sum(after_d) OVER (PARTITION BY d) AS comp_part
+  FROM a1
+),
+tots AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_sessions,
+         CAST(sum(ev_cnt) AS BIGINT) AS n_uncensored,
+         sum(CAST(ev_cnt AS HUGEINT) * comp_part) AS comparable,
+         sum(CAST(ev_cnt AS HUGEINT) * conc_part) AS concordant,
+         sum(CAST(ev_cnt AS HUGEINT) * after_d) AS tied_score
+  FROM b
+)
+SELECT n_sessions, n_uncensored,
+       CAST(comparable AS BIGINT) AS comparable_pairs,
+       CAST(concordant AS BIGINT) AS concordant,
+       CAST(tied_score AS BIGINT) AS tied_score,
+       CAST((2 * concordant + tied_score) * 1000000
+            // (2 * comparable) AS BIGINT) AS c_index_micro
+FROM tots
+"""
+
+
+QUERIES["ml_survival_concordance"] = (ml_survival_concordance,
+                                      CONCORDANCE_SQL)

@@ -324,3 +324,103 @@ ORDER BY scale
 
 
 QUERIES["ts_hurst_rs"] = (ts_hurst_rs, HURST_SQL)
+
+
+_FOLD_PERIODS = [5, 6, 7, 14]
+
+
+def ts_period_folding(spark: SparkSession, sf: str) -> DataFrame:
+    """Periodicity scan by epoch folding (the astronomy trick, trig-free):
+    for each candidate period P, fold the daily order-count series by
+    calendar-day-index mod P and measure the one-way-ANOVA variance
+    share eta^2 = SS_between / SS_total over the P phases.  A weekly
+    cycle makes eta^2(7) (and its harmonic 14) spike while 5 and 6
+    stay at noise level.
+
+    No cos/sin anywhere (no libm-portability risk) and no
+    order-dependent double sums: phase counts are unequal on a gappy
+    calendar, so the per-phase terms S_k^2/n_k are quantized by exact
+    integer division (micro units, DECIMAL(38,0)/HUGEINT products)
+    BEFORE the per-period sum — A = sum_k (S_k^2 * 1e6 div n_k),
+    B = S^2 * 1e6 div n, C = sum(y^2) * 1e6, eta^2 = (A-B)/(C-B) as
+    one double ratio.
+
+    Scale: the raw scan reduces to the calendar grid (one hash agg);
+    the day index is datediff from a broadcast min-date scalar (no
+    window at all); folding is a <= 14-group agg per period."""
+    o = t(spark, sf, "orders")
+    daily = (o.groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg(F.count(F.lit(1)).alias("y")))
+    base = daily.agg(F.min("day").alias("d0"))
+    folded = (daily.crossJoin(F.broadcast(base))
+              .select(F.datediff(F.col("day"), F.col("d0")).alias("ti"),
+                      "y")
+              .select(
+        "ti", "y",
+        F.explode(F.array(*[F.lit(p) for p in _FOLD_PERIODS])).alias("p"))
+        .withColumn("ph", F.col("ti") % F.col("p")))
+    per_ph = (folded.groupBy("p", "ph")
+              .agg(F.sum("y").alias("sk"),
+                   F.count(F.lit(1)).alias("nk"),
+                   F.sum(F.col("y") * F.col("y")).alias("syyk")))
+    term = F.expr("CAST(sk AS DECIMAL(38,0)) * sk * 1000000 div nk")
+    per_p = (per_ph.groupBy("p")
+             .agg(F.sum(term).alias("a"),
+                  F.sum("sk").alias("s_all"),
+                  F.sum("nk").alias("n_days"),
+                  F.sum("syyk").alias("syy"),
+                  F.count(F.lit(1)).alias("n_phases")))
+    per_p = per_p.withColumn(
+        "b", F.expr("CAST(s_all AS DECIMAL(38,0)) * s_all * 1000000 "
+                    "div n_days"))
+    d = "double"
+    eta2 = ((F.col("a").cast(d) - F.col("b").cast(d))
+            / (F.col("syy").cast(d) * 1000000.0 - F.col("b").cast(d)))
+    return (per_p.select(
+        F.col("p").alias("period"), "n_phases", "n_days",
+        F.floor(eta2 * 1000000.0).cast("long").alias("eta2_ppm"))
+        .orderBy("period"))
+
+
+FOLD_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS y
+  FROM orders GROUP BY 1
+),
+base AS (SELECT min(day) AS d0 FROM daily),
+folded AS (
+  SELECT datediff('day', b.d0, d.day) % t.p AS ph, t.p, d.y
+  FROM daily d CROSS JOIN base b
+  CROSS JOIN (SELECT unnest([{", ".join(map(str, _FOLD_PERIODS))}])
+              AS p) t
+),
+per_ph AS (
+  SELECT p, ph, CAST(sum(y) AS BIGINT) AS sk, count(*) AS nk,
+         CAST(sum(y * y) AS BIGINT) AS syyk
+  FROM folded GROUP BY 1, 2
+),
+per_p AS (
+  SELECT p,
+         CAST(sum(CAST(sk AS HUGEINT) * sk * 1000000 // nk) AS HUGEINT)
+           AS a,
+         CAST(sum(sk) AS BIGINT) AS s_all,
+         CAST(sum(nk) AS BIGINT) AS n_days,
+         CAST(sum(syyk) AS BIGINT) AS syy,
+         count(*) AS n_phases
+  FROM per_ph GROUP BY 1
+),
+withb AS (
+  SELECT *, CAST(s_all AS HUGEINT) * s_all * 1000000 // n_days AS b
+  FROM per_p
+)
+SELECT p AS period, n_phases, n_days,
+       CAST(floor(
+         (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+         / (CAST(syy AS DOUBLE) * 1000000.0 - CAST(b AS DOUBLE))
+         * 1000000.0) AS BIGINT) AS eta2_ppm
+FROM withb
+ORDER BY period
+"""
+
+
+QUERIES["ts_period_folding"] = (ts_period_folding, FOLD_SQL)

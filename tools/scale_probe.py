@@ -191,6 +191,8 @@ PROBES = [
     "stats_anderson_darling",  # 50-value grid midpoint AD terms
     "ann_mips_vs_cosine",      # broadcast query dots, dual rankings
     "events_absorption_funnel",  # 8 quantized chain generations
+    "ml_survival_concordance",  # session rollup + 31x64 lattice suffixes
+    "ts_period_folding",       # calendar-grid fold, 14-group aggs
     "stats_overdispersion_test",  # complete-calendar count moments
 ]
 
