@@ -775,3 +775,133 @@ GROUP BY thr1, m_l1, m_r1, thr2, d_l2, d_r2
 
 
 QUERIES["ml_boosted_stumps"] = (ml_boosted_stumps, BOOSTED_STUMPS_SQL)
+
+
+_LC_DENOMS = [8, 4, 2, 1]
+_LC_U_MAX = 1 << 60  # 15 hex chars of md5 as uniform in [0, 2^60)
+
+
+def ml_learning_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample-efficiency curve of the exact decision stump: train the
+    "PROMO iff price-cents <= threshold" stump on nested deterministic
+    1/8, 1/4, 1/2 and full hash-subsets of lineitem, evaluate every
+    fitted threshold on the FULL population, and report train/full
+    error — the does-more-data-help readout a labeling pipeline checks
+    before paying for more annotations.  Subsets nest (u < 2^60/d on
+    the md5-prefix uniform), so the curve is monotone-by-construction
+    in expectation.
+
+    Engine shape: ONE (cents, 4x(pos,neg)) grid aggregate carries all
+    four subsets' class counts, ONE cumulative window over the value
+    grid (bounded domain, ml_decision_stump's shape) serves all four
+    argmins plus the full-population evaluation of each winner
+    (stacked rows, per-denom row_number argmin with ties to the lowest
+    threshold; the no-split option is a literal c = -1 row).  Exact
+    BIGINTs throughout — no impurity floats."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("pos"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    key = F.concat_ws("-", F.col("l_orderkey").cast("string"),
+                      F.col("l_linenumber").cast("string"))
+    u = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    base = (li.join(p, li.l_partkey == p.p_partkey)
+            .select(cents.alias("c"), "pos", u.alias("u")))
+    aggs = []
+    for d in _LC_DENOMS:
+        thr_u = _LC_U_MAX // d
+        m = F.col("u") < thr_u
+        aggs.append(F.sum(F.when(m & F.col("pos"), 1).otherwise(0))
+                    .alias(f"np_{d}"))
+        aggs.append(F.sum(F.when(m & ~F.col("pos"), 1).otherwise(0))
+                    .alias(f"nn_{d}"))
+    grid = base.groupBy("c").agg(*aggs)
+    zero = spark.range(1).select(
+        F.lit(-1).cast("long").alias("c"),
+        *[F.lit(0).cast("long").alias(f"{x}_{d}")
+          for d in _LC_DENOMS for x in ("np", "nn")])
+    grid = grid.unionByName(zero)
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "c", *[F.sum(f"{x}_{d}").over(w).alias(f"cum_{x}_{d}")
+               for d in _LC_DENOMS for x in ("np", "nn")])
+    tot = grid.agg(*[F.sum(f"{x}_{d}").alias(f"t{x}_{d}")
+                     for d in _LC_DENOMS for x in ("np", "nn")])
+    j = cum.crossJoin(F.broadcast(tot))
+    stacked = j.selectExpr(
+        "c",
+        "stack(4, " + ", ".join(
+            f"{d}, tnp_{d} + tnn_{d}, "
+            f"(tnp_{d} - cum_np_{d}) + cum_nn_{d}, "
+            f"(tnp_1 - cum_np_1) + cum_nn_1, tnp_1 + tnn_1"
+            for d in _LC_DENOMS)
+        + ") AS (denom, n_train, train_err, full_err, n_full)")
+    w_d = Window.partitionBy("denom").orderBy("train_err", "c")
+    best = (stacked.withColumn("rn", F.row_number().over(w_d))
+            .filter(F.col("rn") == 1))
+    return (best.select(
+        "denom", "n_train",
+        F.col("c").alias("threshold_cents"),
+        "train_err", "full_err",
+        F.expr("(n_full - full_err) * 1000000 div n_full")
+        .alias("full_acc_micro"))
+        .orderBy(F.desc("denom")))
+
+
+def _learning_curve_sql() -> str:
+    cols = []
+    for d in _LC_DENOMS:
+        thr_u = _LC_U_MAX // d
+        m = (f"CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) "
+             f"|| '-' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)"
+             f" < {thr_u}")
+        cols.append(f"sum(CASE WHEN {m} AND pos THEN 1 ELSE 0 END)"
+                    f" AS np_{d}")
+        cols.append(f"sum(CASE WHEN {m} AND NOT pos THEN 1 ELSE 0 END)"
+                    f" AS nn_{d}")
+    zero_cols = ", ".join(f"CAST(0 AS BIGINT) AS {x}_{d}"
+                          for d in _LC_DENOMS for x in ("np", "nn"))
+    cum_cols = ", ".join(
+        f"CAST(sum({x}_{d}) OVER (ORDER BY c) AS BIGINT) AS cum_{x}_{d}"
+        for d in _LC_DENOMS for x in ("np", "nn"))
+    tot_cols = ", ".join(
+        f"CAST(sum({x}_{d}) AS BIGINT) AS t{x}_{d}"
+        for d in _LC_DENOMS for x in ("np", "nn"))
+    stack_rows = " UNION ALL ".join(f"""
+      SELECT c, {d} AS denom, tnp_{d} + tnn_{d} AS n_train,
+             (tnp_{d} - cum_np_{d}) + cum_nn_{d} AS train_err,
+             (tnp_1 - cum_np_1) + cum_nn_1 AS full_err,
+             tnp_1 + tnn_1 AS n_full
+      FROM j""" for d in _LC_DENOMS)
+    return f"""
+WITH base AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+         l_orderkey, l_linenumber,
+         starts_with(p.p_type, 'PROMO') AS pos
+  FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey
+),
+grid0 AS (
+  SELECT c, {", ".join(cols)} FROM base GROUP BY c
+),
+grid AS (
+  SELECT * FROM grid0
+  UNION ALL SELECT CAST(-1 AS BIGINT) AS c, {zero_cols}
+),
+cum AS (SELECT c, {cum_cols} FROM grid),
+tot AS (SELECT {tot_cols} FROM grid),
+j AS (SELECT * FROM cum CROSS JOIN tot),
+stacked AS ({stack_rows}),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY denom
+                               ORDER BY train_err, c) AS rn
+  FROM stacked
+)
+SELECT denom, n_train, c AS threshold_cents, train_err, full_err,
+       CAST((n_full - full_err) * 1000000 // n_full AS BIGINT)
+         AS full_acc_micro
+FROM best WHERE rn = 1
+ORDER BY denom DESC
+"""
+
+
+QUERIES["ml_learning_curve"] = (ml_learning_curve, _learning_curve_sql())

@@ -168,8 +168,57 @@ ORDER BY b.brand
 """
 
 
+
+def agg_mode_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-group MODE with a deterministic tiebreak (highest
+    count, then lowest value) — the categorical summary SQL engines
+    usually approximate or leave order-undefined: modal l_quantity per
+    (returnflag, linestatus) with its count and share.
+
+    Plan: one (group, value) hash agg (map-side combined), then a
+    row_number over the per-group count ranking — the window
+    partitions on the group key, so nothing global ever sorts."""
+    li = t(spark, sf, "lineitem")
+    cells = (li.groupBy(F.col("l_returnflag").alias("rf"),
+                        F.col("l_linestatus").alias("ls"),
+                        F.col("l_quantity").cast("long").alias("v"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    w = Window.partitionBy("rf", "ls").orderBy(F.desc("c"), "v")
+    wt = Window.partitionBy("rf", "ls")
+    return (cells
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n_group", F.sum("c").over(wt))
+            .filter(F.col("rn") == 1)
+            .select("rf", "ls", F.col("v").alias("mode_quantity"),
+                    F.col("c").alias("mode_count"), "n_group",
+                    F.floor(F.col("c") * 1000000 / F.col("n_group"))
+                    .cast("long").alias("mode_share_micro"))
+            .orderBy("rf", "ls"))
+
+
+MODE_SQL = """
+WITH cells AS (
+  SELECT l_returnflag AS rf, l_linestatus AS ls,
+         CAST(l_quantity AS BIGINT) AS v, count(*) AS c
+  FROM lineitem GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY rf, ls ORDER BY c DESC, v) AS rn,
+         sum(c) OVER (PARTITION BY rf, ls) AS n_group
+  FROM cells
+)
+SELECT rf, ls, v AS mode_quantity, c AS mode_count,
+       CAST(n_group AS BIGINT) AS n_group,
+       CAST(floor(c * 1000000 / n_group) AS BIGINT) AS mode_share_micro
+FROM ranked WHERE rn = 1
+ORDER BY rf, ls
+"""
+
+
 QUERIES = {
     "interval_union_coverage": (interval_union_coverage,
                                 INTERVAL_UNION_SQL),
     "profile_tukey_fences": (profile_tukey_fences, TUKEY_SQL),
+    "agg_mode_exact": (agg_mode_exact, MODE_SQL),
 }

@@ -285,6 +285,8 @@ _BOUNDED_DOMAIN_ALLOWLIST = {
     "profile_pmi_categories": "brand x container grid (≤ ~2k cells)",
     "stats_fdr_bh": "brand domain (25 rows; BH rank + step-up walk)",
     "ml_decision_stump": "distinct value grid (price cents ≤ 1e7)",
+    "ml_learning_curve": "distinct value grid (price cents ≤ 1e7; one "
+                         "window serves all 4 nested subsets)",
     "stats_holm_bonferroni": "brand domain (25 rows; step-down walk)",
     # vocabulary-sized: distinct token types, Heaps'-law sublinear
     # (~1e7 types at web scale — one fat task, acceptable for a

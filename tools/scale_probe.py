@@ -193,6 +193,8 @@ PROBES = [
     "events_absorption_funnel",  # 8 quantized chain generations
     "ml_survival_concordance",  # session rollup + 31x64 lattice suffixes
     "ts_period_folding",       # calendar-grid fold, 14-group aggs
+    "agg_mode_exact",          # (group, value) agg + group-keyed rank
+    "ml_learning_curve",       # one cents-grid window, 4 nested subsets
     "stats_overdispersion_test",  # complete-calendar count moments
 ]
 
