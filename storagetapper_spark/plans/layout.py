@@ -427,3 +427,130 @@ QUERIES = {
     "layout_bucketed_join": (layout_bucketed_join, BUCKETED_JOIN_SQL),
     "layout_zorder_pruning": (layout_zorder_pruning, ZORDER_SQL),
 }
+
+
+_PA_CANDS = ["day", "month", "priority"]
+
+
+def layout_partition_advisor(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-key advisor: for each candidate partition key of the
+    orders fact (by day, by month, by priority) and each predicate in
+    a literal 3-query workload (one month, a 30-day range, one
+    priority class), the rows a partition-pruned scan must read — the
+    what-if analysis behind choosing a table's partitioning before a
+    100 TB backfill.  A predicate not aligned with the key prunes
+    nothing (the advisor makes that cost visible as scan_ppm =
+    1000000).
+
+    All counts are exact integers from ONE pass per candidate key
+    (partition value -> rows), with prunability decided per partition
+    value; no data is actually re-laid-out."""
+    o = t(spark, sf, "orders")
+    day = F.to_date("o_orderdate")
+    keys = {
+        "day": day.cast("string"),
+        "month": F.date_format(day, "yyyy-MM"),
+        "priority": F.col("o_orderpriority"),
+    }
+    # literal workload predicates, expressed per candidate partition
+    # value (v is the partition key value as a string)
+    def may_match(cand: str, wl: str):
+        v = F.col("v")
+        if wl == "w_month":  # o_orderdate in 1997-03
+            if cand == "day":
+                return v.startswith("1997-03")
+            if cand == "month":
+                return v == "1997-03"
+            return F.lit(True)
+        if wl == "w_range":  # 1996-06-10 <= day < 1996-07-10
+            if cand == "day":
+                return (v >= "1996-06-10") & (v < "1996-07-10")
+            if cand == "month":
+                return v.isin("1996-06", "1996-07")
+            return F.lit(True)
+        # w_prio: priority = '1-URGENT'
+        if cand == "priority":
+            return v == "1-URGENT"
+        return F.lit(True)
+
+    outs = []
+    for cand, expr in keys.items():
+        per_v = (o.groupBy(expr.alias("v"))
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+        agg = per_v.agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum("cnt").alias("total_rows"),
+            *[F.sum(F.when(may_match(cand, wl), F.col("cnt"))
+                    .otherwise(0)).alias(wl)
+              for wl in ("w_month", "w_range", "w_prio")])
+        outs.append(agg.selectExpr(
+            f"'{cand}' AS candidate_key", "n_partitions", "total_rows",
+            "stack(3, 'month_eq', w_month, 'day_range', w_range, "
+            "'priority_eq', w_prio) AS (workload, scanned_rows)"))
+    u = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return (u.select(
+        "candidate_key", "workload", "n_partitions", "total_rows",
+        "scanned_rows",
+        F.floor(F.col("scanned_rows") * 1000000 / F.col("total_rows"))
+        .cast("long").alias("scan_ppm"))
+        .orderBy("candidate_key", "workload"))
+
+
+PARTITION_ADVISOR_SQL = """
+WITH keyed AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day_v,
+         strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month_v,
+         o_orderpriority AS prio_v
+  FROM orders
+),
+cands AS (
+  SELECT 'day' AS candidate_key, day_v AS v, count(*) AS cnt
+  FROM keyed GROUP BY 2
+  UNION ALL
+  SELECT 'month', month_v, count(*) FROM keyed GROUP BY 2
+  UNION ALL
+  SELECT 'priority', prio_v, count(*) FROM keyed GROUP BY 2
+),
+agg AS (
+  SELECT candidate_key, count(*) AS n_partitions,
+         CAST(sum(cnt) AS BIGINT) AS total_rows,
+         CAST(sum(CASE WHEN candidate_key = 'day'
+                         THEN CASE WHEN v LIKE '1997-03%' THEN cnt
+                              ELSE 0 END
+                       WHEN candidate_key = 'month'
+                         THEN CASE WHEN v = '1997-03' THEN cnt ELSE 0 END
+                       ELSE cnt END) AS BIGINT) AS w_month,
+         CAST(sum(CASE WHEN candidate_key = 'day'
+                         THEN CASE WHEN v >= '1996-06-10'
+                                   AND v < '1996-07-10' THEN cnt
+                              ELSE 0 END
+                       WHEN candidate_key = 'month'
+                         THEN CASE WHEN v IN ('1996-06', '1996-07')
+                                   THEN cnt ELSE 0 END
+                       ELSE cnt END) AS BIGINT) AS w_range,
+         CAST(sum(CASE WHEN candidate_key = 'priority'
+                         THEN CASE WHEN v = '1-URGENT' THEN cnt
+                              ELSE 0 END
+                       ELSE cnt END) AS BIGINT) AS w_prio
+  FROM cands GROUP BY 1
+),
+stacked AS (
+  SELECT candidate_key, 'month_eq' AS workload, n_partitions,
+         total_rows, w_month AS scanned_rows FROM agg
+  UNION ALL
+  SELECT candidate_key, 'day_range', n_partitions, total_rows, w_range
+  FROM agg
+  UNION ALL
+  SELECT candidate_key, 'priority_eq', n_partitions, total_rows, w_prio
+  FROM agg
+)
+SELECT candidate_key, workload, n_partitions, total_rows, scanned_rows,
+       CAST(floor(scanned_rows * 1000000 / total_rows) AS BIGINT)
+         AS scan_ppm
+FROM stacked
+ORDER BY candidate_key, workload
+"""
+
+
+QUERIES["layout_partition_advisor"] = (layout_partition_advisor,
+                                       PARTITION_ADVISOR_SQL)

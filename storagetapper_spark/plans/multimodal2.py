@@ -454,3 +454,88 @@ ORDER BY doc_a, doc_b
 
 
 QUERIES["multimodal_phash_dct"] = (multimodal_phash_dct, PHASH_SQL)
+
+
+_AC_WIN_MS = 30000
+_AC_STRIDE_MS = 25000
+
+
+def multimodal_audio_chunk_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping audio-chunk schedule per audio item (the
+    Whisper-style 30s window / 25s stride plan): synthetic duration
+    (1 ms per payload byte, the multimodal_frame_plan convention),
+    chunk i covers [i*stride, min(i*stride + window, dur)); the last
+    chunk's padding and the total overlap are accounted exactly — the
+    numbers a transcription pipeline needs to budget decode compute
+    BEFORE running any codec (the decode UDF itself stays behind
+    MEDIA_CODECS).
+
+    All integer math via a sequence() generator per item; per-item
+    aggregates (chunk count, padded ms, overlap ms) — nothing
+    row-scaled beyond n_items x n_chunks."""
+    docs = t(spark, sf, "documents")
+    auds = (docs.filter(F.col("doc_id") % 3 == 1)
+            .select("doc_id",
+                    F.octet_length("text").cast("long").alias("dur_ms")))
+    n_chunks = F.when(
+        F.col("dur_ms") <= _AC_WIN_MS, F.lit(1)).otherwise(
+        1 + F.ceil((F.col("dur_ms") - _AC_WIN_MS)
+                   / F.lit(float(_AC_STRIDE_MS))).cast("long"))
+    items = auds.withColumn("n_chunks", n_chunks.cast("long"))
+    chunks = (items.select(
+        "doc_id", "dur_ms", "n_chunks",
+        F.explode(F.sequence(F.lit(0),
+                             F.col("n_chunks") - 1)).alias("i"))
+        .withColumn("start_ms", F.col("i") * _AC_STRIDE_MS)
+        .withColumn("end_ms", F.least(F.col("start_ms") + _AC_WIN_MS,
+                                      F.col("dur_ms"))))
+    per_item = (chunks.groupBy("doc_id", "dur_ms", "n_chunks")
+                .agg(F.sum(F.col("end_ms") - F.col("start_ms"))
+                     .alias("covered_ms"),
+                     F.sum(F.lit(_AC_WIN_MS)
+                           - (F.col("end_ms") - F.col("start_ms")))
+                     .alias("padded_ms")))
+    return (per_item.select(
+        "doc_id", "dur_ms", "n_chunks", "padded_ms",
+        (F.col("covered_ms") - F.col("dur_ms")).alias("overlap_ms"),
+        F.floor((F.col("n_chunks") * _AC_WIN_MS) * 1000000
+                / F.col("dur_ms")).cast("long")
+        .alias("decode_cost_ppm_of_dur"))
+        .orderBy("doc_id"))
+
+
+AUDIO_CHUNK_SQL = f"""
+WITH auds AS (
+  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS dur_ms
+  FROM documents WHERE doc_id % 3 = 1
+),
+items AS (
+  SELECT *, CASE WHEN dur_ms <= {_AC_WIN_MS} THEN 1
+                 ELSE 1 + CAST(ceil((dur_ms - {_AC_WIN_MS})
+                               / CAST({_AC_STRIDE_MS} AS DOUBLE))
+                          AS BIGINT) END AS n_chunks
+  FROM auds
+),
+chunks AS (
+  SELECT doc_id, dur_ms, n_chunks, t.i * {_AC_STRIDE_MS} AS start_ms,
+         least(t.i * {_AC_STRIDE_MS} + {_AC_WIN_MS}, dur_ms) AS end_ms
+  FROM items, unnest(range(0, n_chunks)) AS t(i)
+),
+per_item AS (
+  SELECT doc_id, dur_ms, n_chunks,
+         CAST(sum(end_ms - start_ms) AS BIGINT) AS covered_ms,
+         CAST(sum({_AC_WIN_MS} - (end_ms - start_ms)) AS BIGINT)
+           AS padded_ms
+  FROM chunks GROUP BY 1, 2, 3
+)
+SELECT doc_id, dur_ms, n_chunks, padded_ms,
+       covered_ms - dur_ms AS overlap_ms,
+       CAST(floor((n_chunks * {_AC_WIN_MS}) * 1000000 / dur_ms)
+            AS BIGINT) AS decode_cost_ppm_of_dur
+FROM per_item
+ORDER BY doc_id
+"""
+
+
+QUERIES["multimodal_audio_chunk_plan"] = (multimodal_audio_chunk_plan,
+                                          AUDIO_CHUNK_SQL)

@@ -405,3 +405,78 @@ ORDER BY width
 
 QUERIES["privacy_k_anonymity_generalization"] = (
     privacy_k_anonymity_generalization, K_ANON_GENERALIZATION_SQL)
+
+
+_DP_EPS_MILLI = [100, 500, 1000, 2000]
+
+
+def privacy_dp_noise_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Differential-privacy release PLANNING (no noise is drawn — the
+    calibration itself is deterministic): for the "orders per nation"
+    count release at user-level adjacency, the L1 sensitivity is the
+    max orders any single customer contributes; for each epsilon on a
+    literal grid, the Laplace scale b = sensitivity / eps and the
+    worst relative error it implies against the smallest released
+    group — the table a data owner reads to pick epsilon before
+    turning the mechanism on.
+
+    Scale: one per-customer count (keyed shuffle), a 1-row max
+    reduce, a 25-row group count; the eps grid is a literal
+    explode."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    per_cust = (o.join(c, o.o_custkey == c.c_custkey)
+                .groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("k"),
+                     F.max("c_nationkey").alias("nat")))
+    sens = per_cust.agg(F.max("k").alias("sensitivity"))
+    per_nation = per_cust.groupBy("nat").agg(F.sum("k").alias("cnt"))
+    mn = per_nation.agg(F.min("cnt").alias("min_count"),
+                        F.count(F.lit(1)).alias("n_groups"))
+    grid = (sens.crossJoin(F.broadcast(mn))
+            .select("sensitivity", "min_count", "n_groups",
+                    F.explode(F.array(*[F.lit(e) for e in _DP_EPS_MILLI]))
+                    .alias("eps_milli")))
+    d = "double"
+    b = (F.col("sensitivity").cast(d)
+         / (F.col("eps_milli").cast(d) / 1000.0))
+    return (grid.select(
+        "eps_milli", "sensitivity", "n_groups", "min_count",
+        F.floor(b * 1000.0).cast("long").alias("laplace_scale_milli"),
+        F.floor(b / F.col("min_count").cast(d) * 1000000.0)
+        .cast("long").alias("worst_rel_err_ppm"))
+        .orderBy("eps_milli"))
+
+
+DP_CALIBRATION_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS k, max(c.c_nationkey) AS nat
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY o_custkey
+),
+sens AS (SELECT CAST(max(k) AS BIGINT) AS sensitivity FROM per_cust),
+per_nation AS (SELECT nat, CAST(sum(k) AS BIGINT) AS cnt
+               FROM per_cust GROUP BY nat),
+mn AS (SELECT min(cnt) AS min_count, count(*) AS n_groups
+       FROM per_nation),
+grid AS (
+  SELECT s.sensitivity, m.min_count, m.n_groups, t.eps_milli
+  FROM sens s CROSS JOIN mn m
+  CROSS JOIN (SELECT unnest([{", ".join(map(str, _DP_EPS_MILLI))}])
+              AS eps_milli) t
+)
+SELECT eps_milli, sensitivity, n_groups, min_count,
+       CAST(floor(CAST(sensitivity AS DOUBLE)
+                  / (CAST(eps_milli AS DOUBLE) / 1000.0) * 1000.0)
+            AS BIGINT) AS laplace_scale_milli,
+       CAST(floor(CAST(sensitivity AS DOUBLE)
+                  / (CAST(eps_milli AS DOUBLE) / 1000.0)
+                  / CAST(min_count AS DOUBLE) * 1000000.0)
+            AS BIGINT) AS worst_rel_err_ppm
+FROM grid
+ORDER BY eps_milli
+"""
+
+
+QUERIES["privacy_dp_noise_calibration"] = (privacy_dp_noise_calibration,
+                                           DP_CALIBRATION_SQL)

@@ -195,6 +195,9 @@ PROBES = [
     "ts_period_folding",       # calendar-grid fold, 14-group aggs
     "agg_mode_exact",          # (group, value) agg + group-keyed rank
     "ml_learning_curve",       # one cents-grid window, 4 nested subsets
+    "layout_partition_advisor",  # 3 partition-value aggs + stack
+    "privacy_dp_noise_calibration",  # per-user counts + literal eps grid
+    "multimodal_audio_chunk_plan",  # per-item sequence() chunk fan-out
     "stats_overdispersion_test",  # complete-calendar count moments
 ]
 
