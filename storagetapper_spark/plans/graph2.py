@@ -1077,3 +1077,104 @@ ORDER BY round
 
 
 QUERIES["graph_ktruss"] = (graph_ktruss, KTRUSS_SQL)
+
+
+def graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Newman modularity Q of the min-label-propagation partition
+    (the SAME 3-round ladder as graph_label_propagation) over the
+    co-purchase graph — the "was that clustering any good?" number:
+    Q = sum_c [e_c/m - (d_c/2m)^2] with e_c intra-community edges,
+    d_c the community degree sum, m total edges.  Multiplying through
+    by 4m^2 keeps EVERYTHING integer: Q = sum_c (4m*e_c - d_c^2)
+    / (4m^2), one micro-floored division at the end — no doubles
+    anywhere, so both engines agree bit-for-bit.
+
+    Scale: the LPA rounds are the registered query's persisted
+    generations; e_c is one edges-to-labels double equi-join; d_c one
+    degree join; the community table is node-bounded."""
+    e = _edges(spark, sf).persist()
+    adj = _adj(e).persist()
+    labels = (adj.select("u").distinct()
+              .select("u", F.col("u").alias("l"))
+              .localCheckpoint(eager=True))
+    for _ in range(_LPA_ROUNDS):
+        nbr = (adj.join(labels.withColumnRenamed("u", "v"), "v")
+               .select("u", "l"))
+        labels = (labels.unionByName(nbr)
+                  .groupBy("u").agg(F.min("l").alias("l"))
+                  .localCheckpoint(eager=True))
+    la = labels.select(F.col("u").alias("pa"), F.col("l").alias("l1"))
+    lb = labels.select(F.col("u").alias("pb"), F.col("l").alias("l2"))
+    ec = (e.join(la, "pa").join(lb, "pb")
+          .filter(F.col("l1") == F.col("l2"))
+          .groupBy(F.col("l1").alias("l"))
+          .agg(F.count(F.lit(1)).alias("e_c")))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    dc = (deg.join(labels, "u")
+          .groupBy("l").agg(F.sum("deg").alias("d_c")))
+    m_tot = e.agg(F.count(F.lit(1)).alias("m"))
+    _D = "decimal(38,0)"
+    per_c = (dc.join(ec, "l", "left")
+             .select("l", "d_c",
+                     F.coalesce("e_c", F.lit(0)).alias("e_c")))
+    terms = (per_c.crossJoin(F.broadcast(m_tot))
+             .select(
+                 (F.lit(4).cast(_D) * F.col("m").cast(_D)
+                  * F.col("e_c").cast(_D)
+                  - F.col("d_c").cast(_D) * F.col("d_c").cast(_D))
+                 .alias("num"), "m", "e_c"))
+    s = terms.groupBy("m").agg(
+        F.sum("num").alias("num_sum"),
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum("e_c").alias("intra_edges"))
+    return s.select(
+        F.col("m").alias("n_edges"), "n_communities",
+        F.col("intra_edges").cast("long").alias("intra_edges"),
+        F.floor(F.col("num_sum").cast("double") * 1000000.0
+                / (4.0 * F.col("m").cast("double")
+                   * F.col("m").cast("double")))
+        .cast("long").alias("modularity_micro"))
+
+
+MODULARITY_SQL = f"""
+WITH {_EDGE_SQL},
+l0 AS MATERIALIZED (
+  SELECT u, u AS l FROM (SELECT DISTINCT u FROM adj)
+),
+{",".join(_lpa_iter_sql(i + 1) for i in range(_LPA_ROUNDS))},
+labels AS (SELECT u, l FROM l{_LPA_ROUNDS}),
+ec AS (
+  SELECT la.l AS l, count(*) AS e_c
+  FROM e JOIN labels la ON la.u = e.pa
+         JOIN labels lb ON lb.u = e.pb
+  WHERE la.l = lb.l
+  GROUP BY 1
+),
+deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
+dc AS (
+  SELECT lb.l, CAST(sum(d.deg) AS BIGINT) AS d_c
+  FROM deg d JOIN labels lb ON lb.u = d.u
+  GROUP BY 1
+),
+m_tot AS (SELECT count(*) AS m FROM e),
+per_c AS (
+  SELECT dc.l, dc.d_c, COALESCE(ec.e_c, 0) AS e_c
+  FROM dc LEFT JOIN ec ON ec.l = dc.l
+),
+s AS (
+  SELECT m, sum(CAST(4 AS HUGEINT) * m * e_c
+                - CAST(d_c AS HUGEINT) * d_c) AS num_sum,
+         count(*) AS n_communities,
+         CAST(sum(e_c) AS BIGINT) AS intra_edges
+  FROM per_c CROSS JOIN m_tot
+  GROUP BY m
+)
+SELECT m AS n_edges, n_communities, intra_edges,
+       CAST(floor(CAST(num_sum AS DOUBLE) * 1000000.0
+                  / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))
+            AS BIGINT) AS modularity_micro
+FROM s
+"""
+
+
+QUERIES["graph_modularity"] = (graph_modularity, MODULARITY_SQL)

@@ -896,3 +896,194 @@ FROM s
 
 
 QUERIES["stats_anderson_darling"] = (stats_anderson_darling, AD_KSAMPLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TOST equivalence — "are these arms the SAME within a margin?"
+# ---------------------------------------------------------------------------
+
+_TOST_MARGIN_CENTS = 50000.0  # +- $500 equivalence margin on mean net rev
+_TOST_Z_CRIT_MILLI = 1645     # one-sided z at alpha = 0.05
+
+
+def stats_tost_equivalence(spark: SparkSession, sf: str) -> DataFrame:
+    """Two one-sided tests (TOST) for EQUIVALENCE of PROMO vs
+    non-PROMO mean per-item net revenue within +-$500 — the question
+    "can we declare the arms interchangeable?", which a failed
+    significance test (stats_welch_ttest) does NOT answer.  With the
+    Welch standard error from exact DECIMAL cent moments,
+    z_lower = (diff + margin)/se and z_upper = (diff - margin)/se;
+    equivalence holds iff z_lower > 1.645 AND z_upper < -1.645.
+
+    Scale: the same 6-integer two-group moment reduce as the Welch
+    test; one double expression per z."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("tr"))
+    net = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                  * 100).cast("long")
+    base = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .select("tr", net.alias("c")))
+    g = (base.groupBy("tr")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"),
+              F.sum(F.col("c").cast(_DEC) * F.col("c").cast(_DEC))
+              .alias("ss")))
+    wide = g.agg(*[
+        F.sum(F.when(F.col("tr") == tv, F.col(col)).otherwise(
+            F.lit(0).cast(_DEC) if col == "ss" else F.lit(0)))
+        .alias(f"{col}_{'t' if tv else 'c'}")
+        for tv in (True, False) for col in ("n", "s", "ss")])
+    d = "double"
+
+    def mom(sfx: str):
+        n = F.col(f"n_{sfx}").cast(d)
+        mu = F.col(f"s_{sfx}").cast(d) / n
+        var = (F.col(f"ss_{sfx}").cast(d) / n - mu * mu) * n / (n - 1.0)
+        return n, mu, var
+
+    nt, mt, vt = mom("t")
+    nc, mc, vc = mom("c")
+    diff = mt - mc
+    se = F.sqrt(vt / nt + vc / nc)
+    zl = (diff + _TOST_MARGIN_CENTS) / se
+    zu = (diff - _TOST_MARGIN_CENTS) / se
+    return wide.select(
+        F.col("n_t").alias("n_promo"), F.col("n_c").alias("n_other"),
+        F.floor(diff * 10.0).cast("long").alias("diff_milli_dollars"),
+        F.floor(se * 10.0).cast("long").alias("se_milli_dollars"),
+        F.floor(zl * 1000.0).cast("long").alias("z_lower_milli"),
+        F.floor(zu * 1000.0).cast("long").alias("z_upper_milli"),
+        ((F.floor(zl * 1000.0) > _TOST_Z_CRIT_MILLI)
+         & (F.floor(zu * 1000.0) < -_TOST_Z_CRIT_MILLI))
+        .alias("equivalent"))
+
+
+TOST_SQL = f"""
+WITH base AS (
+  SELECT starts_with(p.p_type, 'PROMO') AS tr,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS c
+  FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey
+),
+g AS (
+  SELECT tr, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+         sum(CAST(c AS HUGEINT) * c) AS ss
+  FROM base GROUP BY tr
+),
+wide AS (
+  SELECT
+    CAST(sum(CASE WHEN tr THEN n ELSE 0 END) AS BIGINT) AS n_t,
+    CAST(sum(CASE WHEN tr THEN s ELSE 0 END) AS BIGINT) AS s_t,
+    sum(CASE WHEN tr THEN ss ELSE 0 END) AS ss_t,
+    CAST(sum(CASE WHEN NOT tr THEN n ELSE 0 END) AS BIGINT) AS n_c,
+    CAST(sum(CASE WHEN NOT tr THEN s ELSE 0 END) AS BIGINT) AS s_c,
+    sum(CASE WHEN NOT tr THEN ss ELSE 0 END) AS ss_c
+  FROM g
+),
+z AS (
+  SELECT n_t, n_c,
+    CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+      - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS diff,
+    sqrt(
+      (CAST(ss_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+       - (CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+         * (CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)))
+      * CAST(n_t AS DOUBLE) / (CAST(n_t AS DOUBLE) - 1.0)
+      / CAST(n_t AS DOUBLE)
+      + (CAST(ss_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+         - (CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+           * (CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)))
+        * CAST(n_c AS DOUBLE) / (CAST(n_c AS DOUBLE) - 1.0)
+        / CAST(n_c AS DOUBLE)) AS se
+  FROM wide
+)
+SELECT n_t AS n_promo, n_c AS n_other,
+       CAST(floor(diff * 10.0) AS BIGINT) AS diff_milli_dollars,
+       CAST(floor(se * 10.0) AS BIGINT) AS se_milli_dollars,
+       CAST(floor((diff + {_TOST_MARGIN_CENTS}) / se * 1000.0) AS BIGINT)
+         AS z_lower_milli,
+       CAST(floor((diff - {_TOST_MARGIN_CENTS}) / se * 1000.0) AS BIGINT)
+         AS z_upper_milli,
+       CAST(floor((diff + {_TOST_MARGIN_CENTS}) / se * 1000.0) AS BIGINT)
+         > {_TOST_Z_CRIT_MILLI}
+       AND CAST(floor((diff - {_TOST_MARGIN_CENTS}) / se * 1000.0)
+                AS BIGINT) < -{_TOST_Z_CRIT_MILLI} AS equivalent
+FROM z
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sign test — distribution-free paired comparison
+# ---------------------------------------------------------------------------
+
+def stats_sign_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Paired sign test (normal approximation with continuity
+    correction): did per-customer spend move up or down from 1996 to
+    1997, for customers active in BOTH years?  Counts the signs of
+    exact cent differences (ties dropped, the textbook convention);
+    z = (n_pos - n/2 - 0.5*sign) / sqrt(n/4) — the distribution-free
+    sibling of a paired t-test, immune to spend's heavy tail.
+
+    Scale: one (custkey, year) hash agg, one per-customer pairing
+    (groupBy, not a join), one 4-integer reduce."""
+    o = t(spark, sf, "orders")
+    yr = F.year("o_orderdate")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    per = (o.filter(yr.isin(1996, 1997))
+           .groupBy("o_custkey")
+           .agg(F.sum(F.when(yr == 1996, cents)).alias("v96"),
+                F.sum(F.when(yr == 1997, cents)).alias("v97"))
+           .filter(F.col("v96").isNotNull() & F.col("v97").isNotNull()))
+    s = per.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("v97") > F.col("v96"), 1).otherwise(0))
+        .alias("n_pos"),
+        F.sum(F.when(F.col("v97") < F.col("v96"), 1).otherwise(0))
+        .alias("n_neg"),
+        F.sum(F.when(F.col("v97") == F.col("v96"), 1).otherwise(0))
+        .alias("n_ties"))
+    d = "double"
+    n = (F.col("n_pos") + F.col("n_neg")).cast(d)
+    x = F.col("n_pos").cast(d)
+    z = (x - n / 2.0 - F.signum(x - n / 2.0) * 0.5) / F.sqrt(n / 4.0)
+    return s.select("n_pairs", "n_pos", "n_neg", "n_ties",
+                    F.floor(z * 1000.0).cast("long").alias("z_milli"))
+
+
+SIGN_TEST_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         sum(CASE WHEN year(o_orderdate) = 1996
+             THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END)
+           AS v96,
+         sum(CASE WHEN year(o_orderdate) = 1997
+             THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END)
+           AS v97
+  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY o_custkey
+),
+kept AS (SELECT * FROM per WHERE v96 IS NOT NULL AND v97 IS NOT NULL),
+s AS (
+  SELECT count(*) AS n_pairs,
+         CAST(sum(CASE WHEN v97 > v96 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos,
+         CAST(sum(CASE WHEN v97 < v96 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_neg,
+         CAST(sum(CASE WHEN v97 = v96 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ties
+  FROM kept
+)
+SELECT n_pairs, n_pos, n_neg, n_ties,
+       CAST(floor(
+         (CAST(n_pos AS DOUBLE)
+          - CAST(n_pos + n_neg AS DOUBLE) / 2.0
+          - sign(CAST(n_pos AS DOUBLE)
+                 - CAST(n_pos + n_neg AS DOUBLE) / 2.0) * 0.5)
+         / sqrt(CAST(n_pos + n_neg AS DOUBLE) / 4.0) * 1000.0)
+         AS BIGINT) AS z_milli
+FROM s
+"""
+
+
+QUERIES["stats_tost_equivalence"] = (stats_tost_equivalence, TOST_SQL)
+QUERIES["stats_sign_test"] = (stats_sign_test, SIGN_TEST_SQL)

@@ -198,6 +198,9 @@ PROBES = [
     "layout_partition_advisor",  # 3 partition-value aggs + stack
     "privacy_dp_noise_calibration",  # per-user counts + literal eps grid
     "multimodal_audio_chunk_plan",  # per-item sequence() chunk fan-out
+    "graph_modularity",        # LPA generations + 2 label joins
+    "stats_tost_equivalence",  # 6-integer two-group moment reduce
+    "stats_sign_test",         # (cust, year) agg + 4-integer reduce
     "stats_overdispersion_test",  # complete-calendar count moments
 ]
 
