@@ -404,3 +404,106 @@ FROM s
 
 
 QUERIES["ml_cohen_kappa"] = (ml_cohen_kappa, KAPPA_SQL)
+
+
+def ml_group_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cohort ROC-AUC fairness audit: the dim-0 scorer's AUC
+    (ml_auc_roc's midrank identity) computed separately for four
+    deterministic id-slices of the embedding corpus, with the overall
+    AUC and each cohort's gap against it — the disaggregated
+    evaluation that catches a scorer working for the average while
+    failing a slice.
+
+    Scale: score-grid windows PARTITIONED by cohort (never global);
+    the overall row is a 1-row broadcast join; everything integer
+    until the final divisions."""
+    emb = t(spark, sf, "embeddings")
+    base = emb.select(
+        (F.col("vec_id") % 4).alias("cohort"),
+        (F.col("label") == 1).alias("pos"),
+        F.floor(F.element_at("embedding", 1).cast("double") * 1000000)
+        .cast("long").alias("v"))
+    per_v = (base.groupBy("cohort", "v")
+             .agg(F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("c_p"),
+                  F.count(F.lit(1)).alias("cnt")))
+    w = (Window.partitionBy("cohort").orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    terms = per_v.select(
+        "cohort", "c_p", "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("before"))
+    _D = "decimal(38,0)"
+    agg = (terms.groupBy("cohort")
+           .agg(F.sum("c_p").alias("n_pos"),
+                (F.sum("cnt") - F.sum("c_p")).alias("n_neg"),
+                F.sum(F.col("c_p").cast(_D)
+                      * (F.lit(2).cast(_D) * F.col("before").cast(_D)
+                         + F.col("cnt").cast(_D) + F.lit(1).cast(_D)))
+                .alias("r2")))
+    auc = ((F.col("r2") - F.col("n_pos").cast(_D)
+            * (F.col("n_pos").cast(_D) + F.lit(1).cast(_D)))
+           .cast("double") / 2.0
+           / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double")))
+    per_c = agg.select("cohort", "n_pos", "n_neg",
+                       F.floor(auc * 1000000.0).cast("long")
+                       .alias("auc_micro"))
+    overall = (per_c.agg(
+        F.floor(F.sum(F.col("auc_micro")
+                      * (F.col("n_pos") + F.col("n_neg")))
+                / F.sum(F.col("n_pos") + F.col("n_neg")))
+        .cast("long").alias("weighted_mean_auc_micro")))
+    return (per_c.crossJoin(F.broadcast(overall))
+            .select("cohort", "n_pos", "n_neg", "auc_micro",
+                    "weighted_mean_auc_micro",
+                    (F.col("auc_micro")
+                     - F.col("weighted_mean_auc_micro"))
+                    .alias("gap_micro"))
+            .orderBy("cohort"))
+
+
+GROUP_AUC_SQL = """
+WITH base AS (
+  SELECT vec_id % 4 AS cohort, label = 1 AS pos,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS v
+  FROM embeddings
+),
+per_v AS (
+  SELECT cohort, v, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_p,
+         count(*) AS cnt
+  FROM base GROUP BY 1, 2
+),
+terms AS (
+  SELECT cohort, c_p, cnt,
+         sum(cnt) OVER (PARTITION BY cohort ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) - cnt AS before
+  FROM per_v
+),
+agg AS (
+  SELECT cohort, CAST(sum(c_p) AS BIGINT) AS n_pos,
+         CAST(sum(cnt) - sum(c_p) AS BIGINT) AS n_neg,
+         sum(CAST(c_p AS HUGEINT)
+             * (2 * CAST(before AS HUGEINT) + cnt + 1)) AS r2
+  FROM terms GROUP BY cohort
+),
+per_c AS (
+  SELECT cohort, n_pos, n_neg,
+         CAST(floor(CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)
+                         AS DOUBLE) / 2.0
+                    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS auc_micro
+  FROM agg
+),
+overall AS (
+  SELECT CAST(floor(sum(auc_micro * (n_pos + n_neg))
+                    / sum(n_pos + n_neg)) AS BIGINT)
+           AS weighted_mean_auc_micro
+  FROM per_c
+)
+SELECT cohort, n_pos, n_neg, auc_micro, weighted_mean_auc_micro,
+       auc_micro - weighted_mean_auc_micro AS gap_micro
+FROM per_c CROSS JOIN overall
+ORDER BY cohort
+"""
+
+
+QUERIES["ml_group_auc"] = (ml_group_auc, GROUP_AUC_SQL)

@@ -197,26 +197,11 @@ _AB_STATE = "purchase"
 _AB_HORIZON = 8
 
 
-def events_absorption_funnel(spark: SparkSession, sf: str) -> DataFrame:
-    """Absorption probability of the per-user event chain: from each
-    non-purchase event type, the probability of reaching 'purchase'
-    within 8 steps — the funnel question ("how likely does a session
-    at state X convert?") answered by the absorbing-chain recursion
-    a_t(s) = r(s) + sum_d Q(s,d) * a_{t-1}(d) with r the one-step
-    conversion row and Q the transient-to-transient block.
-
-    Same engine discipline as events_markov_stationary (above): the
-    chain is |types|^2 so every iteration runs on broadcast-size
-    tables; each round's vector is floored to nano-ints before the
-    next product, and the oracle unrolls the identical 8 quantized
-    generations.  One user-keyed window pass builds the transitions;
-    nothing else touches raw data."""
-    ev = events_t(spark, sf)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (ev.select(F.col("event_type").alias("src"),
-                       F.lead("event_type").over(w).alias("dst"))
-             .filter(F.col("dst").isNotNull()))
-    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+def absorption_from_counts(counts: DataFrame) -> DataFrame:
+    """The absorbing-chain recursion over a (src, dst, n) transition
+    COUNT table — factored so the streaming fold (streaming/
+    absorption.py) serves the registered query's exact generations
+    over its folded state.  See events_absorption_funnel."""
     rowsum = counts.groupBy("src").agg(F.sum("n").alias("rs"))
     p = (counts.join(rowsum, "src")
          .filter(F.col("src") != _AB_STATE).persist())
@@ -248,6 +233,30 @@ def events_absorption_funnel(spark: SparkSession, sf: str) -> DataFrame:
                     .alias("one_step_nano"),
                     F.col("m").alias(f"absorb_{_AB_HORIZON}_nano"))
             .orderBy("event_type"))
+
+
+def events_absorption_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Absorption probability of the per-user event chain: from each
+    non-purchase event type, the probability of reaching 'purchase'
+    within 8 steps — the funnel question ("how likely does a session
+    at state X convert?") answered by the absorbing-chain recursion
+    a_t(s) = r(s) + sum_d Q(s,d) * a_{t-1}(d) with r the one-step
+    conversion row and Q the transient-to-transient block
+    (absorption_from_counts).
+
+    Same engine discipline as events_markov_stationary (above): the
+    chain is |types|^2 so every iteration runs on broadcast-size
+    tables; each round's vector is floored to nano-ints before the
+    next product, and the oracle unrolls the identical 8 quantized
+    generations.  One user-keyed window pass builds the transitions;
+    nothing else touches raw data."""
+    ev = events_t(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select(F.col("event_type").alias("src"),
+                       F.lead("event_type").over(w).alias("dst"))
+             .filter(F.col("dst").isNotNull()))
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    return absorption_from_counts(counts)
 
 
 def _absorption_sql() -> str:
@@ -311,3 +320,66 @@ ORDER BY event_type""")
 
 QUERIES["events_absorption_funnel"] = (events_absorption_funnel,
                                        _absorption_sql())
+
+
+def events_dau_wau_stickiness(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU/WAU stickiness per ISO week — the engagement ratio product
+    analytics watches weekly: average daily active users over weekly
+    active users (1/7 = everyone comes once; 1.0 = everyone comes
+    daily).  Exact distinct counts; the average DAU is an integer sum
+    of per-day distincts over the week divided at the end.
+
+    Scale: two distinct aggregations keyed by (day|week, user) — the
+    standard two-level distinct rollup; no window, no join besides the
+    7-row-per-week day rollup."""
+    ev = events_t(spark, sf)
+    day = F.to_date("ts")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    dau = (ev.groupBy(day.alias("day"), wk.alias("week"))
+           .agg(F.countDistinct("user_id").alias("dau")))
+    per_wk_dau = (dau.groupBy("week")
+                  .agg(F.sum("dau").alias("dau_sum"),
+                       F.count(F.lit(1)).alias("days_observed")))
+    wau = (ev.groupBy(wk.alias("week"))
+           .agg(F.countDistinct("user_id").alias("wau")))
+    j = per_wk_dau.join(wau, "week")
+    return (j.select(
+        "week", "days_observed", "wau",
+        F.floor(F.col("dau_sum") * 1000
+                / F.col("days_observed")).cast("long")
+        .alias("avg_dau_milli"),
+        F.floor(F.col("dau_sum") * 1000000
+                / (F.col("days_observed") * F.col("wau"))).cast("long")
+        .alias("stickiness_micro"))
+        .orderBy("week"))
+
+
+DAU_WAU_SQL = """
+WITH dau AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(date_trunc('week', ts) AS DATE) AS week,
+         count(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1, 2
+),
+per_wk AS (
+  SELECT week, CAST(sum(dau) AS BIGINT) AS dau_sum,
+         count(*) AS days_observed
+  FROM dau GROUP BY week
+),
+wau AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         count(DISTINCT user_id) AS wau
+  FROM events GROUP BY 1
+)
+SELECT p.week, p.days_observed, w.wau,
+       CAST(floor(p.dau_sum * 1000 / p.days_observed) AS BIGINT)
+         AS avg_dau_milli,
+       CAST(floor(p.dau_sum * 1000000 / (p.days_observed * w.wau))
+            AS BIGINT) AS stickiness_micro
+FROM per_wk p JOIN wau w ON p.week = w.week
+ORDER BY p.week
+"""
+
+
+QUERIES["events_dau_wau_stickiness"] = (events_dau_wau_stickiness,
+                                        DAU_WAU_SQL)

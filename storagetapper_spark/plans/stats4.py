@@ -1087,3 +1087,119 @@ FROM s
 
 QUERIES["stats_tost_equivalence"] = (stats_tost_equivalence, TOST_SQL)
 QUERIES["stats_sign_test"] = (stats_sign_test, SIGN_TEST_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank — paired magnitudes, not just signs
+# ---------------------------------------------------------------------------
+
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Wilcoxon signed-rank test on the same 1996-vs-1997 per-customer
+    spend pairs as stats_sign_test, but using the MAGNITUDE ranks the
+    sign test throws away.  Midranks never materialize per pair: on
+    the |diff|-cents grid, 2*W+ = sum over values of
+    n_pos(v) * (2*before(v) + cnt(v) + 1) exactly (the Kruskal-Wallis
+    doubled-rank identity); z uses the tie-corrected variance
+    Var = n(n+1)(2n+1)/24 - sum(t^3 - t)/48 and a 0.5 continuity
+    correction.  Zero diffs are dropped (textbook convention).
+
+    Scale: one (cust, year) hash agg, one |diff| grid agg, one
+    cumulative window on the grid (bounded-domain allowlist —
+    distinct |diff| cents), a 1-row reduce."""
+    o = t(spark, sf, "orders")
+    yr = F.year("o_orderdate")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    per = (o.filter(yr.isin(1996, 1997))
+           .groupBy("o_custkey")
+           .agg(F.sum(F.when(yr == 1996, cents)).alias("v96"),
+                F.sum(F.when(yr == 1997, cents)).alias("v97"))
+           .filter(F.col("v96").isNotNull() & F.col("v97").isNotNull())
+           .select((F.col("v97") - F.col("v96")).alias("diff"))
+           .filter(F.col("diff") != 0))
+    per_v = (per.groupBy(F.abs(F.col("diff")).alias("v"))
+             .agg(F.sum(F.when(F.col("diff") > 0, 1).otherwise(0))
+                  .alias("n_pos_v"),
+                  F.count(F.lit(1)).alias("cnt")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    terms = per_v.select(
+        "n_pos_v", "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("before"))
+    agg = terms.agg(
+        F.sum("cnt").alias("n"),
+        F.sum("n_pos_v").alias("n_pos"),
+        F.sum(F.col("n_pos_v").cast(_DEC)
+              * (F.lit(2).cast(_DEC) * F.col("before").cast(_DEC)
+                 + F.col("cnt").cast(_DEC) + F.lit(1).cast(_DEC)))
+        .alias("w2_pos"),
+        F.sum(F.col("cnt").cast(_DEC) * F.col("cnt").cast(_DEC)
+              * F.col("cnt").cast(_DEC) - F.col("cnt").cast(_DEC))
+        .alias("tie_term"))
+    d = "double"
+    n = F.col("n").cast(d)
+    wp = F.col("w2_pos").cast(d) / 2.0
+    mu = n * (n + 1.0) / 4.0
+    var = (n * (n + 1.0) * (2.0 * n + 1.0) / 24.0
+           - F.col("tie_term").cast(d) / 48.0)
+    z = (wp - mu - F.signum(wp - mu) * 0.5) / F.sqrt(var)
+    return agg.select(
+        "n", "n_pos",
+        F.col("w2_pos").cast("long").alias("w_plus_x2"),
+        F.col("tie_term").cast("long").alias("tie_term"),
+        F.floor(z * 1000.0).cast("long").alias("z_milli"))
+
+
+WILCOXON_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         sum(CASE WHEN year(o_orderdate) = 1996
+             THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END)
+           AS v96,
+         sum(CASE WHEN year(o_orderdate) = 1997
+             THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END)
+           AS v97
+  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY o_custkey
+),
+diffs AS (
+  SELECT v97 - v96 AS diff FROM per
+  WHERE v96 IS NOT NULL AND v97 IS NOT NULL AND v97 <> v96
+),
+per_v AS (
+  SELECT abs(diff) AS v,
+         sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS n_pos_v,
+         count(*) AS cnt
+  FROM diffs GROUP BY 1
+),
+terms AS (
+  SELECT n_pos_v, cnt,
+         sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cnt
+           AS before
+  FROM per_v
+),
+agg AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(n_pos_v) AS BIGINT) AS n_pos,
+         sum(CAST(n_pos_v AS HUGEINT)
+             * (2 * CAST(before AS HUGEINT) + cnt + 1)) AS w2_pos,
+         sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_term
+  FROM terms
+)
+SELECT n, n_pos,
+       CAST(w2_pos AS BIGINT) AS w_plus_x2,
+       CAST(tie_term AS BIGINT) AS tie_term,
+       CAST(floor(
+         (CAST(w2_pos AS DOUBLE) / 2.0
+          - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0
+          - sign(CAST(w2_pos AS DOUBLE) / 2.0
+                 - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+            * 0.5)
+         / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                - CAST(tie_term AS DOUBLE) / 48.0)
+         * 1000.0) AS BIGINT) AS z_milli
+FROM agg
+"""
+
+
+QUERIES["stats_wilcoxon_signed_rank"] = (stats_wilcoxon_signed_rank,
+                                         WILCOXON_SQL)

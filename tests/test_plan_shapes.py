@@ -266,6 +266,8 @@ _BOUNDED_DOMAIN_ALLOWLIST = {
                           "≤ 50 rows — same grid as Kruskal-Wallis)",
     "stats_anderson_darling": "distinct value grid (integer quantities, "
                               "≤ 50 rows — same grid as Kruskal-Wallis)",
+    "stats_wilcoxon_signed_rank": "distinct |diff| grid (paired spend "
+                                  "deltas in cents — value-grid bounded)",
     "stats_effect_sizes": "distinct value grid (integer quantities, "
                           "≤ 50 rows)",
     "stats_kendall_tau": "distinct value grid (price cents ≤ 1e7)",

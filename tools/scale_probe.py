@@ -201,6 +201,9 @@ PROBES = [
     "graph_modularity",        # LPA generations + 2 label joins
     "stats_tost_equivalence",  # 6-integer two-group moment reduce
     "stats_sign_test",         # (cust, year) agg + 4-integer reduce
+    "stats_wilcoxon_signed_rank",  # |diff| grid midrank identity
+    "ml_group_auc",            # cohort-partitioned score-grid ranks
+    "events_dau_wau_stickiness",  # two-level distinct rollup
     "stats_overdispersion_test",  # complete-calendar count moments
 ]
 
