@@ -507,3 +507,107 @@ ORDER BY cohort
 
 
 QUERIES["ml_group_auc"] = (ml_group_auc, GROUP_AUC_SQL)
+
+
+_PINBALL_QS = [100, 500, 900]  # milli-quantiles
+_PINBALL_SPLIT = "1999-01-01"
+
+
+def ml_pinball_loss(spark: SparkSession, sf: str) -> DataFrame:
+    """Pinball (quantile) loss of three constant quantile forecasters:
+    the q10/q50/q90 of TRAIN-period daily revenue (exact type-1 order
+    statistics, k = ceil(q*n)), each evaluated on TEST days with
+    loss_q(y,f) = max(q*(y-f), (q-1)*(y-f)) — the metric that scores a
+    quantile forecast's calibration+sharpness jointly, in exact
+    milli-q x cent integer units end to end.  The q50 row doubles as
+    the MAE/2 of the train-median forecaster.
+
+    Scale: the raw scan reduces to the daily calendar grid; the train
+    quantiles come from one cumulative window on that grid
+    (bounded-domain allowlist); the test evaluation is a 3x explode of
+    the grid with integer arithmetic."""
+    o = t(spark, sf, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    daily = (o.groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg(F.sum(cents).alias("y")))
+    train = daily.filter(F.col("day") < _PINBALL_SPLIT)
+    test = daily.filter(F.col("day") >= _PINBALL_SPLIT)
+    w = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (train.groupBy("y").agg(F.count(F.lit(1)).alias("c"))
+              .withColumn("cum", F.sum("c").over(w)))
+    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+    qs = (ranked.crossJoin(F.broadcast(n_train))
+          .select("y", "cum", "n_train",
+                  F.explode(F.array(*[F.lit(q) for q in _PINBALL_QS]))
+                  .alias("q_milli"))
+          .withColumn("k", F.ceil(F.col("q_milli") * F.col("n_train")
+                                  / 1000.0).cast("long"))
+          .filter(F.col("cum") >= F.col("k"))
+          .groupBy("q_milli", "n_train")
+          .agg(F.min("y").alias("f")))
+    ev = test.crossJoin(F.broadcast(qs))
+    diff = F.col("y") - F.col("f")
+    loss = F.greatest(F.col("q_milli") * diff,
+                      (F.col("q_milli") - 1000) * diff)
+    per_q = (ev.groupBy("q_milli", "n_train", "f")
+             .agg(F.count(F.lit(1)).alias("n_test"),
+                  F.sum(loss).alias("loss_milliq_cents"),
+                  F.sum(F.when(F.col("y") <= F.col("f"), 1).otherwise(0))
+                  .alias("n_covered")))
+    return (per_q.select(
+        "q_milli", "n_train", "n_test",
+        F.col("f").alias("forecast_cents"),
+        F.expr("loss_milliq_cents div n_test").cast("long")
+        .alias("mean_pinball_milliq_cents"),
+        F.floor(F.col("n_covered") * 1000000 / F.col("n_test"))
+        .cast("long").alias("test_coverage_micro"))
+        .orderBy("q_milli"))
+
+
+PINBALL_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+train AS (SELECT y FROM daily WHERE day < DATE '{_PINBALL_SPLIT}'),
+test AS (SELECT y FROM daily WHERE day >= DATE '{_PINBALL_SPLIT}'),
+ranked AS (
+  SELECT y, count(*) AS c,
+         sum(count(*)) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS cum
+  FROM train GROUP BY y
+),
+nt AS (SELECT count(*) AS n_train FROM train),
+qs AS (
+  SELECT t.q_milli, n.n_train, min(r.y) AS f
+  FROM ranked r CROSS JOIN nt n
+  CROSS JOIN (SELECT unnest([{", ".join(map(str, _PINBALL_QS))}])
+              AS q_milli) t
+  WHERE r.cum >= CAST(ceil(t.q_milli * n.n_train / 1000.0) AS BIGINT)
+  GROUP BY 1, 2
+),
+ev AS (
+  SELECT q.q_milli, q.n_train, q.f, t.y,
+         greatest(q.q_milli * (t.y - q.f),
+                  (q.q_milli - 1000) * (t.y - q.f)) AS loss
+  FROM test t CROSS JOIN qs q
+),
+per_q AS (
+  SELECT q_milli, n_train, f, count(*) AS n_test,
+         CAST(sum(loss) AS BIGINT) AS loss_milliq_cents,
+         CAST(sum(CASE WHEN y <= f THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered
+  FROM ev GROUP BY 1, 2, 3
+)
+SELECT q_milli, n_train, n_test, f AS forecast_cents,
+       CAST(loss_milliq_cents // n_test AS BIGINT)
+         AS mean_pinball_milliq_cents,
+       CAST(floor(n_covered * 1000000 / n_test) AS BIGINT)
+         AS test_coverage_micro
+FROM per_q
+ORDER BY q_milli
+"""
+
+
+QUERIES["ml_pinball_loss"] = (ml_pinball_loss, PINBALL_SQL)

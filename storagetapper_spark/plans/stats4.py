@@ -1203,3 +1203,78 @@ FROM agg
 
 QUERIES["stats_wilcoxon_signed_rank"] = (stats_wilcoxon_signed_rank,
                                          WILCOXON_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Wilson score intervals — honest CIs for small-count rates
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = "1.959964"  # two-sided 95% normal quantile, shared literal
+
+
+def stats_wilson_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """95% Wilson score interval for the URGENT-order rate per
+    market segment — the rate CI that behaves at small counts and
+    rates near 0/1 where the naive Wald interval collapses; the
+    standard for conversion-rate dashboards.
+    center = (p + z^2/2n) / (1 + z^2/n);
+    half = z * sqrt(p(1-p)/n + z^2/4n^2) / (1 + z^2/n).
+
+    Scale: one segment-keyed conditional count (5-row domain), one
+    double expression per bound."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    per = (o.join(c, o.o_custkey == c.c_custkey)
+           .groupBy(F.col("c_mktsegment").alias("segment"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                      .otherwise(0)).alias("k")))
+    d = "double"
+    n, k = F.col("n").cast(d), F.col("k").cast(d)
+    p = k / n
+    z = F.expr(_WILSON_Z)
+    z2n = z * z / n
+    center = (p + z2n / 2.0) / (1.0 + z2n)
+    half = (z * F.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+            / (1.0 + z2n))
+    return (per.select(
+        "segment", "n", "k",
+        F.floor(p * 1000000.0).cast("long").alias("rate_micro"),
+        F.floor((center - half) * 1000000.0).cast("long")
+        .alias("wilson_lo_micro"),
+        F.floor((center + half) * 1000000.0).cast("long")
+        .alias("wilson_hi_micro"))
+        .orderBy("segment"))
+
+
+WILSON_SQL = f"""
+WITH per AS (
+  SELECT c.c_mktsegment AS segment, count(*) AS n,
+         CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+),
+calc AS (
+  SELECT segment, n, k,
+         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         {_WILSON_Z} * {_WILSON_Z} / CAST(n AS DOUBLE) AS z2n,
+         CAST(n AS DOUBLE) AS nd
+  FROM per
+)
+SELECT segment, n, k,
+       CAST(floor(p * 1000000.0) AS BIGINT) AS rate_micro,
+       CAST(floor(((p + z2n / 2.0) / (1.0 + z2n)
+         - {_WILSON_Z} * sqrt(p * (1.0 - p) / nd
+             + {_WILSON_Z} * {_WILSON_Z} / (4.0 * nd * nd))
+           / (1.0 + z2n)) * 1000000.0) AS BIGINT) AS wilson_lo_micro,
+       CAST(floor(((p + z2n / 2.0) / (1.0 + z2n)
+         + {_WILSON_Z} * sqrt(p * (1.0 - p) / nd
+             + {_WILSON_Z} * {_WILSON_Z} / (4.0 * nd * nd))
+           / (1.0 + z2n)) * 1000000.0) AS BIGINT) AS wilson_hi_micro
+FROM calc
+ORDER BY segment
+"""
+
+
+QUERIES["stats_wilson_ci"] = (stats_wilson_ci, WILSON_SQL)

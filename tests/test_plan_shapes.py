@@ -245,6 +245,8 @@ _BOUNDED_DOMAIN_ALLOWLIST = {
     "stats_runs_test": "daily grid (calendar-bounded)",
     "ts_hurst_rs": "daily grid (calendar-bounded; block windows are "
                    "(scale, block)-partitioned)",
+    "ml_pinball_loss": "train-period daily-revenue value grid "
+                       "(calendar-bounded)",
     "ts_changepoint_mean_shift": "daily grid (calendar-bounded)",
     "ts_rolling_slope": "daily grid (calendar-bounded)",
     "ts_forecast_backtest_mase": "daily grid (calendar-bounded, "

@@ -204,6 +204,8 @@ PROBES = [
     "stats_wilcoxon_signed_rank",  # |diff| grid midrank identity
     "ml_group_auc",            # cohort-partitioned score-grid ranks
     "events_dau_wau_stickiness",  # two-level distinct rollup
+    "stats_wilson_ci",         # 5-segment conditional counts
+    "ml_pinball_loss",         # daily grid + 3-quantile explode
     "stats_overdispersion_test",  # complete-calendar count moments
 ]
 
