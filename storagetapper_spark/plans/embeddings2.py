@@ -318,3 +318,126 @@ ORDER BY query_id
 
 
 QUERIES["ann_mips_vs_cosine"] = (ann_mips_vs_cosine, MIPS_SQL)
+
+
+_FS_K = 5
+_FS_LABEL = 1
+
+
+def ann_filtered_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Filtered vector search, pre- vs post-filter — THE operational
+    question of metadata-constrained ANN: per query, (a) the true
+    top-5 among label=1 corpus vectors (pre-filter: exact over the
+    restricted corpus) vs (b) post-filtering an UNfiltered top-20 down
+    to label=1 — reporting how many of the true top-5 the post-filter
+    path recovers and whether it even fills 5 slots.  Recall loss here
+    is the reason serious vector stores push predicates INTO the index
+    rather than filtering afterwards.
+
+    Exactness: integer-grid dot products (the ann_mips_vs_cosine
+    machinery), cosine rank keys cross-multiplied — no sqrt; vec_id
+    tiebreaks everywhere.
+
+    Scale: same broadcast-queries / corpus-never-shuffles shape as
+    ann_brute_force; both rankings come from one scored table with
+    per-query WindowGroupLimits."""
+    lng = _long_q(spark, sf)
+    corp = lng.filter(F.col("vec_id") >= 5)
+    qs = (lng.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("query_id"), "pos",
+                  F.col("xq").alias("qq")))
+    labels = (t(spark, sf, "embeddings")
+              .filter(F.col("vec_id") >= 5).select("vec_id", "label"))
+    ip = (corp.join(F.broadcast(qs), "pos")
+          .groupBy("query_id", "vec_id")
+          .agg(F.sum(F.col("xq") * F.col("qq")).alias("ip"),
+               F.sum(F.col("xq") * F.col("xq")).alias("n2"))
+          .join(labels, "vec_id"))
+    d = "double"
+    cos_key = (F.signum(F.col("ip").cast(d))
+               * F.col("ip").cast(d) * F.col("ip").cast(d)
+               / F.col("n2").cast(d))
+    w_pre = Window.partitionBy("query_id").orderBy(
+        F.desc(cos_key), "vec_id")
+    w_all = Window.partitionBy("query_id").orderBy(
+        F.desc(cos_key), "vec_id")
+    pre = (ip.filter(F.col("label") == _FS_LABEL)
+           .withColumn("r", F.row_number().over(w_pre))
+           .filter(F.col("r") <= _FS_K)
+           .select("query_id", "vec_id", F.lit(1).alias("in_pre")))
+    post = (ip.withColumn("r_all", F.row_number().over(w_all))
+            .filter(F.col("r_all") <= 4 * _FS_K)
+            .filter(F.col("label") == _FS_LABEL)
+            .select("query_id", "vec_id", F.lit(1).alias("in_post")))
+    j = pre.join(post, ["query_id", "vec_id"], "full")
+    per_q = (j.groupBy("query_id")
+             .agg(F.sum(F.coalesce("in_pre", F.lit(0))).alias("n_true"),
+                  F.sum(F.coalesce("in_post", F.lit(0))).alias("n_post"),
+                  F.sum(F.when(F.col("in_pre").isNotNull()
+                               & F.col("in_post").isNotNull(), 1)
+                        .otherwise(0)).alias("recovered")))
+    return (per_q.select(
+        "query_id", "n_true", "n_post", "recovered",
+        F.floor(F.col("recovered") * 1000000 / F.col("n_true"))
+        .cast("long").alias("postfilter_recall_micro"),
+        (F.col("n_post") < _FS_K).alias("underfilled"))
+        .orderBy("query_id"))
+
+
+FILTERED_SQL = f"""
+WITH {_LONG_SQL},
+corp AS (SELECT vec_id, pos, xq FROM longq WHERE vec_id >= 5),
+qs AS (SELECT vec_id AS query_id, pos, xq AS qq FROM longq
+       WHERE vec_id < 5),
+ip AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(sum(c.xq * q.qq) AS BIGINT) AS ip,
+         CAST(sum(c.xq * c.xq) AS BIGINT) AS n2
+  FROM corp c JOIN qs q ON c.pos = q.pos
+  GROUP BY 1, 2
+),
+lab AS (
+  SELECT i.*, e.label
+  FROM ip i JOIN embeddings e ON e.vec_id = i.vec_id
+),
+scored AS (
+  SELECT *, sign(CAST(ip AS DOUBLE)) * CAST(ip AS DOUBLE)
+            * CAST(ip AS DOUBLE) / CAST(n2 AS DOUBLE) AS ck
+  FROM lab
+),
+pre AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ck DESC, vec_id) AS r
+    FROM scored WHERE label = {_FS_LABEL}
+  ) WHERE r <= {_FS_K}
+),
+post AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ck DESC, vec_id) AS r_all
+    FROM scored
+  ) WHERE r_all <= {4 * _FS_K} AND label = {_FS_LABEL}
+),
+j AS (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS in_pre,
+         CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END AS in_post
+  FROM pre a FULL OUTER JOIN post b
+    ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+)
+SELECT query_id, CAST(sum(in_pre) AS BIGINT) AS n_true,
+       CAST(sum(in_post) AS BIGINT) AS n_post,
+       CAST(sum(in_pre * in_post) AS BIGINT) AS recovered,
+       CAST(floor(sum(in_pre * in_post) * 1000000 / sum(in_pre))
+            AS BIGINT) AS postfilter_recall_micro,
+       sum(in_post) < {_FS_K} AS underfilled
+FROM j
+GROUP BY query_id
+ORDER BY query_id
+"""
+
+
+QUERIES["ann_filtered_search"] = (ann_filtered_search, FILTERED_SQL)

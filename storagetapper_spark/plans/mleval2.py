@@ -611,3 +611,81 @@ ORDER BY q_milli
 
 
 QUERIES["ml_pinball_loss"] = (ml_pinball_loss, PINBALL_SQL)
+
+
+def ml_mcnemar_model_comparison(spark: SparkSession, sf: str) -> DataFrame:
+    """McNemar's test for COMPARING two classifiers on the same rows —
+    the correct paired test for "is model B actually better than A?"
+    (two independent accuracy CIs overlap ≠ no difference).  Model A:
+    the literal price stump "PROMO iff cents <= 1,500,000"; model B:
+    "PROMO iff the part size is small (p_size <= 25)";
+    ground truth: the PROMO type prefix.  Only the discordant rows
+    inform the test: chi2_cc = (|b - c| - 1)^2/(b + c), with b = A
+    right/B wrong and c = A wrong/B right.
+
+    Scale: one broadcast dim join and a 4-integer reduce."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").select(
+        "p_partkey", "p_size",
+        F.col("p_type").startswith("PROMO").alias("truth"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    pred_a = cents <= 1500000
+    pred_b = F.col("p_size") <= 25
+    a_ok = (pred_a == F.col("truth")).cast("int")
+    b_ok = (pred_b == F.col("truth")).cast("int")
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(a_ok).alias("a_correct"),
+        F.sum(b_ok).alias("b_correct"),
+        F.sum(a_ok * (1 - b_ok)).alias("b_cell"),
+        F.sum((1 - a_ok) * b_ok).alias("c_cell"))
+    d = "double"
+    b, c = F.col("b_cell").cast(d), F.col("c_cell").cast(d)
+    chi2 = ((F.abs(b - c) - 1.0) * (F.abs(b - c) - 1.0)
+            / F.nullif(b + c, F.lit(0.0)))
+    return s.select(
+        "n", "a_correct", "b_correct", "b_cell", "c_cell",
+        F.floor(chi2 * 1000.0).cast("long").alias("chi2_cc_milli"),
+        (F.floor(chi2 * 1000.0) > 3841).alias("significant_05"))
+
+
+MCNEMAR_MODELS_SQL = """
+WITH j AS (
+  SELECT CASE WHEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+              <= 1500000 THEN 1 ELSE 0 END AS pred_a,
+         CASE WHEN p.p_size <= 25 THEN 1 ELSE 0 END AS pred_b,
+         CASE WHEN starts_with(p.p_type, 'PROMO') THEN 1 ELSE 0 END
+           AS truth
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+flags AS (
+  SELECT CASE WHEN pred_a = truth THEN 1 ELSE 0 END AS a_ok,
+         CASE WHEN pred_b = truth THEN 1 ELSE 0 END AS b_ok
+  FROM j
+),
+s AS (
+  SELECT count(*) AS n,
+         CAST(sum(a_ok) AS BIGINT) AS a_correct,
+         CAST(sum(b_ok) AS BIGINT) AS b_correct,
+         CAST(sum(a_ok * (1 - b_ok)) AS BIGINT) AS b_cell,
+         CAST(sum((1 - a_ok) * b_ok) AS BIGINT) AS c_cell
+  FROM flags
+)
+SELECT n, a_correct, b_correct, b_cell, c_cell,
+       CAST(floor(
+         (abs(CAST(b_cell AS DOUBLE) - CAST(c_cell AS DOUBLE)) - 1.0)
+         * (abs(CAST(b_cell AS DOUBLE) - CAST(c_cell AS DOUBLE)) - 1.0)
+         / nullif(CAST(b_cell AS DOUBLE) + CAST(c_cell AS DOUBLE), 0.0)
+         * 1000.0) AS BIGINT) AS chi2_cc_milli,
+       CAST(floor(
+         (abs(CAST(b_cell AS DOUBLE) - CAST(c_cell AS DOUBLE)) - 1.0)
+         * (abs(CAST(b_cell AS DOUBLE) - CAST(c_cell AS DOUBLE)) - 1.0)
+         / nullif(CAST(b_cell AS DOUBLE) + CAST(c_cell AS DOUBLE), 0.0)
+         * 1000.0) AS BIGINT) > 3841 AS significant_05
+FROM s
+"""
+
+
+QUERIES["ml_mcnemar_model_comparison"] = (ml_mcnemar_model_comparison,
+                                          MCNEMAR_MODELS_SQL)

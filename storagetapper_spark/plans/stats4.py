@@ -1278,3 +1278,87 @@ ORDER BY segment
 
 
 QUERIES["stats_wilson_ci"] = (stats_wilson_ci, WILSON_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture — how big is the corpus we HAVEN'T crawled?
+# ---------------------------------------------------------------------------
+
+def stats_capture_recapture(spark: SparkSession, sf: str) -> DataFrame:
+    """Chapman capture-recapture estimate of total population size from
+    two independent "crawls" of the document corpus (deterministic,
+    DISJOINT-SEEDED md5 hash samples: crawl A keeps u1 < 40%, crawl B
+    keeps u2 < 40% on a different salt) — the estimator a crawl
+    pipeline uses to answer "how much of the web/corpus have we NOT
+    seen?" from overlap alone.  N_hat = (n1+1)(n2+1)/(m+1) - 1 with
+    variance (n1+1)(n2+1)(n1-m)(n2-m)/((m+1)^2(m+2)); both exact
+    integers until two final divisions, and the truth is in the
+    fixture so the estimate's error is reported alongside.
+
+    Scale: one scan computing two hash bits, a 4-integer reduce."""
+    docs = t(spark, sf, "documents")
+    u1 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                            1, 15), 16, 10).cast("long")
+    u2 = F.conv(F.substring(F.md5(F.concat(F.lit("crawlB:"),
+                                           F.col("doc_id").cast("string"))),
+                            1, 15), 16, 10).cast("long")
+    thr = int((1 << 60) * 0.4)
+    flags = docs.select((u1 < thr).cast("int").alias("a"),
+                        (u2 < thr).cast("int").alias("b"))
+    s = flags.agg(F.count(F.lit(1)).alias("n_true"),
+                  F.sum("a").alias("n1"), F.sum("b").alias("n2"),
+                  F.sum(F.col("a") * F.col("b")).alias("m"))
+    d = "double"
+    n1, n2, m = (F.col(x).cast(d) for x in ("n1", "n2", "m"))
+    nhat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    var = ((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m)
+           / ((m + 1.0) * (m + 1.0) * (m + 2.0)))
+    return s.select(
+        "n_true", "n1", "n2", F.col("m").alias("recaptured"),
+        F.floor(nhat).cast("long").alias("n_hat"),
+        F.floor(F.sqrt(var)).cast("long").alias("se_floor"),
+        F.floor((nhat - F.col("n_true").cast(d))
+                * 1000000.0 / F.col("n_true").cast(d)).cast("long")
+        .alias("rel_err_ppm"))
+
+
+CAPTURE_SQL = f"""
+WITH flags AS (
+  SELECT
+    CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) < {int((1 << 60) * 0.4)}
+         THEN 1 ELSE 0 END AS a,
+    CASE WHEN CAST(('0x' || substring(md5('crawlB:'
+                    || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              < {int((1 << 60) * 0.4)}
+         THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+s AS (
+  SELECT count(*) AS n_true, CAST(sum(a) AS BIGINT) AS n1,
+         CAST(sum(b) AS BIGINT) AS n2,
+         CAST(sum(a * b) AS BIGINT) AS m
+  FROM flags
+)
+SELECT n_true, n1, n2, m AS recaptured,
+       CAST(floor((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+                  / (CAST(m AS DOUBLE) + 1.0) - 1.0) AS BIGINT) AS n_hat,
+       CAST(floor(sqrt((CAST(n1 AS DOUBLE) + 1.0)
+                       * (CAST(n2 AS DOUBLE) + 1.0)
+                       * (CAST(n1 AS DOUBLE) - CAST(m AS DOUBLE))
+                       * (CAST(n2 AS DOUBLE) - CAST(m AS DOUBLE))
+                       / ((CAST(m AS DOUBLE) + 1.0)
+                          * (CAST(m AS DOUBLE) + 1.0)
+                          * (CAST(m AS DOUBLE) + 2.0)))) AS BIGINT)
+         AS se_floor,
+       CAST(floor(((CAST(n1 AS DOUBLE) + 1.0)
+                   * (CAST(n2 AS DOUBLE) + 1.0)
+                   / (CAST(m AS DOUBLE) + 1.0) - 1.0
+                   - CAST(n_true AS DOUBLE))
+                  * 1000000.0 / CAST(n_true AS DOUBLE)) AS BIGINT)
+         AS rel_err_ppm
+FROM s
+"""
+
+
+QUERIES["stats_capture_recapture"] = (stats_capture_recapture, CAPTURE_SQL)

@@ -206,6 +206,9 @@ PROBES = [
     "events_dau_wau_stickiness",  # two-level distinct rollup
     "stats_wilson_ci",         # 5-segment conditional counts
     "ml_pinball_loss",         # daily grid + 3-quantile explode
+    "ann_filtered_search",     # broadcast dots, pre/post-filter ranks
+    "stats_capture_recapture",  # two hash bits, 4-integer reduce
+    "ml_mcnemar_model_comparison",  # broadcast dim join, 4-int reduce
     "stats_overdispersion_test",  # complete-calendar count moments
 ]
 
