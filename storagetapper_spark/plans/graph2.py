@@ -1007,8 +1007,7 @@ def graph_ktruss(spark: SparkSession, sf: str) -> DataFrame:
     agg + a broadcast-sized semi-join back onto the edge list; rounds
     are persisted so lineage never re-derives round 1 inside round 2."""
     k_minus_2 = 2
-    e0 = _edges(spark, sf).persist()
-    e0.count()
+    e0 = _edges(spark, sf).localCheckpoint(eager=True)
 
     def peel(e: DataFrame) -> DataFrame:
         sup = _edge_support(e)
@@ -1017,8 +1016,11 @@ def graph_ktruss(spark: SparkSession, sf: str) -> DataFrame:
                 .filter(F.coalesce(F.col("sup"), F.lit(0)) >= k_minus_2)
                 .select("pa", "pb"))
 
-    e1 = peel(e0).persist()
-    e1.count()
+    # eager checkpoint per peel generation: persist() never truncates
+    # the LOGICAL plan, and round 2 references round 1's whole pipeline
+    # many times (the audited unrolled lineage was ~12.7k exchanges) —
+    # localCheckpoint cuts planning to round size (the LPA lesson)
+    e1 = peel(e0).localCheckpoint(eager=True)
     e2 = peel(e1)
     s1 = (e0.agg(F.count(F.lit(1)).alias("edges_in"))
           .crossJoin(e1.agg(F.count(F.lit(1)).alias("edges_kept")))
