@@ -554,3 +554,131 @@ ORDER BY candidate_key, workload
 
 QUERIES["layout_partition_advisor"] = (layout_partition_advisor,
                                        PARTITION_ADVISOR_SQL)
+
+
+def layout_overlap_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """Zone-map OVERLAP DEPTH — the read-amplification number behind
+    layout_zone_map_pruning's skip rates: for a point query on one
+    ship day, how many 4096-row chunks must be read, as a
+    time-weighted average and max over the calendar, natural layout
+    vs shipdate-sorted.  A sorted layout's depth hugs 1-2 (only chunk
+    boundaries straddle a day); the natural layout's depth approaches
+    ALL chunks (every chunk spans most of the calendar) — this is the
+    standard compaction/clustering health metric (cf. Delta/Iceberg
+    clustering depth).
+
+    Sweep-line, never chunk x day: each chunk contributes (+1 at zmin,
+    -1 after zmax); per-layout prefix sums over the delta days give
+    piecewise-constant depth, weighted by run length in days.  All
+    exact integers.
+
+    Scale: chunk tables are rows/4096; the sweep windows partition by
+    layout over the delta-day domain (calendar-bounded)."""
+    li = (t(spark, sf, "lineitem")
+          .select("l_orderkey", "l_linenumber",
+                  F.col("l_shipdate").cast("date").alias("ship_day")))
+    nat = _zones(li, [F.col("l_orderkey"), F.col("l_linenumber")],
+                 F.floor(F.col("l_orderkey") / 65536))
+    srt = _zones(li, [F.col("ship_day"), F.col("l_orderkey"),
+                      F.col("l_linenumber")],
+                 F.floor(F.unix_date(F.col("ship_day")) / 64))
+    layers = [("natural", nat), ("sorted", srt)]
+    deltas = None
+    for label, z in layers:
+        d = (z.select(F.lit(label).alias("layout"),
+                      F.unix_date(F.col("zmin")).alias("day"),
+                      F.lit(1).alias("delta"))
+             .unionByName(
+                 z.select(F.lit(label).alias("layout"),
+                          (F.unix_date(F.col("zmax")) + 1).alias("day"),
+                          F.lit(-1).alias("delta"))))
+        deltas = d if deltas is None else deltas.unionByName(d)
+    per_day = (deltas.groupBy("layout", "day")
+               .agg(F.sum("delta").alias("d")))
+    w = Window.partitionBy("layout").orderBy("day")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    runs = (per_day
+            .withColumn("depth", F.sum("d").over(wc))
+            .withColumn("span", F.lead("day").over(w) - F.col("day"))
+            .filter(F.col("span").isNotNull()))
+    per_layout = (runs.groupBy("layout")
+                  .agg(F.max("depth").alias("max_depth"),
+                       F.sum(F.col("depth") * F.col("span"))
+                       .alias("depth_days"),
+                       F.sum("span").alias("span_days")))
+    n_chunks = None
+    for label, z in layers:
+        c = z.agg(F.lit(label).alias("layout"),
+                  F.count(F.lit(1)).alias("n_chunks"))
+        n_chunks = c if n_chunks is None else n_chunks.unionByName(c)
+    return (per_layout.join(n_chunks, "layout")
+            .select("layout", "n_chunks", "max_depth", "span_days",
+                    F.floor(F.col("depth_days") * 1000
+                            / F.col("span_days")).cast("long")
+                    .alias("avg_depth_milli"))
+            .orderBy("layout"))
+
+
+OVERLAP_DEPTH_SQL = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_day,
+         row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+           AS rn_nat,
+         row_number() OVER (ORDER BY CAST(l_shipdate AS DATE),
+                            l_orderkey, l_linenumber) - 1 AS rn_srt
+  FROM lineitem
+),
+nat AS (
+  SELECT rn_nat // 4096 AS chunk, min(ship_day) AS zmin,
+         max(ship_day) AS zmax
+  FROM base GROUP BY 1
+),
+srt AS (
+  SELECT rn_srt // 4096 AS chunk, min(ship_day) AS zmin,
+         max(ship_day) AS zmax
+  FROM base GROUP BY 1
+),
+deltas AS (
+  SELECT 'natural' AS layout, datediff('day', DATE '1970-01-01', zmin)
+           AS day, 1 AS delta FROM nat
+  UNION ALL
+  SELECT 'natural', datediff('day', DATE '1970-01-01', zmax) + 1, -1
+  FROM nat
+  UNION ALL
+  SELECT 'sorted', datediff('day', DATE '1970-01-01', zmin), 1 FROM srt
+  UNION ALL
+  SELECT 'sorted', datediff('day', DATE '1970-01-01', zmax) + 1, -1
+  FROM srt
+),
+per_day AS (
+  SELECT layout, day, CAST(sum(delta) AS BIGINT) AS d
+  FROM deltas GROUP BY 1, 2
+),
+runs AS (
+  SELECT layout, day,
+         sum(d) OVER (PARTITION BY layout ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS depth,
+         lead(day) OVER (PARTITION BY layout ORDER BY day) - day AS span
+  FROM per_day
+),
+per_layout AS (
+  SELECT layout, CAST(max(depth) AS BIGINT) AS max_depth,
+         CAST(sum(depth * span) AS BIGINT) AS depth_days,
+         CAST(sum(span) AS BIGINT) AS span_days
+  FROM runs WHERE span IS NOT NULL
+  GROUP BY layout
+),
+nc AS (
+  SELECT 'natural' AS layout, count(*) AS n_chunks FROM nat
+  UNION ALL SELECT 'sorted', count(*) FROM srt
+)
+SELECT p.layout, c.n_chunks, p.max_depth, p.span_days,
+       CAST(floor(p.depth_days * 1000 / p.span_days) AS BIGINT)
+         AS avg_depth_milli
+FROM per_layout p JOIN nc c ON c.layout = p.layout
+ORDER BY p.layout
+"""
+
+
+QUERIES["layout_overlap_depth"] = (layout_overlap_depth,
+                                   OVERLAP_DEPTH_SQL)

@@ -689,3 +689,116 @@ FROM s
 
 QUERIES["ml_mcnemar_model_comparison"] = (ml_mcnemar_model_comparison,
                                           MCNEMAR_MODELS_SQL)
+
+
+_COST_FN = 5  # missing a positive costs 5x a false alarm
+_COST_FP = 1
+
+
+def ml_threshold_cost_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Cost-sensitive operating point: over the same quantized score
+    grid as ml_threshold_sweep_f1 (embedding dim 0 scoring label=1,
+    predict positive iff score >= threshold), the expected-cost-
+    minimizing threshold under the literal asymmetric cost matrix
+    FN=5, FP=1 — the decision layer that turns a scorer into a policy
+    when errors are not symmetric.  cost(t) = 5*FN(t) + 1*FP(t) from
+    cumulative grid counts; argmin with ties to the LOWEST threshold;
+    the curve's 5 quintile probes are emitted alongside the argmin so
+    the report shows shape, not just the winner.
+
+    Scale: one grid agg + one cumulative window (score-grid bounded
+    domain, the ml_threshold_sweep_f1 allowlist shape)."""
+    emb = t(spark, sf, "embeddings")
+    base = emb.select(
+        (F.col("label") == 1).alias("pos"),
+        F.floor(F.element_at("embedding", 1).cast("double") * 1000000)
+        .cast("long").alias("v"))
+    per_v = (base.groupBy("v")
+             .agg(F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("c_p"),
+                  F.count(F.lit(1)).alias("cnt")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = per_v.agg(F.sum("c_p").alias("tp_all"),
+                    (F.sum("cnt") - F.sum("c_p")).alias("tn_all"))
+    cum = (per_v.select(
+        "v",
+        F.coalesce(F.sum("c_p").over(w), F.lit(0)).alias("pos_below"),
+        F.coalesce(F.sum(F.col("cnt") - F.col("c_p")).over(w), F.lit(0))
+        .alias("neg_below"))
+        .crossJoin(F.broadcast(tot)))
+    # predict positive iff score >= v: FN = pos below v, FP = neg >= v
+    fn = F.col("pos_below")
+    fp = F.col("tn_all") - F.col("neg_below")
+    cost = _COST_FN * fn + _COST_FP * fp
+    scored = cum.select("v", fn.alias("fn"), fp.alias("fp"),
+                        cost.alias("cost"))
+    best = (scored.orderBy("cost", "v").limit(1)
+            .select(F.lit("argmin").alias("probe"), "v", "fn", "fp",
+                    "cost"))
+    w_r = Window.orderBy("v")
+    n_grid = scored.count()
+    quint = (scored.withColumn("rn", F.row_number().over(w_r))
+             .filter(F.col("rn").isin(
+                 *[max(1, round(q * n_grid / 5)) for q in range(1, 6)]))
+             .select(F.concat(F.lit("q"),
+                              F.ceil(F.col("rn") * 5 / n_grid)
+                              .cast("int").cast("string")).alias("probe"),
+                     "v", "fn", "fp", "cost"))
+    return best.unionByName(quint).orderBy("probe", "v")
+
+
+COST_CURVE_SQL = f"""
+WITH base AS (
+  SELECT label = 1 AS pos,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS v
+  FROM embeddings
+),
+per_v AS (
+  SELECT v, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_p,
+         count(*) AS cnt
+  FROM base GROUP BY v
+),
+tot AS (
+  SELECT CAST(sum(c_p) AS BIGINT) AS tp_all,
+         CAST(sum(cnt) - sum(c_p) AS BIGINT) AS tn_all
+  FROM per_v
+),
+cum AS (
+  SELECT v,
+         CAST(coalesce(sum(c_p) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS pos_below,
+         CAST(coalesce(sum(cnt - c_p) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS neg_below
+  FROM per_v
+),
+scored AS (
+  SELECT c.v, c.pos_below AS fn, t.tn_all - c.neg_below AS fp,
+         {_COST_FN} * c.pos_below + {_COST_FP} * (t.tn_all - c.neg_below)
+           AS cost
+  FROM cum c CROSS JOIN tot t
+),
+n_grid AS (SELECT count(*) AS ng FROM scored),
+best AS (
+  SELECT 'argmin' AS probe, v, fn, fp, cost
+  FROM scored ORDER BY cost, v LIMIT 1
+),
+quint AS (
+  SELECT 'q' || CAST(CAST(ceil(rn * 5.0 / ng) AS INT) AS VARCHAR)
+           AS probe, v, fn, fp, cost
+  FROM (SELECT s.*, row_number() OVER (ORDER BY v) AS rn, g.ng
+        FROM scored s CROSS JOIN n_grid g)
+  WHERE rn IN (SELECT greatest(1, CAST(round(q * ng / 5.0) AS BIGINT))
+               FROM (SELECT unnest([1, 2, 3, 4, 5]) AS q)
+               CROSS JOIN n_grid)
+)
+SELECT probe, v, fn, fp, cost FROM best
+UNION ALL
+SELECT probe, v, fn, fp, cost FROM quint
+ORDER BY probe, v
+"""
+
+
+QUERIES["ml_threshold_cost_curve"] = (ml_threshold_cost_curve,
+                                      COST_CURVE_SQL)

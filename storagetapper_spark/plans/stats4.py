@@ -1362,3 +1362,61 @@ FROM s
 
 
 QUERIES["stats_capture_recapture"] = (stats_capture_recapture, CAPTURE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Yekutieli — FDR under arbitrary dependence
+# ---------------------------------------------------------------------------
+
+from statistics import NormalDist as _ND
+
+from storagetapper_spark.plans import stats as _stats
+
+_BY_M = _stats._BH_M
+_BY_C = sum(1.0 / j for j in range(1, _BY_M + 1))  # harmonic H_m
+_BY_THR_MICRO = [
+    int(_ND().inv_cdf(1.0 - 0.05 * i / (2.0 * _BY_M * _BY_C)) * 1e6)
+    for i in range(1, _BY_M + 1)]
+
+
+def stats_fdr_by(spark: SparkSession, sf: str) -> DataFrame:
+    """Benjamini-Yekutieli FDR step-up over the same 25 per-brand
+    |z| tests as stats_fdr_bh — the variant that stays valid under
+    ARBITRARY dependence between the tests (BH's positive-dependence
+    assumption dropped) by shrinking alpha by the harmonic factor
+    c(m) = sum 1/i ~ ln m.  Identical walk, stricter literal
+    thresholds Φ⁻¹(1 - α·i/(2·m·c(m))) (stdlib inv_cdf at module
+    import, never libm at query time); BY can only reject a subset of
+    BH's rejections, which the property test asserts.
+
+    Scale: shares _brand_z's one moment aggregation; the step-up walk
+    is two windows on the 25-row brand table (allowlisted domain)."""
+    zt = _stats._brand_z(spark, sf)
+    thr = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(_BY_THR_MICRO)],
+        "rk bigint, thr_micro bigint")
+    ranked = (zt.withColumn(
+        "rk", F.row_number().over(
+            Window.orderBy(F.desc("abs_z_micro"), F.asc("p_brand"))))
+        .join(F.broadcast(thr), "rk"))
+    istar = F.max(F.when(F.col("abs_z_micro") >= F.col("thr_micro"),
+                         F.col("rk"))).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    return (ranked.select(
+        "p_brand", "n", "abs_z_micro", "rk", "thr_micro",
+        (F.col("rk") <= F.coalesce(istar, F.lit(0))).alias("rejected"))
+        .orderBy("rk"))
+
+
+# the oracle is BH's SQL verbatim with the threshold VALUES swapped —
+# guaranteed to share the z construction and the step-up walk
+_BH_VALUES = ", ".join(f"({i + 1}, {v})"
+                       for i, v in enumerate(_stats._BH_THR_MICRO))
+_BY_VALUES = ", ".join(f"({i + 1}, {v})"
+                       for i, v in enumerate(_BY_THR_MICRO))
+assert _BH_VALUES in _stats.BH_SQL
+BY_SQL = _stats.BH_SQL.replace(_BH_VALUES, _BY_VALUES)
+
+
+QUERIES["stats_fdr_by"] = (stats_fdr_by, BY_SQL)

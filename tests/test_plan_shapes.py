@@ -240,6 +240,9 @@ _BOUNDED_DOMAIN_ALLOWLIST = {
                              "over the Morton order)",
     "layout_zone_map_pruning": "bucket-count offset tables (two-pass "
                                "rank, natural + sorted layouts)",
+    "layout_overlap_depth": "bucket-count offset tables (same two-pass "
+                            "rank zones; the sweep windows partition "
+                            "by layout)",
     # calendar-bounded grids: distinct days/weeks (≤ ~4k rows/decade)
     "slo_burn_rate": "daily grid (calendar-bounded)",
     "stats_runs_test": "daily grid (calendar-bounded)",
@@ -281,6 +284,8 @@ _BOUNDED_DOMAIN_ALLOWLIST = {
     "ml_pr_auc": "distinct score grid (micro-quantized ≤ 1e6)",
     "ml_lift_gains": "distinct score grid (micro-quantized ≤ 1e6)",
     "ml_threshold_sweep_f1": "distinct score grid (micro-quantized ≤ 1e6)",
+    "ml_threshold_cost_curve": "distinct score grid (micro-quantized "
+                               "≤ 1e6, same grid as the F1 sweep)",
     "ml_boosted_stumps": "distinct feature grid (micro-quantized ≤ 1e6, "
                          "both boosting rounds)",
     "profile_equidepth_histogram": "distinct value grid (price cents)",
@@ -288,6 +293,7 @@ _BOUNDED_DOMAIN_ALLOWLIST = {
     # categorical grids: fixed small domains
     "profile_pmi_categories": "brand x container grid (≤ ~2k cells)",
     "stats_fdr_bh": "brand domain (25 rows; BH rank + step-up walk)",
+    "stats_fdr_by": "brand domain (25 rows; same walk, BY thresholds)",
     "ml_decision_stump": "distinct value grid (price cents ≤ 1e7)",
     "ml_learning_curve": "distinct value grid (price cents ≤ 1e7; one "
                          "window serves all 4 nested subsets)",

@@ -209,6 +209,9 @@ PROBES = [
     "ann_filtered_search",     # broadcast dots, pre/post-filter ranks
     "stats_capture_recapture",  # two hash bits, 4-integer reduce
     "ml_mcnemar_model_comparison",  # broadcast dim join, 4-int reduce
+    "stats_fdr_by",            # shared brand-z table + 25-row walk
+    "ml_threshold_cost_curve",  # score-grid cumulative cost argmin
+    "layout_overlap_depth",    # chunk zones + layout-keyed sweep line
     "stats_overdispersion_test",  # complete-calendar count moments
 ]
 
