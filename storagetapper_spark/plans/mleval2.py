@@ -802,3 +802,105 @@ ORDER BY probe, v
 
 QUERIES["ml_threshold_cost_curve"] = (ml_threshold_cost_curve,
                                       COST_CURVE_SQL)
+
+
+def ml_reliability_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Calibration slope & intercept — the weighted least-squares line
+    through the reliability diagram's (forecast, outcome-rate) bins
+    (the ml_calibration_ece setup: min-max-normalized dim-0 scores,
+    10 equal-width bins): slope 1 / intercept 0 is perfect
+    calibration, slope < 1 is the classic overconfidence signature.
+    Weighted by bin count, from exact per-bin integer moments
+    (n_b, sum p_micro, sum p_micro^2, sum y, sum p_micro*y) — two
+    double expressions at the end, no per-row floats ever summed.
+
+    Scale: one scan to bin, one 10-row moment agg, a 1-row solve."""
+    emb = t(spark, sf, "embeddings")
+    base = emb.select(
+        (F.col("label") == 1).cast("long").alias("y"),
+        F.floor(F.element_at("embedding", 1).cast("double") * 1000000)
+        .cast("long").alias("v"))
+    mm = base.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    j = base.crossJoin(F.broadcast(mm))
+    p_micro = F.expr("(v - mn) * 1000000 div (mx - mn)").cast("long")
+    binned = j.select(
+        "y", p_micro.alias("p"),
+        F.least(F.lit(9), F.expr(
+            "(v - mn) * 10 div (mx - mn)")).cast("long").alias("b"))
+    _D = "decimal(38,0)"
+    per_b = (binned.groupBy("b")
+             .agg(F.count(F.lit(1)).alias("nb"),
+                  F.sum("p").alias("sp"),
+                  F.sum(F.col("p").cast(_D) * F.col("p").cast(_D))
+                  .alias("spp"),
+                  F.sum("y").alias("sy"),
+                  F.sum(F.col("p").cast(_D) * F.col("y").cast(_D))
+                  .alias("spy")))
+    s = per_b.agg(F.sum("nb").alias("n"), F.sum("sp").alias("sp"),
+                  F.sum("spp").alias("spp"), F.sum("sy").alias("sy"),
+                  F.sum("spy").alias("spy"),
+                  F.count(F.lit(1)).alias("n_bins"))
+    d = "double"
+    n = F.col("n").cast(d)
+    # weighted (by row) regression of y on p/1e6 over ALL rows, which
+    # the bin moments carry exactly
+    sp = F.col("sp").cast(d) / 1e6
+    spp = F.col("spp").cast(d) / 1e12
+    sy = F.col("sy").cast(d)
+    spy = F.col("spy").cast(d) / 1e6
+    slope = (n * spy - sp * sy) / (n * spp - sp * sp)
+    intercept = (sy - slope * sp) / n
+    return s.select(
+        "n", "n_bins",
+        F.floor(slope * 1000000.0).cast("long").alias("slope_micro"),
+        F.floor(intercept * 1000000.0).cast("long")
+        .alias("intercept_micro"))
+
+
+RELIABILITY_SLOPE_SQL = """
+WITH base AS (
+  SELECT CASE WHEN label = 1 THEN 1 ELSE 0 END AS y,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS v
+  FROM embeddings
+),
+mm AS (SELECT min(v) AS mn, max(v) AS mx FROM base),
+binned AS (
+  SELECT y, CAST((v - mn) * 1000000 // (mx - mn) AS BIGINT) AS p,
+         least(9, (v - mn) * 10 // (mx - mn)) AS b
+  FROM base CROSS JOIN mm
+),
+per_b AS (
+  SELECT b, count(*) AS nb, CAST(sum(p) AS BIGINT) AS sp,
+         sum(CAST(p AS HUGEINT) * p) AS spp,
+         CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(p AS HUGEINT) * y) AS spy
+  FROM binned GROUP BY b
+),
+s AS (
+  SELECT CAST(sum(nb) AS BIGINT) AS n, sum(sp) AS sp, sum(spp) AS spp,
+         sum(sy) AS sy, sum(spy) AS spy, count(*) AS n_bins
+  FROM per_b
+)
+SELECT n, n_bins,
+       CAST(floor(
+         (CAST(n AS DOUBLE) * (CAST(spy AS DOUBLE) / 1e6)
+          - (CAST(sp AS DOUBLE) / 1e6) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * (CAST(spp AS DOUBLE) / 1e12)
+            - (CAST(sp AS DOUBLE) / 1e6) * (CAST(sp AS DOUBLE) / 1e6))
+         * 1000000.0) AS BIGINT) AS slope_micro,
+       CAST(floor(
+         (CAST(sy AS DOUBLE)
+          - (CAST(n AS DOUBLE) * (CAST(spy AS DOUBLE) / 1e6)
+             - (CAST(sp AS DOUBLE) / 1e6) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * (CAST(spp AS DOUBLE) / 1e12)
+               - (CAST(sp AS DOUBLE) / 1e6)
+                 * (CAST(sp AS DOUBLE) / 1e6))
+            * (CAST(sp AS DOUBLE) / 1e6))
+         / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS intercept_micro
+FROM s
+"""
+
+
+QUERIES["ml_reliability_slope"] = (ml_reliability_slope,
+                                   RELIABILITY_SLOPE_SQL)

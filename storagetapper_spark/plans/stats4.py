@@ -1420,3 +1420,87 @@ BY_SQL = _stats.BH_SQL.replace(_BH_VALUES, _BY_VALUES)
 
 
 QUERIES["stats_fdr_by"] = (stats_fdr_by, BY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Exact trimmed mean — the robust-center sibling of winsorized_prices
+# ---------------------------------------------------------------------------
+
+_TRIM_PCT_MILLI = 50  # 5% per tail
+
+
+def agg_trimmed_mean_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 5%-per-tail trimmed mean of the per-item price — the
+    robust center that DROPS the tails winsorized_prices clamps.
+    k = floor(0.05 * n) rows leave each tail; the trimmed sum comes
+    from the cumulative cents-value grid with exact PARTIAL boundary
+    terms (a boundary value keeps cnt - overlap copies), so the result
+    is an integer ratio — no per-row rank ever materializes.
+
+    Scale: one value-grid aggregate + one cumulative window (bounded
+    cents domain, the stats_ks_two_sample allowlist shape), then a
+    1-row reduce."""
+    li = t(spark, sf, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per_v = (li.select(cents.alias("v"))
+             .groupBy("v").agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_v.agg(F.sum("cnt").alias("n"))
+    cum = (per_v
+           .withColumn("cum", F.sum("cnt").over(w))
+           .crossJoin(F.broadcast(tot))
+           .withColumn("k", F.expr(
+               f"n * {_TRIM_PCT_MILLI} div 1000").cast("long")))
+    # copies of value v surviving the trim: cnt minus the overlap with
+    # the bottom-k range [1, k] and the top-k range (n-k, n]
+    before = F.col("cum") - F.col("cnt")
+    lo_cut = F.greatest(F.lit(0), F.col("k") - before)
+    hi_cut = F.greatest(F.lit(0),
+                        F.col("cum") - (F.col("n") - F.col("k")))
+    keep = F.greatest(F.lit(0), F.col("cnt") - lo_cut - hi_cut)
+    s = cum.agg(
+        F.max("n").alias("n"), F.max("k").alias("k_per_tail"),
+        F.sum(keep).alias("n_kept"),
+        F.sum(keep.cast(_DEC) * F.col("v").cast(_DEC)).alias("ksum"))
+    return s.select(
+        "n", "k_per_tail", F.col("n_kept").cast("long").alias("n_kept"),
+        F.expr("CAST(ksum div n_kept AS BIGINT)")
+        .alias("trimmed_mean_cents"),
+        F.expr("CAST(ksum * 1000 div n_kept AS BIGINT)")
+        .alias("trimmed_mean_milli_cents"))
+
+
+TRIMMED_SQL = f"""
+WITH per_v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM per_v),
+cum AS (
+  SELECT v, cnt,
+         sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         t.n, t.n * {_TRIM_PCT_MILLI} // 1000 AS k
+  FROM per_v CROSS JOIN tot t
+),
+kept AS (
+  SELECT n, k,
+         greatest(0, cnt - greatest(0, k - (cum - cnt))
+                  - greatest(0, cum - (n - k))) AS keep, v
+  FROM cum
+),
+s AS (
+  SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT)
+           AS k_per_tail,
+         CAST(sum(keep) AS BIGINT) AS n_kept,
+         sum(CAST(keep AS HUGEINT) * v) AS ksum
+  FROM kept
+)
+SELECT n, k_per_tail, n_kept,
+       CAST(ksum // n_kept AS BIGINT) AS trimmed_mean_cents,
+       CAST(ksum * 1000 // n_kept AS BIGINT) AS trimmed_mean_milli_cents
+FROM s
+"""
+
+
+QUERIES["agg_trimmed_mean_exact"] = (agg_trimmed_mean_exact, TRIMMED_SQL)

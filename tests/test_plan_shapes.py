@@ -290,6 +290,8 @@ _BOUNDED_DOMAIN_ALLOWLIST = {
                          "both boosting rounds)",
     "profile_equidepth_histogram": "distinct value grid (price cents)",
     "agg_weighted_median": "distinct value grid (price cents ≤ 1e7)",
+    "agg_trimmed_mean_exact": "distinct value grid (price cents ≤ 1e7, "
+                              "partial boundary terms)",
     # categorical grids: fixed small domains
     "profile_pmi_categories": "brand x container grid (≤ ~2k cells)",
     "stats_fdr_bh": "brand domain (25 rows; BH rank + step-up walk)",

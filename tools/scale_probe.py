@@ -212,6 +212,8 @@ PROBES = [
     "stats_fdr_by",            # shared brand-z table + 25-row walk
     "ml_threshold_cost_curve",  # score-grid cumulative cost argmin
     "layout_overlap_depth",    # chunk zones + layout-keyed sweep line
+    "agg_trimmed_mean_exact",  # cents-grid boundary-term trim
+    "ml_reliability_slope",    # 10-bin exact moment regression
     "stats_overdispersion_test",  # complete-calendar count moments
 ]
 
