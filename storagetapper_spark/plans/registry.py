@@ -88,42 +88,46 @@ for mod in (relational, relational2, relational3, relational4, relational5,
 # text surface) plus the 3 queries whose oracles were fixed this round
 # into the window.  Previously-green queries keep their recorded rows.
 _CHECK_FIRST = [
-    # Round-7 window: 50 of the 111 queries that had no driver CORRECTNESS
-    # row after r1-r6 (247/358 witnessed, all green — VERDICT r6 #1).
-    # Staged per ROADMAP's "Round-7 rotation": the fifth-session
-    # stats_/layout_/pca/drift/mleval families first (oldest
-    # unwitnessed), then the ts/ml/product-analytics remainder.  The 61
-    # deferred to round 8 are the *_approx/*_tpr percentile twins (exact
-    # forms long green) plus the round-6 registrations — all local-green
-    # at 3 SFs (CHECK_ALL.json); 35 of them were independently
-    # re-verified by the r6 judge.
-    # fifth-session statistical-inference batch
-    "stats_ks_two_sample", "stats_kendall_tau", "stats_spearman_rho",
-    "stats_diff_in_diff", "stats_cuped_adjustment", "stats_power_sample_size",
-    "stats_welch_ttest", "ml_auc_roc", "stats_mann_whitney",
-    "stats_chi_square", "stats_sprt_ab", "stats_bootstrap_ci",
-    # fifth-session layout / data-placement batch
-    "layout_zone_map_pruning", "layout_compaction_plan",
-    "layout_bucketed_join", "layout_zorder_pruning",
-    # fifth-session PCA + drift batch
-    "embedding_pca_power_iteration", "embedding_scatter_matrix",
-    "drift_ks_by_feature", "embedding_drift_mmd_linear",
-    # fifth-session model-evaluation batch
-    "ml_calibration_ece", "ml_classification_metrics",
-    "sample_kfold_group_assign", "ml_ndcg_at_k", "ml_mcc",
-    # pre-round-6 relational / product-analytics remainder
-    "cycle_time_percentiles", "winsorized_prices", "seasonality_month",
-    "events_user_lifecycle", "sessionization_gap_sensitivity",
-    "customer_segment_migration", "orders_shipping_sla",
-    "ts_rolling_slope", "text_term_burstiness", "supplier_scorecard",
-    "rollup_two_level", "events_pattern_match",
-    # pre-round-6 time-series remainder
-    "ts_autocorrelation", "ts_cross_correlation", "ts_stl_seasonal",
-    "ts_theil_sen", "ts_stl_anomaly", "ts_rolling_robust_anomaly",
-    # pre-round-6 ANOVA / TF-IDF / fiscal / Markov / in-engine-ML batch
-    "price_anova_brands", "text_allpairs_cosine_tfidf",
-    "fiscal_quarter_rollup", "priority_mix_shift", "events_markov_stationary",
-    "ml_logistic_gd", "ml_naive_bayes_confusion",
+    # Round-8 window: the 50 OLDEST of the 130 queries with no driver
+    # CORRECTNESS row after r1-r7 (297/427 witnessed, all green — VERDICT
+    # r7 #1).  Staged per ROADMAP's "Round-8 rotation": pre-round-7
+    # deferred names only (the *_approx/*_tpr percentile twins whose exact
+    # forms are long green, plus the round-6 registrations), in registry
+    # order.  Computed mechanically: unwitnessed ∩ the 358-query r6-close
+    # FULL_BENCH name set, first 50.  The remaining 11 pre-r7 names and
+    # the 69 round-7 registrations ride rounds 9-10.  All 130 are
+    # local-green at 3 SFs (CHECK_ALL.json); 37 were independently
+    # re-verified by the r7 judge.
+    # percentile / robust-stat approx+tpr twins (exact forms green r1-r5)
+    "agg_percentiles_tpr", "agg_weighted_median",
+    "price_outliers_mad_approx", "cycle_time_percentiles_approx",
+    "winsorized_prices_approx", "price_outliers_mad_tpr",
+    "cycle_time_percentiles_tpr", "winsorized_prices_tpr",
+    # round-6 time-series / graph batch
+    "ts_changepoint_mean_shift",
+    "graph_jaccard_link_prediction_capped", "graph_minhash_link_prediction",
+    "graph_label_propagation", "graph_hits", "graph_clustering_coefficient",
+    # round-6 in-engine ML batch
+    "ml_kmeans_lloyd", "ml_decision_stump", "ml_linreg_normal",
+    "ml_boosted_stumps",
+    # round-6 profiling / product-analytics batch
+    "profile_equidepth_histogram", "events_transition_entropy",
+    "multimodal_frame_plan", "multimodal_storage_report",
+    "multimodal_ahash_neardup", "customer_gap_anomaly",
+    "revenue_yoy_growth", "events_value_summary",
+    "interval_union_coverage", "profile_tukey_fences",
+    "dedup_cosine_threshold_sweep", "dedup_cross_source_matrix",
+    "basket_size_histogram",
+    # round-6 FDR / conformal / model-eval batch
+    "stats_fdr_bh", "stats_holm_bonferroni", "ml_conformal_split",
+    "ml_pr_auc", "ml_lift_gains", "ml_threshold_sweep_f1",
+    # round-6 privacy / linkage batch
+    "privacy_k_anonymity", "privacy_l_diversity", "linkage_fellegi_sunter",
+    "privacy_t_closeness", "privacy_k_anonymity_generalization",
+    # round-6 profiling / recsys / sampling / ANN batch
+    "profile_histograms", "recsys_item_item_cosine", "events_hourly_heatmap",
+    "sample_reservoir_stratified", "embedding_pq_assign", "ann_ivf_pq_search",
+    "asof_nearest_rate", "text_ccnet_buckets",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 assert all(n in _ALL for n in _CHECK_FIRST), "unknown name in _CHECK_FIRST"
