@@ -620,8 +620,10 @@ def ml_mcnemar_model_comparison(spark: SparkSession, sf: str) -> DataFrame:
     the literal price stump "PROMO iff cents <= 1,500,000"; model B:
     "PROMO iff the part size is small (p_size <= 25)";
     ground truth: the PROMO type prefix.  Only the discordant rows
-    inform the test: chi2_cc = (|b - c| - 1)^2/(b + c), with b = A
-    right/B wrong and c = A wrong/B right.
+    inform the test: chi2_cc = max(|b - c| - 1, 0)^2/(b + c), with b =
+    A right/B wrong and c = A wrong/B right (Edwards correction
+    clamped at zero so b == c gives chi2 = 0 — round-8 ADVICE fix,
+    mirrored in the oracle).
 
     Scale: one broadcast dim join and a 4-integer reduce."""
     li = t(spark, sf, "lineitem")
@@ -642,8 +644,8 @@ def ml_mcnemar_model_comparison(spark: SparkSession, sf: str) -> DataFrame:
         F.sum((1 - a_ok) * b_ok).alias("c_cell"))
     d = "double"
     b, c = F.col("b_cell").cast(d), F.col("c_cell").cast(d)
-    chi2 = ((F.abs(b - c) - 1.0) * (F.abs(b - c) - 1.0)
-            / F.nullif(b + c, F.lit(0.0)))
+    cc = F.greatest(F.abs(b - c) - 1.0, F.lit(0.0))
+    chi2 = cc * cc / F.nullif(b + c, F.lit(0.0))
     return s.select(
         "n", "a_correct", "b_correct", "b_cell", "c_cell",
         F.floor(chi2 * 1000.0).cast("long").alias("chi2_cc_milli"),
@@ -674,13 +676,13 @@ s AS (
 )
 SELECT n, a_correct, b_correct, b_cell, c_cell,
        CAST(floor(
-         (abs(CAST(b_cell AS DOUBLE) - CAST(c_cell AS DOUBLE)) - 1.0)
-         * (abs(CAST(b_cell AS DOUBLE) - CAST(c_cell AS DOUBLE)) - 1.0)
+         greatest(abs(CAST(b_cell AS DOUBLE) - CAST(c_cell AS DOUBLE)) - 1.0, 0.0)
+         * greatest(abs(CAST(b_cell AS DOUBLE) - CAST(c_cell AS DOUBLE)) - 1.0, 0.0)
          / nullif(CAST(b_cell AS DOUBLE) + CAST(c_cell AS DOUBLE), 0.0)
          * 1000.0) AS BIGINT) AS chi2_cc_milli,
        CAST(floor(
-         (abs(CAST(b_cell AS DOUBLE) - CAST(c_cell AS DOUBLE)) - 1.0)
-         * (abs(CAST(b_cell AS DOUBLE) - CAST(c_cell AS DOUBLE)) - 1.0)
+         greatest(abs(CAST(b_cell AS DOUBLE) - CAST(c_cell AS DOUBLE)) - 1.0, 0.0)
+         * greatest(abs(CAST(b_cell AS DOUBLE) - CAST(c_cell AS DOUBLE)) - 1.0, 0.0)
          / nullif(CAST(b_cell AS DOUBLE) + CAST(c_cell AS DOUBLE), 0.0)
          * 1000.0) AS BIGINT) > 3841 AS significant_05
 FROM s

@@ -203,13 +203,18 @@ def absorption_from_counts(counts: DataFrame) -> DataFrame:
     absorption.py) serves the registered query's exact generations
     over its folded state.  See events_absorption_funnel."""
     rowsum = counts.groupBy("src").agg(F.sum("n").alias("rs"))
+    # Eager localCheckpoint, not persist(): the streaming monitor calls
+    # this per batch, and persisted plans would accumulate cache entries
+    # forever (CacheManager never drops them on GC).  Checkpoint blocks
+    # are released by the ContextCleaner once the DataFrame is
+    # unreferenced; both tables are <= |types|^2 rows (round-8 ADVICE).
     p = (counts.join(rowsum, "src")
-         .filter(F.col("src") != _AB_STATE).persist())
+         .filter(F.col("src") != _AB_STATE).localCheckpoint(eager=True))
     r = (p.filter(F.col("dst") == _AB_STATE)
          .select(F.col("src").alias("s"),
                  F.floor(F.lit(float(_MK_SCALE)) * F.col("n").cast("double")
                          / F.col("rs").cast("double"))
-                 .cast("long").alias("rnano")).persist())
+                 .cast("long").alias("rnano")).localCheckpoint(eager=True))
     states = p.select(F.col("src").alias("s")).distinct()
     a = states.join(r, "s", "left").select(
         "s", F.coalesce("rnano", F.lit(0)).cast("long").alias("m"))

@@ -39,7 +39,9 @@ def stats_mcnemar_test(spark: SparkSession, sf: str) -> DataFrame:
     "ordered in the late era (>= 1999)" — the within-subject churn
     question an independent two-sample test gets wrong.  Only the
     discordant cells b (early only) and c (late only) inform the test:
-    chi2_cc = (|b - c| - 1)^2 / (b + c).
+    chi2_cc = max(|b - c| - 1, 0)^2 / (b + c) — the textbook Edwards
+    correction clamps at zero so b == c yields chi2 = 0, not 1/(b+c)
+    (round-8 ADVICE fix, mirrored byte-identically in the oracle).
 
     Scale: one groupBy(custkey) with map-side-combined max() indicators
     (the 2x2 table is a 4-integer reduce); no window, no join."""
@@ -56,8 +58,8 @@ def stats_mcnemar_test(spark: SparkSession, sf: str) -> DataFrame:
         F.sum((1 - e) * l).alias("late_only"),
         F.sum((1 - e) * (1 - l)).alias("neither"))
     b, c = F.col("early_only").cast("double"), F.col("late_only").cast("double")
-    chi2 = (F.abs(b - c) - 1.0) * (F.abs(b - c) - 1.0) \
-        / F.nullif(b + c, F.lit(0.0))
+    cc = F.greatest(F.abs(b - c) - 1.0, F.lit(0.0))
+    chi2 = cc * cc / F.nullif(b + c, F.lit(0.0))
     return cells.select(
         "n_subjects", "both_eras", "early_only", "late_only", "neither",
         F.floor(chi2 * 1000.0).cast("long").alias("chi2_cc_milli"))
@@ -80,8 +82,8 @@ cells AS (
 )
 SELECT n_subjects, both_eras, early_only, late_only, neither,
        CAST(floor(
-         (abs(CAST(early_only AS DOUBLE) - CAST(late_only AS DOUBLE)) - 1.0)
-         * (abs(CAST(early_only AS DOUBLE) - CAST(late_only AS DOUBLE)) - 1.0)
+         greatest(abs(CAST(early_only AS DOUBLE) - CAST(late_only AS DOUBLE)) - 1.0, 0.0)
+         * greatest(abs(CAST(early_only AS DOUBLE) - CAST(late_only AS DOUBLE)) - 1.0, 0.0)
          / nullif(CAST(early_only AS DOUBLE) + CAST(late_only AS DOUBLE), 0.0)
          * 1000.0) AS BIGINT) AS chi2_cc_milli
 FROM cells
@@ -448,6 +450,14 @@ def ml_eb_shrinkage(spark: SparkSession, sf: str) -> DataFrame:
     rate is (k + alpha) / (n + alpha + beta).  Output: the 15
     highest-volume parts with raw and shrunk micro-rates.
 
+    Degenerate-prior guard (round-8 ADVICE fix): on near-constant
+    per-part rates the method-of-moments prior collapses (v == 0 →
+    division by zero; v >= m*(1-m) → alpha+beta <= 0, a nonsensical
+    negative-mass Beta) — both sides NULL the prior via nullif(v, 0)
+    plus a CASE WHEN ab > 0 gate, so the shrunk columns surface NULL
+    instead of NaN/negative rates, mirrored byte-identically in
+    EB_SHRINK_SQL.
+
     Scale: one groupBy(partkey) over the fact table, a 1-row moment
     reduce broadcast back, and a TakeOrdered(15) — the prior fit is
     model-sized driver traffic only."""
@@ -467,7 +477,8 @@ def ml_eb_shrinkage(spark: SparkSession, sf: str) -> DataFrame:
     m = F.col("s1").cast(d) / p / 1000000.0
     ex2 = F.col("s2").cast(d) / p / 1000000.0 / 1000000.0
     v = ex2 - m * m
-    ab = m * (1.0 - m) / v - 1.0
+    ab_raw = m * (1.0 - m) / F.nullif(v, F.lit(0.0)) - 1.0
+    ab = F.when(ab_raw > 0.0, ab_raw)
     prior = mom.select(m.alias("m"), v.alias("v"), ab.alias("ab"),
                        (m * ab).alias("alpha"))
     joined = per_p.crossJoin(F.broadcast(prior))
@@ -508,8 +519,11 @@ prior AS (
   FROM mom
 ),
 prior2 AS (
-  SELECT m, v, m * (1.0 - m) / v - 1.0 AS ab,
-         m * (m * (1.0 - m) / v - 1.0) AS alpha
+  SELECT m, v,
+         CASE WHEN m * (1.0 - m) / nullif(v, 0.0) - 1.0 > 0.0
+              THEN m * (1.0 - m) / nullif(v, 0.0) - 1.0 END AS ab,
+         m * (CASE WHEN m * (1.0 - m) / nullif(v, 0.0) - 1.0 > 0.0
+                   THEN m * (1.0 - m) / nullif(v, 0.0) - 1.0 END) AS alpha
   FROM prior
 )
 SELECT l_partkey, n, k, rate_u AS raw_rate_micro,

@@ -6,26 +6,37 @@ is a pure function of the (src, dst) TRANSITION COUNT table, and
 counts are LINEAR — so the live state is the fold of per-batch
 transition-count deltas, the same exactly-once discipline as
 streaming/agreement.py (``_batch=<id>`` dynamic-partition overwrite;
-replays replace their own delta).  Per batch the write is
+replays replace their own delta).  Per batch the transition write is
 |types|^2 <= 25 rows regardless of batch size.
 
-Caveat the module makes explicit: transitions are derived per batch
-with a user-keyed lead(), so a user whose consecutive events straddle
-a batch boundary contributes no cross-batch transition — the
-conflation trade every count-based sessionizer makes (the batch query
-sees those pairs; the stream==batch test therefore feeds batches
-split on user_id, where the two agree bit-exactly)."""
+Batch-boundary transitions ARE counted (round-8 ADVICE fix): alongside
+the per-batch delta the sink keeps a per-user LAST-EVENT table
+(user_id, ts, event_id, event_type, partitioned by ``_batch``), and
+each ingest joins the folded last-event state of all EARLIER batches
+against this batch's per-user FIRST event to emit the straddling
+(src, dst) pairs.  Because the boundary join reads only partitions
+``_batch < batch_id`` — which a replay of batch k never rewrites — the
+recomputed delta is bit-identical on redelivery: replay idempotence is
+preserved by construction.  Correctness contract: batch ids must be
+monotone in event time per user (what a foreachBatch over an ordered
+log provides); for a user-keyed split (each user wholly inside one
+batch) the boundary join is empty and the old behavior is unchanged.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from storagetapper_spark import statefs
 from storagetapper_spark.plans.relational14 import absorption_from_counts
+
+_TRANSITIONS = "transitions"
+_LAST_EVENTS = "last_events"
 
 
 def batch_transitions(rows: DataFrame) -> DataFrame:
-    """One batch's (src, dst, n) transition-count delta."""
+    """One batch's WITHIN-batch (src, dst, n) transition-count delta."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (rows.select(F.col("event_type").alias("src"),
                          F.lead("event_type").over(w).alias("dst"))
@@ -33,18 +44,61 @@ def batch_transitions(rows: DataFrame) -> DataFrame:
     return pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _batch_last_events(rows: DataFrame) -> DataFrame:
+    """Per-user latest (ts, event_id, event_type) of this batch."""
+    return (rows.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("e"))
+            .select("user_id", F.col("e.ts").alias("ts"),
+                    F.col("e.event_id").alias("event_id"),
+                    F.col("e.event_type").alias("event_type")))
+
+
+def _boundary_transitions(spark: SparkSession, batch: DataFrame,
+                          batch_id: int, state_dir: str) -> DataFrame | None:
+    """(src, dst, n) pairs straddling the boundary into this batch: the
+    folded last event of every user across batches < batch_id, joined
+    to the user's FIRST event in this batch.  Reads only partitions a
+    replay of this batch can never have written, so redelivery
+    recomputes the identical delta."""
+    last_dir = statefs.join_uri(state_dir, _LAST_EVENTS)
+    if not statefs.exists(last_dir):
+        return None
+    prev = (spark.read.parquet(last_dir)
+            .filter(F.col("_batch") < F.lit(batch_id))
+            .groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("e"))
+            .select("user_id", F.col("e.event_type").alias("src")))
+    firsts = (batch.groupBy("user_id")
+              .agg(F.min(F.struct("ts", "event_id", "event_type")).alias("e"))
+              .select("user_id", F.col("e.event_type").alias("dst")))
+    return (prev.join(firsts, "user_id")
+            .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n")))
+
+
 def ingest_batch(spark: SparkSession, batch: DataFrame, batch_id: int,
                  state_dir: str) -> None:
-    """Write this batch's transition delta (idempotent per batch id)."""
-    (batch_transitions(batch).withColumn("_batch", F.lit(batch_id))
+    """Write this batch's transition delta — within-batch lead() pairs
+    PLUS cross-boundary pairs against the carried last-event state —
+    and this batch's per-user last events (both idempotent per batch
+    id via dynamic-partition overwrite)."""
+    delta = batch_transitions(batch)
+    boundary = _boundary_transitions(spark, batch, batch_id, state_dir)
+    if boundary is not None:
+        delta = (delta.unionByName(boundary)
+                 .groupBy("src", "dst").agg(F.sum("n").alias("n")))
+    (delta.withColumn("_batch", F.lit(batch_id))
      .write.mode("overwrite").partitionBy("_batch")
      .option("partitionOverwriteMode", "dynamic")
-     .parquet(state_dir))
+     .parquet(statefs.join_uri(state_dir, _TRANSITIONS)))
+    (_batch_last_events(batch).withColumn("_batch", F.lit(batch_id))
+     .write.mode("overwrite").partitionBy("_batch")
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(statefs.join_uri(state_dir, _LAST_EVENTS)))
 
 
 def current_transitions(spark: SparkSession, state_dir: str) -> DataFrame:
     """The folded (src, dst, n) table over all ingested batches."""
-    return (spark.read.parquet(state_dir)
+    return (spark.read.parquet(statefs.join_uri(state_dir, _TRANSITIONS))
             .groupBy("src", "dst").agg(F.sum("n").alias("n")))
 
 

@@ -33,7 +33,16 @@ def batch_cells(rows: DataFrame) -> DataFrame:
 
 def ingest_batch(spark: SparkSession, batch: DataFrame, batch_id: int,
                  state_dir: str) -> None:
-    """Write this batch's cell delta (idempotent per batch id)."""
+    """Write this batch's cell delta (idempotent per batch id).
+
+    Idempotence contract: dynamic partition overwrite replaces only
+    the partitions PRESENT in the replayed delta — exactly right for
+    at-least-once redelivery of the identical batch (the supported
+    contract, matching streaming/cms.py and target_encoding.py), but a
+    replay that now produces an EMPTY delta writes no partition and
+    leaves the stale ``_batch`` rows in place.  A reprocessing that can
+    shrink a batch to zero rows must statefs.rmtree the partition
+    first."""
     (batch_cells(batch).withColumn("_batch", F.lit(batch_id))
      .write.mode("overwrite").partitionBy("_batch")
      .option("partitionOverwriteMode", "dynamic")
