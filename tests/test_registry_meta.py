@@ -20,15 +20,12 @@ def con(sf_dir):
     return c
 
 
-# Rows-only by design: sketch outputs are engine-specific (DuckDB can't
-# reproduce Spark's approx_percentile), so the scale twins carry no
-# oracle SQL — their numeric contract vs the exact oracle-green forms
-# lives in tests/test_approx_percentile_twins.py.
-ROWS_ONLY = {"price_outliers_mad_approx", "cycle_time_percentiles_approx",
-             "winsorized_prices_approx",
-             # greedy FFD bin packing is not SQL-expressible; invariants
-             # are pytest-asserted in test_registry_sampling.py
-             "sample_pack_sequences"}
+# Empty since round 8: the three approx twins carry ε-certificate
+# oracles (round 7) and sample_pack_sequences carries an FFD-invariant
+# certificate oracle (round 8) — every registered query now has oracle
+# SQL.  Kept as a set so any future genuinely-unoracleable query must
+# be listed here explicitly.
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_an_oracle():
