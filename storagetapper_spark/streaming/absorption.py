@@ -96,6 +96,46 @@ def ingest_batch(spark: SparkSession, batch: DataFrame, batch_id: int,
      .parquet(statefs.join_uri(state_dir, _LAST_EVENTS)))
 
 
+def compact_last_events(spark: SparkSession, state_dir: str,
+                        upto_batch: int) -> None:
+    """Log-compact the last-event state: fold every partition with
+    ``_batch <= upto_batch`` into ONE per-user row stored under
+    ``_batch=upto_batch``, then drop the superseded partitions.  The
+    folded content any LATER batch's boundary join reads is identical
+    (per-user max over the same rows), so ingest behavior is
+    unchanged; what compaction gives up is replayability of batches
+    <= upto_batch — so only ever compact up to the last COMMITTED
+    checkpoint (the same contract as the reference's binlog-position
+    GC, cdc_tombstone_gc_plan).  Keeps the state bounded by |users|
+    plus one partition per batch since the last compaction, instead of
+    growing with total batch count."""
+    last_dir = statefs.join_uri(state_dir, _LAST_EVENTS)
+    if not statefs.exists(last_dir):
+        return
+    folded = (spark.read.parquet(last_dir)
+              .filter(F.col("_batch") <= F.lit(upto_batch))
+              .groupBy("user_id")
+              .agg(F.max(F.struct("ts", "event_id", "event_type"))
+                   .alias("e"))
+              .select("user_id", F.col("e.ts").alias("ts"),
+                      F.col("e.event_id").alias("event_id"),
+                      F.col("e.event_type").alias("event_type"))
+              .localCheckpoint(eager=True))  # sever lineage from the
+    # paths we are about to delete (read-overwrite hazard)
+    for name in [f for f in _list_batch_partitions(spark, last_dir)
+                 if f <= upto_batch]:
+        statefs.rmtree(statefs.join_uri(last_dir, f"_batch={name}"))
+    (folded.withColumn("_batch", F.lit(upto_batch))
+     .write.mode("overwrite").partitionBy("_batch")
+     .option("partitionOverwriteMode", "dynamic").parquet(last_dir))
+
+
+def _list_batch_partitions(spark: SparkSession, last_dir: str) -> list[int]:
+    rows = (spark.read.parquet(last_dir)
+            .select("_batch").distinct().collect())
+    return [int(r["_batch"]) for r in rows]
+
+
 def current_transitions(spark: SparkSession, state_dir: str) -> DataFrame:
     """The folded (src, dst, n) table over all ingested batches."""
     return (spark.read.parquet(statefs.join_uri(state_dir, _TRANSITIONS))

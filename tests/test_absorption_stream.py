@@ -76,6 +76,41 @@ def test_time_split_replay_idempotent(spark, sf_dir, tmp_path):
     assert after == before
 
 
+def test_compaction_preserves_boundary_and_results(spark, sf_dir,
+                                                   tmp_path):
+    """compact_last_events folds the committed last-event partitions
+    into one; later ingests see the identical per-user fold, so the
+    final absorption table matches an uncompacted run bit-exactly."""
+    ev = events_t(spark, sf_dir)
+    c1, c2 = ev.selectExpr(
+        "CAST(percentile_cont(0.33) WITHIN GROUP (ORDER BY unix_micros(ts))"
+        " AS BIGINT) AS a",
+        "CAST(percentile_cont(0.66) WITHIN GROUP (ORDER BY unix_micros(ts))"
+        " AS BIGINT) AS b").collect()[0]
+    us = F.unix_micros(F.col("ts"))
+    parts = [ev.filter(us <= c1),
+             ev.filter((us > c1) & (us <= c2)),
+             ev.filter(us > c2)]
+    plain, compacted = str(tmp_path / "plain"), str(tmp_path / "comp")
+    for i, p in enumerate(parts):
+        AB.ingest_batch(spark, p, i, plain)
+    AB.ingest_batch(spark, parts[0], 0, compacted)
+    AB.ingest_batch(spark, parts[1], 1, compacted)
+    AB.compact_last_events(spark, compacted, upto_batch=1)
+    AB.ingest_batch(spark, parts[2], 2, compacted)
+    got = sorted(tuple(r) for r in
+                 AB.current_absorption(spark, compacted).collect())
+    want = sorted(tuple(r) for r in
+                  AB.current_absorption(spark, plain).collect())
+    assert got == want
+    # the folded state is one partition, bounded by |users|
+    import os
+    last = os.path.join(compacted, "last_events")
+    parts_on_disk = sorted(d for d in os.listdir(last)
+                           if d.startswith("_batch="))
+    assert parts_on_disk == ["_batch=1", "_batch=2"]
+
+
 def test_replay_idempotent_and_bounds(spark, sf_dir, tmp_path):
     state = str(tmp_path / "ab")
     ev = events_t(spark, sf_dir)
