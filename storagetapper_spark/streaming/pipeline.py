@@ -124,6 +124,78 @@ def incremental_upsert_sink(cdc_stream: DataFrame, state_dir: str,
     return writer.start()
 
 
+def gtid_guarded_upsert_sink(cdc_stream: DataFrame, state_dir: str,
+                             checkpoint_dir: str, pk_cols: list[str],
+                             gtid_col: str = "gtid",
+                             seqno_col: str = "seqno", op_col: str = "op",
+                             trigger_available_now: bool = True):
+    """incremental_upsert_sink with the reference's executed-GTID-set
+    guard in front of the merge (changelog/mysql.go:398-420,1019-1043
+    via sources/gtid.py).
+
+    Why seqno idempotence alone is not enough: the Spark seqno is
+    derived from reader position (with_monotonic_seqno — partition <<
+    bits | offset), so a RESTARTED reader that re-emits old
+    transactions from new file offsets assigns them HIGHER seqnos, and
+    max-seqno-wins would resurrect stale values.  The GTID set is
+    position-independent transaction identity: redelivered
+    transactions are dropped BEFORE the merge regardless of their
+    re-derived seqno.
+
+    Per batch: filter rows whose GTID the saved set contains → apply
+    the usual max-seqno merge → persist the new state, THEN the folded
+    GTID set (crash between the two replays the batch, and replay is
+    filtered/idempotent — never skips).  The set itself is a 1-row
+    string parquet under ``state_dir/gtid_current``: interval-coalesced,
+    so it stays bytes-sized however long the stream runs."""
+    from storagetapper_spark.sources.gtid import (GTIDSet, filter_unexecuted,
+                                                  fold_batch)
+
+    spark = cdc_stream.sparkSession
+    gtid_path = join_uri(state_dir, "gtid_current")
+
+    def _load_set() -> GTIDSet:
+        if exists(gtid_path):
+            row = spark.read.parquet(gtid_path).collect()
+            if row:
+                return GTIDSet.parse(row[0]["executed_gtid_set"])
+        return GTIDSet()
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        state = _load_set()
+        fresh = filter_unexecuted(batch_df, state, gtid_col=gtid_col)
+        fresh = fresh.localCheckpoint(eager=True)  # the merge below
+        # overwrites paths the lineage may read; sever it first
+        resolved = latest_state(fresh, pk_cols, seqno_col=seqno_col,
+                                op_col=op_col, drop_deleted=False)
+        cur_path = join_uri(state_dir, "current")
+        if exists(cur_path):
+            cur = spark.read.parquet(cur_path)
+            merged = latest_state(
+                cur.unionByName(resolved.select(*cur.columns)),
+                pk_cols, seqno_col=seqno_col, op_col=op_col,
+                drop_deleted=False)
+        else:
+            merged = resolved
+        nxt = join_uri(state_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(nxt)
+        spark.read.parquet(nxt).write.mode("overwrite").parquet(cur_path)
+        # state committed — now advance the executed set (this order
+        # makes a crash replay, never skip)
+        folded = fold_batch(state, fresh, gtid_col=gtid_col)
+        (spark.createDataFrame([(folded.to_string(),)],
+                               "executed_gtid_set string")
+         .write.mode("overwrite").parquet(gtid_path))
+
+    writer = (cdc_stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def read_state(spark: SparkSession, state_dir: str,
                op_col: str = "op") -> DataFrame:
     """Consumer view of the materialized state: tombstones filtered."""
