@@ -214,9 +214,18 @@ def main() -> int:
     # budget holds.
     full = "--full" in sys.argv
     names = list(QUERIES) if full else BENCH_QUERIES
+    # Record where (if anywhere) the soft budget forced single-shot
+    # timing: tail queries past the budget run COLD (no best-of-2), so
+    # their numbers can read 2-4x high on a loaded box — round-8 found
+    # a 462s curated sweep whose "movers" all sat past this point and
+    # vanished on a budget-raised re-run (BENCH_NOTES.md).  The
+    # artifact now says so instead of leaving the tail silently cold.
+    single_shot_from: str | None = None
     for name in names:
         fn = QUERIES[name]
         eff_reps = reps if time.time() - sweep_start < budget else 1
+        if eff_reps == 1 and reps > 1 and single_shot_from is None:
+            single_shot_from = name
         best, n = float("inf"), 0
         for _ in range(max(1, eff_reps)):
             t0 = time.time()
@@ -272,6 +281,7 @@ def main() -> int:
         "queries": timings,
         "sf": float(sf) if sf else None,
         "snapshot_rows_per_sec": snap_rows_per_sec,
+        "single_shot_from": single_shot_from,
     }
     # Full per-query result on disk: the driver's stdout capture keeps
     # only the LAST 2000 chars, so a 148-query JSON line gets its head
