@@ -945,16 +945,24 @@ def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("inter")
                 / (F.col("n_d") + F.col("n_q") - F.col("inter")), 6)
          .alias("jac"))
-    # every (query, corpus-doc) pair needs a lexical rank — zero-overlap
-    # docs come from the cross of queries × corpus with jac 0
-    corpus_ids = docs.filter(F.col("doc_id") >= _RRF_Q).select("doc_id")
+    # every (query, candidate) pair needs a lexical rank — zero-overlap
+    # docs come from the cross of queries × candidates with jac 0.
+    # The candidate set is docs ∩ embeddings (doc_id ≡ vec_id): fusion
+    # only ranks docs BOTH modalities can score, and both engines must
+    # rank over the SAME set — the round-8 sf0.1 sweep caught the
+    # Spark side ranking r_lex over all documents while the oracle
+    # ranked after the inner join with the semantic leg, which only
+    # coincides when the two tables cover identical ids (true at
+    # sf0.01, false at sf0.1 where embeddings is the smaller table).
+    emb = t(spark, sf, "embeddings")
+    corpus_ids = emb.filter(F.col("vec_id") >= _RRF_Q).select(
+        F.col("vec_id").alias("doc_id"))
     qids = docs.filter(F.col("doc_id") < _RRF_Q).select(
         F.col("doc_id").alias("qid"))
     allpairs = corpus_ids.crossJoin(F.broadcast(qids))
     lex = (allpairs.join(jac, ["qid", "doc_id"], "left")
            .select("qid", "doc_id",
                    F.coalesce("jac", F.lit(0.0)).alias("jac")))
-    emb = t(spark, sf, "embeddings")
     qemb = (emb.filter(F.col("vec_id") < _RRF_Q)
             .select(F.col("vec_id").alias("qid"),
                     F.col("embedding").alias("qv")))
@@ -997,10 +1005,13 @@ inter AS (SELECT q.qid, c.doc_id, count(*) AS inter,
           FROM ctok c JOIN qtok q USING (w)
           GROUP BY q.qid, c.doc_id),
 lex AS (
+  -- candidate set = embedding corpus (docs both modalities can score),
+  -- mirroring the Spark side's ranking domain exactly
   SELECT q.qid, d.doc_id,
          coalesce(round(i.inter / CAST(i.n_d + i.n_q - i.inter AS DOUBLE),
                         6), 0.0) AS jac
-  FROM (SELECT doc_id FROM documents WHERE doc_id >= {_RRF_Q}) d
+  FROM (SELECT vec_id AS doc_id FROM embeddings
+        WHERE vec_id >= {_RRF_Q}) d
   CROSS JOIN (SELECT doc_id AS qid FROM documents
               WHERE doc_id < {_RRF_Q}) q
   LEFT JOIN inter i ON i.qid = q.qid AND i.doc_id = d.doc_id),

@@ -40,7 +40,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     minimum unit price.  The correlated MIN decorrelates to a per-part
     aggregate over the SAME restricted offer set, joined back on
     (partkey, exact min) — the offer set is computed once and reused,
-    and the fact table is never self-joined row-to-row."""
+    and the fact table is never self-joined row-to-row.
+
+    Unit prices are EXACT integers in 1e-4 currency units
+    (cents * 100 div quantity — price is cents-exact, quantity
+    integral), so the per-part minimum, the tie set, and the displayed
+    value cannot diverge across engines.  The round-8 sf0.1 sweep
+    caught the previous round(double, 4) form differing by one ulp on
+    a .xxxx5 boundary (60.2712 vs 60.2713) — the rounding-pitfall
+    pattern from SCALE.md, fixed the house way (exact integers, then
+    one shared double division for display)."""
     li = t(spark, sf, "lineitem")
     part = t(spark, sf, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
@@ -54,21 +63,23 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
                    .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
     # observed offers: min unit price per (part, supplier), EU suppliers,
     # target parts only (both filters pushed below the aggregate)
+    unit_e4 = F.expr("(CAST(round(l_extendedprice * 100) AS BIGINT) * 100)"
+                     " div CAST(l_quantity AS BIGINT)")
     offers = (li.join(F.broadcast(part.select("p_partkey", "p_name")),
                       li.l_partkey == F.col("p_partkey"))
                 .join(F.broadcast(eu_supp),
                       li.l_suppkey == F.col("s_suppkey"))
                 .groupBy("p_partkey", "p_name", "s_suppkey", "s_name",
                          "s_acctbal", "n_name")
-                .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
-                      .alias("unit_price")))
+                .agg(F.min(unit_e4).alias("unit_e4")))
     min_offer = (offers.groupBy("p_partkey")
-                       .agg(F.min("unit_price").alias("min_price")))
+                       .agg(F.min("unit_e4").alias("min_e4")))
     return (offers.join(F.broadcast(min_offer), "p_partkey")
-                  .filter(F.col("unit_price") == F.col("min_price"))
+                  .filter(F.col("unit_e4") == F.col("min_e4"))
                   .select("p_partkey", "p_name", "s_name", "n_name",
                           F.round("s_acctbal", 2).alias("s_acctbal"),
-                          F.round("unit_price", 4).alias("unit_price"))
+                          (F.col("unit_e4") / F.lit(10000.0))
+                          .alias("unit_price"))
                   .orderBy("p_partkey", "s_name"))
 
 
@@ -80,7 +91,8 @@ WITH eu_supp AS (
   WHERE r_name = 'EUROPE'
 ), offers AS (
   SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
-         min(l_extendedprice / l_quantity) AS unit_price
+         min((CAST(round(l_extendedprice * 100) AS BIGINT) * 100)
+             // CAST(l_quantity AS BIGINT)) AS unit_e4
   FROM lineitem JOIN part ON l_partkey = p_partkey
                 JOIN eu_supp ON l_suppkey = s_suppkey
   WHERE p_size = 15 AND p_type = 'SMALL'
@@ -88,10 +100,10 @@ WITH eu_supp AS (
 )
 SELECT p_partkey, p_name, s_name, n_name,
        round(s_acctbal, 2) AS s_acctbal,
-       round(unit_price, 4) AS unit_price
+       unit_e4 / 10000.0 AS unit_price
 FROM offers o
-WHERE unit_price = (SELECT min(unit_price) FROM offers o2
-                    WHERE o2.p_partkey = o.p_partkey)
+WHERE unit_e4 = (SELECT min(unit_e4) FROM offers o2
+                 WHERE o2.p_partkey = o.p_partkey)
 ORDER BY p_partkey, s_name
 """
 
