@@ -2014,10 +2014,20 @@ def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
               .agg(*[F.max(F.when(F.col("mid") == i, F.col("s")))
                      .alias(n) for i, n in
                      ((1, "r_score"), (2, "f_score"), (3, "m_score"))]))
+    # avg over exact integer cents, ONE double division at the end:
+    # round(avg(double), 2) was the round-8 sf0.1 flake — the float
+    # sum's partial order varies per run, and a segment whose mean sat
+    # on a .005 boundary hash-flipped between runs.  sum(BIGINT cents)
+    # is order-free; the shared /n/100 division is IEEE-identical on
+    # both engines (the cohort_ltv integer-cent lesson).
+    cents = F.expr("CAST(round(monetary * 100) AS BIGINT)")
     return (scores.join(cust.select("o_custkey", "monetary"), "o_custkey")
             .groupBy("r_score", "f_score", "m_score")
             .agg(F.count(F.lit(1)).alias("n_customers"),
-                 F.round(F.avg("monetary"), 2).alias("avg_monetary"))
+                 F.sum(cents).alias("_sc"))
+            .select("r_score", "f_score", "m_score", "n_customers",
+                    (F.col("_sc").cast("double")
+                     / F.col("n_customers") / 100.0).alias("avg_monetary"))
             .orderBy("r_score", "f_score", "m_score"))
 
 
@@ -2039,7 +2049,8 @@ scored AS (
   FROM cust)
 SELECT r_score, f_score, m_score,
        CAST(count(*) AS BIGINT) AS n_customers,
-       round(avg(monetary), 2) AS avg_monetary
+       CAST(sum(CAST(round(monetary * 100) AS BIGINT)) AS DOUBLE)
+         / count(*) / 100.0 AS avg_monetary
 FROM scored GROUP BY r_score, f_score, m_score
 ORDER BY r_score, f_score, m_score
 """
