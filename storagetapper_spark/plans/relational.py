@@ -22,31 +22,74 @@ from storagetapper_spark.plans.common import t
 # --- Q1: pricing summary (scan + filter + hash agg, TPC-H Q1 shape) -----
 
 def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1.  Every aggregate is an exact-integer sum in fixed
+    units (quantity, cents, 1e-4 and 1e-6 dollars), displayed through
+    one shared double division — closing two cross-engine hazards on
+    the flagship: (a) a raw double sum's partial order varies with
+    shuffle order (the round-8 rfm_segments flake class), and (b)
+    neither engine round()/avg()/DECIMAL→DOUBLE path is bit-portable
+    at half boundaries (observed: avg(DECIMAL) 38.37875 → .3788 Spark
+    vs .3787 DuckDB; CAST(DECIMAL(30,10) AS DOUBLE) off by one ulp).
+    BIGINT→double is the one conversion both engines round
+    identically; integer sums are order-free."""
     li = t(spark, sf, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact integer units per row (price cents-exact, discount/tax
+    # hundredths-exact, quantity integral): cents, disc in 1e-4
+    # dollars, charge in 1e-6 dollars — every sum is an exact integer
+    # and every displayed value is ONE shared double division.  At
+    # >~2^53-unit totals (full 100 TB), swap the long sums for
+    # decimal(38,0) sums; the per-row units stay the same.
+    cents = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    d_h = F.expr("CAST(round(l_discount * 100) AS BIGINT)")
+    t_h = F.expr("CAST(round(l_tax * 100) AS BIGINT)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
           .groupBy("l_returnflag", "l_linestatus")
-          .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-               F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-               F.round(F.sum(disc), 2).alias("sum_disc_price"),
-               F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-               F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-               F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-               F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+          .agg((F.sum(F.col("l_quantity").cast("bigint")).cast("double"))
+               .alias("sum_qty"),
+               (F.sum(cents).cast("double") / 100.0)
+               .alias("sum_base_price"),
+               (F.sum(cents * (100 - d_h)).cast("double") / 10000.0)
+               .alias("sum_disc_price"),
+               (F.sum(cents * (100 - d_h) * (100 + t_h)).cast("double")
+                / 1000000.0).alias("sum_charge"),
+               # means: exact BIGINT unit sums + shared double
+               # divisions.  Engine avg() is unportable at half
+               # boundaries (Spark keeps decimals exact, DuckDB routes
+               # through double), and even CAST(DECIMAL(30,10) AS
+               # DOUBLE) differs by one ulp between engines on large
+               # scale-10 sums — BIGINT→double is the one conversion
+               # both engines round identically.
+               (F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+                / F.count(F.lit(1))).alias("avg_qty"),
+               (F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+                .cast("double") / F.count(F.lit(1)) / 100.0)
+               .alias("avg_price"),
+               (F.sum(F.expr("CAST(round(l_discount * 100) AS BIGINT)"))
+                .cast("double") / F.count(F.lit(1)) / 100.0)
+               .alias("avg_disc"),
                F.count(F.lit(1)).alias("count_order"))
     )
 
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+            AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         / count(*) AS avg_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / count(*) / 100.0 AS avg_price,
+       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+         / count(*) / 100.0 AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -32,7 +32,16 @@ def gapfill_daily_locf(spark: SparkSession, sf: str) -> DataFrame:
     daily = (ev.groupBy("event_type",
                         F.to_date(F.date_trunc("DAY", F.col("ts"))).alias("day"))
                .agg(F.count(F.lit(1)).alias("n_events"),
-                    F.round(F.avg("value"), 4).alias("avg_value")))
+                    # portable exact mean: exact BIGINT cents sum +
+                    # shared double divisions, NO round on the
+                    # quotient.  A raw double avg's partial order
+                    # varies per run (the round-8 rfm flake); decimal
+                    # avg diverges at half boundaries (DuckDB routes
+                    # through double, observed 38.37875 → .3788 vs
+                    # .3787); BIGINT→double is the one portable cast.
+                    (F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+                     .cast("double") / F.count(F.lit(1)) / 100.0)
+                    .alias("avg_value")))
     bounds = ev.agg(F.to_date(F.min("ts")).alias("d0"),
                     F.to_date(F.max("ts")).alias("d1"))
     types = ev.select("event_type").distinct()
@@ -55,7 +64,8 @@ GAPFILL_SQL = """
 WITH daily AS (
   SELECT event_type, date_trunc('day', ts)::DATE AS day,
          CAST(count(*) AS BIGINT) AS n_events,
-         round(avg(value), 4) AS avg_value
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+           / count(*) / 100.0 AS avg_value
   FROM events GROUP BY 1, 2
 ), bounds AS (
   SELECT min(ts)::DATE AS d0, max(ts)::DATE AS d1 FROM events
