@@ -173,7 +173,9 @@ def text_span_corruption_plan(spark: SparkSession, sf: str) -> DataFrame:
     Python stage; the executor masking pass consumes exactly these
     offsets, so the plan (not the corruptor) decides reproducibility.
     Both engines build the offset arrays with identical integer
-    arithmetic."""
+    arithmetic.  Offsets are emitted comma-joined (`mask_starts_csv`)
+    so every output column is scalar (hash-canonicalizable); the
+    masking pass splits on ','."""
     docs = t(spark, sf, "documents").select(
         "doc_id", word_count(F.col("text")).alias("n"))
     planned = docs.select(
@@ -182,9 +184,9 @@ def text_span_corruption_plan(spark: SparkSession, sf: str) -> DataFrame:
     return (planned.filter(F.col("n_spans") >= 1)
             .select(
                 "doc_id", "n_tokens", "n_spans",
-                F.expr("transform(sequence(0, cast(n_spans as int) - 1), "
-                       "i -> (i * n_tokens) div n_spans)")
-                .alias("mask_starts"),
+                F.expr("array_join(transform(sequence(0, cast(n_spans as int) - 1), "
+                       "i -> cast((i * n_tokens) div n_spans as string)), ',')")
+                .alias("mask_starts_csv"),
                 F.expr(f"(n_spans * {_SPAN_LEN} * 1000000) div n_tokens")
                 .alias("corrupted_micro"))
             .orderBy("doc_id"))
@@ -205,9 +207,11 @@ planned AS (
   SELECT doc_id, n_tokens, n_tokens // 20 AS n_spans FROM docs
 )
 SELECT doc_id, n_tokens, n_spans,
-       list_transform(range(0, CAST(n_spans AS INTEGER)),
-                      i -> CAST((i * n_tokens) // n_spans AS BIGINT))
-         AS mask_starts,
+       array_to_string(
+         list_transform(range(0, CAST(n_spans AS INTEGER)),
+                        i -> CAST(CAST((i * n_tokens) // n_spans AS BIGINT)
+                                  AS VARCHAR)),
+         ',') AS mask_starts_csv,
        (n_spans * {_SPAN_LEN} * 1000000) // n_tokens AS corrupted_micro
 FROM planned WHERE n_spans >= 1
 ORDER BY doc_id

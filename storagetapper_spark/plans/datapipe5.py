@@ -54,15 +54,19 @@ def join_bloom_pruned(spark: SparkSession, sf: str) -> DataFrame:
     joined = bloom_prune_join(lineitem, orders, "l_orderkey", "o_orderkey")
     return (joined.groupBy("l_returnflag")
             .agg(F.count(F.lit(1)).alias("n_items"),
-                 F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
-                  .alias("revenue"))
+                 # exact 1e-4-dollar units, shared division (q1 idiom)
+                 (F.sum(F.expr(
+                      "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                      " * (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+                  .cast("double") / 10000.0).alias("revenue"))
             .orderBy("l_returnflag"))
 
 
 JOIN_BLOOM_PRUNED_SQL = f"""
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT' AND o_totalprice > {_URGENT_MIN_PRICE}
 GROUP BY l_returnflag
@@ -87,13 +91,16 @@ def join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
     joined = salted_join(ev, cust, "custkey", n_salts=8)
     return (joined.groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum("value"), 2).alias("total_value"))
+                 # exact cents sum + shared division (q1 idiom)
+                 (F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+                  .cast("double") / 100.0).alias("total_value"))
             .orderBy("c_nationkey"))
 
 
 JOIN_SALTED_SKEW_SQL = """
 SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS total_value
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_nationkey
 ORDER BY c_nationkey

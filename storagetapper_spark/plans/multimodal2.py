@@ -26,7 +26,10 @@ def multimodal_frame_plan(spark: SparkSession, sf: str) -> DataFrame:
     computed as a pure array expression — the deterministic plan the
     decode UDF consumes (each executor seeks exactly these frames, so
     the decode stage reads k frames per item, never the whole stream).
-    All integer math; the index list is exact in both engines."""
+    All integer math; the index list is exact in both engines.  The
+    list is emitted as a comma-joined string (`frame_csv`) so every
+    output column is scalar — downstream consumers that need the array
+    split on ','; hash canonicalizers sort scalars directly."""
     docs = t(spark, sf, "documents")
     vids = (docs.filter(F.col("doc_id") % 3 == 2)
             .select("doc_id",
@@ -36,12 +39,12 @@ def multimodal_frame_plan(spark: SparkSession, sf: str) -> DataFrame:
     idxs = F.transform(
         F.sequence(F.lit(0), F.lit(_N_SAMPLE - 1)),
         lambda i: F.floor(i * F.col("n_frames") / _N_SAMPLE)
-        .cast("long"))
+        .cast("long").cast("string"))
     return (vids.select("doc_id", dur_ms.alias("duration_ms"),
                         n_frames.alias("n_frames"))
             .filter(F.col("n_frames") >= _N_SAMPLE)
             .select("doc_id", "duration_ms", "n_frames",
-                    idxs.alias("frame_indices"))
+                    F.array_join(idxs, ",").alias("frame_csv"))
             .orderBy("doc_id"))
 
 
@@ -56,9 +59,11 @@ meta AS (
   FROM vids
 )
 SELECT doc_id, duration_ms, n_frames,
-       list_transform(range(0, {_N_SAMPLE}),
-                      i -> CAST(floor(i * n_frames / {_N_SAMPLE})
-                                AS BIGINT)) AS frame_indices
+       array_to_string(
+         list_transform(range(0, {_N_SAMPLE}),
+                        i -> CAST(CAST(floor(i * n_frames / {_N_SAMPLE})
+                                       AS BIGINT) AS VARCHAR)),
+         ',') AS frame_csv
 FROM meta WHERE n_frames >= {_N_SAMPLE}
 ORDER BY doc_id
 """

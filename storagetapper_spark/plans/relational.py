@@ -108,8 +108,13 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
           .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
           .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"),
                    "o_orderpriority")
-          .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-                .alias("revenue"))
+          # revenue in exact 1e-4-dollar units (cents × discount
+          # hundredths): BIGINT sum is order-free, one shared double
+          # division — the q1 idiom (raw double group sums flake)
+          .agg((F.sum(F.expr(
+                    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+                .cast("double") / 10000.0).alias("revenue"))
           .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
           .limit(10)
     )
@@ -117,7 +122,9 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -147,14 +154,19 @@ def q5_local_supplier(spark: SparkSession, sf: str) -> DataFrame:
           .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
           .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
           .groupBy("n_name")
-          .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-                .alias("revenue"))
+          # exact 1e-4-dollar units, shared division (q1 idiom)
+          .agg((F.sum(F.expr(
+                    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+                .cast("double") / 10000.0).alias("revenue"))
     )
 
 
 Q5_SQL = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -220,12 +232,16 @@ def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
     return (
         joined.rollup("r_name", "n_name")
               .agg(F.count(F.lit(1)).alias("n_customers"),
-                   F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+                   # exact cents sum + shared division (q1 idiom)
+                   (F.sum(F.expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+                    .cast("double") / 100.0).alias("total_bal"))
     )
 
 
 ROLLUP_SQL = """
-SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+SELECT r_name, n_name, count(*) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_bal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -486,7 +502,9 @@ def window_event_time(spark: SparkSession, sf: str) -> DataFrame:
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
           .agg(F.count(F.lit(1)).alias("n_events"),
-               F.round(F.sum("value"), 2).alias("sum_value"))
+               # exact cents sum + shared division (q1 idiom)
+               (F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+                .cast("double") / 100.0).alias("sum_value"))
           .select(F.col("w.start").cast("long").alias("window_start"),
                   "event_type", "n_events", "sum_value")
     )
@@ -494,7 +512,9 @@ def window_event_time(spark: SparkSession, sf: str) -> DataFrame:
 
 WINDOW_EVENT_TIME_SQL = """
 SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
-       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_value
 FROM events
 GROUP BY 1, 2
 """

@@ -2065,44 +2065,56 @@ def market_concentration_hhi(spark: SparkSession, sf: str) -> DataFrame:
     (Σ share²·10000) of supplier revenue within each nation — the
     antitrust-style metric that flags single-supplier dependence in a
     supply chain.  One revenue rollup, one window for shares, one
-    aggregate; shares divide exact decimal sums so the index is
-    engine-portable."""
+    aggregate.  hhi = 10000·ΣQ/S² rides EXACT integer sums end-to-end
+    (per-supplier revenue cents, their per-nation sum S and
+    squared-sum Q — Q as decimal(38,0), cents² overflows int64), so
+    the only float ops are the final shared divisions — order-free and
+    engine-portable (a raw double Σshare² flakes like rfm did)."""
     li = t(spark, sf, "lineitem")
     s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
     n = t(spark, sf, "nation").select("n_nationkey", "n_name")
     rev = (li.groupBy("l_suppkey")
-           .agg(F.sum(F.col("l_extendedprice").cast("decimal(30,10)"))
-                .alias("rev"))
+           .agg(F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+                .alias("rev_cents"))
            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-           .select("n_name", F.col("rev").cast("double").alias("rev")))
-    w = Window.partitionBy("n_name")
-    shared = rev.withColumn("share", F.col("rev") / F.sum("rev").over(w))
-    return (shared.groupBy("n_name")
+           .select("n_name", "rev_cents"))
+    return (rev.groupBy("n_name")
             .agg(F.count(F.lit(1)).alias("n_suppliers"),
-                 F.round(F.sum(F.col("share") * F.col("share")) * 10000, 2)
-                  .alias("hhi"),
-                 F.round(F.max("share"), 4).alias("top_share"))
+                 # cast BEFORE the multiply: cents² overflows int64
+                 F.sum((F.col("rev_cents").cast("decimal(19,0)")
+                        * F.col("rev_cents")).cast("decimal(38,0)"))
+                 .alias("_q"),
+                 F.sum("rev_cents").alias("_s"),
+                 F.max("rev_cents").alias("_top"))
+            .select("n_name", "n_suppliers",
+                    (F.col("_q").cast("double") * 10000.0
+                     / F.col("_s").cast("double")
+                     / F.col("_s").cast("double")).alias("hhi"),
+                    (F.col("_top").cast("double")
+                     / F.col("_s").cast("double")).alias("top_share"))
             .orderBy("n_name"))
 
 
 HHI_SQL = """
 WITH rev AS (
   SELECT n.n_name,
-         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
-           AS rev
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS rev_cents
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation n ON s.s_nationkey = n.n_nationkey
   GROUP BY n.n_name, l.l_suppkey),
-shared AS (
-  SELECT n_name, rev,
-         rev / sum(rev) OVER (PARTITION BY n_name) AS share
-  FROM rev)
-SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
-       round(sum(share * share) * 10000, 2) AS hhi,
-       round(max(share), 4) AS top_share
-FROM shared GROUP BY n_name ORDER BY n_name
+agg AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+         sum(CAST(rev_cents * rev_cents AS DECIMAL(38,0))) AS q,
+         sum(rev_cents) AS s,
+         max(rev_cents) AS top
+  FROM rev GROUP BY n_name)
+SELECT n_name, n_suppliers,
+       CAST(q AS DOUBLE) * 10000.0 / CAST(s AS DOUBLE) / CAST(s AS DOUBLE)
+         AS hhi,
+       CAST(top AS DOUBLE) / CAST(s AS DOUBLE) AS top_share
+FROM agg ORDER BY n_name
 """
 
 QUERIES["market_concentration_hhi"] = (market_concentration_hhi, HHI_SQL)

@@ -31,15 +31,20 @@ def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
           .filter(pair)
           .groupBy("supp_nation", "cust_nation",
                    F.year("l_shipdate").alias("l_year"))
-          .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-                .alias("revenue"))
+          # exact 1e-4-dollar units, shared division (q1 idiom)
+          .agg((F.sum(F.expr(
+                    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+                .cast("double") / 10000.0).alias("revenue"))
     )
 
 
 Q7_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -64,8 +69,11 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
           .join(nation, cust.c_nationkey == nation.n_nationkey)
           .groupBy("c_custkey", "c_name", "n_name",
                    F.round("c_acctbal", 2).alias("c_acctbal"))
-          .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-                .alias("revenue"))
+          # exact 1e-4-dollar units, shared division (q1 idiom)
+          .agg((F.sum(F.expr(
+                    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+                .cast("double") / 10000.0).alias("revenue"))
           .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
           .limit(20)
     )
@@ -73,7 +81,9 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS c_acctbal,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

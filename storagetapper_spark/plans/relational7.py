@@ -22,13 +22,19 @@ def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
                       & (F.col("l_discount") >= 0.05)
                       & (F.col("l_discount") <= 0.07)
                       & (F.col("l_quantity") < 24))
-              .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-                    .alias("revenue"),
+              # exact 1e-4-dollar units (cents × discount hundredths),
+              # shared division (q1 idiom; raw double sums flake)
+              .agg((F.sum(F.expr(
+                        "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                        " * CAST(round(l_discount * 100) AS BIGINT)"))
+                    .cast("double") / 10000.0).alias("revenue"),
                    F.count(F.lit(1)).alias("n_lines")))
 
 
 Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT))
+            AS DOUBLE) / 10000.0 AS revenue,
        count(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -104,13 +110,17 @@ def q19_disjunctive_ranges(spark: SparkSession, sf: str) -> DataFrame:
            & F.col("p_size").between(1, 15))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-         .alias("revenue"),
+        # exact 1e-4-dollar units, shared division (q1 idiom)
+        (F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"
+                      " * (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+         .cast("double") / 10000.0).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"))
 
 
 Q19_SQL = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
@@ -135,13 +145,16 @@ def q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
                     li.l_partkey == part.p_partkey)
               .join(F.broadcast(avg_qty), "l_partkey")
               .filter(F.col("l_quantity") < F.col("qty_limit"))
-              .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
-                    .alias("avg_yearly"),
+              # exact cents sum, shared divisions (q1 idiom)
+              .agg((F.sum(F.expr("CAST(round(l_extendedprice * 100)"
+                                 " AS BIGINT)"))
+                    .cast("double") / 100.0 / 7.0).alias("avg_yearly"),
                    F.count(F.lit(1)).alias("n_lines")))
 
 
 Q17_SQL = """
-SELECT round(sum(l1.l_extendedprice) / 7.0, 2) AS avg_yearly,
+SELECT CAST(sum(CAST(round(l1.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 / 7.0 AS avg_yearly,
        count(*) AS n_lines
 FROM lineitem l1
 JOIN part ON p_partkey = l1.l_partkey
@@ -161,24 +174,33 @@ def q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
     high-value orders, not the whole table)."""
     cust = t(spark, sf, "customer")
     big_orders = t(spark, sf, "orders").filter(F.col("o_totalprice") > 300000.0)
-    avg_bal = cust.filter(F.col("c_acctbal") > 0.0) \
-                  .agg(F.avg("c_acctbal").alias("avg_bal"))
+    # the threshold and the group sum both ride exact cents sums +
+    # shared divisions (q1 idiom) — a raw-double avg threshold could
+    # flip a borderline customer between runs
+    bal_cents = F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0.0)
+               .agg((F.sum(bal_cents).cast("double")
+                     / F.count(F.lit(1)) / 100.0).alias("avg_bal")))
     return (cust.crossJoin(F.broadcast(avg_bal))
                 .filter(F.col("c_acctbal") > F.col("avg_bal"))
                 .join(big_orders, cust.c_custkey == big_orders.o_custkey,
                       "left_anti")
                 .groupBy(F.col("c_nationkey"))
                 .agg(F.count(F.lit(1)).alias("numcust"),
-                     F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+                     (F.sum(bal_cents).cast("double") / 100.0)
+                     .alias("totacctbal"))
                 .orderBy("c_nationkey"))
 
 
 Q22_SQL = """
 SELECT c_nationkey,
        count(*) AS numcust,
-       round(sum(c_acctbal), 2) AS totacctbal
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS totacctbal
 FROM customer
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+WHERE c_acctbal > (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                               AS DOUBLE) / count(*) / 100.0
+                   FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
 GROUP BY c_nationkey

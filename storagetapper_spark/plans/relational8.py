@@ -180,8 +180,15 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
     part = t(spark, sf, "part").filter(F.col("p_name").contains("red"))
     supp = t(spark, sf, "supplier")
     nation = t(spark, sf, "nation")
-    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
-              - 0.8 * F.col("p_retailprice") * F.col("l_quantity"))
+    # profit in exact 1e-4-dollar units: revenue = cents × discount
+    # hundredths; cost = 0.8 × retail × qty dollars = 80 × retail_cents
+    # × qty units (retail cents-exact, qty integral).  BIGINT sum is
+    # order-free; one shared double division (q1 idiom).
+    profit_units = F.expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+        " - 80 * CAST(round(p_retailprice * 100) AS BIGINT)"
+        " * CAST(l_quantity AS BIGINT)")
     return (li.join(F.broadcast(part.select("p_partkey", "p_retailprice")),
                     li.l_partkey == F.col("p_partkey"))
               .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
@@ -190,15 +197,19 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("s_nationkey") == nation.n_nationkey)
               .groupBy(F.col("n_name").alias("supp_nation"),
                        F.year("l_shipdate").alias("o_year"))
-              .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+              .agg((F.sum(profit_units).cast("double") / 10000.0)
+                   .alias("sum_profit"))
               .orderBy("supp_nation", F.desc("o_year")))
 
 
 Q9_SQL = """
 SELECT n_name AS supp_nation,
        year(l_shipdate) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - 0.8 * p_retailprice * l_quantity), 2) AS sum_profit
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                - 80 * CAST(round(p_retailprice * 100) AS BIGINT)
+                * CAST(l_quantity AS BIGINT))
+            AS DOUBLE) / 10000.0 AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey

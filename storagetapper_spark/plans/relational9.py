@@ -94,27 +94,40 @@ def time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
     was current for)."""
     ev = t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dt = (F.unix_micros(F.lead("ts").over(w))
-          - F.unix_micros(F.col("ts"))).cast("double")
+    dt = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    # exact integer accumulation (q1 idiom): value is cents-exact, dt
+    # is integer µs, so cents×dt is an exact unit; the per-user sums
+    # are order-free (units ride a decimal(38,0) sum — cents×µs
+    # overflows int64 on year-long spans) and the quotient is ONE
+    # shared double expression in both engines.
     weighted = (ev.select("user_id", "ts", "event_id", "value")
                   .withColumn("dt", dt)
-                  .filter(F.col("dt").isNotNull()))
+                  .filter(F.col("dt").isNotNull())
+                  .withColumn("units",
+                              # cast BEFORE the multiply so the product
+                              # is decimal (cents×µs can pass int64)
+                              (F.expr("CAST(round(value * 100) AS BIGINT)")
+                               .cast("decimal(19,0)") * F.col("dt"))
+                              .cast("decimal(38,0)")))
     return (weighted.groupBy("user_id")
-                    .agg(F.round(F.sum(F.col("value") * F.col("dt"))
-                                 / F.sum("dt"), 4).alias("twa_value"),
+                    .agg((F.sum("units").cast("double")
+                          / F.sum("dt").cast("double") / 100.0)
+                         .alias("twa_value"),
                          F.count(F.lit(1)).alias("n_intervals"))
                     .orderBy("user_id"))
 
 
 TIME_WEIGHTED_SQL = """
 WITH seq AS (
-  SELECT user_id, value,
-         CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-              - epoch_us(ts) AS DOUBLE) AS dt
+  SELECT user_id,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt,
+         CAST(round(value * 100) AS BIGINT) AS cents
   FROM events
 )
 SELECT user_id,
-       round(sum(value * dt) / sum(dt), 4) AS twa_value,
+       CAST(sum(CAST(CAST(cents AS HUGEINT) * dt AS DECIMAL(38,0))) AS DOUBLE)
+         / CAST(sum(dt) AS DOUBLE) / 100.0 AS twa_value,
        CAST(count(*) AS BIGINT) AS n_intervals
 FROM seq WHERE dt IS NOT NULL
 GROUP BY user_id

@@ -58,7 +58,9 @@ def range_join_follow_events(spark: SparkSession, sf: str) -> DataFrame:
                              lower_sec=0, upper_sec=86400)
     return (joined.groupBy("signup_id", "user_id")
                   .agg(F.count(F.lit(1)).alias("n_purchases_24h"),
-                       F.round(F.sum("value"), 2).alias("purchase_total")))
+                       # exact cents sum + shared division (q1 idiom)
+                       (F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+                        .cast("double") / 100.0).alias("purchase_total")))
 
 
 RANGE_JOIN_SQL = """
@@ -70,7 +72,8 @@ purchases AS (
   FROM events WHERE event_type = 'purchase'
 )
 SELECT s.signup_id, s.user_id, count(*) AS n_purchases_24h,
-       round(sum(p.value), 2) AS purchase_total
+       CAST(sum(CAST(round(p.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS purchase_total
 FROM signups s JOIN purchases p
   ON s.user_id = p.user_id
  AND epoch(p.rts) >= epoch(s.ts)

@@ -33,6 +33,8 @@ Debezium envelopes):
 
 from __future__ import annotations
 
+import logging
+
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -118,7 +120,10 @@ class GTIDSet:
 
 def _parsed(df: DataFrame, gtid_col: str):
     uuid = F.lower(F.substring_index(F.col(gtid_col), ":", 1))
-    gno = F.substring_index(F.col(gtid_col), ":", -1).cast("long")
+    # try_cast: a malformed gtid (no numeric ':gno' suffix) yields a
+    # NULL gno for the callers to drop/count — a plain cast under ANSI
+    # mode would fail the whole job on one bad event
+    gno = F.substring_index(F.col(gtid_col), ":", -1).try_cast("long")
     return uuid, gno
 
 
@@ -128,9 +133,15 @@ def executed_intervals(df: DataFrame, gtid_col: str = "gtid") -> DataFrame:
     one window pass partitioned by uuid ordered by gno (gno −
     row_number is constant within a consecutive run), then a groupBy.
     Output is one row per island — the only data that ever reaches the
-    driver, bounded by the batch's gap count, not its row count."""
+    driver, bounded by the batch's gap count, not its row count.
+    Malformed GTIDs (no numeric ``:gno`` suffix) parse to a NULL gno
+    and are dropped here — they carry no position to track; callers
+    that must account for them count NULL-gno rows themselves
+    (fold_batch does, and warns)."""
     uuid, gno = _parsed(df, gtid_col)
-    pairs = df.select(uuid.alias("uuid"), gno.alias("gno")).distinct()
+    pairs = (df.select(uuid.alias("uuid"), gno.alias("gno"))
+               .filter(F.col("gno").isNotNull())
+               .distinct())
     w = Window.partitionBy("uuid").orderBy("gno")
     islands = pairs.withColumn(
         "island", F.col("gno") - F.row_number().over(w))
@@ -147,7 +158,18 @@ def fold_batch(state: GTIDSet, batch: DataFrame,
     ``result.to_string()`` next to the stream offsets (e.g. via
     state.Registry.record_stream_start) after the batch's sink write
     commits, in that order, so a crash between the two replays rather
-    than skips."""
+    than skips.  Rows whose GTID is malformed (NULL parsed gno) can't
+    be folded into the set; they are counted and WARNED about rather
+    than crashing the micro-batch — the reference's tolerance for
+    non-sequential/unparseable events (mysql.go:747 logs and
+    continues)."""
+    _, gno = _parsed(batch, gtid_col)
+    n_malformed = batch.filter(gno.isNull()).count()
+    if n_malformed:
+        logging.getLogger(__name__).warning(
+            "fold_batch: %d rows carry a malformed %s (no numeric "
+            "':gno' suffix) and were not folded into the executed set",
+            n_malformed, gtid_col)
     add = GTIDSet()
     for r in executed_intervals(batch, gtid_col).collect():
         add._insert(r["uuid"], int(r["start_gno"]), int(r["stop_gno"]))

@@ -41,6 +41,20 @@ def exists(uri: str) -> bool:
     return f.get_file_info(p).type != pafs.FileType.NotFound
 
 
+def listdir(uri: str) -> list[str]:
+    """Base names of a directory's immediate children (empty list if
+    the directory is missing) — enough for the sinks' versioned-
+    snapshot GC without a local-FS os.listdir assumption."""
+    from pyarrow import fs as pafs
+
+    f, p = _resolve_fs(uri)
+    try:
+        infos = f.get_file_info(pafs.FileSelector(p, recursive=False))
+    except (FileNotFoundError, OSError):
+        return []
+    return [i.base_name for i in infos]
+
+
 def rmtree(uri: str) -> None:
     """Recursively delete a directory; missing paths are a no-op
     (shutil.rmtree(ignore_errors=True) semantics)."""

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from storagetapper_spark.operators.merge import latest_state
-from storagetapper_spark.statefs import exists, join_uri, rmtree
+from storagetapper_spark.statefs import exists, join_uri, listdir, rmtree
 
 
 def read_changelog_stream(spark: SparkSession, path: str,
@@ -78,6 +78,17 @@ def read_changelog_stream_with_dlq(spark: SparkSession, path: str,
     return stream, route
 
 
+def _gc_old_versions(state_dir: str, keep: str, prefix: str = "v") -> None:
+    """Drop versioned state snapshots older than ``keep`` once the swap
+    to ``current`` has committed — the newest snapshot stays as the
+    crash-recovery copy, so state_dir stays O(2×state) on a long-
+    running stream instead of growing one v* dir per micro-batch."""
+    for name in listdir(state_dir):
+        if (name.startswith(prefix) and name != keep
+                and name[len(prefix):].isdigit()):
+            rmtree(join_uri(state_dir, name))
+
+
 def incremental_upsert_sink(cdc_stream: DataFrame, state_dir: str,
                             checkpoint_dir: str, pk_cols: list[str],
                             seqno_col: str = "seqno", op_col: str = "op",
@@ -114,6 +125,7 @@ def incremental_upsert_sink(cdc_stream: DataFrame, state_dir: str,
         merged.write.mode("overwrite").parquet(nxt)
         swap = spark.read.parquet(nxt)
         swap.write.mode("overwrite").parquet(cur_path)
+        _gc_old_versions(state_dir, keep=f"v{batch_id}")
 
     writer = (cdc_stream.writeStream
               .foreachBatch(process_batch)
@@ -157,8 +169,14 @@ def gtid_guarded_upsert_sink(cdc_stream: DataFrame, state_dir: str,
     def _load_set() -> GTIDSet:
         if exists(gtid_path):
             row = spark.read.parquet(gtid_path).collect()
-            if row:
-                return GTIDSet.parse(row[0]["executed_gtid_set"])
+            if not row:
+                # a silent empty set here would re-enable exactly the
+                # stale-seqno resurrection this sink exists to prevent
+                raise RuntimeError(
+                    f"{gtid_path} exists but holds no row (crash "
+                    "mid-write?) — restore it from the newest gtid_v* "
+                    "snapshot before resuming")
+            return GTIDSet.parse(row[0]["executed_gtid_set"])
         return GTIDSet()
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -180,12 +198,22 @@ def gtid_guarded_upsert_sink(cdc_stream: DataFrame, state_dir: str,
         nxt = join_uri(state_dir, f"v{batch_id}")
         merged.write.mode("overwrite").parquet(nxt)
         spark.read.parquet(nxt).write.mode("overwrite").parquet(cur_path)
+        _gc_old_versions(state_dir, keep=f"v{batch_id}")
         # state committed — now advance the executed set (this order
-        # makes a crash replay, never skip)
+        # makes a crash replay, never skip).  Same write-new + swap
+        # discipline as the state table: a crash mid-overwrite of
+        # gtid_current leaves gtid_v{batch_id} as the restore copy
+        # (and _load_set raises on an empty dir rather than silently
+        # resetting the set).
         folded = fold_batch(state, fresh, gtid_col=gtid_col)
+        gtid_nxt = join_uri(state_dir, f"gtid_v{batch_id}")
         (spark.createDataFrame([(folded.to_string(),)],
                                "executed_gtid_set string")
-         .write.mode("overwrite").parquet(gtid_path))
+         .write.mode("overwrite").parquet(gtid_nxt))
+        spark.read.parquet(gtid_nxt).write.mode("overwrite") \
+            .parquet(gtid_path)
+        _gc_old_versions(state_dir, keep=f"gtid_v{batch_id}",
+                         prefix="gtid_v")
 
     writer = (cdc_stream.writeStream
               .foreachBatch(process_batch)

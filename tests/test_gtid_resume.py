@@ -123,3 +123,21 @@ def test_resume_filter_is_one_broadcast_anti_join(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_malformed_gtids_drop_from_fold_but_pass_the_filter(spark):
+    """A gtid without a numeric ':gno' suffix parses to a NULL gno: it
+    carries no position, so the interval fold skips it (previously the
+    NULL island crashed fold_batch's int() on the driver) while the
+    resume filter keeps the row — it can never match an executed
+    interval, so dropping it would LOSE data."""
+    df = spark.createDataFrame(
+        [(f"{U1}:1",), (f"{U1}:2",), ("garbage-no-gno",), (f"{U1}:abc",)],
+        "gtid string")
+    got = {(r.uuid, r.start_gno, r.stop_gno)
+           for r in executed_intervals(df).collect()}
+    assert got == {(U1, 1, 2)}
+    folded = fold_batch(GTIDSet(), df)  # must not raise on NULL gno
+    assert folded.to_string() == f"{U1}:1-2"
+    kept = sorted(r.gtid for r in filter_unexecuted(df, folded).collect())
+    assert kept == [f"{U1}:abc", "garbage-no-gno"]

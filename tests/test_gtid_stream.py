@@ -97,3 +97,48 @@ def test_full_redelivery_is_a_noop(spark, tmp_path):
     after = sorted((r.pk, r.val) for r in
                    read_state(spark, state).collect())
     assert after == before
+
+
+def test_old_version_snapshots_are_gcd(spark, tmp_path):
+    """state_dir must stay O(2×state) on a long stream: after each
+    swap to current, only the newest v*/gtid_v* snapshot survives as
+    the crash-recovery copy."""
+    src, state, ckpt = (str(tmp_path / d) for d in ("feed", "st", "ck"))
+    _drop(src, "b1.json", [
+        {"pk": 1, "val": "a", "op": "insert", "seqno": 1,
+         "gtid": f"{U}:1"}])
+    _run(spark, src, state, ckpt)
+    _drop(src, "b2.json", [
+        {"pk": 2, "val": "b", "op": "insert", "seqno": 2,
+         "gtid": f"{U}:2"}])
+    _run(spark, src, state, ckpt)
+    names = os.listdir(state)
+    vs = sorted(n for n in names if n.startswith("v") and n[1:].isdigit())
+    gvs = sorted(n for n in names if n.startswith("gtid_v")
+                 and n[len("gtid_v"):].isdigit())
+    assert vs == ["v1"] and gvs == ["gtid_v1"], names
+    got = {r.pk: r.val for r in read_state(spark, state).collect()}
+    assert got == {1: "a", 2: "b"}
+
+
+def test_empty_gtid_current_raises_instead_of_resetting(spark, tmp_path):
+    """A crash mid-write can leave gtid_current row-less; silently
+    treating that as an empty set would re-enable the stale-seqno
+    resurrection the sink exists to prevent — the batch must fail
+    loudly so the operator restores from the gtid_v* snapshot."""
+    import pytest
+
+    src, state, ckpt = (str(tmp_path / d) for d in ("feed", "st", "ck"))
+    _drop(src, "b1.json", [
+        {"pk": 1, "val": "a", "op": "insert", "seqno": 1,
+         "gtid": f"{U}:1"}])
+    _run(spark, src, state, ckpt)
+    # simulate the torn write: gtid_current exists but holds no row
+    spark.createDataFrame([], "executed_gtid_set string") \
+        .write.mode("overwrite") \
+        .parquet(os.path.join(state, "gtid_current"))
+    _drop(src, "b2.json", [
+        {"pk": 2, "val": "b", "op": "insert", "seqno": 2,
+         "gtid": f"{U}:2"}])
+    with pytest.raises(Exception, match="holds no row"):
+        _run(spark, src, state, ckpt)
