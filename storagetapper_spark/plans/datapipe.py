@@ -562,18 +562,29 @@ SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 
 
 def embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding norms.  The mean norm is the quantized
+    statistic sum(round(norm·1e6))/n/1e6: per-row micro-units are
+    identical in both engines (index-ordered dot product, IEEE sqrt),
+    the BIGINT sum is order-free however the partials combine, and the
+    display is one shared double division — a raw double avg() over a
+    label's vectors varies per run with the partial order (the
+    rfm_segments class)."""
     emb = t(spark, sf, "embeddings")
+    norm_u = F.round(S.l2_norm(F.col("embedding")) * 1e6).cast("long")
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        F.round(F.avg(S.l2_norm(F.col("embedding"))), 4).alias("avg_norm"),
+        (F.sum(norm_u).cast("double") / F.count(F.lit(1)) / 1e6)
+        .alias("avg_norm"),
         F.round(F.max(S.l2_norm(F.col("embedding"))), 4).alias("max_norm"),
     )
 
 
 EMBEDDING_STATS_SQL = """
 SELECT label, count(*) AS n_vectors,
-       round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                       CAST(embedding AS DOUBLE[])))), 4) AS avg_norm,
+       CAST(sum(CAST(round(sqrt(list_dot_product(
+                CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              * 1000000) AS BIGINT)) AS DOUBLE) / count(*) / 1e6
+         AS avg_norm,
        round(max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                        CAST(embedding AS DOUBLE[])))), 4) AS max_norm
 FROM embeddings GROUP BY label
@@ -748,7 +759,12 @@ def training_data_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     return (good.groupBy("lang")
                 .agg(F.count(F.lit(1)).alias("n_docs"),
                      F.sum("n_words").alias("total_words"),
-                     F.round(F.avg("quality_score"), 3).alias("avg_quality"),
+                     # quality_score is 1e-4-quantized per row, so the
+                     # mean rides an exact BIGINT unit sum + one shared
+                     # division (raw double group avgs flake per run)
+                     (F.sum(F.round(F.col("quality_score") * 1e4)
+                            .cast("long")).cast("double")
+                      / F.count(F.lit(1)) / 1e4).alias("avg_quality"),
                      F.sum("n_chars_calc").alias("total_chars")))
 
 
@@ -777,7 +793,8 @@ WITH keepers AS (
   FROM base
 )
 SELECT lang, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS total_words,
-       round(avg(quality_score), 3) AS avg_quality,
+       CAST(sum(CAST(round(quality_score * 10000) AS BIGINT)) AS DOUBLE)
+         / count(*) / 1e4 AS avg_quality,
        CAST(sum(n_chars_calc) AS BIGINT) AS total_chars
 FROM scored
 WHERE n_words >= 10 AND quality_score >= 0.3
@@ -841,7 +858,10 @@ def text_dup_ngram_fraction(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_grams").alias("n_grams"),
                  F.sum("n_dup").alias("n_dup"),
-                 F.round(F.sum("n_dup") / F.sum("n_grams"), 4)
+                 # exact-integer ratio, no round: round(double, n) is
+                 # engine-divergent when the quotient grazes a half
+                 (F.sum("n_dup").cast("double")
+                  / F.sum("n_grams").cast("double"))
                   .alias("dup_instance_share"),
                  F.sum(F.when(F.col("n_dup") * 10
                               >= F.col("n_grams") * 3, 1).otherwise(0))
@@ -877,7 +897,8 @@ WITH norm AS (
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_grams) AS BIGINT) AS n_grams,
        CAST(sum(n_dup) AS BIGINT) AS n_dup,
-       round(sum(n_dup) / sum(n_grams), 4) AS dup_instance_share,
+       CAST(sum(n_dup) AS DOUBLE) / CAST(sum(n_grams) AS DOUBLE)
+         AS dup_instance_share,
        CAST(sum(CASE WHEN n_dup * 10 >= n_grams * 3 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_flagged
 FROM per_doc GROUP BY source ORDER BY source
@@ -1039,12 +1060,18 @@ def dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
                                   shingle_n=_SHINGLE_N, threshold=0.0)
     joined = est.join(exact, ["id_a", "id_b"])
     band = (F.floor(F.col("jaccard_est") / 0.25) * 0.25).alias("est_band")
+    # means ride exact 1e-9-unit BIGINT sums + one shared division:
+    # the per-pair jaccards are identical doubles in both engines, but
+    # a raw double group sum's partial order varies per run
     return (joined.groupBy(band)
             .agg(F.count(F.lit(1)).alias("n_pairs"),
-                 F.round(F.avg("jaccard"), 4).alias("mean_exact_jaccard"),
-                 F.round(F.avg(F.abs(F.col("jaccard_est")
-                                     - F.col("jaccard"))), 4)
-                  .alias("mean_abs_err"))
+                 (F.sum(F.round(F.col("jaccard") * 1e9).cast("long"))
+                  .cast("double") / F.count(F.lit(1)) / 1e9)
+                 .alias("mean_exact_jaccard"),
+                 (F.sum(F.round(F.abs(F.col("jaccard_est")
+                                      - F.col("jaccard")) * 1e9)
+                        .cast("long")).cast("double")
+                  / F.count(F.lit(1)) / 1e9).alias("mean_abs_err"))
             .orderBy("est_band"))
 
 
@@ -1054,8 +1081,11 @@ WITH est AS ({_lsh_sql()}),
 exact AS ({NGRAM_JACCARD_SQL.replace(">= 0.1", ">= 0.0")})
 SELECT floor(e.jaccard_est / 0.25) * 0.25 AS est_band,
        CAST(count(*) AS BIGINT) AS n_pairs,
-       round(avg(x.jaccard), 4) AS mean_exact_jaccard,
-       round(avg(abs(e.jaccard_est - x.jaccard)), 4) AS mean_abs_err
+       CAST(sum(CAST(round(x.jaccard * 1e9) AS BIGINT)) AS DOUBLE)
+         / count(*) / 1e9 AS mean_exact_jaccard,
+       CAST(sum(CAST(round(abs(e.jaccard_est - x.jaccard) * 1e9)
+                     AS BIGINT)) AS DOUBLE)
+         / count(*) / 1e9 AS mean_abs_err
 FROM est e JOIN exact x ON e.id_a = x.id_a AND e.id_b = x.id_b
 GROUP BY 1 ORDER BY est_band
 """
@@ -1092,12 +1122,16 @@ def embedding_drift_cells(spark: SparkSession, sf: str) -> DataFrame:
                       / (F.col("t_ref") + F.col("n_cells")))
           .withColumn("q", (F.col("n_cur") + 1)
                       / (F.col("t_cur") + F.col("n_cells"))))
+    # psi rides an exact 1e-12-unit BIGINT sum + one shared division
+    # (per-cell terms are identical doubles in both engines; the
+    # integer sum is order-free); max_share_shift is a max over
+    # identical doubles — both portable without a display round
     return (sm.agg(
-        F.round(F.sum((F.col("q") - F.col("p"))
-                      * F.log(F.col("q") / F.col("p"))), 6).alias("psi"),
+        (F.sum(F.round((F.col("q") - F.col("p"))
+                       * F.log(F.col("q") / F.col("p")) * 1e12)
+               .cast("long")).cast("double") / 1e12).alias("psi"),
         F.max("n_cells").alias("n_cells"),
-        F.round(F.max(F.abs(F.col("q") - F.col("p"))), 6)
-         .alias("max_share_shift")))
+        F.max(F.abs(F.col("q") - F.col("p"))).alias("max_share_shift")))
 
 
 def _embedding_drift_sql() -> str:
@@ -1131,9 +1165,10 @@ WITH cents AS (
          n_cells
   FROM counts CROSS JOIN tot
 )
-SELECT round(sum((q - p) * ln(q / p)), 6) AS psi,
+SELECT CAST(sum(CAST(round((q - p) * ln(q / p) * 1e12) AS BIGINT))
+            AS DOUBLE) / 1e12 AS psi,
        CAST(max(n_cells) AS BIGINT) AS n_cells,
-       round(max(abs(q - p)), 6) AS max_share_shift
+       max(abs(q - p)) AS max_share_shift
 FROM sm
 """
 

@@ -88,46 +88,41 @@ for mod in (relational, relational2, relational3, relational4, relational5,
 # text surface) plus the 3 queries whose oracles were fixed this round
 # into the window.  Previously-green queries keep their recorded rows.
 _CHECK_FIRST = [
-    # Round-8 window: the 50 OLDEST of the 130 queries with no driver
-    # CORRECTNESS row after r1-r7 (297/427 witnessed, all green — VERDICT
-    # r7 #1).  Staged per ROADMAP's "Round-8 rotation": pre-round-7
-    # deferred names only (the *_approx/*_tpr percentile twins whose exact
-    # forms are long green, plus the round-6 registrations), in registry
-    # order.  Computed mechanically: unwitnessed ∩ the 358-query r6-close
-    # FULL_BENCH name set, first 50.  The remaining 11 pre-r7 names and
-    # the 69 round-7 registrations ride rounds 9-10.  All 130 are
-    # local-green at 3 SFs (CHECK_ALL.json); 37 were independently
-    # re-verified by the r7 judge.
-    # percentile / robust-stat approx+tpr twins (exact forms green r1-r5)
-    "agg_percentiles_tpr", "agg_weighted_median",
-    "price_outliers_mad_approx", "cycle_time_percentiles_approx",
-    "winsorized_prices_approx", "price_outliers_mad_tpr",
-    "cycle_time_percentiles_tpr", "winsorized_prices_tpr",
-    # round-6 time-series / graph batch
-    "ts_changepoint_mean_shift",
-    "graph_jaccard_link_prediction_capped", "graph_minhash_link_prediction",
-    "graph_label_propagation", "graph_hits", "graph_clustering_coefficient",
-    # round-6 in-engine ML batch
-    "ml_kmeans_lloyd", "ml_decision_stump", "ml_linreg_normal",
-    "ml_boosted_stumps",
-    # round-6 profiling / product-analytics batch
-    "profile_equidepth_histogram", "events_transition_entropy",
-    "multimodal_frame_plan", "multimodal_storage_report",
-    "multimodal_ahash_neardup", "customer_gap_anomaly",
-    "revenue_yoy_growth", "events_value_summary",
-    "interval_union_coverage", "profile_tukey_fences",
-    "dedup_cosine_threshold_sweep", "dedup_cross_source_matrix",
-    "basket_size_histogram",
-    # round-6 FDR / conformal / model-eval batch
-    "stats_fdr_bh", "stats_holm_bonferroni", "ml_conformal_split",
-    "ml_pr_auc", "ml_lift_gains", "ml_threshold_sweep_f1",
-    # round-6 privacy / linkage batch
-    "privacy_k_anonymity", "privacy_l_diversity", "linkage_fellegi_sunter",
-    "privacy_t_closeness", "privacy_k_anonymity_generalization",
-    # round-6 profiling / recsys / sampling / ANN batch
-    "profile_histograms", "recsys_item_item_cosine", "events_hourly_heatmap",
-    "sample_reservoir_stratified", "embedding_pq_assign", "ann_ivf_pq_search",
-    "asof_nearest_rate", "text_ccnet_buckets",
+    # Round-9 window (VERDICT r8 #1/#2): two re-witnesses first —
+    # multimodal_frame_plan (its r8 driver row errored on an array
+    # output column, now scalarized to frame_csv) and
+    # sample_pack_sequences (its r6 row predates the FFD-certificate
+    # oracle that replaced the rows-only check) — then 48 of the 80
+    # never-witnessed names in ROADMAP's staged order: the 11
+    # remaining pre-round-7 names, then the round-7 registrations
+    # oldest-first (registry order).  Computed mechanically:
+    # registry minus the union of CORRECTNESS_r01-r08 keys.  The 32
+    # r7 names that miss this window close the backlog in round 10.
+    # All 80 are local-green at 3 SFs (CHECK_ALL.json /
+    # CHECK_ALL_SF0_1.json) and judge-verified at least once (r7+r8).
+    "multimodal_frame_plan", "sample_pack_sequences",
+    # pre-round-7 backlog (the last 11)
+    "sample_negatives_contrastive", "text_span_corruption_plan",
+    "text_gopher_rules", "text_feature_hashing_audit",
+    "text_padding_waste", "events_bot_detection", "ann_ivf_nprobe_sweep",
+    "sample_preference_pairs", "ml_knn_eval_ivf", "sketch_bloom_fp_audit",
+    "text_query_expansion_prf",
+    # round-7 registrations, oldest-first
+    "ts_forecast_backtest_mase", "sample_time_split_folds", "ts_hurst_rs",
+    "ts_period_folding", "graph_triangles_degree_oriented",
+    "graph_rich_club", "graph_ktruss", "graph_modularity",
+    "cdc_tombstone_gc_plan", "events_absorption_funnel",
+    "events_dau_wau_stickiness", "ml_learning_curve",
+    "multimodal_phash_dct", "multimodal_audio_chunk_plan",
+    "agg_mode_exact", "dedup_normalized_exact", "layout_partition_advisor",
+    "layout_overlap_depth", "privacy_dp_noise_calibration",
+    "stats_kruskal_wallis", "stats_welch_anova",
+    "stats_levene_brown_forsythe", "stats_permutation_test",
+    "stats_jackknife_ratio", "agg_skewness_kurtosis", "stats_effect_sizes",
+    "stats_qq_table", "agg_theil_index", "stats_cmh_test",
+    "stats_overdispersion_test", "stats_mcnemar_test", "stats_cochran_q",
+    "stats_friedman_test", "stats_runs_test", "ts_ljung_box",
+    "ml_eb_shrinkage", "stats_dunn_posthoc",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 assert all(n in _ALL for n in _CHECK_FIRST), "unknown name in _CHECK_FIRST"

@@ -208,14 +208,18 @@ def join_outer(spark: SparkSession, sf: str) -> DataFrame:
         nation.join(cust, nation.n_nationkey == cust.c_nationkey, "left")
               .groupBy("n_nationkey", "n_name")
               .agg(F.count("c_custkey").alias("n_customers"),
-                   F.round(F.coalesce(F.sum("c_acctbal"), F.lit(0.0)), 2).alias("total_bal"))
+                   # exact cents sum + shared division (q1 idiom)
+                   (F.coalesce(
+                       F.sum(F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")),
+                       F.lit(0)).cast("double") / 100.0).alias("total_bal"))
     )
 
 
 OUTER_SQL = """
 SELECT n_nationkey, n_name,
        count(c_custkey) AS n_customers,
-       round(coalesce(sum(c_acctbal), 0.0), 2) AS total_bal
+       CAST(coalesce(sum(CAST(round(c_acctbal * 100) AS BIGINT)), 0)
+            AS DOUBLE) / 100.0 AS total_bal
 FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
 GROUP BY n_nationkey, n_name
 """

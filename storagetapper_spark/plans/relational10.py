@@ -140,41 +140,58 @@ def gini_revenue(spark: SparkSession, sf: str) -> DataFrame:
     c = t(spark, sf, "customer")
     n_o = t(spark, sf, "nation").select("n_nationkey", "n_regionkey")
     r = t(spark, sf, "region").select("r_regionkey", "r_name")
-    rev = (o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    # revenue as exact BIGINT cents end-to-end (the q1 idiom): the
+    # per-customer sum, the rank order it induces, and both Gini sums
+    # are order-free integers; the Gini itself is one shared double
+    # expression.  i·cents can pass int64 at extreme scale — the sum
+    # rides decimal(38,0).
+    rev = (o.groupBy("o_custkey")
+           .agg(F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+                .alias("rev_cents"))
            .join(c.select("c_custkey", "c_nationkey"),
                  F.col("o_custkey") == F.col("c_custkey"))
            .join(F.broadcast(n_o), F.col("c_nationkey") == F.col("n_nationkey"))
            .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-           .select("r_name", "o_custkey", "revenue"))
+           .select("r_name", "o_custkey", "rev_cents"))
     w = (Window.partitionBy("r_name")
-         .orderBy(F.col("revenue").asc(), F.col("o_custkey").asc()))
+         .orderBy(F.col("rev_cents").asc(), F.col("o_custkey").asc()))
     ranked = rev.withColumn("i", F.row_number().over(w))
+    n = F.count(F.lit(1))
     return (ranked.groupBy("r_name")
-            .agg(F.count(F.lit(1)).alias("n_customers"),
-                 F.round(
-                     2.0 * F.sum(F.col("i") * F.col("revenue"))
-                     / (F.count(F.lit(1)) * F.sum("revenue"))
-                     - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
-                     6).alias("gini"))
+            .agg(n.alias("n_customers"),
+                 F.sum((F.col("i").cast("decimal(19,0)")
+                        * F.col("rev_cents")).cast("decimal(38,0)"))
+                 .alias("_iw"),
+                 F.sum("rev_cents").alias("_s"))
+            .select("r_name", "n_customers",
+                    (2.0 * F.col("_iw").cast("double")
+                     / (F.col("n_customers") * F.col("_s").cast("double"))
+                     - (F.col("n_customers") + 1.0)
+                     / F.col("n_customers")).alias("gini"))
             .orderBy("r_name"))
 
 
 GINI_SQL = """
 WITH rev AS (SELECT r.r_name, o.o_custkey,
-                    sum(o.o_totalprice) AS revenue
+                    sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                      AS rev_cents
              FROM orders o
              JOIN customer c ON o.o_custkey = c.c_custkey
              JOIN nation n ON c.c_nationkey = n.n_nationkey
              JOIN region r ON n.n_regionkey = r.r_regionkey
              GROUP BY r.r_name, o.o_custkey),
-ranked AS (SELECT r_name, revenue,
+ranked AS (SELECT r_name, rev_cents,
                   row_number() OVER (PARTITION BY r_name
-                                     ORDER BY revenue, o_custkey) AS i
-           FROM rev)
-SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
-       round(2.0 * sum(i * revenue) / (count(*) * sum(revenue))
-             - (count(*) + 1.0) / count(*), 6) AS gini
-FROM ranked GROUP BY r_name ORDER BY r_name
+                                     ORDER BY rev_cents, o_custkey) AS i
+           FROM rev),
+agg AS (SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
+               sum(CAST(i * rev_cents AS DECIMAL(38,0))) AS iw,
+               sum(rev_cents) AS s
+        FROM ranked GROUP BY r_name)
+SELECT r_name, n_customers,
+       2.0 * CAST(iw AS DOUBLE) / (n_customers * CAST(s AS DOUBLE))
+         - (n_customers + 1.0) / n_customers AS gini
+FROM agg ORDER BY r_name
 """
 
 QUERIES["gini_revenue"] = (gini_revenue, GINI_SQL)
@@ -1894,25 +1911,33 @@ def sample_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
     round half-up and are capped at the stratum size."""
     o = t(spark, sf, "orders")
     c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    # Σx, Σx² ride exact integer sums (cents and 1e-4-dollar² units —
+    # the q1 idiom; raw double group sums vary with partial order);
+    # σ is one shared double expression and the stratum weight is
+    # 1e-6-quantized so the tiny cross-stratum normalizer sum is
+    # order-free too.
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
     strat = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
              .groupBy("c_mktsegment")
              .agg(F.count(F.lit(1)).alias("n_h"),
-                  F.sum("o_totalprice").alias("sx"),
-                  F.sum(F.col("o_totalprice") * F.col("o_totalprice"))
-                   .alias("sxx")))
-    sigma = F.sqrt(F.col("sxx") / F.col("n_h")
-                   - (F.col("sx") / F.col("n_h"))
-                   * (F.col("sx") / F.col("n_h")))
+                  F.sum(cents).alias("sx_c"),
+                  F.sum((cents.cast("decimal(19,0)") * cents)
+                        .cast("decimal(38,0)")).alias("sxx_u")))
+    mean_d = F.col("sx_c").cast("double") / F.col("n_h") / 100.0
+    sigma = F.sqrt(F.col("sxx_u").cast("double") / F.col("n_h") / 1e4
+                   - mean_d * mean_d)
     weighted = strat.select("c_mktsegment", "n_h",
-                            (F.col("n_h") * sigma).alias("w"),
+                            F.round(F.col("n_h") * sigma * 1e6)
+                            .cast("long").alias("w_u"),
                             F.round(sigma, 2).alias("sigma"))
-    tot = weighted.agg(F.sum("w").alias("tw"))
+    tot = weighted.agg(F.sum("w_u").alias("tw"))
     return (weighted.crossJoin(F.broadcast(tot))
             .select("c_mktsegment", "n_h", "sigma",
                     F.least(
                         F.col("n_h"),
                         F.round(F.lit(_NEYMAN_BUDGET)
-                                * F.col("w") / F.col("tw"), 0)
+                                * F.col("w_u").cast("double")
+                                / F.col("tw").cast("double"), 0)
                         .cast("long")).alias("n_alloc"))
             .orderBy("c_mktsegment"))
 
@@ -1921,18 +1946,28 @@ NEYMAN_SQL = f"""
 WITH strat AS (
   SELECT c.c_mktsegment,
          CAST(count(*) AS BIGINT) AS n_h,
-         sum(o.o_totalprice) AS sx,
-         sum(o.o_totalprice * o.o_totalprice) AS sxx
+         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS sx_c,
+         sum(CAST(CAST(CAST(round(o.o_totalprice * 100) AS BIGINT)
+                       AS HUGEINT)
+                  * CAST(round(o.o_totalprice * 100) AS BIGINT)
+                  AS DECIMAL(38,0))) AS sxx_u
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
   GROUP BY c.c_mktsegment),
+sig AS (
+  SELECT c_mktsegment, n_h,
+         sqrt(CAST(sxx_u AS DOUBLE) / n_h / 1e4
+              - (CAST(sx_c AS DOUBLE) / n_h / 100.0)
+                * (CAST(sx_c AS DOUBLE) / n_h / 100.0)) AS sigma_raw
+  FROM strat),
 weighted AS (
   SELECT c_mktsegment, n_h,
-         n_h * sqrt(sxx / n_h - (sx / n_h) * (sx / n_h)) AS w,
-         round(sqrt(sxx / n_h - (sx / n_h) * (sx / n_h)), 2) AS sigma
-  FROM strat),
-tot AS (SELECT sum(w) AS tw FROM weighted)
+         CAST(round(n_h * sigma_raw * 1e6) AS BIGINT) AS w_u,
+         round(sigma_raw, 2) AS sigma
+  FROM sig),
+tot AS (SELECT sum(w_u) AS tw FROM weighted)
 SELECT c_mktsegment, n_h, sigma,
-       least(n_h, CAST(round({_NEYMAN_BUDGET} * w / tot.tw, 0) AS BIGINT))
+       least(n_h, CAST(round({_NEYMAN_BUDGET} * CAST(w_u AS DOUBLE)
+                             / CAST(tot.tw AS DOUBLE), 0) AS BIGINT))
          AS n_alloc
 FROM weighted CROSS JOIN tot ORDER BY c_mktsegment
 """
@@ -2653,33 +2688,48 @@ def text_length_lognormal(spark: SparkSession, sf: str) -> DataFrame:
     classically log-normal, so fit (μ, σ) of ln(n_chars) per language
     and report the implied median (e^μ) next to the EMPIRICAL median —
     a large gap flags a mixture (two populations in one language
-    bucket, e.g. boilerplate + prose).  μ, σ from exact-formula sums
-    of ln values; one grouped pass plus an exact percentile."""
+    bucket, e.g. boilerplate + prose).  μ, σ are the quantized
+    statistics over 1e-9-unit BIGINT sums of ln / ln² (per-row units
+    are identical doubles in both engines; integer sums are order-free
+    where a raw double Σln varies per run), finished by shared double
+    divisions; only e^μ keeps a display round because engine libm exp
+    may differ in the last ulp."""
     docs = t(spark, sf, "documents").filter(F.col("n_chars") > 0)
     lx = F.log(F.col("n_chars").cast("double"))
+    q1 = F.round(lx * 1e9).cast("long")        # ln in 1e-9 units
+    q2 = F.round(lx * lx * 1e9).cast("long")   # ln² in 1e-9 units
+    n = F.count(F.lit(1))
+    mu = F.sum(q1).cast("double") / n / 1e9
+    ex2 = F.sum(q2).cast("double") / n / 1e9
     return (docs.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.avg(lx), 6).alias("mu"),
-                 F.round(F.sqrt(F.avg(lx * lx) - F.avg(lx) * F.avg(lx)), 6)
-                  .alias("sigma"),
-                 F.round(F.exp(F.avg(lx)), 2).alias("fitted_median"),
+                 mu.alias("mu"),
+                 F.sqrt(ex2 - mu * mu).alias("sigma"),
+                 F.round(F.exp(mu), 2).alias("fitted_median"),
                  F.round(F.percentile("n_chars", 0.5), 2)
                   .alias("empirical_median"))
             .orderBy("lang"))
 
 
 TEXT_LOGNORMAL_SQL = """
+WITH q AS (
+  SELECT lang,
+         CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1e9) AS BIGINT) AS q1,
+         CAST(round(ln(CAST(n_chars AS DOUBLE))
+                    * ln(CAST(n_chars AS DOUBLE)) * 1e9) AS BIGINT) AS q2,
+         n_chars
+  FROM documents WHERE n_chars > 0
+)
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs,
-       round(avg(ln(CAST(n_chars AS DOUBLE))), 6) AS mu,
-       round(sqrt(avg(ln(CAST(n_chars AS DOUBLE))
-                      * ln(CAST(n_chars AS DOUBLE)))
-                  - avg(ln(CAST(n_chars AS DOUBLE)))
-                    * avg(ln(CAST(n_chars AS DOUBLE)))), 6) AS sigma,
-       round(exp(avg(ln(CAST(n_chars AS DOUBLE)))), 2) AS fitted_median,
+       CAST(sum(q1) AS DOUBLE) / count(*) / 1e9 AS mu,
+       sqrt(CAST(sum(q2) AS DOUBLE) / count(*) / 1e9
+            - (CAST(sum(q1) AS DOUBLE) / count(*) / 1e9)
+              * (CAST(sum(q1) AS DOUBLE) / count(*) / 1e9)) AS sigma,
+       round(exp(CAST(sum(q1) AS DOUBLE) / count(*) / 1e9), 2)
+         AS fitted_median,
        round(quantile_cont(n_chars, 0.5), 2) AS empirical_median
-FROM documents WHERE n_chars > 0
-GROUP BY lang ORDER BY lang
+FROM q GROUP BY lang ORDER BY lang
 """
 
 QUERIES["text_length_lognormal"] = (text_length_lognormal,

@@ -250,7 +250,12 @@ WHERE EXISTS (SELECT 1 FROM lineitem
 
 def scalar_subquery_cross(spark: SparkSession, sf: str) -> DataFrame:
     c = t(spark, sf, "customer")
-    avg_bal = c.agg(F.avg("c_acctbal").alias("a"))
+    # the scalar average rides an exact cents sum + shared division
+    # (q1 idiom): a raw double avg()'s last ulp varies with partial
+    # order, which would wobble every bal_vs_avg row and flip
+    # above_avg at the boundary
+    avg_bal = c.agg((F.sum(F.expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+                     .cast("double") / F.count(F.lit(1)) / 100.0).alias("a"))
     return (
         c.crossJoin(F.broadcast(avg_bal))
          .select("c_custkey",
@@ -261,8 +266,13 @@ def scalar_subquery_cross(spark: SparkSession, sf: str) -> DataFrame:
 
 SCALAR_SUBQ_SQL = """
 SELECT c_custkey,
-       round(c_acctbal - (SELECT avg(c_acctbal) FROM customer), 2) AS bal_vs_avg,
-       c_acctbal > (SELECT avg(c_acctbal) FROM customer) AS above_avg
+       round(c_acctbal
+             - (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                            AS DOUBLE) / count(*) / 100.0
+                FROM customer), 2) AS bal_vs_avg,
+       c_acctbal > (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                                AS DOUBLE) / count(*) / 100.0
+                    FROM customer) AS above_avg
 FROM customer
 """
 

@@ -16,7 +16,9 @@ def session_window_native(spark: SparkSession, sf: str) -> DataFrame:
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
           .agg(F.count(F.lit(1)).alias("n_events"),
-               F.round(F.sum("value"), 2).alias("session_value"))
+               # exact cents sum + shared division (q1 idiom)
+               (F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+                .cast("double") / 100.0).alias("session_value"))
           .select("user_id",
                   F.col("w.start").cast("long").alias("session_start"),
                   "n_events", "session_value")
@@ -31,7 +33,9 @@ g AS (SELECT *, CASE WHEN e - lag(e) OVER (PARTITION BY user_id ORDER BY ts) > 1
 s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
                               ROWS UNBOUNDED PRECEDING) AS sid FROM g)
 SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
-       count(*) AS n_events, round(sum(value), 2) AS session_value
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS session_value
 FROM s GROUP BY user_id, sid
 """
 

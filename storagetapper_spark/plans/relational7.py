@@ -337,10 +337,16 @@ def text_tfidf_search(spark: SparkSession, sf: str) -> DataFrame:
     dfreq = (tok.filter(F.col("w").isin(_SEARCH_TERMS))
                 .groupBy("w").agg(F.countDistinct("doc_id").alias("df")))
     idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    # score = quantized Σ tf·idf (1e-9-unit BIGINT sum + one shared
+    # division): the per-(doc, term) tfidf doubles are identical in
+    # both engines, and the integer sum is order-free however the ≤
+    # |query| terms combine (a raw double sum can flip in the last ulp
+    # between runs, which also perturbs the rank tie-break)
     scored = (tf.join(F.broadcast(dfreq), "w")
-                .withColumn("tfidf", F.col("tf") * idf)
+                .withColumn("tfidf_u",
+                            F.round(F.col("tf") * idf * 1e9).cast("long"))
                 .groupBy("doc_id")
-                .agg(F.round(F.sum("tfidf"), 4).alias("score"),
+                .agg((F.sum("tfidf_u").cast("double") / 1e9).alias("score"),
                      F.count(F.lit(1)).alias("n_terms_hit")))
     # top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
     # heaps, no full sort, no single-partition exchange of the corpus),
@@ -365,8 +371,9 @@ WITH tok AS (
 ), n AS (SELECT count(*) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id,
-         round(sum(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0)), 4)
-           AS score,
+         CAST(sum(CAST(round(tf.tf * (ln((n.n_docs + 1.0)
+                                         / (dfreq.df + 1.0)) + 1.0) * 1e9)
+                       AS BIGINT)) AS DOUBLE) / 1e9 AS score,
          count(*) AS n_terms_hit
   FROM tf JOIN dfreq USING (w) CROSS JOIN n
   GROUP BY tf.doc_id
