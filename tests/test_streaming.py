@@ -71,6 +71,13 @@ def test_incremental_upsert(spark, tmp_path):
     got = {r.pk: r.val for r in read_state(spark, state).collect()}
     assert got == {1: "a2", 3: "c"}
 
+    # versioned-snapshot GC: after three micro-batches only the NEWEST
+    # v* dir survives next to current (state_dir stays O(2×state) on a
+    # long-running stream instead of one snapshot per batch)
+    vs = sorted(n for n in os.listdir(state)
+                if n.startswith("v") and n[1:].isdigit())
+    assert vs == ["v2"], vs
+
 
 EV_SCHEMA = T.StructType([
     T.StructField("ts", T.TimestampType()),

@@ -88,6 +88,11 @@ PROBES = [
     "graph_jaccard_link_prediction_capped",  # top-K-per-center bounded wedges
     "graph_minhash_link_prediction",  # banded signature join (dedup machinery)
     "sample_reservoir_stratified",  # map-side bottom-k per stratum
+    # round-9 exact-arithmetic reshapes (window-free HHI, decimal Gini
+    # rank sums, quantized Neyman strata)
+    "market_concentration_hhi",
+    "gini_revenue",
+    "sample_neyman_allocation",
     "ml_kmeans_lloyd",         # literal-centroid narrow pass + K*64 agg
     "stats_fdr_bh",            # brand moments + 25-row BH walk
     "embedding_pq_assign",     # literal-codebook narrow pass + 32-key agg
