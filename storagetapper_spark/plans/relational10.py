@@ -2510,11 +2510,16 @@ def winsorized_prices(spark: SparkSession, sf: str) -> DataFrame:
                    F.col("l_extendedprice"), F.col("lo")), F.col("hi"))))
     return (clamped.groupBy("p_type")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.avg(F.col("l_extendedprice")
-                               .cast("decimal(30,10)")), 2)
-                  .cast("double").alias("raw_mean"),
-                 F.round(F.avg(F.col("wx").cast("decimal(30,10)")), 2)
-                  .cast("double").alias("winsorized_mean"))
+                 # exact unit sums + shared divisions (q1 idiom): the
+                 # raw mean over cents, the winsorized mean over
+                 # 1e-6-quantized clamped values (clamped rows carry
+                 # the fence double, identical in both engines)
+                 (F.sum(F.expr("CAST(round(l_extendedprice * 100)"
+                               " AS BIGINT)")).cast("double")
+                  / F.count(F.lit(1)) / 100.0).alias("raw_mean"),
+                 (F.sum(F.round(F.col("wx") * 1e6).cast("long"))
+                  .cast("double") / F.count(F.lit(1)) / 1e6)
+                 .alias("winsorized_mean"))
             .orderBy("p_type"))
 
 
@@ -2529,11 +2534,11 @@ fences AS (
   FROM priced GROUP BY p_type)
 SELECT priced.p_type,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(round(avg(CAST(l_extendedprice AS DECIMAL(30,10))), 2)
-            AS DOUBLE) AS raw_mean,
-       CAST(round(avg(CAST(least(greatest(l_extendedprice, lo), hi)
-                           AS DECIMAL(30,10))), 2) AS DOUBLE)
-         AS winsorized_mean
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / count(*) / 100.0 AS raw_mean,
+       CAST(sum(CAST(round(least(greatest(l_extendedprice, lo), hi) * 1e6)
+                     AS BIGINT)) AS DOUBLE)
+         / count(*) / 1e6 AS winsorized_mean
 FROM priced JOIN fences ON priced.p_type = fences.p_type
 GROUP BY priced.p_type ORDER BY priced.p_type
 """
@@ -2830,30 +2835,31 @@ def discount_effectiveness(spark: SparkSession, sf: str) -> DataFrame:
     steps): line count, average quantity, and revenue per line — the
     elasticity read-out behind promotion planning (q6/q19's decision
     support cousin, aggregated instead of filtered).  Single scan, one
-    small-group aggregate; money stays decimal to the boundary."""
+    small-group aggregate; both means are exact unit sums + shared
+    divisions (q1 idiom: quantity integral, net revenue in 1e-4-dollar
+    units)."""
     li = t(spark, sf, "lineitem")
     band = F.round(F.col("l_discount") * 100).cast("int").alias("discount_pct")
     return (li.groupBy(band)
             .agg(F.count(F.lit(1)).alias("n_lines"),
-                 F.round(F.avg(F.col("l_quantity")
-                               .cast("decimal(30,10)")), 4)
-                  .cast("double").alias("avg_quantity"),
-                 F.round(F.avg(F.col("l_extendedprice")
-                               .cast("decimal(30,10)")
-                               * (1 - F.col("l_discount")
-                                  .cast("decimal(12,4)"))), 2)
-                  .cast("double").alias("avg_net_revenue"))
+                 (F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+                  / F.count(F.lit(1))).alias("avg_quantity"),
+                 (F.sum(F.expr(
+                      "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                      " * (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+                  .cast("double") / F.count(F.lit(1)) / 10000.0)
+                 .alias("avg_net_revenue"))
             .orderBy("discount_pct"))
 
 
 DISCOUNT_SQL = """
 SELECT CAST(round(l_discount * 100) AS INT) AS discount_pct,
        CAST(count(*) AS BIGINT) AS n_lines,
-       CAST(round(avg(CAST(l_quantity AS DECIMAL(30,10))), 4) AS DOUBLE)
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*)
          AS avg_quantity,
-       CAST(round(avg(CAST(l_extendedprice AS DECIMAL(30,10))
-                      * (1 - CAST(l_discount AS DECIMAL(12,4)))), 2)
-            AS DOUBLE) AS avg_net_revenue
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / count(*) / 10000.0 AS avg_net_revenue
 FROM lineitem
 GROUP BY CAST(round(l_discount * 100) AS INT) ORDER BY discount_pct
 """
@@ -3067,11 +3073,16 @@ def winsorized_prices_approx_values(spark: SparkSession,
                    F.col("l_extendedprice"), F.col("lo")), F.col("hi"))))
     return (clamped.groupBy("p_type")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.avg(F.col("l_extendedprice")
-                               .cast("decimal(30,10)")), 2)
-                  .cast("double").alias("raw_mean"),
-                 F.round(F.avg(F.col("wx").cast("decimal(30,10)")), 2)
-                  .cast("double").alias("winsorized_mean"))
+                 # exact unit sums + shared divisions (q1 idiom): the
+                 # raw mean over cents, the winsorized mean over
+                 # 1e-6-quantized clamped values (clamped rows carry
+                 # the fence double, identical in both engines)
+                 (F.sum(F.expr("CAST(round(l_extendedprice * 100)"
+                               " AS BIGINT)")).cast("double")
+                  / F.count(F.lit(1)) / 100.0).alias("raw_mean"),
+                 (F.sum(F.round(F.col("wx") * 1e6).cast("long"))
+                  .cast("double") / F.count(F.lit(1)) / 1e6)
+                 .alias("winsorized_mean"))
             .orderBy("p_type"))
 
 
@@ -3084,9 +3095,9 @@ def winsorized_prices_approx(spark: SparkSession, sf: str) -> DataFrame:
     priced = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
     sk = (priced.groupBy("p_type")
           .agg(F.count(F.lit(1)).alias("n"),
-               F.round(F.avg(F.col("l_extendedprice")
-                             .cast("decimal(30,10)")), 2)
-               .cast("double").alias("raw_mean"),
+               (F.sum(F.expr("CAST(round(l_extendedprice * 100)"
+                             " AS BIGINT)")).cast("double")
+                / F.count(F.lit(1)) / 100.0).alias("raw_mean"),
                F.percentile_approx("l_extendedprice", 0.05, 10000)
                .alias("alo"),
                F.percentile_approx("l_extendedprice", 0.95, 10000)
@@ -3106,8 +3117,8 @@ def winsorized_prices_approx(spark: SparkSession, sf: str) -> DataFrame:
 
 WINSOR_APPROX_SQL = """
 SELECT p.p_type, CAST(count(*) AS BIGINT) AS n,
-       CAST(round(avg(CAST(l_extendedprice AS DECIMAL(30,10))), 2)
-            AS DOUBLE) AS raw_mean,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / count(*) / 100.0 AS raw_mean,
        TRUE AS p05_in_band, TRUE AS p95_in_band
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_type ORDER BY p.p_type
@@ -3206,11 +3217,16 @@ def winsorized_prices_tpr(spark: SparkSession, sf: str) -> DataFrame:
                    F.col("l_extendedprice"), F.col("lo")), F.col("hi"))))
     return (clamped.groupBy("p_type")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.avg(F.col("l_extendedprice")
-                               .cast("decimal(30,10)")), 2)
-                  .cast("double").alias("raw_mean"),
-                 F.round(F.avg(F.col("wx").cast("decimal(30,10)")), 2)
-                  .cast("double").alias("winsorized_mean"))
+                 # exact unit sums + shared divisions (q1 idiom): the
+                 # raw mean over cents, the winsorized mean over
+                 # 1e-6-quantized clamped values (clamped rows carry
+                 # the fence double, identical in both engines)
+                 (F.sum(F.expr("CAST(round(l_extendedprice * 100)"
+                               " AS BIGINT)")).cast("double")
+                  / F.count(F.lit(1)) / 100.0).alias("raw_mean"),
+                 (F.sum(F.round(F.col("wx") * 1e6).cast("long"))
+                  .cast("double") / F.count(F.lit(1)) / 1e6)
+                 .alias("winsorized_mean"))
             .orderBy("p_type"))
 
 
