@@ -47,9 +47,11 @@ def _features(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long").alias("x1"),
         F.floor(F.least(F.col("n_ev").cast("double") / 1000.0,
                         F.lit(1.0)) * 1000000).cast("long").alias("x2"),
-        F.when(F.col("val_cents") * F.col("tn")
-               > F.col("tv") * F.col("n_ev"), 1).otherwise(0)
-        .alias("y")))
+        # cents × global event count passes int64 at extreme scale —
+        # widen one operand before the multiply (both engines do).
+        F.when(F.col("val_cents").cast("decimal(19,0)") * F.col("tn")
+               > F.col("tv").cast("decimal(19,0)") * F.col("n_ev"), 1)
+        .otherwise(0).alias("y")))
 
 
 def ml_logistic_gd(spark: SparkSession, sf: str) -> DataFrame:
@@ -112,7 +114,8 @@ feats AS MATERIALIZED (
          CAST(floor(n_view * 1000000 / n_ev) AS BIGINT) AS x1,
          CAST(floor(least(CAST(n_ev AS DOUBLE) / 1000.0, 1.0) * 1000000)
               AS BIGINT) AS x2,
-         CASE WHEN val_cents * g.tn > g.tv * n_ev THEN 1 ELSE 0 END AS y
+         CASE WHEN CAST(val_cents AS HUGEINT) * g.tn
+                   > CAST(g.tv AS HUGEINT) * n_ev THEN 1 ELSE 0 END AS y
   FROM per_user CROSS JOIN g
 ),
 nrow AS MATERIALIZED (SELECT count(*) AS n FROM feats)

@@ -88,41 +88,38 @@ for mod in (relational, relational2, relational3, relational4, relational5,
 # text surface) plus the 3 queries whose oracles were fixed this round
 # into the window.  Previously-green queries keep their recorded rows.
 _CHECK_FIRST = [
-    # Round-9 window (VERDICT r8 #1/#2): two re-witnesses first —
-    # multimodal_frame_plan (its r8 driver row errored on an array
-    # output column, now scalarized to frame_csv) and
-    # sample_pack_sequences (its r6 row predates the FFD-certificate
-    # oracle that replaced the rows-only check) — then 48 of the 80
-    # never-witnessed names in ROADMAP's staged order: the 11
-    # remaining pre-round-7 names, then the round-7 registrations
-    # oldest-first (registry order).  Computed mechanically:
-    # registry minus the union of CORRECTNESS_r01-r08 keys.  The 32
-    # r7 names that miss this window close the backlog in round 10.
-    # All 80 are local-green at 3 SFs (CHECK_ALL.json /
-    # CHECK_ALL_SF0_1.json) and judge-verified at least once (r7+r8).
-    "multimodal_frame_plan", "sample_pack_sequences",
-    # pre-round-7 backlog (the last 11)
-    "sample_negatives_contrastive", "text_span_corruption_plan",
-    "text_gopher_rules", "text_feature_hashing_audit",
-    "text_padding_waste", "events_bot_detection", "ann_ivf_nprobe_sweep",
-    "sample_preference_pairs", "ml_knn_eval_ivf", "sketch_bloom_fp_audit",
-    "text_query_expansion_prf",
-    # round-7 registrations, oldest-first
-    "ts_forecast_backtest_mase", "sample_time_split_folds", "ts_hurst_rs",
-    "ts_period_folding", "graph_triangles_degree_oriented",
-    "graph_rich_club", "graph_ktruss", "graph_modularity",
-    "cdc_tombstone_gc_plan", "events_absorption_funnel",
-    "events_dau_wau_stickiness", "ml_learning_curve",
-    "multimodal_phash_dct", "multimodal_audio_chunk_plan",
-    "agg_mode_exact", "dedup_normalized_exact", "layout_partition_advisor",
-    "layout_overlap_depth", "privacy_dp_noise_calibration",
-    "stats_kruskal_wallis", "stats_welch_anova",
-    "stats_levene_brown_forsythe", "stats_permutation_test",
-    "stats_jackknife_ratio", "agg_skewness_kurtosis", "stats_effect_sizes",
-    "stats_qq_table", "agg_theil_index", "stats_cmh_test",
-    "stats_overdispersion_test", "stats_mcnemar_test", "stats_cochran_q",
-    "stats_friedman_test", "stats_runs_test", "ts_ljung_box",
-    "ml_eb_shrinkage", "stats_dunn_posthoc",
+    # Round-10 window (VERDICT r9 #1): the FINAL 32 never-witnessed
+    # names — computed mechanically as registry minus the union of
+    # CORRECTNESS_r01-r09 keys (matches ROADMAP's round-10 rotation
+    # list exactly) — followed by 18 re-witness slots.  All 32 are
+    # green in the round-9 full gates (CHECK_ALL sf0.01 + sf0.1 +
+    # the full local[3] sweep) and in the r9 judge's independent
+    # oracle run.  Once CORRECTNESS_r10 lands, every registry query
+    # has at least one driver witness and the backlog is 0.
+    "stats_bartlett_test", "stats_anderson_darling",
+    "stats_tost_equivalence", "stats_sign_test",
+    "stats_wilcoxon_signed_rank", "stats_wilson_ci",
+    "stats_capture_recapture", "stats_fdr_by", "agg_trimmed_mean_exact",
+    "survival_nelson_aalen", "survival_logrank", "ml_survival_concordance",
+    "ml_ridge_normal", "ml_target_encoding_loo", "ml_woe_iv",
+    "ml_mutual_info_screen", "geo_grid_neighbors", "geo_dbscan_core",
+    "recsys_als_user_step", "ml_auc_delong_ci", "ml_brier_decomposition",
+    "ml_cohen_kappa", "ml_group_auc", "ml_pinball_loss",
+    "ml_mcnemar_model_comparison", "ml_threshold_cost_curve",
+    "ml_reliability_slope", "contamination_screen_audit",
+    "sample_epoch_allocation", "embedding_quantization_error",
+    "ann_mips_vs_cosine", "ann_filtered_search",
+    # 18 re-witness slots (VERDICT r9 #1: "oldest r1-r3 CDC rows are
+    # now 6+ rounds stale — prefer those"): the first 18 CDC-family
+    # names whose latest driver witness is round 3, registry order,
+    # including the entry() flagship cdc_snapshot_changelog_merge.
+    "cdc_snapshot_scan", "cdc_snapshot_filtered",
+    "cdc_decompose_updates", "cdc_latest_state", "cdc_latest_state_agg",
+    "cdc_snapshot_changelog_merge", "cdc_json_roundtrip", "cdc_row_key",
+    "cdc_sql_encoder", "cdc_sql_encoder_idempotent",
+    "cdc_dedup_retransmit", "cdc_type_coercion", "cdc_avro_roundtrip",
+    "cdc_seqno_derivation", "cdc_msgpack_roundtrip", "cdc_avro_prepare",
+    "cdc_consistent_cut", "cdc_scd2_history",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 assert all(n in _ALL for n in _CHECK_FIRST), "unknown name in _CHECK_FIRST"

@@ -185,7 +185,8 @@ ranked AS (SELECT r_name, rev_cents,
                                      ORDER BY rev_cents, o_custkey) AS i
            FROM rev),
 agg AS (SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
-               sum(CAST(i * rev_cents AS DECIMAL(38,0))) AS iw,
+               sum(CAST(CAST(i AS HUGEINT) * rev_cents
+                        AS DECIMAL(38,0))) AS iw,
                sum(rev_cents) AS s
         FROM ranked GROUP BY r_name)
 SELECT r_name, n_customers,
@@ -2141,7 +2142,8 @@ WITH rev AS (
   GROUP BY n.n_name, l.l_suppkey),
 agg AS (
   SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
-         sum(CAST(rev_cents * rev_cents AS DECIMAL(38,0))) AS q,
+         sum(CAST(CAST(rev_cents AS HUGEINT) * rev_cents
+                  AS DECIMAL(38,0))) AS q,
          sum(rev_cents) AS s,
          max(rev_cents) AS top
   FROM rev GROUP BY n_name)

@@ -41,9 +41,14 @@ def ts_rolling_slope(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum("x").over(w).alias("sx"),
         F.sum("cents").over(w).alias("sy"),
-        F.sum(F.col("x") * F.col("cents")).over(w).alias("sxy"),
+        # x·cents approaches int64 at extreme scale and its window SUM
+        # passes it — widen one operand so the sum rides decimal(38,0)
+        # (oracle mirrors with HUGEINT).
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("cents"))
+        .over(w).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).over(w).alias("sx2"))
-    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    slope = ((F.col("n") * F.col("sxy")
+              - F.col("sx").cast("decimal(19,0)") * F.col("sy"))
              .cast("double")
              / (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx"))
              .cast("double"))
@@ -70,14 +75,14 @@ fr AS (
          count(*) OVER w AS n,
          CAST(sum(x) OVER w AS BIGINT) AS sx,
          CAST(sum(cents) OVER w AS BIGINT) AS sy,
-         CAST(sum(x * cents) OVER w AS BIGINT) AS sxy,
+         sum(CAST(x AS HUGEINT) * cents) OVER w AS sxy,
          CAST(sum(x * x) OVER w AS BIGINT) AS sx2
   FROM idx
   WINDOW w AS (ORDER BY x ROWS BETWEEN {_ROLL_W - 1} PRECEDING
                AND CURRENT ROW)
 )
 SELECT day,
-       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+       CAST(floor(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
                   / CAST(n * sx2 - sx * sx AS DOUBLE)
                   * 1000000) AS BIGINT) AS slope_micro_cents_per_day
 FROM fr WHERE n = {_ROLL_W}

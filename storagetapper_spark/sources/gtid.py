@@ -127,7 +127,8 @@ def _parsed(df: DataFrame, gtid_col: str):
     return uuid, gno
 
 
-def executed_intervals(df: DataFrame, gtid_col: str = "gtid") -> DataFrame:
+def executed_intervals(df: DataFrame, gtid_col: str = "gtid", *,
+                       malformed_marker: bool = False) -> DataFrame:
     """Distributed gaps-and-islands fold of a batch's per-event GTIDs
     into (uuid, start_gno, stop_gno) intervals: distinct (uuid, gno),
     one window pass partitioned by uuid ordered by gno (gno −
@@ -135,20 +136,32 @@ def executed_intervals(df: DataFrame, gtid_col: str = "gtid") -> DataFrame:
     Output is one row per island — the only data that ever reaches the
     driver, bounded by the batch's gap count, not its row count.
     Malformed GTIDs (no numeric ``:gno`` suffix) parse to a NULL gno
-    and are dropped here — they carry no position to track; callers
-    that must account for them count NULL-gno rows themselves
-    (fold_batch does, and warns)."""
+    and are dropped here — they carry no position to track.  With
+    ``malformed_marker=True`` one extra row (uuid NULL, start_gno =
+    count of NULL-gno input rows, stop_gno NULL) is unioned in, so a
+    caller that must account for them (fold_batch warns) gets the
+    count from the SAME action instead of re-scanning the batch with
+    a second count() job."""
     uuid, gno = _parsed(df, gtid_col)
-    pairs = (df.select(uuid.alias("uuid"), gno.alias("gno"))
-               .filter(F.col("gno").isNotNull())
-               .distinct())
+    raw = df.select(uuid.alias("uuid"), gno.alias("gno"))
+    pairs = raw.filter(F.col("gno").isNotNull()).distinct()
     w = Window.partitionBy("uuid").orderBy("gno")
     islands = pairs.withColumn(
         "island", F.col("gno") - F.row_number().over(w))
-    return (islands.groupBy("uuid", "island")
-            .agg(F.min("gno").alias("start_gno"),
-                 F.max("gno").alias("stop_gno"))
-            .select("uuid", "start_gno", "stop_gno"))
+    out = (islands.groupBy("uuid", "island")
+           .agg(F.min("gno").alias("start_gno"),
+                F.max("gno").alias("stop_gno"))
+           .select("uuid", "start_gno", "stop_gno"))
+    if malformed_marker:
+        # a key-less aggregate always yields exactly one row (0 when
+        # the batch has no malformed rows)
+        marker = (raw.filter(F.col("gno").isNull())
+                  .agg(F.count(F.lit(1)).cast("long").alias("start_gno"))
+                  .select(F.lit(None).cast("string").alias("uuid"),
+                          "start_gno",
+                          F.lit(None).cast("long").alias("stop_gno")))
+        out = out.unionByName(marker)
+    return out
 
 
 def fold_batch(state: GTIDSet, batch: DataFrame,
@@ -163,16 +176,21 @@ def fold_batch(state: GTIDSet, batch: DataFrame,
     than crashing the micro-batch — the reference's tolerance for
     non-sequential/unparseable events (mysql.go:747 logs and
     continues)."""
-    _, gno = _parsed(batch, gtid_col)
-    n_malformed = batch.filter(gno.isNull()).count()
+    add = GTIDSet()
+    n_malformed = 0
+    # one action: the NULL-uuid marker row carries the malformed count,
+    # so the common no-malformed case costs no extra batch scan
+    for r in executed_intervals(batch, gtid_col,
+                                malformed_marker=True).collect():
+        if r["uuid"] is None:
+            n_malformed = int(r["start_gno"])
+            continue
+        add._insert(r["uuid"], int(r["start_gno"]), int(r["stop_gno"]))
     if n_malformed:
         logging.getLogger(__name__).warning(
             "fold_batch: %d rows carry a malformed %s (no numeric "
             "':gno' suffix) and were not folded into the executed set",
             n_malformed, gtid_col)
-    add = GTIDSet()
-    for r in executed_intervals(batch, gtid_col).collect():
-        add._insert(r["uuid"], int(r["start_gno"]), int(r["stop_gno"]))
     return state.merge(add)
 
 
