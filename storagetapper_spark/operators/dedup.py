@@ -18,7 +18,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -628,3 +628,65 @@ def lsh_verified_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "jaccard_est",
                     F.round(exact, 4).alias("jaccard_exact"),
                     (exact >= threshold).alias("verified")))
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 3,
+                        window_w: int = 4) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the
+    MOSS local fingerprinting scheme): hash every overlapping word
+    ``shingle_n``-gram, slide a ``window_w`` window over the hash
+    sequence, and select each window's minimum — rightmost occurrence
+    on ties, the paper's rule — yielding a position-robust fingerprint
+    subset with guaranteed density ~2/(w+1) and guaranteed detection
+    of any shared run of ``shingle_n + window_w - 1`` words.  The
+    reference engine has no local-fingerprint operator; this extends
+    its row-hash surface (encoder/*.go row hashing) to substring-level
+    identity, the curation primitive exact/minhash dedup can't express
+    (minhash sees global similarity, winnowing sees shared PASSAGES).
+
+    Spark shape: the one-regex overlapping-shingle extraction from
+    ``minhash_signature`` (codegen'd), posexplode for positions, ONE
+    window pass partitioned by document (docs are length-bounded, so
+    partitions are balanced at any corpus size), then a per-doc
+    distinct.  The rightmost-min tie rule costs no second pass: the
+    window minimizes ``md5hex || (10^9-1-pos)`` so the lexicographic
+    min IS (min hash, max pos).
+
+    Output: one row per selected fingerprint —
+    (id_col, fp_hash, fp_pos, n_grams).
+    """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+                        id_col)
+    norm = normalize_text(F.col(text_col))
+    pat = "(?<!\\S)(?=(" + " ".join(["\\S+"] * shingle_n) + "))"
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(F.regexp_extract_all(norm, F.lit(pat), 1))
+         .alias("pos", "_g"))
+    shorts = (df.select(F.col(id_col), F.lit(0).alias("pos"),
+                        norm.alias("_g"))
+                .filter(F.size(F.split("_g", " ")) < shingle_n))
+    ex = grams.unionByName(shorts)
+    # rightmost-min encoding: min over (md5 asc, pos desc)
+    key = F.concat(F.md5(F.col("_g")),
+                   F.lpad((F.lit(999_999_999) - F.col("pos"))
+                          .cast("string"), 9, "0"))
+    wdoc = Window.partitionBy(id_col)
+    wslide = (Window.partitionBy(id_col).orderBy("pos")
+              .rowsBetween(0, window_w - 1))
+    keyed = ex.select(
+        F.col(id_col), "pos",
+        F.count(F.lit(1)).over(wdoc).alias("n_grams"),
+        F.min(key).over(wslide).alias("_wkey"))
+    # full windows only (a doc shorter than w contributes its pos-0
+    # whole-doc window)
+    sel = keyed.filter(
+        F.col("pos") <= F.greatest(F.lit(0),
+                                   F.col("n_grams") - window_w))
+    return (sel.select(
+        F.col(id_col), "n_grams",
+        F.substring("_wkey", 1, 32).alias("fp_hash"),
+        (F.lit(999_999_999)
+         - F.substring("_wkey", 33, 9).cast("long")).alias("fp_pos"))
+        .distinct())

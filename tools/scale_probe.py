@@ -220,6 +220,14 @@ PROBES = [
     "agg_trimmed_mean_exact",  # cents-grid boundary-term trim
     "ml_reliability_slope",    # 10-bin exact moment regression
     "stats_overdispersion_test",  # complete-calendar count moments
+    # round-10 freeze-lift batch (datapipe12)
+    "text_winnowing_fingerprints",  # doc-partitioned window min
+    "dedup_winnowing_pairs",   # capped fingerprint-bucket self-join
+    "tokenizer_fertility_by_lang",  # one-scan regex counts, 5 groups
+    "text_encoding_quality",   # one-scan regex flags, 20 groups
+    "sample_pps_systematic",   # two-phase exact prefix sum
+    "sample_dsir_importance",  # 4096-bucket ratio broadcast join
+    "stats_g_test",            # tiny-cell contingency reduce
 ]
 
 
