@@ -264,3 +264,71 @@ def test_g_test_replay(spark, sf_dir):
     assert r.g_micro == g
     # G is non-negative up to quantization jitter
     assert r.g_micro >= -len(cells)
+
+
+def test_holt_winters_replay(spark, sf_dir):
+    """Independent pandas replay of the per-nation HW-additive
+    recursion, from raw parquet through the gap-filled calendar."""
+    rows = {r.n_name: r for r in
+            QUERIES["ts_holt_winters_additive"](spark, sf_dir).collect()}
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    j = (o.merge(c, left_on="o_custkey", right_on="c_custkey")
+         .merge(n, left_on="c_nationkey", right_on="n_nationkey"))
+    j["day"] = pd.to_datetime(j.o_orderdate).dt.date
+    for name, g in j.groupby("n_name"):
+        cnt = g.groupby("day").size()
+        idx = pd.date_range(min(cnt.index), max(cnt.index), freq="D").date
+        y = [float(cnt.get(d, 0)) for d in idx]
+        lvl = (y[0] + y[1] + y[2] + y[3] + y[4] + y[5] + y[6]) / 7.0
+        tr = 0.0
+        s = [y[i] - lvl for i in range(7)]
+        for i in range(7, len(y)):
+            yv = y[i]
+            ln = 0.5 * (yv - s[0]) + 0.5 * (lvl + tr)
+            tr = 0.25 * (ln - lvl) + 0.75 * tr
+            sn = 0.25 * (yv - ln) + 0.75 * s[0]
+            s = s[1:] + [sn]
+            lvl = ln
+        r = rows[name]
+        assert r.n_days == len(y)
+        assert r.level_micro == math.floor(lvl * 1e6)
+        assert r.trend_micro == math.floor(tr * 1e6)
+        for h in range(1, 8):
+            assert getattr(r, f"f{h}") == math.floor(
+                (lvl + float(h) * tr + s[h - 1]) * 1e6)
+
+
+def test_holt_winters_learns_weekly_season(spark, tmp_path):
+    """Semantic check on a constructed weekly pattern: orders spike
+    every 7th day; the fitted seasonals must put the forecast peak on
+    the right weekday and the trend near zero."""
+    days = pd.date_range("1995-01-01", periods=140, freq="D")
+    recs = []
+    key = 0
+    for i, d in enumerate(days):
+        n_orders = 9 if i % 7 == 3 else 2  # weekly spike on phase 3
+        for _ in range(n_orders):
+            recs.append((key, 0, "1-URGENT", 100.0, d.date()))
+            key += 1
+    pd.DataFrame(recs, columns=["o_orderkey", "o_custkey",
+                                "o_orderpriority", "o_totalprice",
+                                "o_orderdate"]) \
+        .to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame([(0, "CUST", 0, 0.0)],
+                 columns=["c_custkey", "c_name", "c_nationkey",
+                          "c_acctbal"]) \
+        .to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame([(0, "NATION_X", 0)],
+                 columns=["n_nationkey", "n_name", "n_regionkey"]) \
+        .to_parquet(tmp_path / "nation.parquet")
+    r = QUERIES["ts_holt_winters_additive"](spark, str(tmp_path)) \
+        .collect()[0]
+    fs = [getattr(r, f"f{h}") for h in range(1, 8)]
+    # the last observed day is phase 139%7=6; forecast h lands on phase
+    # (139+h)%7 — the spike phase 3 is h=4
+    assert max(range(7), key=lambda i: fs[i]) == 3
+    assert fs[3] > 7_000_000  # the peak forecast is near 9 orders
+    assert abs(r.trend_micro) < 50_000  # flat series: trend ~ 0
+    assert all(0 < fs[i] < 4_000_000 for i in range(7) if i != 3)

@@ -228,6 +228,7 @@ PROBES = [
     "sample_pps_systematic",   # two-phase exact prefix sum
     "sample_dsir_importance",  # 4096-bucket ratio broadcast join
     "stats_g_test",            # tiny-cell contingency reduce
+    "ts_holt_winters_additive",  # calendar-bounded per-entity recursion
 ]
 
 
