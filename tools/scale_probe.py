@@ -229,6 +229,9 @@ PROBES = [
     "sample_dsir_importance",  # 4096-bucket ratio broadcast join
     "stats_g_test",            # tiny-cell contingency reduce
     "ts_holt_winters_additive",  # calendar-bounded per-entity recursion
+    "events_watermark_planner",  # two-phase global running max
+    "ml_isotonic_calibration",   # 100-bin grid + bounded PAVA
+    "recsys_coverage_diversity",  # blocked pairs + k^2 intra-list join
 ]
 
 
