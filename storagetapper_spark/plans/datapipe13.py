@@ -319,3 +319,208 @@ FROM stats, catalog, intra
 
 QUERIES["recsys_coverage_diversity"] = (recsys_coverage_diversity,
                                         RECS_EVAL_SQL)
+
+
+# --- unigram-LM Viterbi segmentation audit -------------------------------
+
+_UNI_V = 256        # top-V multi-char pieces (all single chars always in)
+_UNI_MAXLEN = 16    # words longer than this are excluded (and counted)
+_UNI_MAXPIECE = 4
+
+
+def _unigram_prep(spark: SparkSession, sf: str):
+    """(words, vocab_rows): corpus word frequencies and the scored
+    unigram vocabulary — shared by the Spark plan; the oracle rebuilds
+    the identical tables in SQL."""
+    from storagetapper_spark.operators.text import normalize_text
+
+    docs = t(spark, sf, "documents")
+    words = (docs.select(F.explode(F.split(normalize_text(F.col("text")),
+                                           " ")).alias("word"))
+             .filter((F.length("word") >= 1)
+                     & (F.length("word") <= _UNI_MAXLEN))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    subs = words.select(
+        "freq",
+        F.explode(F.expr(f"""flatten(transform(sequence(1, {_UNI_MAXPIECE}),
+            n -> CASE WHEN length(word) >= n
+                 THEN transform(sequence(1, length(word) - n + 1),
+                                i -> substring(word, i, n))
+                 ELSE array() END))""")).alias("piece"))
+    pf = subs.groupBy("piece").agg(F.sum("freq").alias("pf"))
+    topv = pf.orderBy(F.desc("pf"), F.asc("piece")).limit(_UNI_V)
+    singles = pf.filter(F.length("piece") == 1)
+    vocab = topv.unionByName(singles).groupBy("piece").agg(
+        F.max("pf").alias("pf"))
+    z = vocab.agg(F.sum("pf").cast("double").alias("z"))
+    scored = (vocab.crossJoin(F.broadcast(z))
+              .select("piece",
+                      F.round(F.log(F.col("pf").cast("double")
+                                    / F.col("z")) * 1e6)
+                      .cast("long").alias("sc")))
+    return words, scored
+
+
+def tokenizer_unigram_viterbi(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) Viterbi segmentation audit: a
+    frequency-derived piece vocabulary (top-256 substrings up to 4
+    chars + every single char) scores each corpus word's best
+    segmentation; output is the per-word-length compression profile
+    (pieces per word, chars per piece, mean log-likelihood).
+
+    Cross-engine exactness: piece log-probs are quantized to micro
+    units ONCE per vocab entry (vocab-bounded transcendental), so the
+    Viterbi DP itself is pure INTEGER max-plus algebra — both engines
+    replay identical comparisons, tie-broken by (score, fewer pieces,
+    latest split) — the oracle unrolls the DP as 16 chained CTEs
+    carrying the best/count arrays.
+
+    100 TB shape: corpus -> word-frequency table (one shuffle);
+    vocabulary is a top-k (TakeOrdered) collected at V+alphabet rows;
+    the DP runs as an Arrow mapInPandas over DISTINCT words with the
+    broadcast vocab dict — per-word cost is bounded by 16·4 lookups,
+    and the word table is vocabulary-sized, not corpus-sized."""
+    words, scored = _unigram_prep(spark, sf)
+    vocab = {r["piece"]: int(r["sc"]) for r in scored.collect()}
+
+    def seg(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            out_w, out_f, out_l, out_n, out_s = [], [], [], [], []
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                L = len(word)
+                bests = [0] * (L + 1)
+                cnts = [0] * (L + 1)
+                for j in range(1, L + 1):
+                    cands = []
+                    for i in range(max(0, j - _UNI_MAXPIECE), j):
+                        sc = vocab.get(word[i:j])
+                        if sc is not None:
+                            cands.append((bests[i] + sc,
+                                          -(cnts[i] + 1), i))
+                    s, negc, _ = max(cands)
+                    bests[j], cnts[j] = s, -negc
+                out_w.append(word)
+                out_f.append(int(freq))
+                out_l.append(L)
+                out_n.append(cnts[L])
+                out_s.append(bests[L])
+            yield pd.DataFrame({"word": out_w, "freq": out_f,
+                                "len": out_l, "n_pieces": out_n,
+                                "sc": out_s})
+
+    per_word = words.mapInPandas(
+        seg, "word string, freq long, len long, n_pieces long, sc long")
+    # freq x sc passes int64 at extreme corpus scale — widen (ADVICE
+    # overflow discipline)
+    return (per_word.groupBy("len")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("freq").alias("total_freq"),
+                 F.sum(F.col("freq") * F.col("n_pieces"))
+                 .alias("total_pieces"),
+                 F.sum((F.col("freq").cast("decimal(19,0)")
+                        * F.col("sc")).cast("decimal(38,0)"))
+                 .alias("_ws"))
+            .select(
+        "len", "n_words", "total_freq", "total_pieces",
+        F.expr("total_pieces * 1000 div total_freq")
+         .alias("avg_pieces_milli"),
+        F.expr("len * total_freq * 1000000 div total_pieces")
+         .alias("chars_per_piece_micro"),
+        F.floor(F.col("_ws").cast("double")
+                / F.col("total_freq").cast("double"))
+         .cast("long").alias("avg_score_micro"))
+            .orderBy("len"))
+
+
+def _unigram_sql() -> str:
+    v, ml, mp = _UNI_V, _UNI_MAXLEN, _UNI_MAXPIECE
+    steps = []
+    prev = "d0"
+    for k in range(1, ml + 1):
+        steps.append(f"""
+d{k} AS MATERIALIZED (
+  SELECT q.word, q.freq, q.len,
+         CASE WHEN q.len >= {k} THEN q.bests || [(q.m).s]
+              ELSE q.bests END AS bests,
+         CASE WHEN q.len >= {k} THEN q.cnts || [-(q.m).negc]
+              ELSE q.cnts END AS cnts
+  FROM (
+    SELECT d.*,
+           CASE WHEN d.len >= {k} THEN
+             list_aggregate([{{'s': d.bests[c.i + 1] + c.sc,
+                               'negc': -(d.cnts[c.i + 1] + 1),
+                               'ci': c.i}} for c in cj.cands], 'max')
+           END AS m
+    FROM {prev} d LEFT JOIN cj ON cj.word = d.word AND cj.j = {k}
+  ) q)""")
+        prev = f"d{k}"
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (
+    SELECT unnest(string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+           AS word
+    FROM documents)
+  WHERE length(word) BETWEEN 1 AND {ml}
+  GROUP BY word),
+subs AS MATERIALIZED (
+  SELECT freq, substr(word, p.i + 1, p.n) AS piece
+  FROM (
+    SELECT word, freq,
+           unnest(flatten([[{{'i': i, 'n': n}}
+                           for i in range(0, length(word) - n + 1)]
+                          for n in range(1, {mp + 1})])) AS p
+    FROM words)),
+pf AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS pf FROM subs GROUP BY piece),
+topv AS (SELECT piece, pf FROM pf ORDER BY pf DESC, piece LIMIT {v}),
+singles AS (SELECT piece, pf FROM pf WHERE length(piece) = 1),
+vocab AS (
+  SELECT piece, max(pf) AS pf
+  FROM (SELECT * FROM topv UNION ALL SELECT * FROM singles)
+  GROUP BY piece),
+z AS (SELECT CAST(sum(pf) AS DOUBLE) AS z FROM vocab),
+scored AS MATERIALIZED (
+  SELECT piece,
+         CAST(round(ln(CAST(pf AS DOUBLE) / z) * 1e6) AS BIGINT) AS sc
+  FROM vocab, z),
+cand AS MATERIALIZED (
+  SELECT e.word, e.p.i AS i, e.p.i + e.p.n AS j, s.sc
+  FROM (
+    SELECT word,
+           unnest(flatten([[{{'i': i, 'n': n}}
+                           for i in range(0, length(word) - n + 1)]
+                          for n in range(1, {mp + 1})])) AS p
+    FROM words) e
+  JOIN scored s ON s.piece = substr(e.word, e.p.i + 1, e.p.n)),
+cj AS MATERIALIZED (
+  SELECT word, j, list({{'i': i, 'sc': sc}} ORDER BY i) AS cands
+  FROM cand GROUP BY word, j),
+d0 AS (
+  SELECT word, freq, CAST(length(word) AS BIGINT) AS len,
+         [CAST(0 AS BIGINT)] AS bests, [CAST(0 AS BIGINT)] AS cnts
+  FROM words),{",".join(steps)},
+fin AS (
+  SELECT word, freq, len,
+         bests[len + 1] AS sc, cnts[len + 1] AS np
+  FROM d{ml})
+SELECT len, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(freq) AS BIGINT) AS total_freq,
+       CAST(sum(freq * np) AS BIGINT) AS total_pieces,
+       CAST(sum(freq * np) * 1000 // sum(freq) AS BIGINT)
+         AS avg_pieces_milli,
+       CAST(len * sum(freq) * 1000000 // sum(freq * np) AS BIGINT)
+         AS chars_per_piece_micro,
+       CAST(floor(CAST(sum(CAST(CAST(freq AS HUGEINT) * sc
+                                AS DECIMAL(38,0))) AS DOUBLE)
+                  / CAST(sum(freq) AS DOUBLE)) AS BIGINT)
+         AS avg_score_micro
+FROM fin GROUP BY len ORDER BY len
+"""
+
+
+QUERIES["tokenizer_unigram_viterbi"] = (tokenizer_unigram_viterbi,
+                                        _unigram_sql())

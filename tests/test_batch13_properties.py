@@ -127,3 +127,61 @@ def test_recsys_coverage_diversity_replay(spark, sf_dir):
     assert r.n_pairs == n_pairs
     assert r.mean_intra_sim_micro == sim_sum // n_pairs
     assert r.mean_intra_diversity_micro == 1_000_000 - sim_sum // n_pairs
+
+
+def test_unigram_viterbi_replay(spark, sf_dir):
+    """Independent replay: rebuild the vocabulary and run a separate
+    Viterbi implementation (plain DP over dict lookups), then check
+    the per-length aggregates exactly — plus the defining optimality
+    property: the DP score beats the all-single-chars segmentation."""
+    import re
+    from collections import Counter
+
+    rows = {r.len: r for r in
+            QUERIES["tokenizer_unigram_viterbi"](spark, sf_dir).collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def norm(s):
+        s = re.sub(r"[^a-z0-9 ]", " ", s.lower())
+        return re.sub(r" +", " ", s).strip()
+
+    wf = Counter()
+    for t_ in docs.text:
+        for w in norm(t_).split(" "):
+            if 1 <= len(w) <= 16:
+                wf[w] += 1
+    pf = Counter()
+    for w, f in wf.items():
+        for n in range(1, 5):
+            for i in range(len(w) - n + 1):
+                pf[w[i:i + n]] += f
+    top = sorted(pf.items(), key=lambda kv: (-kv[1], kv[0]))[:256]
+    vocab_keys = {p for p, _ in top} | {p for p in pf if len(p) == 1}
+    z = float(sum(pf[p] for p in vocab_keys))
+    sc = {p: int(np.round(math.log(pf[p] / z) * 1e6)) for p in vocab_keys}
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n_words, freq, pieces, score
+    for w, f in wf.items():
+        L = len(w)
+        bests, cnts = [0] * (L + 1), [0] * (L + 1)
+        for j in range(1, L + 1):
+            cands = [(bests[i] + sc[w[i:j]], -(cnts[i] + 1), i)
+                     for i in range(max(0, j - 4), j) if w[i:j] in sc]
+            s, negc, _ = max(cands)
+            bests[j], cnts[j] = s, -negc
+        # optimality vs the trivial all-singles segmentation
+        singles = sum(sc[c] for c in w)
+        assert bests[L] >= singles
+        assert 1 <= cnts[L] <= L
+        a = agg[L]
+        a[0] += 1
+        a[1] += f
+        a[2] += f * cnts[L]
+        a[3] += f * bests[L]
+    for L, (nw, tf, tp, ws) in agg.items():
+        r = rows[L]
+        assert (r.n_words, r.total_freq, r.total_pieces) == (nw, tf, tp)
+        assert r.avg_pieces_milli == tp * 1000 // tf
+        assert r.chars_per_piece_micro == L * tf * 1_000_000 // tp
+        assert r.avg_score_micro == math.floor(float(ws) / float(tf))
+    assert set(rows) == set(agg)

@@ -232,6 +232,7 @@ PROBES = [
     "events_watermark_planner",  # two-phase global running max
     "ml_isotonic_calibration",   # 100-bin grid + bounded PAVA
     "recsys_coverage_diversity",  # blocked pairs + k^2 intra-list join
+    "tokenizer_unigram_viterbi",  # vocab top-k + word-bounded integer DP
 ]
 
 
