@@ -90,6 +90,12 @@ BENCH_QUERIES = [
     "interval_union_coverage", "privacy_k_anonymity",
     "linkage_fellegi_sunter", "stats_welch_ttest", "ml_ndcg_at_k",
     "sample_kfold_group_assign", "multimodal_frame_plan",
+    # round-10 freeze-lift flagships (sum-of-bests ~13s; the rest of
+    # the batch rides FULL_BENCH)
+    "text_winnowing_fingerprints", "dedup_winnowing_pairs",
+    "sample_pps_systematic", "ts_holt_winters_additive",
+    "events_watermark_planner", "tokenizer_unigram_viterbi",
+    "ml_isotonic_calibration",
 ]
 
 

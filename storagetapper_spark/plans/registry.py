@@ -37,6 +37,7 @@ from storagetapper_spark.plans import (
     timeseries5,
     timeseries7,
     graph2,
+    graph3,
     datapipe6,
     datapipe7,
     datapipe8,
@@ -78,7 +79,7 @@ _ALL: dict[str, tuple[Callable, str | None]] = {}
 for mod in (relational, relational2, relational3, relational4, relational5,
             relational6, relational7, relational8, relational9, relational10, relational11, relational12,
             timeseries,
-            timeseries2, timeseries3, timeseries4, timeseries5, timeseries6, timeseries7, graph2, cdc, cdc4, relational13, relational14, ml, profile2, multimodal2, relational15, relational16, dedup2, layout, stats, pca, drift2, mleval, privacy, stats2, stats3, stats4, survival2, ml2, geo, recsys2, mleval2, cdc2, cdc3, datapipe, datapipe2,
+            timeseries2, timeseries3, timeseries4, timeseries5, timeseries6, timeseries7, graph2, graph3, cdc, cdc4, relational13, relational14, ml, profile2, multimodal2, relational15, relational16, dedup2, layout, stats, pca, drift2, mleval, privacy, stats2, stats3, stats4, survival2, ml2, geo, recsys2, mleval2, cdc2, cdc3, datapipe, datapipe2,
             datapipe3, datapipe4, datapipe5, datapipe6, datapipe7, datapipe8, datapipe9, datapipe10, datapipe11, datapipe12, datapipe13, sketches, embeddings2, textrank, extensions):
     for name, pair in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"

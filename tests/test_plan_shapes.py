@@ -243,6 +243,11 @@ _BOUNDED_DOMAIN_ALLOWLIST = {
     "layout_overlap_depth": "bucket-count offset tables (same two-pass "
                             "rank zones; the sweep windows partition "
                             "by layout)",
+    # two-phase prefix decompositions: the unpartitioned window runs
+    # over the bucket-aggregate, never the raw axis
+    "events_watermark_planner": "bucket-count offset table (<=257 "
+                                "range buckets; prefix max over chunk "
+                                "maxima)",
     # calendar-bounded grids: distinct days/weeks (≤ ~4k rows/decade)
     "slo_burn_rate": "daily grid (calendar-bounded)",
     "stats_runs_test": "daily grid (calendar-bounded)",

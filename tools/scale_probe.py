@@ -233,6 +233,7 @@ PROBES = [
     "ml_isotonic_calibration",   # 100-bin grid + bounded PAVA
     "recsys_coverage_diversity",  # blocked pairs + k^2 intra-list join
     "tokenizer_unigram_viterbi",  # vocab top-k + word-bounded integer DP
+    "graph_louvain_move_round",  # edge-keyed gain joins + struct argmax
 ]
 
 
