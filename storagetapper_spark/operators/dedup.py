@@ -393,6 +393,18 @@ def connected_components(edges: DataFrame, a_col: str = "id_a",
                  .select(F.col("src").alias("node"),
                          F.least("src", "nbr_min").alias("comp"))
                  .localCheckpoint(eager=True))
+    # Convergence scalar (r10, guide §2.4): labels are monotonically
+    # non-increasing per node and the node set is fixed, so
+    # sum(comp) strictly decreases iff ANY label changed.  Tracking
+    # that one exact integer (decimal(38,0) — overflow-safe at any
+    # node-id scale) replaces the former per-round join+filter+count
+    # convergence job (2 extra shuffles/round) with a single scan
+    # of the just-checkpointed generation.
+    def _label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))
+                      .alias("_s")).collect()[0]._s
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iters):
         # propagate: candidate label for dst = min over neighbors' comps
         prop = (sym.join(labels, sym.src == labels.node)
@@ -409,17 +421,15 @@ def connected_components(edges: DataFrame, a_col: str = "id_a",
                               F.least("comp", F.coalesce("_mc", "comp"))
                                .alias("comp"))
                       .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.comp") != F.col("o.comp")).limit(1).count())
+        new_sum = _label_sum(new_labels)
         # free the superseded generation's checkpoint blocks — without
         # this every round's labels stay pinned in executor storage for
-        # the whole run (ADVICE r4); the convergence check above is the
-        # last reader of the old generation
+        # the whole run (ADVICE r4)
         prev, labels = labels, new_labels
         prev.unpersist()
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     sym.unpersist()
     return labels
 

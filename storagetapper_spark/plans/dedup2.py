@@ -21,22 +21,33 @@ def dedup_cosine_threshold_sweep(spark: SparkSession, sf: str
     vectors would be implicated?  Pairs are generated ONCE from the
     same-label blocked join (dedup_embedding_cosine's shape — shuffles
     on the block key, never all-pairs); the sweep is conditional
-    aggregation over that single pair set."""
+    aggregation over that single pair set.
+
+    r10 optimization (guide §1.2/§2.3): per-vector norms are computed
+    once per ROW before the join (N·D work) instead of once per PAIR
+    (P·D work) — the norm fold is the identical left-to-right IEEE
+    expression, so cos is bit-equal; and both sweep outputs (pair count
+    + distinct-vector count) come from ONE aggregation over ONE
+    evaluation of the join (explode [ida, idb] → count/2 + distinct
+    count), where the previous shape referenced the join subtree twice
+    and computed the cosine join twice per run."""
     emb = t(spark, sf, "embeddings")
-    a = emb.select(F.col("vec_id").alias("ida"), "label",
-                   F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("idb"),
-                   F.col("label").alias("lb"),
-                   F.col("embedding").alias("eb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("ea").cast("array<double>"),
-                   F.col("eb").cast("array<double>"),
-                   lambda x, y: x * y),
-        F.lit(0.0), lambda acc, v: acc + v)
-    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(F.col(c).cast("array<double>"), lambda x: x * x),
+    nrm = F.sqrt(F.aggregate(
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: x * x),
         F.lit(0.0), lambda acc, v: acc + v))
-    cos = F.round(dot / (nrm("ea") * nrm("eb")), 6)
+    vec = emb.select("vec_id", "label",
+                     F.col("embedding").cast("array<double>").alias("e"),
+                     nrm.alias("nrm"))
+    a = vec.select(F.col("vec_id").alias("ida"), "label",
+                   F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = vec.select(F.col("vec_id").alias("idb"),
+                   F.col("label").alias("lb"),
+                   F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+    cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
     pairs = (a.join(b, (F.col("label") == F.col("lb"))
                     & (F.col("ida") < F.col("idb")))
              .select("ida", "idb", cos.alias("cos"))
@@ -45,12 +56,12 @@ def dedup_cosine_threshold_sweep(spark: SparkSession, sf: str
         *[F.lit(x) for x in _SWEEP_THRS])).alias("thr_pct")
     hits = (pairs.select("*", thr)
             .filter(F.col("cos") >= F.col("thr_pct") / 100.0))
-    n_pairs = hits.groupBy("thr_pct").agg(
-        F.count(F.lit(1)).alias("n_pairs"))
-    ids = (hits.select("thr_pct", F.explode(
-        F.array("ida", "idb")).alias("vid")).distinct()
-        .groupBy("thr_pct").agg(F.count(F.lit(1)).alias("n_vectors")))
-    return (n_pairs.join(ids, "thr_pct")
+    ex = hits.select("thr_pct",
+                     F.explode(F.array("ida", "idb")).alias("vid"))
+    return (ex.groupBy("thr_pct")
+            .agg((F.count(F.lit(1)) / F.lit(2)).cast("long")
+                 .alias("n_pairs"),
+                 F.countDistinct("vid").alias("n_vectors"))
             .orderBy("thr_pct"))
 
 

@@ -305,7 +305,12 @@ def price_outliers_mad(spark: SparkSession, sf: str) -> DataFrame:
     unchanged; the exact form is kept here for the oracle."""
     li = t(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
     p = t(spark, sf, "part").select("p_partkey", "p_brand")
-    priced = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    # r10: persist the narrow priced projection — the median pass, the
+    # MAD pass and the final fence count each consumed it, re-paying
+    # the scan + broadcast join three times per run.
+    priced = (li.join(F.broadcast(p),
+                      F.col("l_partkey") == F.col("p_partkey"))
+              .select("p_brand", "l_extendedprice").persist())
     med = (priced.groupBy("p_brand")
            .agg(F.percentile("l_extendedprice", 0.5).alias("med")))
     dev = (priced.join(F.broadcast(med), "p_brand")
@@ -490,12 +495,24 @@ def graph_pagerank_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     against a 5×-unrolled SQL recursion."""
     from storagetapper_spark.operators.graph import pagerank
 
+    # r10 (guide §2.4): build the co-purchase pairs from per-order
+    # basket ARRAYS — one groupBy(orderkey) shuffle + an in-map combo
+    # explode — instead of distinct + self-join, which shuffled the
+    # lineitem projection twice more (distinct exchange, then the join
+    # exchange).  collect_set dedups (orderkey, partkey) exactly like
+    # the former .distinct(); sort_array + slice keeps the strict
+    # id_a < id_b orientation; the pair SET is identical (measured:
+    # exceptAll both ways = 0 rows; full query bit-identical), and the
+    # basket fan-out stays bounded by basket size at any scale.
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-             .select(F.col("a.l_partkey").alias("id_a"),
-                     F.col("b.l_partkey").alias("id_b"))
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
+    pe = F.explode(F.expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2,"
+        " size(ps)), y -> named_struct('ida', x, 'idb', y))))")).alias("pr")
+    pairs = (baskets.select(pe)
+             .select(F.col("pr.ida").alias("id_a"),
+                     F.col("pr.idb").alias("id_b"))
              .distinct())
     # pairs are distinct with strict id_a < id_b, so the symmetrized
     # edge set is unique by construction → dedup=False skips a shuffle;
@@ -549,16 +566,27 @@ def market_basket_rules(spark: SparkSession, sf: str) -> DataFrame:
     by basket size, never all-pairs); item counts broadcast back.  All
     metrics are closed-form doubles over exact BIGINT counts —
     engine-portable to the last bit before rounding."""
-    li = (t(spark, sf, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    n_orders = (li.agg(F.countDistinct("l_orderkey")
-                       .cast("double").alias("n_orders")))
-    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-             .groupBy(F.col("a.l_partkey").alias("pa"),
-                      F.col("b.l_partkey").alias("pb"))
+    # r10: ONE persisted basket-array build feeds all three readouts
+    # (order count, item frequencies, pair counts).  The former shape
+    # evaluated the distinct-(order, part) subtree three times and paid
+    # a self-join exchange on top; baskets shuffle lineitem once, the
+    # basket row count IS the distinct-order count, and explode gives
+    # the per-item order frequencies.  All values identical
+    # (collect_set == per-order distinct; slice keeps pa < pb).
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+               .persist())
+    n_orders = baskets.agg(F.count(F.lit(1))
+                           .cast("double").alias("n_orders"))
+    item = (baskets.select(F.explode("ps").alias("l_partkey"))
+            .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item")))
+    pe = F.explode(F.expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2,"
+        " size(ps)), y -> named_struct('ida', x, 'idb', y))))")).alias("pr")
+    pairs = (baskets.select(pe)
+             .groupBy(F.col("pr.ida").alias("pa"),
+                      F.col("pr.idb").alias("pb"))
              .agg(F.count(F.lit(1)).alias("n_ab"))
              .filter(F.col("n_ab") >= 2))
     na = item.select(F.col("l_partkey").alias("pa"),
@@ -1547,13 +1575,19 @@ def graph_ppr_brand(spark: SparkSession, sf: str) -> DataFrame:
     oracle recursion replays bit-for-bit."""
     from storagetapper_spark.operators.graph import pagerank
 
-    li = (t(spark, sf, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-             .groupBy(F.col("a.l_partkey").alias("id_a"),
-                      F.col("b.l_partkey").alias("id_b"))
+    # r10: basket-array pair build (see graph_pagerank_copurchase) —
+    # one orderkey shuffle replaces distinct + self-join; the per-pair
+    # co-occurrence counts (edge weights) are identical because
+    # collect_set per order == the former per-order distinct.
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
+    pe = F.explode(F.expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2,"
+        " size(ps)), y -> named_struct('ida', x, 'idb', y))))")).alias("pr")
+    pairs = (baskets.select(pe)
+             .groupBy(F.col("pr.ida").alias("id_a"),
+                      F.col("pr.idb").alias("id_b"))
              .agg(F.count(F.lit(1)).cast("double").alias("w")))
     seeds = (t(spark, sf, "part")
              .filter(F.col("p_brand") == _PPR_BRAND)
@@ -2503,10 +2537,19 @@ def winsorized_prices(spark: SparkSession, sf: str) -> DataFrame:
     the boundary round."""
     li = t(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
     p = t(spark, sf, "part").select("p_partkey", "p_type")
-    priced = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    # r10: persist the narrow priced projection (fence pass + clamp
+    # pass both consume it), and compute both fences from ONE
+    # percentile(col, array(...)) sort buffer instead of two — same
+    # exact algorithm and interpolation, half the agg memory.
+    priced = (li.join(F.broadcast(p),
+                      F.col("l_partkey") == F.col("p_partkey"))
+              .select("p_type", "l_extendedprice").persist())
     fences = (priced.groupBy("p_type")
-              .agg(F.percentile("l_extendedprice", 0.05).alias("lo"),
-                   F.percentile("l_extendedprice", 0.95).alias("hi")))
+              .agg(F.percentile("l_extendedprice",
+                                F.array(F.lit(0.05), F.lit(0.95)))
+                   .alias("_f"))
+              .select("p_type", F.col("_f")[0].alias("lo"),
+                      F.col("_f")[1].alias("hi")))
     clamped = (priced.join(F.broadcast(fences), "p_type")
                .withColumn("wx", F.least(F.greatest(
                    F.col("l_extendedprice"), F.col("lo")), F.col("hi"))))
