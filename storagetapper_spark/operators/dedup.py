@@ -627,7 +627,10 @@ def lsh_verified_pairs(df: DataFrame, text_col: str = "text",
                    F.array(norm))
              .otherwise(F.regexp_extract_all(norm, F.lit(pat), 1)))
          .alias("_sh"))
-    sets = sets.select(id_col, "_sh", F.size("_sh").alias("_sz"))
+    # r10 (guide §5): both join sides read the same shingle sets —
+    # persist so the normalize+shingle regex runs once, not twice.
+    sets = (sets.select(id_col, "_sh", F.size("_sh").alias("_sz"))
+            .persist())
     a = sets.select(F.col(id_col).alias("id_a"),
                     F.col("_sh").alias("_sh_a"), F.col("_sz").alias("_sz_a"))
     b = sets.select(F.col(id_col).alias("id_b"),

@@ -217,9 +217,14 @@ def repeated_passages(df: DataFrame, text_col: str = "text", k: int = 8,
          short to have any window.
     At 100 TB every wide op is keyed by gram or doc_id — never all-pairs.
     """
+    # r10 (guide §5): the exploded window table feeds BOTH the gram-
+    # frequency agg and the join back — persist the narrow (doc_id,
+    # gram) rows so the text is tokenized once, as the docstring
+    # promises (plan-wise the two references otherwise re-run the
+    # generator).
     exploded = df.select(id_col,
                          F.explode(token_windows(F.col(text_col), k))
-                          .alias("gram"))
+                          .alias("gram")).persist()
     gram_docs = (exploded.groupBy("gram")
                  .agg(F.count(F.lit(1)).alias("n_docs"))
                  .filter(F.col("n_docs") >= min_docs))

@@ -128,7 +128,9 @@ def ml_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
     v = (F.floor(F.element_at("embedding", 1).cast("double") * 1e6)
          .cast("long"))
     y = (F.col("label") == 1).cast("long")
-    sc = emb.select(v.alias("v"), y.alias("y"))
+    # r10 (guide §5): sc feeds the min/max pass and the binning agg —
+    # persist the narrow (v, y) projection so embeddings scan once.
+    sc = emb.select(v.alias("v"), y.alias("y")).persist()
     mm = sc.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
     binned = (sc.crossJoin(F.broadcast(mm))
               .select(F.expr(f"(v - mn) * {_ISO_BINS} div (mx - mn + 1)")
@@ -215,16 +217,32 @@ def recsys_coverage_diversity(spark: SparkSession, sf: str) -> DataFrame:
     recsys_item_item_cosine; the intra-list pass joins k·(k-1)/2 pairs
     per list back against the similarity table — bounded by k², never
     by catalog size."""
-    li = (t(spark, sf, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    a, b = li.alias("a"), li.alias("b")
-    cooc = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                   & (F.col("a.l_partkey") != F.col("b.l_partkey")))
-            .groupBy(F.col("a.l_partkey").alias("pa"),
-                     F.col("b.l_partkey").alias("pb"))
-            .agg(F.count(F.lit(1)).alias("n_ab"))
-            .filter(F.col("n_ab") >= 2))
-    cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    # r10 (guide §2.4/§5): basket-array pair build — one
+    # groupBy(orderkey) shuffle (collect_set == per-order distinct)
+    # instead of distinct + self-join, with the ordered (pa≠pb) table
+    # recovered by symmetrizing the strict pa<pb counts (n_ab is
+    # symmetric, so the union of both orientations is exactly the
+    # former `!=` join's groupBy).  cnt comes from exploding the SAME
+    # persisted baskets (ps is the distinct part set per order).  sim
+    # was referenced by both the top-k window and the intra-list
+    # re-score, recs by three readouts — both persisted.
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+               .persist())
+    pe = F.explode(F.expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2,"
+        " size(ps)), y -> named_struct('pa', x, 'pb', y))))")).alias("pr")
+    cc = (baskets.select(pe)
+          .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+          .groupBy("pa", "pb")
+          .agg(F.count(F.lit(1)).alias("n_ab"))
+          .filter(F.col("n_ab") >= 2))
+    cooc = cc.unionByName(
+        cc.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"),
+                  "n_ab"))
+    cnt = (baskets.select(F.explode("ps").alias("l_partkey"))
+           .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders")))
     ca = cnt.select(F.col("l_partkey").alias("ka"),
                     F.col("n_orders").alias("n_a"))
     cb = cnt.select(F.col("l_partkey").alias("kb"),
@@ -235,12 +253,14 @@ def recsys_coverage_diversity(spark: SparkSession, sf: str) -> DataFrame:
            .join(F.broadcast(cb), F.col("pb") == F.col("kb"))
            .select("pa", "pb", "n_ab",
                    F.floor(cos * 1_000_000).cast("long")
-                   .alias("cos_micro")))
+                   .alias("cos_micro"))
+           .persist())
     w = Window.partitionBy("pa").orderBy(
         F.desc("cos_micro"), F.desc("n_ab"), F.asc("pb"))
     recs = (sim.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= _RECS_K)
-            .select("pa", "rk", "pb"))
+            .select("pa", "rk", "pb")
+            .persist())
     r1 = recs.select("pa", F.col("rk").alias("r1"), F.col("pb").alias("x"))
     r2 = recs.select(F.col("pa").alias("pa2"), F.col("rk").alias("r2"),
                      F.col("pb").alias("y"))
@@ -335,11 +355,15 @@ def _unigram_prep(spark: SparkSession, sf: str):
     from storagetapper_spark.operators.text import normalize_text
 
     docs = t(spark, sf, "documents")
+    # r10 (guide §5): the word-frequency table feeds the vocabulary
+    # build (collected) AND the Viterbi mapInPandas — persist the
+    # vocabulary-bounded table so the corpus tokenizes once.
     words = (docs.select(F.explode(F.split(normalize_text(F.col("text")),
                                            " ")).alias("word"))
              .filter((F.length("word") >= 1)
                      & (F.length("word") <= _UNI_MAXLEN))
-             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+             .persist())
     subs = words.select(
         "freq",
         F.explode(F.expr(f"""flatten(transform(sequence(1, {_UNI_MAXPIECE}),

@@ -35,14 +35,25 @@ adj AS (SELECT pa AS u, pb AS v FROM e
 
 
 def _edges(spark: SparkSession, sf: str) -> DataFrame:
-    """Low→high co-purchase edges, ≥2 shared orders (graph_triangles)."""
-    li = (t(spark, sf, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    a, b = li.alias("a"), li.alias("b")
-    return (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-            .groupBy(F.col("a.l_partkey").alias("pa"),
-                     F.col("b.l_partkey").alias("pb"))
+    """Low→high co-purchase edges, ≥2 shared orders (graph_triangles).
+
+    r10 (guide §2.4): per-order basket ARRAYS — one groupBy(orderkey)
+    shuffle + an in-map combination explode — instead of distinct +
+    self-join, which shuffled the lineitem projection two more times
+    (distinct exchange + join exchange).  collect_set dedups
+    (orderkey, partkey) exactly like the former .distinct(), so the
+    per-pair order count (and the ≥2 filter) is identical; sort_array
+    + slice keeps the strict pa < pb orientation.  Pair fan-out stays
+    bounded by basket size at any scale."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
+    pe = F.explode(F.expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2,"
+        " size(ps)), y -> named_struct('pa', x, 'pb', y))))")).alias("pr")
+    return (baskets.select(pe)
+            .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+            .groupBy("pa", "pb")
             .agg(F.count(F.lit(1)).alias("n_ab"))
             .filter(F.col("n_ab") >= 2)
             .select("pa", "pb"))

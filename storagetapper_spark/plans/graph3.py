@@ -37,24 +37,35 @@ def graph_louvain_move_round(spark: SparkSession, sf: str) -> DataFrame:
     pagerank/LPA machinery), one struct-max argmax per node, two
     label joins for the modularity accounting.  Nothing is ever
     all-pairs and nothing sequential crosses the driver."""
-    li = (t(spark, sf, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    a, b = li.alias("a"), li.alias("b")
-    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-             .groupBy(F.col("a.l_partkey").alias("pa"),
-                      F.col("b.l_partkey").alias("pb"))
+    # r10 (guide §2.4/§5): basket-array pair build (one groupBy(orderkey)
+    # shuffle instead of distinct + self-join; collect_set == per-order
+    # distinct so weights and the ≥2 threshold are identical), and the
+    # edge list is PERSISTED — it feeds sym (×2 via the union), both
+    # modularity accountings (qb, qa) and the edge count, which
+    # previously re-ran the whole lineitem pair build five times.
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
+    pe = F.explode(F.expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2,"
+        " size(ps)), y -> named_struct('pa', x, 'pb', y))))")).alias("pr")
+    edges = (baskets.select(pe)
+             .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+             .groupBy("pa", "pb")
              .agg(F.count(F.lit(1)).alias("w"))
-             .filter(F.col("w") >= 2))
+             .filter(F.col("w") >= 2)
+             .persist())
     sym = (edges.select(F.col("pa").alias("i"), F.col("pb").alias("j"), "w")
            .unionByName(
                edges.select(F.col("pb").alias("i"),
                             F.col("pa").alias("j"), "w")))
-    deg = sym.groupBy("i").agg(F.sum("w").alias("k"))
+    # deg feeds lbl and both q4 accountings, lbl feeds tot/nbr/base/cand
+    # — persist the tiny per-node tables (r10, guide §5).
+    deg = sym.groupBy("i").agg(F.sum("w").alias("k")).persist()
     m2df = deg.agg(F.sum("k").alias("m2"))
     part = t(spark, sf, "part").select(
         F.col("p_partkey").alias("i"), F.col("p_brand").alias("c"))
-    lbl = deg.join(part, "i").select("i", "k", "c")
+    lbl = deg.join(part, "i").select("i", "k", "c").persist()
     tot = lbl.groupBy("c").agg(F.sum("k").alias("tot"))
     # per (node, neighbor community): total edge weight into it
     nbr = (sym.join(lbl.select(F.col("i").alias("j"),
@@ -84,12 +95,16 @@ def graph_louvain_move_round(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.max(F.struct("g", "cj")).alias("b"))
             .select("i", F.col("b.g").alias("best_g"),
                     F.col("b.cj").alias("best_c")))
+    # moved feeds qb, qa and counts — persist the tiny (i, c, c_new)
+    # label table so the stay/cand/argmax chain runs once, not three
+    # times (r10, guide §5).
     moved = (base.select("i", "c", stay.alias("g_stay"))
              .join(best, "i", "left")
              .select("i", "c",
                      F.when(F.col("best_g") > F.col("g_stay"),
                             F.col("best_c")).otherwise(F.col("c"))
-                     .alias("c_new")))
+                     .alias("c_new"))
+             .persist())
 
     def q4(labels: DataFrame, col: str) -> DataFrame:
         lj = labels.select(F.col("i").alias("pa"),

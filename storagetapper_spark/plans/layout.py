@@ -577,11 +577,15 @@ def layout_overlap_depth(spark: SparkSession, sf: str) -> DataFrame:
     li = (t(spark, sf, "lineitem")
           .select("l_orderkey", "l_linenumber",
                   F.col("l_shipdate").cast("date").alias("ship_day")))
+    # r10 (guide §5): each chunk table feeds the sweep deltas (twice,
+    # via the +1/-1 union) and the chunk count — persist the tiny
+    # rows/4096 tables so each rank+zones pass runs once, not three
+    # times.
     nat = _zones(li, [F.col("l_orderkey"), F.col("l_linenumber")],
-                 F.floor(F.col("l_orderkey") / 65536))
+                 F.floor(F.col("l_orderkey") / 65536)).persist()
     srt = _zones(li, [F.col("ship_day"), F.col("l_orderkey"),
                       F.col("l_linenumber")],
-                 F.floor(F.unix_date(F.col("ship_day")) / 64))
+                 F.floor(F.unix_date(F.col("ship_day")) / 64)).persist()
     layers = [("natural", nat), ("sorted", srt)]
     deltas = None
     for label, z in layers:

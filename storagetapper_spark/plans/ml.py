@@ -31,12 +31,16 @@ def _features(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user features (micro-int) and label: does the user's mean
     event value exceed the global mean?"""
     ev = events_t(spark, sf)
+    # r10 (guide §5): per_user feeds both the global-mean aggregate and
+    # the feature projection — persist the narrow per-user rollup so
+    # events scan once.
     per_user = (ev.groupBy("user_id")
                 .agg(F.count(F.lit(1)).alias("n_ev"),
                      F.sum(F.when(F.col("event_type") == "view", 1)
                            .otherwise(0)).alias("n_view"),
                      F.sum(F.round(F.col("value") * 100).cast("long"))
-                     .alias("val_cents")))
+                     .alias("val_cents"))
+                .persist())
     g = per_user.agg(F.sum("val_cents").alias("tv"),
                      F.sum("n_ev").alias("tn"))
     return (per_user.crossJoin(F.broadcast(g))
@@ -824,13 +828,18 @@ def ml_learning_curve(spark: SparkSession, sf: str) -> DataFrame:
         *[F.lit(0).cast("long").alias(f"{x}_{d}")
           for d in _LC_DENOMS for x in ("np", "nn")])
     grid = grid.unionByName(zero)
+    # r10 (guide §1.2): the population totals come from an unbounded
+    # frame on the SAME single-partition ordering as the cumulative
+    # sums — one evaluation of the lineitem join+grid instead of two
+    # (cum + tot) and no crossJoin.  Identical integers.
     w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
-    cum = grid.select(
+    w_all = Window.orderBy("c").rowsBetween(Window.unboundedPreceding,
+                                            Window.unboundedFollowing)
+    j = grid.select(
         "c", *[F.sum(f"{x}_{d}").over(w).alias(f"cum_{x}_{d}")
-               for d in _LC_DENOMS for x in ("np", "nn")])
-    tot = grid.agg(*[F.sum(f"{x}_{d}").alias(f"t{x}_{d}")
-                     for d in _LC_DENOMS for x in ("np", "nn")])
-    j = cum.crossJoin(F.broadcast(tot))
+               for d in _LC_DENOMS for x in ("np", "nn")],
+        *[F.sum(f"{x}_{d}").over(w_all).alias(f"t{x}_{d}")
+          for d in _LC_DENOMS for x in ("np", "nn")])
     stacked = j.selectExpr(
         "c",
         "stack(4, " + ", ".join(

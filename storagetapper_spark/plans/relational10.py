@@ -660,8 +660,11 @@ def anomaly_cusum(spark: SparkSession, sf: str) -> DataFrame:
     from storagetapper_spark.plans.common import events_t
 
     ev = events_t(spark, sf)
+    # r10 (guide §5): daily feeds both the μ/σ aggregate and the join —
+    # persist the tiny (type, day, count) grid so events scan once.
     daily = (ev.groupBy("event_type", F.to_date("ts").alias("d"))
-             .agg(F.count(F.lit(1)).alias("x")))
+             .agg(F.count(F.lit(1)).alias("x"))
+             .persist())
     stats = (daily.groupBy("event_type")
              .agg(F.sum("x").alias("sx"), F.sum(F.col("x") * F.col("x"))
                   .alias("sxx"), F.count(F.lit(1)).alias("cnt")))
@@ -1359,13 +1362,19 @@ def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     (then id), which provably bounds per-vertex wedge fan-out by
     out-degree ≤ √(2|E|); the id orientation here keeps the oracle
     simple on the thresholded (n_ab ≥ 2) basket graph."""
-    li = (t(spark, sf, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    a, b = li.alias("a"), li.alias("b")
-    e = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-         .groupBy(F.col("a.l_partkey").alias("pa"),
-                  F.col("b.l_partkey").alias("pb"))
+    # r10 (guide §2.4): basket-array pair build — one groupBy(orderkey)
+    # shuffle instead of distinct + self-join (see graph_pagerank_
+    # copurchase); collect_set == per-order distinct so pair counts and
+    # the ≥2 threshold are identical.
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
+    pe = F.explode(F.expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2,"
+        " size(ps)), y -> named_struct('pa', x, 'pb', y))))")).alias("pr")
+    e = (baskets.select(pe)
+         .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+         .groupBy("pa", "pb")
          .agg(F.count(F.lit(1)).alias("n_ab"))
          .filter(F.col("n_ab") >= 2)
          .select("pa", "pb")
@@ -1759,8 +1768,14 @@ def survival_km(spark: SparkSession, sf: str) -> DataFrame:
                 w.rowsBetween(Window.unboundedPreceding, 0)))
             .groupBy("user_id", "session_id")
             .agg(F.unix_micros(F.min("ts")).alias("s_us"),
-                 F.unix_micros(F.max("ts")).alias("e_us")))
-    horizon = ev.agg(F.unix_micros(F.max("ts")).alias("end_us"))
+                 F.unix_micros(F.max("ts")).alias("e_us"))
+            .persist())
+    # r10 (guide §5/§1.2): sess persisted (the horizon and the grid both
+    # need it), horizon from the rollup itself (max(e_us) == max(ts) —
+    # every event is in a session), and the at-risk total from an
+    # unbounded frame on the duration grid instead of the former eager
+    # items.count() job that re-ran the sessionize.  Identical integers.
+    horizon = sess.agg(F.max("e_us").alias("end_us"))
     items = (sess.crossJoin(F.broadcast(horizon))
              .select(F.floor((F.col("e_us") - F.col("s_us")) / 60000000)
                      .alias("duration"),
@@ -1769,12 +1784,13 @@ def survival_km(spark: SparkSession, sf: str) -> DataFrame:
     per_t = (items.groupBy("duration")
              .agg(F.sum("event").alias("d"),
                   F.count(F.lit(1)).alias("c")))
-    total = items.count()
     w_before = (Window.orderBy("duration")
                 .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
     at_risk = per_t.withColumn(
-        "n_risk", F.lit(total) - F.coalesce(F.sum("c").over(w_before),
-                                            F.lit(0)))
+        "n_risk", F.sum("c").over(w_all)
+        - F.coalesce(F.sum("c").over(w_before), F.lit(0)))
     w_cum = (Window.orderBy("duration")
              .rowsBetween(Window.unboundedPreceding, 0))
     # at the last event time d == n_risk (everyone at risk dies) →
@@ -3188,13 +3204,20 @@ def price_outliers_mad_tpr(spark: SparkSession, sf: str) -> DataFrame:
 
     li = t(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
     p = t(spark, sf, "part").select("p_partkey", "p_brand")
-    priced = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    # r10 (guide §5): the broadcast join feeds the median rank pass
+    # (2 evaluations inside exact_percentiles), the deviation table and
+    # the final fence count — persist the narrow (brand, price)
+    # projection once; same for dev (the MAD rank pass + final agg).
+    priced = (li.join(F.broadcast(p),
+                      F.col("l_partkey") == F.col("p_partkey"))
+              .select("p_brand", "l_extendedprice").persist())
     med = (exact_percentiles(priced, "l_extendedprice", [0.5],
                              F.floor(F.col("l_extendedprice") / F.lit(2000.0)),
                              partition=["p_brand"])
            .withColumnRenamed("p_0_5", "med"))
     dev = (priced.join(F.broadcast(med), "p_brand")
-           .withColumn("adev", F.abs(F.col("l_extendedprice") - F.col("med"))))
+           .withColumn("adev", F.abs(F.col("l_extendedprice") - F.col("med")))
+           .persist())
     mad = (exact_percentiles(dev, "adev", [0.5],
                              F.floor(F.col("adev") / F.lit(1000.0)),
                              partition=["p_brand"])
@@ -3223,9 +3246,12 @@ def cycle_time_percentiles_tpr(spark: SparkSession, sf: str) -> DataFrame:
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
     first_ship = (li.groupBy("l_orderkey")
                   .agg(F.min("l_shipdate").alias("first_ship")))
+    # r10 (guide §5): persisted — the rank pass evaluates gaps twice
+    # and the base agg a third time.
     gaps = (o.join(first_ship, o.o_orderkey == first_ship.l_orderkey)
             .select("o_orderpriority",
-                    F.datediff("first_ship", "o_orderdate").alias("days")))
+                    F.datediff("first_ship", "o_orderdate").alias("days"))
+            .persist())
     pct = exact_percentiles(gaps, "days", [0.5, 0.9],
                             F.floor(F.col("days") / F.lit(10.0)),
                             partition=["o_orderpriority"])
@@ -3250,7 +3276,11 @@ def winsorized_prices_tpr(spark: SparkSession, sf: str) -> DataFrame:
 
     li = t(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
     p = t(spark, sf, "part").select("p_partkey", "p_type")
-    priced = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    # r10 (guide §5): persisted — the fence rank pass evaluates priced
+    # twice and the clamp pass a third time.
+    priced = (li.join(F.broadcast(p),
+                      F.col("l_partkey") == F.col("p_partkey"))
+              .select("p_type", "l_extendedprice").persist())
     fences = (exact_percentiles(priced, "l_extendedprice", [0.05, 0.95],
                                 F.floor(F.col("l_extendedprice")
                                         / F.lit(2000.0)),

@@ -126,8 +126,11 @@ def events_markov_stationary(spark: SparkSession, sf: str) -> DataFrame:
     pairs = (ev.select(F.col("event_type").alias("src"),
                        F.lead("event_type").over(w).alias("dst"))
              .filter(F.col("dst").isNotNull()))
+    # r10 (guide §5): counts feeds rowsum and the p join — materialize
+    # the |types|² table so the window pass over events runs once.
     counts = (pairs.groupBy("src", "dst")
-              .agg(F.count(F.lit(1)).alias("n")))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .localCheckpoint(eager=True))
     rowsum = counts.groupBy("src").agg(F.sum("n").alias("rs"))
     p = (counts.join(rowsum, "src")
          .select("src", "dst", "n", "rs").persist())
@@ -260,7 +263,13 @@ def events_absorption_funnel(spark: SparkSession, sf: str) -> DataFrame:
     pairs = (ev.select(F.col("event_type").alias("src"),
                        F.lead("event_type").over(w).alias("dst"))
              .filter(F.col("dst").isNotNull()))
-    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    # r10 (guide §5): absorption_from_counts references counts twice
+    # (rowsum + the p join) before its own checkpoint — materialize the
+    # |types|² table eagerly so the user-keyed window pass over events
+    # runs once.
+    counts = (pairs.groupBy("src", "dst")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .localCheckpoint(eager=True))
     return absorption_from_counts(counts)
 
 

@@ -1458,11 +1458,16 @@ def agg_trimmed_mean_exact(spark: SparkSession, sf: str) -> DataFrame:
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     per_v = (li.select(cents.alias("v"))
              .groupBy("v").agg(F.count(F.lit(1)).alias("cnt")))
+    # r10 (guide §1.2): n comes from an unbounded frame on the SAME
+    # single-partition ordering as the cumulative sum — one lineitem
+    # scan + one window instead of per_v evaluated twice (tot agg +
+    # cum) and a crossJoin; the integers are identical.
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    tot = per_v.agg(F.sum("cnt").alias("n"))
+    w_all = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                            Window.unboundedFollowing)
     cum = (per_v
            .withColumn("cum", F.sum("cnt").over(w))
-           .crossJoin(F.broadcast(tot))
+           .withColumn("n", F.sum("cnt").over(w_all))
            .withColumn("k", F.expr(
                f"n * {_TRIM_PCT_MILLI} div 1000").cast("long")))
     # copies of value v surviving the trim: cnt minus the overlap with

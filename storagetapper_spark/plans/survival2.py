@@ -34,8 +34,14 @@ def _session_items(spark: SparkSession, sf: str, with_cohort: bool):
                 w.rowsBetween(Window.unboundedPreceding, 0)))
             .groupBy("user_id", "session_id")
             .agg(F.unix_micros(F.min("ts")).alias("s_us"),
-                 F.unix_micros(F.max("ts")).alias("e_us")))
-    horizon = ev.agg(F.unix_micros(F.max("ts")).alias("end_us"))
+                 F.unix_micros(F.max("ts")).alias("e_us"))
+            .persist())
+    # r10 (guide §5/§1.2): the per-session rollup is persisted (both
+    # estimators referenced items twice → the two-window sessionize ran
+    # twice), and the censoring horizon comes from the rollup itself —
+    # max(e_us) over sessions == max(ts) over events, because every
+    # event belongs to a session — dropping the second events scan.
+    horizon = sess.agg(F.max("e_us").alias("end_us"))
     cols = [F.floor((F.col("e_us") - F.col("s_us")) / 60000000)
             .alias("duration"),
             ((F.col("end_us") - F.col("e_us")) >= _GAP_US)
@@ -87,12 +93,18 @@ def survival_nelson_aalen(spark: SparkSession, sf: str) -> DataFrame:
     per_t = (items.groupBy("duration")
              .agg(F.sum("event").alias("d"),
                   F.count(F.lit(1)).alias("c")))
-    total = items.count()
+    # r10 (guide §1.2): the at-risk total is sum(c) over the whole
+    # duration grid — an unbounded frame on the same single-partition
+    # ordering — instead of the former eager items.count() job (which
+    # re-ran the sessionize subtree at plan-build time).  Identical
+    # integer.
     w_before = (Window.orderBy("duration")
                 .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
     at_risk = per_t.withColumn(
-        "n_risk", F.lit(total) - F.coalesce(F.sum("c").over(w_before),
-                                            F.lit(0)))
+        "n_risk", F.sum("c").over(w_all)
+        - F.coalesce(F.sum("c").over(w_before), F.lit(0)))
     w_cum = (Window.orderBy("duration")
              .rowsBetween(Window.unboundedPreceding, 0))
     nd = F.col("d").cast("double")
@@ -158,17 +170,20 @@ def survival_logrank(spark: SparkSession, sf: str) -> DataFrame:
                   F.count(F.lit(1)).alias("c"),
                   F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
                   .alias("c1")))
-    tot = items.agg(
-        F.count(F.lit(1)).alias("n_all"),
-        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("n1_all"))
+    # r10 (guide §1.2): cohort totals are unbounded-frame sums over the
+    # duration grid (same single-partition ordering as the prefix sums)
+    # instead of a second aggregation of items + crossJoin — the
+    # sessionize subtree is evaluated once.  Identical integers.
     w_before = (Window.orderBy("duration")
                 .rowsBetween(Window.unboundedPreceding, -1))
-    at_risk = (per_t.crossJoin(F.broadcast(tot))
+    w_all = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    at_risk = (per_t
                .select("duration", "d", "d1",
-                       (F.col("n_all")
+                       (F.sum("c").over(w_all)
                         - F.coalesce(F.sum("c").over(w_before), F.lit(0)))
                        .alias("n_risk"),
-                       (F.col("n1_all")
+                       (F.sum("c1").over(w_all)
                         - F.coalesce(F.sum("c1").over(w_before), F.lit(0)))
                        .alias("n1_risk")))
     dd = F.col("d").cast("double")
