@@ -349,12 +349,11 @@ def bpe_train(docs: DataFrame, rounds: int = 3, text_col: str = "text",
 
     The iterative shape follows the engine's persisted-generation rule
     (SCALE.md / connected_components): each round's stream is eagerly
-    localCheckpoint-ed so the window lineage never compounds, and
-    positions are RENUMBERED per round because the gaps-and-islands
-    greedy merge needs consecutive integers.  Per-round cost: one
-    doc-partitioned window pass + one map-side-combined pair count +
-    a 1-row collect — k rounds touch the corpus k times, exactly like
-    reference BPE trainers, but partition-parallel."""
+    localCheckpoint-ed so lineage never compounds.  Since r10 the
+    stream is one token ARRAY per document (see _bpe_train_loop): a
+    round costs one Arrow pass for the per-batch pair Counter, one
+    tiny (pair, n) shuffle, a 1-row collect, and one Arrow merge pass
+    — no doc-keyed exchanges or sorts at all."""
     merges, _ = _bpe_train_loop(docs, rounds, text_col, id_col)
     return docs.sparkSession.createDataFrame(
         merges, "round int, pair string, n bigint")
@@ -362,23 +361,67 @@ def bpe_train(docs: DataFrame, rounds: int = 3, text_col: str = "text",
 
 def _bpe_train_loop(docs: DataFrame, rounds: int, text_col: str,
                     id_col: str) -> tuple[list, DataFrame]:
-    """The train loop, returning (merge list, final token stream)."""
-    from pyspark.sql import Window
+    """The train loop, returning (merge list, final (id, toks) stream).
 
-    stream = docs.select(
-        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("i", "tok"))
-    stream = stream.localCheckpoint(eager=True)
-    w1 = Window.partitionBy(id_col).orderBy("i")
+    r10 rewrite (guide §4.2/§2.3): tokens stay as ONE ARRAY ROW PER
+    DOCUMENT instead of exploded (id, i, tok) rows.  Per round the
+    pair count is a per-batch Counter over adjacent tokens (only the
+    tiny per-batch (pair, n) partials shuffle — map-side aggregation
+    by hand), and the greedy non-overlapping merge is a linear scan
+    per document inside mapInPandas.  The former form paid, per round,
+    a doc-keyed exchange + sort for EACH of: the lead-window count,
+    the three-window gaps-and-islands merge, and the row_number
+    renumber.  Now a round has exactly one shuffle (the pair-count
+    agg) and zero sorts; no renumbering is needed because arrays keep
+    order by construction.  The greedy semantics are identical: within
+    a run of consecutive candidates the island/odd-row selection picks
+    the 1st, 3rd, … — exactly what the left-to-right scan does (see
+    test_bpe_merge's reference checks)."""
+    import pandas as pd
+
+    stream = (docs.select(id_col,
+                          F.split(F.col(text_col), " ").alias("toks"))
+              .filter(F.col("toks").isNotNull())
+              .localCheckpoint(eager=True))
     merges = []
     for r in range(1, rounds + 1):
-        top = (pair_counts_of_stream(stream, id_col)
+        def count_pairs(batches):
+            from collections import Counter
+            for pdf in batches:
+                c: Counter = Counter()
+                for a in pdf["toks"]:
+                    c.update(zip(a[:-1], a[1:]))
+                if c:
+                    yield pd.DataFrame(
+                        {"pair": [f"{x} {y}" for x, y in c.keys()],
+                         "n": list(c.values())})
+
+        top = (stream.mapInPandas(count_pairs, "pair string, n long")
+               .groupBy("pair").agg(F.sum("n").alias("n"))
                .orderBy(F.desc("n"), "pair").limit(1).collect())
         if not top:
             break
         pair, n = top[0]["pair"], int(top[0]["n"])
         x, y = pair.split(" ", 1)
-        nxt = merge_stream(stream, x, y, id_col=id_col)
-        nxt = nxt.select(id_col, F.row_number().over(w1).alias("i"), "tok")
+
+        def merge(batches, x=x, y=y):
+            xy = x + y
+            for pdf in batches:
+                out = []
+                for a in pdf["toks"]:
+                    b, i, last = [], 0, len(a)
+                    while i < last:
+                        if (i + 1 < last and a[i] == x
+                                and a[i + 1] == y):
+                            b.append(xy)
+                            i += 2
+                        else:
+                            b.append(a[i])
+                            i += 1
+                    out.append(b)
+                yield pd.DataFrame({id_col: pdf[id_col], "toks": out})
+
+        nxt = stream.mapInPandas(merge, f"{id_col} long, toks array<string>")
         old, stream = stream, nxt.localCheckpoint(eager=True)
         old.unpersist()
         merges.append((r, pair, n))
@@ -396,8 +439,8 @@ def bpe_encode_stats(docs: DataFrame, rounds: int = 3,
     before = docs.select(
         id_col,
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_before"))
-    after = (stream.groupBy(id_col)
-             .agg(F.count(F.lit(1)).alias("n_after")))
+    after = stream.select(id_col,
+                          F.size("toks").cast("long").alias("n_after"))
     return (before.join(after, id_col)
             .select(id_col, "n_before", "n_after",
                     (F.col("n_before") - F.col("n_after")).alias("saved")))

@@ -217,32 +217,23 @@ def recsys_coverage_diversity(spark: SparkSession, sf: str) -> DataFrame:
     recsys_item_item_cosine; the intra-list pass joins k·(k-1)/2 pairs
     per list back against the similarity table — bounded by k², never
     by catalog size."""
-    # r10 (guide §2.4/§5): basket-array pair build — one
-    # groupBy(orderkey) shuffle (collect_set == per-order distinct)
-    # instead of distinct + self-join, with the ordered (pa≠pb) table
-    # recovered by symmetrizing the strict pa<pb counts (n_ab is
-    # symmetric, so the union of both orientations is exactly the
-    # former `!=` join's groupBy).  cnt comes from exploding the SAME
-    # persisted baskets (ps is the distinct part set per order).  sim
-    # was referenced by both the top-k window and the intra-list
-    # re-score, recs by three readouts — both persisted.
-    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = (li.groupBy("l_orderkey")
-               .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-               .persist())
-    pe = F.explode(F.expr(
-        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2,"
-        " size(ps)), y -> named_struct('pa', x, 'pb', y))))")).alias("pr")
-    cc = (baskets.select(pe)
-          .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
-          .groupBy("pa", "pb")
-          .agg(F.count(F.lit(1)).alias("n_ab"))
-          .filter(F.col("n_ab") >= 2))
-    cooc = cc.unionByName(
-        cc.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"),
-                  "n_ab"))
-    cnt = (baskets.select(F.explode("ps").alias("l_partkey"))
-           .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders")))
+    # r10: tried the basket-array pair build here and REVERTED it —
+    # this query needs BOTH pair orientations, and symmetrizing the
+    # strict pa<pb counts duplicates the whole cc subtree (measured
+    # 5.1-6.1s vs 2.9s at sf0.1); the `!=` self-join emits both
+    # orientations in one pass.  sim (referenced by the top-k window
+    # AND the intra-list re-score) and recs (three readouts) are
+    # persisted so the pair build runs once (guide §5).
+    li = (t(spark, sf, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    cooc = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") != F.col("b.l_partkey")))
+            .groupBy(F.col("a.l_partkey").alias("pa"),
+                     F.col("b.l_partkey").alias("pb"))
+            .agg(F.count(F.lit(1)).alias("n_ab"))
+            .filter(F.col("n_ab") >= 2))
+    cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
     ca = cnt.select(F.col("l_partkey").alias("ka"),
                     F.col("n_orders").alias("n_a"))
     cb = cnt.select(F.col("l_partkey").alias("kb"),

@@ -644,14 +644,28 @@ def dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
                    F.count(F.lit(1)).alias("n_checked"),
                    F.sum(F.when(F.col("k") > 1, 1).otherwise(0))
                     .cast("long").alias("n_violations")))
+    # r10 (guide §1.2): the three lineitem row-rules ride ONE scan — a
+    # single conditional agg computes all three violation counts (the
+    # shared count is identical), stacked back to one row per rule;
+    # before, each rule re-scanned lineitem.
+    li_conds = [
+        ("lineitem.l_discount in [0,1]",
+         (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1)),
+        ("lineitem.l_quantity in [1,50]",
+         (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50)),
+        ("lineitem.l_shipdate not null", F.col("l_shipdate").isNotNull()),
+    ]
+    li_rules = (li.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.when(~cond, 1).otherwise(0)).cast("long")
+          .alias(f"v{i}") for i, (_, cond) in enumerate(li_conds)])
+        .selectExpr(
+            "stack(3, " + ", ".join(
+                f"'{rule}', n, v{i}" for i, (rule, _) in enumerate(li_conds))
+            + ") AS (rule, n_checked, n_violations)"))
     rules = [
         _agg(o, "orders.o_totalprice positive", F.col("o_totalprice") > 0),
-        _agg(li, "lineitem.l_discount in [0,1]",
-             (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1)),
-        _agg(li, "lineitem.l_quantity in [1,50]",
-             (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50)),
-        _agg(li, "lineitem.l_shipdate not null",
-             F.col("l_shipdate").isNotNull()),
+        li_rules,
         _agg(c, "customer.c_name not null", F.col("c_name").isNotNull()),
         dup_o, dup_li,
     ]

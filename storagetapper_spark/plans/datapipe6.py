@@ -240,17 +240,29 @@ def recsys_item_item_cosine(spark: SparkSession, sf: str) -> DataFrame:
     baskets, never by catalog size — the blocked-pairs shape); margins
     broadcast from a per-part count; per-item top-k is a bounded
     window.  Cosine is an IEEE expression over exact integer counts."""
-    li = (t(spark, sf, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    a, b = li.alias("a"), li.alias("b")
-    cooc = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                   & (F.col("a.l_partkey") != F.col("b.l_partkey")))
-            .groupBy(F.col("a.l_partkey").alias("pa"),
-                     F.col("b.l_partkey").alias("pb"))
-            .agg(F.count(F.lit(1)).alias("n_ab"))
-            .filter(F.col("n_ab") >= 2))
-    cnt = (li.groupBy("l_partkey")
-           .agg(F.count(F.lit(1)).alias("n_orders")))
+    # r10 (guide §2.4/§5): basket-array pair build — one
+    # groupBy(orderkey) shuffle (collect_set == per-order distinct)
+    # instead of distinct + self-join; the ordered (pa≠pb) table is the
+    # strict pa<pb counts symmetrized (n_ab is symmetric), and cnt
+    # explodes the SAME persisted baskets (the recsys_coverage_diversity
+    # pattern).
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+               .persist())
+    pe = F.explode(F.expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2,"
+        " size(ps)), y -> named_struct('pa', x, 'pb', y))))")).alias("pr")
+    cc = (baskets.select(pe)
+          .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+          .groupBy("pa", "pb")
+          .agg(F.count(F.lit(1)).alias("n_ab"))
+          .filter(F.col("n_ab") >= 2))
+    cooc = cc.unionByName(
+        cc.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"),
+                  "n_ab"))
+    cnt = (baskets.select(F.explode("ps").alias("l_partkey"))
+           .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders")))
     ca = cnt.select(F.col("l_partkey").alias("ka"),
                     F.col("n_orders").alias("n_a"))
     cb = cnt.select(F.col("l_partkey").alias("kb"),

@@ -577,15 +577,15 @@ def layout_overlap_depth(spark: SparkSession, sf: str) -> DataFrame:
     li = (t(spark, sf, "lineitem")
           .select("l_orderkey", "l_linenumber",
                   F.col("l_shipdate").cast("date").alias("ship_day")))
-    # r10 (guide §5): each chunk table feeds the sweep deltas (twice,
-    # via the +1/-1 union) and the chunk count — persist the tiny
-    # rows/4096 tables so each rank+zones pass runs once, not three
-    # times.
+    # r10: measured persisting the two chunk tables and REVERTED it —
+    # the three readouts share the rank exchanges via ReuseExchange, so
+    # the caches only added materialization cost (interleaved A/B at
+    # sf0.1: 3.3-3.9s unpersisted vs 4.0-4.5s persisted).
     nat = _zones(li, [F.col("l_orderkey"), F.col("l_linenumber")],
-                 F.floor(F.col("l_orderkey") / 65536)).persist()
+                 F.floor(F.col("l_orderkey") / 65536))
     srt = _zones(li, [F.col("ship_day"), F.col("l_orderkey"),
                       F.col("l_linenumber")],
-                 F.floor(F.unix_date(F.col("ship_day")) / 64)).persist()
+                 F.floor(F.unix_date(F.col("ship_day")) / 64))
     layers = [("natural", nat), ("sorted", srt)]
     deltas = None
     for label, z in layers:

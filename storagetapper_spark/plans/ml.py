@@ -321,27 +321,68 @@ def ml_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
     cent = {int(r.vec_id): [int(v) for v in r.xq] for r in seeds}
     assert len(cent) == _KM_K
 
-    def _assign():
-        ds = F.array(*[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        "xq", F.array(*[F.lit(v) for v in cent[k]]),
-                        lambda x, c: (x - c) * (x - c)),
-                    F.lit(0).cast("long"), lambda a, x: a + x)
-                .alias("d"),
-                F.lit(k).cast("long").alias("k"))
-            for k in sorted(cent)])
-        best = F.array_min(ds)
-        return xq.select("vec_id", "xq", best["k"].alias("k"),
-                         best["d"].alias("d"))
+    # r10 (guide §4.2/§2.3): the per-row K×64 distance argmin was an
+    # interpreted zip_with/aggregate HOF chain, and every round's
+    # centroid update posexploded n×64 (k, j, x) rows into the shuffle.
+    # Each pass is now ONE numpy int64 GEMM per Arrow batch that emits
+    # only the K×64 per-batch partial sums (or K stat partials) — the
+    # same exact integers: d = x·x − 2x·c + c·c term-by-term in int64
+    # (|x·c| ≤ 64·1e14 ≪ 2⁶³, headroom per the docstring), np.argmin
+    # ties break to the first (lowest-k) position exactly like the
+    # array_min struct ordering, and floor(s/n) stays the identical
+    # Spark long/long→double division over identical partial sums.
+    import numpy as np
+    import pandas as pd
 
-    assigned = None
+    def _pass(cent_now: dict, what: str):
+        ks = sorted(cent_now)
+        C = np.array([cent_now[k] for k in ks], dtype="int64")
+        kv = np.array(ks, dtype="int64")
+        c2 = (C * C).sum(axis=1)
+
+        def kernel(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["xq"].to_numpy()).astype("int64")
+                d = ((X * X).sum(axis=1)[:, None]
+                     - 2 * (X @ C.T) + c2[None, :])
+                a = np.argmin(d, axis=1)
+                if what == "cent":
+                    out_k, out_j, out_s, out_n = [], [], [], []
+                    for pos in range(len(ks)):
+                        m = a == pos
+                        n = int(m.sum())
+                        if not n:
+                            continue
+                        s = X[m].sum(axis=0)
+                        out_k.extend([kv[pos]] * _KM_DIM)
+                        out_j.extend(range(_KM_DIM))
+                        out_s.extend(s.tolist())
+                        out_n.extend([n] * _KM_DIM)
+                    yield pd.DataFrame({
+                        "k": np.array(out_k, dtype="int64"),
+                        "j": np.array(out_j, dtype="int64"),
+                        "s": np.array(out_s, dtype="int64"),
+                        "n": np.array(out_n, dtype="int64")})
+                else:
+                    dmin = d[np.arange(len(a)), a]
+                    out = [(int(kv[pos]), int((a == pos).sum()),
+                            int(dmin[a == pos].sum()))
+                           for pos in range(len(ks))
+                           if (a == pos).any()]
+                    yield pd.DataFrame(out, columns=["k", "n", "d"])
+
+        schema = ("k long, j long, s long, n long" if what == "cent"
+                  else "k long, n long, d long")
+        return xq.select("xq").mapInPandas(kernel, schema)
+
+    cent_last = cent
     for _ in range(_KM_ITERS):
-        assigned = _assign()
-        rows = (assigned.select("k", F.posexplode("xq").alias("j", "x"))
+        cent_last = cent
+        rows = (_pass(cent, "cent")
                 .groupBy("k", "j")
-                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
                 .select("k", "j",
                         F.floor(F.col("s") / F.col("n")).cast("long")
                         .alias("c"))
@@ -349,8 +390,11 @@ def ml_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
         cent = {}
         for r in rows:
             cent.setdefault(int(r.k), [0] * _KM_DIM)[int(r.j)] = int(r.c)
-    stats = (assigned.groupBy("k")
-             .agg(F.count(F.lit(1)).alias("n_members"),
+    # stats read the LAST round's assignment (centroids entering that
+    # round), exactly like the former lazy `assigned` reference
+    stats = (_pass(cent_last, "stat")
+             .groupBy("k")
+             .agg(F.sum("n").alias("n_members"),
                   F.sum("d").alias("inertia_k")))
     cent_rows = [(k, j, cent[k][j]) for k in sorted(cent)
                  for j in range(_KM_DIM)]

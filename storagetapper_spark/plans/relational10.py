@@ -660,11 +660,12 @@ def anomaly_cusum(spark: SparkSession, sf: str) -> DataFrame:
     from storagetapper_spark.plans.common import events_t
 
     ev = events_t(spark, sf)
-    # r10 (guide §5): daily feeds both the μ/σ aggregate and the join —
-    # persist the tiny (type, day, count) grid so events scan once.
+    # r10: measured persisting the daily grid and REVERTED it — the two
+    # consumers sit above the SAME groupBy exchange (ReuseExchange), so
+    # the cache only added overhead (interleaved A/B at sf0.1: 0.90-0.95s
+    # unpersisted vs 1.2-1.6s persisted).
     daily = (ev.groupBy("event_type", F.to_date("ts").alias("d"))
-             .agg(F.count(F.lit(1)).alias("x"))
-             .persist())
+             .agg(F.count(F.lit(1)).alias("x")))
     stats = (daily.groupBy("event_type")
              .agg(F.sum("x").alias("sx"), F.sum(F.col("x") * F.col("x"))
                   .alias("sxx"), F.count(F.lit(1)).alias("cnt")))
@@ -1883,10 +1884,14 @@ def attribution_linear(spark: SparkSession, sf: str) -> DataFrame:
           .select("user_id", "event_id", "event_type", "ts", "value"))
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, -1))
+    # r10 (guide §5): ep is referenced five times in the final plan
+    # (touches, purchases and the raw-touch side, × the credited/direct
+    # branches) — persist the narrow windowed projection so the
+    # user-keyed window pass over events runs once.
     ep = ev.withColumn(
         "p_idx",
         F.coalesce(F.sum(F.when(F.col("event_type") == "purchase", 1)
-                         .otherwise(0)).over(w), F.lit(0)))
+                         .otherwise(0)).over(w), F.lit(0))).persist()
     touches = (ep.filter(F.col("event_type") != "purchase")
                .groupBy("user_id", "p_idx")
                .agg(F.count(F.lit(1)).alias("n_touches")))
@@ -3246,12 +3251,13 @@ def cycle_time_percentiles_tpr(spark: SparkSession, sf: str) -> DataFrame:
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
     first_ship = (li.groupBy("l_orderkey")
                   .agg(F.min("l_shipdate").alias("first_ship")))
-    # r10 (guide §5): persisted — the rank pass evaluates gaps twice
-    # and the base agg a third time.
+    # r10: measured persist here and REVERTED it — the rank pass's two
+    # reads share the groupBy exchange via ReuseExchange, so caching the
+    # join output only added materialization cost (interleaved A/B at
+    # sf0.1: 1.7-1.9s unpersisted vs 2.4-3.5s persisted).
     gaps = (o.join(first_ship, o.o_orderkey == first_ship.l_orderkey)
             .select("o_orderpriority",
-                    F.datediff("first_ship", "o_orderdate").alias("days"))
-            .persist())
+                    F.datediff("first_ship", "o_orderdate").alias("days")))
     pct = exact_percentiles(gaps, "days", [0.5, 0.9],
                             F.floor(F.col("days") / F.lit(10.0)),
                             partition=["o_orderpriority"])
@@ -3276,11 +3282,14 @@ def winsorized_prices_tpr(spark: SparkSession, sf: str) -> DataFrame:
 
     li = t(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
     p = t(spark, sf, "part").select("p_partkey", "p_type")
-    # r10 (guide §5): persisted — the fence rank pass evaluates priced
-    # twice and the clamp pass a third time.
+    # r10: measured a persist here and REVERTED it — the rank pass's
+    # reads share the scan+broadcast-join via ReuseExchange, and caching
+    # the 2-col join output measured consistently SLOWER (interleaved
+    # A/B at sf0.1: 2.6-2.7s unpersisted vs 4.4-4.6s persisted).  The
+    # narrow projection (guide §2.3) is kept.
     priced = (li.join(F.broadcast(p),
                       F.col("l_partkey") == F.col("p_partkey"))
-              .select("p_type", "l_extendedprice").persist())
+              .select("p_type", "l_extendedprice"))
     fences = (exact_percentiles(priced, "l_extendedprice", [0.05, 0.95],
                                 F.floor(F.col("l_extendedprice")
                                         / F.lit(2000.0)),

@@ -29,6 +29,10 @@ def gapfill_daily_locf(spark: SparkSession, sf: str) -> DataFrame:
     (hypertable/rollup-style engines ship this as time_bucket_gapfill +
     locf)."""
     ev = t(spark, sf, "events")
+    # r10 (guide §5/§1.2): daily is persisted and the calendar bounds +
+    # type list fold out of it (min(day) over the rollup == min(ts)::date
+    # because day = to_date(ts) is monotone in the date, and every type
+    # with an event has a daily row) — ONE events scan instead of three.
     daily = (ev.groupBy("event_type",
                         F.to_date(F.date_trunc("DAY", F.col("ts"))).alias("day"))
                .agg(F.count(F.lit(1)).alias("n_events"),
@@ -41,10 +45,11 @@ def gapfill_daily_locf(spark: SparkSession, sf: str) -> DataFrame:
                     # .3787); BIGINT→double is the one portable cast.
                     (F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
                      .cast("double") / F.count(F.lit(1)) / 100.0)
-                    .alias("avg_value")))
-    bounds = ev.agg(F.to_date(F.min("ts")).alias("d0"),
-                    F.to_date(F.max("ts")).alias("d1"))
-    types = ev.select("event_type").distinct()
+                    .alias("avg_value"))
+               .persist())
+    bounds = daily.agg(F.min("day").alias("d0"),
+                       F.max("day").alias("d1"))
+    types = daily.select("event_type").distinct()
     spine = (types.crossJoin(F.broadcast(bounds))
                   .select("event_type",
                           F.explode(F.sequence(

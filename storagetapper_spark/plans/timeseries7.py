@@ -74,8 +74,11 @@ def ts_holt_winters_additive(spark: SparkSession, sf: str) -> DataFrame:
                   F.col("c_nationkey") == F.col("n_nationkey"))
             .select("n_name", F.col("o_orderdate").cast("date")
                     .alias("day")))
+    # r10 (guide §5): cnt feeds bounds AND the dense left join — persist
+    # the tiny (nation, day) grid so the orders⨝customer join runs once.
     cnt = (base.groupBy("n_name", "day")
-           .agg(F.count(F.lit(1)).cast("double").alias("y")))
+           .agg(F.count(F.lit(1)).cast("double").alias("y"))
+           .persist())
     bounds = cnt.groupBy("n_name").agg(F.min("day").alias("d0"),
                                        F.max("day").alias("d1"))
     cal = bounds.select(
