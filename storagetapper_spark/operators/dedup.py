@@ -312,7 +312,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, bucket_cols: list[str],
                         text_col: str = "text", id_col: str = "doc_id",
-                        shingle_n: int = 3, threshold: float = 0.0) -> DataFrame:
+                        shingle_n: int = 3, threshold: float = 0.0,
+                        keep_bucket: bool = False) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs within a bucket
     (blocking on ``bucket_cols`` keeps this quadratic-in-bucket, linear
     overall — the standard blocked-dedup shape).
@@ -354,19 +355,71 @@ def ngram_jaccard_pairs(df: DataFrame, bucket_cols: list[str],
     pe = F.explode(F.expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2,"
         " size(ids)), y -> named_struct('id_a', x, 'id_b', y))))")).alias("pr")
-    inter = (baskets.select(pe)
-             .select(F.col("pr.id_a").alias("id_a"),
+    # a pair lives in exactly ONE bucket (each doc has one bucket row),
+    # so grouping by the bucket keys too leaves n_inter unchanged and
+    # lets keep_bucket callers feed connected_components_blocked
+    inter = (baskets.select(*bucket_cols, pe)
+             .select(*bucket_cols,
+                     F.col("pr.id_a").alias("id_a"),
                      F.col("pr.id_b").alias("id_b"))
-             .groupBy("id_a", "id_b")
+             .groupBy(*bucket_cols, "id_a", "id_b")
              .agg(F.count(F.lit(1)).alias("n_inter")))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     jac = (F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")))
+    keep = ([F.concat_ws("|", *bucket_cols).alias("_blk")]
+            if keep_bucket else [])
     return (
         inter.join(sa, "id_a").join(sb, "id_b")
-             .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+             .select(*keep, "id_a", "id_b", F.round(jac, 4).alias("jaccard"))
              .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components_blocked(edges: DataFrame, block_col: str,
+                                 a_col: str = "id_a",
+                                 b_col: str = "id_b") -> DataFrame:
+    """Exact connected components for BLOCK-LOCAL edge lists — the case
+    every blocked pair generator in this engine produces (each node
+    lives in exactly one block, so components never span blocks).
+
+    ONE shuffle by block + a linear union-find per block inside
+    applyInPandas replaces the whole O(log diameter) iterative loop of
+    :func:`connected_components` (which pays several fixed-latency
+    stages per round).  Same contract: (node, comp) for every edge
+    endpoint, comp = min node id reachable.  Scale-safe under the same
+    invariant the pair join already relies on: block size is bounded,
+    so no single task sees more than one block's edges (r10, guide
+    §1.2 — remove passes the problem doesn't need)."""
+    import pandas as pd
+
+    def uf(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["_ca"], pdf["_cb"]):
+            a, b = int(a), int(b)
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = list(parent)
+        return pd.DataFrame({"node": nodes,
+                             "comp": [find(n) for n in nodes]})
+
+    e = edges.select(F.col(block_col).alias("_blk"),
+                     F.col(a_col).alias("_ca"), F.col(b_col).alias("_cb"))
+    return e.groupBy("_blk").applyInPandas(uf, "node long, comp long")
 
 
 def connected_components(edges: DataFrame, a_col: str = "id_a",

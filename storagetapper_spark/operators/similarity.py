@@ -252,7 +252,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def embedding_near_dup(corpus: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding", threshold: float = 0.95,
                        n_planes: int = 8, dim: int = 64, seed: int = 7,
-                       block_col: str | None = None) -> DataFrame:
+                       block_col: str | None = None,
+                       keep_block: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: pairs in the same block
     with cosine ≥ threshold.  Blocking is SRP buckets by default
     (approximate, ~2^planes candidate reduction — the 100 TB path), or
@@ -272,19 +273,26 @@ def embedding_near_dup(corpus: DataFrame, id_col: str = "vec_id",
     # pair; here only (id, vec) shuffles once per row, grouped by the
     # block key — block size bounds executor memory (same contract as
     # any blocked dedup).
-    out_schema = T.StructType([
+    fields = [
         T.StructField("id_a", T.LongType()),
         T.StructField("id_b", T.LongType()),
         T.StructField("cosine_sim", T.DoubleType()),
-    ])
+    ]
+    if keep_block:
+        # expose the block key so callers can run the one-pass
+        # per-block union-find (connected_components_blocked, r10) —
+        # a pair's two members always share the block by construction
+        fields.append(T.StructField("_blk", T.LongType()))
+    out_schema = T.StructType(fields)
 
     def block_pairs(pdf):
         import numpy as np
         import pandas as pd
+        cols = {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
+        if keep_block:
+            cols["_blk"] = "int64"
         if len(pdf) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}) \
-                     .astype({"id_a": "int64", "id_b": "int64",
-                              "cosine_sim": "float64"})
+            return pd.DataFrame({k: [] for k in cols}).astype(cols)
         pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].to_numpy()
         V = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
@@ -292,8 +300,12 @@ def embedding_near_dup(corpus: DataFrame, id_col: str = "vec_id",
         S = np.round(Vn @ Vn.T, 6)
         iu, ju = np.triu_indices(len(ids), k=1)
         keep = S[iu, ju] >= threshold
-        return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
-                             "cosine_sim": S[iu, ju][keep]})
+        out = {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
+               "cosine_sim": S[iu, ju][keep]}
+        if keep_block:
+            out["_blk"] = np.full(int(keep.sum()),
+                                  int(pdf["_bucket"].iloc[0]), dtype="int64")
+        return pd.DataFrame(out)
 
     return c.groupBy("_bucket").applyInPandas(block_pairs, out_schema)
 
@@ -321,7 +333,8 @@ def semantic_dedup(corpus: DataFrame, n_centroids: int = 16,
     size bounds executor memory."""
     import numpy as np
 
-    from storagetapper_spark.operators.dedup import connected_components
+    from storagetapper_spark.operators.dedup import (
+        connected_components_blocked)
 
     if centroids is not None:
         C = np.asarray(centroids, dtype=np.float64)
@@ -352,9 +365,11 @@ def semantic_dedup(corpus: DataFrame, n_centroids: int = 16,
     assigned = (corpus.select(id_col, vec_col)
                 .mapInPandas(assign, assign_schema).persist())
     assigned.count()   # materialize: pairs + decision join both read it
+    # r10: cell-blocked pairs are block-local -> one-pass union-find
     pairs = embedding_near_dup(assigned, id_col=id_col, vec_col=vec_col,
-                               threshold=threshold, block_col="cell")
-    comp = connected_components(pairs)
+                               threshold=threshold, block_col="cell",
+                               keep_block=True)
+    comp = connected_components_blocked(pairs, "_blk")
     dec = (assigned.select(id_col, "cell")
            .join(comp, F.col(id_col) == F.col("node"), "left")
            .select(F.col(id_col), F.col("cell"),

@@ -263,12 +263,16 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     doc_id of its cluster (the canonical keeper).  The completion step
     after any pairwise dedup — pairs alone can't answer "keep one per
     group" when dups chain A~B~C."""
-    from storagetapper_spark.operators.dedup import connected_components
+    from storagetapper_spark.operators.dedup import (
+        connected_components_blocked)
 
+    # r10: the (lang, source)-blocked pairs are block-local, so the
+    # one-pass per-block union-find replaces the iterative loop.
     pairs = D.ngram_jaccard_pairs(t(spark, sf, "documents"),
                                   bucket_cols=["lang", "source"],
-                                  shingle_n=_SHINGLE_N, threshold=0.1)
-    return (connected_components(pairs, "id_a", "id_b")
+                                  shingle_n=_SHINGLE_N, threshold=0.1,
+                                  keep_bucket=True)
+    return (connected_components_blocked(pairs, "_blk", "id_a", "id_b")
             .select(F.col("node").alias("doc_id"),
                     F.col("comp").alias("cluster_id"))
             .orderBy("doc_id"))
@@ -301,13 +305,15 @@ FROM reach GROUP BY a ORDER BY doc_id
 # keep themselves) → per-language kept/dropped accounting.
 
 def dedup_corpus_summary(spark: SparkSession, sf: str) -> DataFrame:
-    from storagetapper_spark.operators.dedup import connected_components
+    from storagetapper_spark.operators.dedup import (
+        connected_components_blocked)
 
     docs = t(spark, sf, "documents").select("doc_id", "lang")
     pairs = D.ngram_jaccard_pairs(t(spark, sf, "documents"),
                                   bucket_cols=["lang", "source"],
-                                  shingle_n=_SHINGLE_N, threshold=0.1)
-    comp = connected_components(pairs, "id_a", "id_b")
+                                  shingle_n=_SHINGLE_N, threshold=0.1,
+                                  keep_bucket=True)
+    comp = connected_components_blocked(pairs, "_blk", "id_a", "id_b")
     labeled = (docs.join(comp, docs.doc_id == comp.node, "left")
                    .select("doc_id", "lang",
                            F.coalesce(F.col("comp"), F.col("doc_id"))
@@ -351,13 +357,15 @@ def dedup_survivorship(spark: SparkSession, sf: str) -> DataFrame:
     one row per non-canonical member (doc_id -> canonical_id)."""
     from pyspark.sql import Window
 
-    from storagetapper_spark.operators.dedup import connected_components
+    from storagetapper_spark.operators.dedup import (
+        connected_components_blocked)
 
     docs = t(spark, sf, "documents").select("doc_id", "n_chars")
     pairs = D.ngram_jaccard_pairs(t(spark, sf, "documents"),
                                   bucket_cols=["lang", "source"],
-                                  shingle_n=_SHINGLE_N, threshold=0.1)
-    comp = connected_components(pairs, "id_a", "id_b")
+                                  shingle_n=_SHINGLE_N, threshold=0.1,
+                                  keep_bucket=True)
+    comp = connected_components_blocked(pairs, "_blk", "id_a", "id_b")
     members = (comp.join(docs, comp.node == docs.doc_id)
                    .select("comp", "doc_id", "n_chars"))
     w = Window.partitionBy("comp")
@@ -994,13 +1002,15 @@ def sample_split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
     Same portable md5-band assignment as sample_split; output is the
     per-split doc and cluster census.  Scale: the components run over
     the edge list only, the split itself is a pure projection."""
-    from storagetapper_spark.operators.dedup import connected_components
+    from storagetapper_spark.operators.dedup import (
+        connected_components_blocked)
     from storagetapper_spark.operators.sampling import split_assign
 
     docs = t(spark, sf, "documents")
     pairs = D.ngram_jaccard_pairs(docs, bucket_cols=["lang", "source"],
-                                  shingle_n=_SHINGLE_N, threshold=0.1)
-    comp = connected_components(pairs, "id_a", "id_b")
+                                  shingle_n=_SHINGLE_N, threshold=0.1,
+                                  keep_bucket=True)
+    comp = connected_components_blocked(pairs, "_blk", "id_a", "id_b")
     with_comp = (docs.join(comp, docs.doc_id == comp.node, "left")
                  .withColumn("component",
                              F.coalesce("comp", F.col("doc_id"))))

@@ -439,11 +439,27 @@ def text_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     Python."""
     docs = t(spark, sf, "documents")
     norm = docs.select("doc_id", F.lower(F.col("text")).alias("txt"))
-    bigram = F.explode(F.expr(
-        "transform(sequence(1, length(txt) - 1),"
-        " i -> substring(txt, i, 2))")).alias("bg")
-    mat = (norm.select("doc_id", bigram)
-           .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+
+    # r10 (guide §4.2): the doc×bigram count matrix comes from a
+    # per-document Counter inside ONE Arrow pass instead of exploding
+    # every bigram instance (length(txt)−1 substring rows per doc)
+    # through a hash aggregate — identical exact counts, and the pass
+    # emits only the per-doc DISTINCT bigrams.
+    def _bigram_counts(batches):
+        import pandas as pd
+        from collections import Counter
+
+        for pdf in batches:
+            ids, bgs, cs = [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf["txt"]):
+                c = Counter(txt[i:i + 2] for i in range(len(txt) - 1))
+                ids.extend([did] * len(c))
+                bgs.extend(c.keys())
+                cs.extend(c.values())
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "bg": bgs, "c": cs})
+
+    mat = (norm.mapInPandas(_bigram_counts, "doc_id long, bg string, c long")
            .persist())
     mat.count()  # eager: one explode feeds both branches below
     model = mat.groupBy("bg").agg(F.sum("c").alias("n"))
@@ -751,7 +767,8 @@ def entity_resolution_parts(spark: SparkSession, sf: str) -> DataFrame:
     instead of documents — pairs shuffle, label propagation iterates
     over the edge list only, the part table itself never moves until
     the final left join."""
-    from storagetapper_spark.operators.dedup import connected_components
+    from storagetapper_spark.operators.dedup import (
+        connected_components_blocked)
 
     p = (t(spark, sf, "part")
          .select("p_partkey", "p_name",
@@ -765,9 +782,13 @@ def entity_resolution_parts(spark: SparkSession, sf: str) -> DataFrame:
                              - F.length(F.col("b.p_name"))) <= 4))
              .filter(F.levenshtein(F.col("a.p_name"),
                                    F.col("b.p_name")) <= 4)
-             .select(F.col("a.p_partkey").alias("id_a"),
+             .select(F.col("a.blk").alias("blk"),
+                     F.col("a.p_partkey").alias("id_a"),
                      F.col("b.p_partkey").alias("id_b")))
-    comp = connected_components(pairs, "id_a", "id_b")
+    # r10: edges are block-local (one blk per part), so components
+    # never span blocks — one per-block union-find pass replaces the
+    # iterative label-propagation loop (guide §1.2).
+    comp = connected_components_blocked(pairs, "blk", "id_a", "id_b")
     base = t(spark, sf, "part").select("p_partkey")
     labeled = (base.join(comp, base.p_partkey == comp.node, "left")
                .select("p_partkey",

@@ -173,3 +173,36 @@ def test_connected_components_long_chain(spark):
     rows = connected_components(e).collect()
     assert len(rows) == 401
     assert all(r.comp == 0 for r in rows)
+
+
+def test_connected_components_blocked_matches_iterative(spark):
+    """r10: the one-pass per-block union-find must produce EXACTLY the
+    iterative operator's labels (comp = min reachable id) on a random
+    block-local edge set — chains, stars, diamonds and singleton-free
+    blocks included."""
+    import random
+
+    from storagetapper_spark.operators.dedup import (
+        connected_components, connected_components_blocked)
+
+    rng = random.Random(7)
+    rows = []
+    node = 0
+    for blk in range(12):
+        n = rng.randint(2, 40)
+        ids = list(range(node, node + n))
+        node += n
+        # random spanning structure plus noise edges, all inside blk
+        for i in range(1, n):
+            a = ids[rng.randint(0, i - 1)] if rng.random() < 0.7 else ids[0]
+            if rng.random() < 0.8:           # leave some singleton-ish gaps
+                rows.append((f"b{blk}", a, ids[i]))
+        for _ in range(n // 3):
+            a, b = rng.sample(ids, 2)
+            rows.append((f"b{blk}", min(a, b), max(a, b)))
+    e = spark.createDataFrame(rows, "blk string, id_a long, id_b long")
+    fast = {(r.node, r.comp)
+            for r in connected_components_blocked(e, "blk").collect()}
+    slow = {(r.node, r.comp)
+            for r in connected_components(e).collect()}
+    assert fast == slow
