@@ -359,6 +359,32 @@ def bpe_train(docs: DataFrame, rounds: int = 3, text_col: str = "text",
         merges, "round int, pair string, n bigint")
 
 
+def array_pair_counts(stream: DataFrame,
+                      toks_col: str = "toks") -> DataFrame:
+    """Adjacent-pair counts over an (id, token-array) stream — the
+    array-form sibling of :func:`pair_counts_of_stream`.  Per Arrow
+    batch a Counter emits only the distinct (pair, n) partials (guide
+    §2.3 map-side aggregation by hand: vocabulary-squared-bounded
+    output per batch, never one row per adjacent position), and one
+    tiny pair-keyed agg sums the partials."""
+    import pandas as pd
+
+    def count_pairs(batches):
+        from collections import Counter
+        for pdf in batches:
+            c: Counter = Counter()
+            for a in pdf[toks_col]:
+                c.update(zip(a[:-1], a[1:]))
+            if c:
+                yield pd.DataFrame(
+                    {"pair": [f"{x} {y}" for x, y in c.keys()],
+                     "n": list(c.values())})
+
+    return (stream.select(toks_col)
+            .mapInPandas(count_pairs, "pair string, n long")
+            .groupBy("pair").agg(F.sum("n").alias("n")))
+
+
 def _bpe_train_loop(docs: DataFrame, rounds: int, text_col: str,
                     id_col: str) -> tuple[list, DataFrame]:
     """The train loop, returning (merge list, final (id, toks) stream).
@@ -385,19 +411,7 @@ def _bpe_train_loop(docs: DataFrame, rounds: int, text_col: str,
               .localCheckpoint(eager=True))
     merges = []
     for r in range(1, rounds + 1):
-        def count_pairs(batches):
-            from collections import Counter
-            for pdf in batches:
-                c: Counter = Counter()
-                for a in pdf["toks"]:
-                    c.update(zip(a[:-1], a[1:]))
-                if c:
-                    yield pd.DataFrame(
-                        {"pair": [f"{x} {y}" for x, y in c.keys()],
-                         "n": list(c.values())})
-
-        top = (stream.mapInPandas(count_pairs, "pair string, n long")
-               .groupBy("pair").agg(F.sum("n").alias("n"))
+        top = (array_pair_counts(stream)
                .orderBy(F.desc("n"), "pair").limit(1).collect())
         if not top:
             break

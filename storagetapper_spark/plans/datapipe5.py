@@ -248,22 +248,22 @@ def tokenizer_bpe_merge_step(spark: SparkSession, sf: str) -> DataFrame:
     gaps-and-islands over doc-partitioned windows), and return the
     post-merge top-30 pair table that would seed the next round.
 
-    The top-pair collect is 1 row (bounded); everything else is
-    doc-partitioned windows plus one map-side-combined pair count —
-    iterating this step k times is the full tokenizer-training loop,
-    each round touching the corpus once."""
+    The top-pair collect is 1 row (bounded); since r10 the step rides
+    the same array-per-document machinery as tokenizer_bpe_train
+    (operators/text._bpe_train_loop, guide §4.2/§2.3): pair counts are
+    per-batch Counters (only the tiny (pair, n) partials shuffle) and
+    the greedy merge is a linear scan per document — the former
+    gaps-and-islands form paid a doc-keyed exchange + sort for each of
+    its four windows.  Iterating this step k times is the full
+    tokenizer-training loop, each round touching the corpus once."""
     from storagetapper_spark.operators.text import (
-        adjacent_pair_counts,
-        bpe_greedy_merge,
-        pair_counts_of_stream,
+        _bpe_train_loop,
+        array_pair_counts,
     )
 
     docs = t(spark, sf, "documents").select("doc_id", "text")
-    top = (adjacent_pair_counts(docs.select("text"))
-           .orderBy(F.desc("n"), "pair").limit(1).collect())[0]["pair"]
-    x, y = top.split(" ", 1)
-    stream = bpe_greedy_merge(docs, x, y)
-    return (pair_counts_of_stream(stream)
+    _, stream = _bpe_train_loop(docs, 1, "text", "doc_id")
+    return (array_pair_counts(stream)
             .orderBy(F.desc("n"), "pair")
             .limit(30))
 

@@ -90,6 +90,24 @@ def test_pair_counts_of_stream(spark):
     assert got == {"ab ab": 1, "ab a": 1}
 
 
+def test_array_pair_counts_matches_stream_form(spark):
+    """The r10 array-form pair counter (one Counter pass per Arrow
+    batch) must agree exactly with the window-based stream form on
+    every edge shape: runs, singleton docs, empty-ish docs, repeats
+    across documents."""
+    from storagetapper_spark.operators.text import array_pair_counts
+
+    texts = ["a b a b a", "x", "a a a a", "b a", "q r q r q r"]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(texts)],
+                               "doc_id int, text string")
+    stream = df.select("doc_id",
+                       F.posexplode(F.split("text", " ")).alias("i", "tok"))
+    want = {r.pair: r.n for r in pair_counts_of_stream(stream).collect()}
+    arr = df.select("doc_id", F.split("text", " ").alias("toks"))
+    got = {r.pair: r.n for r in array_pair_counts(arr).collect()}
+    assert got == want
+
+
 def _py_train(docs: list[list[str]], rounds: int):
     """Reference trainer: count pairs, merge top (count desc, pair asc)."""
     from collections import Counter
