@@ -378,3 +378,70 @@ def semantic_dedup(corpus: DataFrame, n_centroids: int = 16,
                     | (F.col("comp") == F.col(id_col)))
                    .alias("is_canonical")))
     return dec
+
+
+def pq_encode_np(df: DataFrame, codebook: dict[int, list[int]],
+                 subs: int, subdim: int, id_col: str = "vec_id",
+                 vec_col: str = "xq",
+                 coarse: dict[int, list[int]] | None = None,
+                 with_dist: bool = False) -> DataFrame:
+    """Exact-int64 product-quantization encoding as ONE Arrow pass
+    (guide §4.2): per batch, numpy computes every subspace's squared-L2
+    table against the (k-bounded, driver-collected) codebook and takes
+    the argmin — replacing the K×subs interpreted zip_with/aggregate
+    folds per row that whole-stage codegen never touches.
+
+    Bit-exact by construction: micro-int coordinates keep every
+    (x−c)² sum inside int64 (≤ dim·(2·10⁶)² ≈ 2.6·10¹⁴), and
+    np.argmin's first-minimum tie-break IS the array_min struct(d, k)
+    convention (codes are laid out in ascending k).  Output rows:
+    (id, [cell,] sub, code[, d]) — ``subs`` rows per input vector,
+    the same exploded shape the expression form produced."""
+    import numpy as np
+    import pandas as pd
+
+    B = np.array([codebook[k] for k in sorted(codebook)], dtype=np.int64)
+    C = (np.array([coarse[k] for k in sorted(coarse)], dtype=np.int64)
+         if coarse is not None else None)
+
+    fields = [T.StructField(id_col, T.LongType())]
+    if coarse is not None:
+        fields.append(T.StructField("cell", T.LongType()))
+    fields += [T.StructField("sub", T.LongType()),
+               T.StructField("code", T.LongType())]
+    if with_dist:
+        fields.append(T.StructField("d", T.LongType()))
+    schema = T.StructType(fields)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.int64)
+                          for v in pdf[vec_col]])
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            n = len(ids)
+            if C is not None:
+                dc = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                cell = dc.argmin(axis=1).astype(np.int64)
+            cols: dict = {id_col: [], "sub": [], "code": []}
+            if C is not None:
+                cols["cell"] = []
+            if with_dist:
+                cols["d"] = []
+            for s in range(subs):
+                Xs = X[:, s * subdim:(s + 1) * subdim]
+                Bs = B[:, s * subdim:(s + 1) * subdim]
+                ds = ((Xs[:, None, :] - Bs[None, :, :]) ** 2).sum(axis=2)
+                code = ds.argmin(axis=1)
+                cols[id_col].append(ids)
+                if C is not None:
+                    cols["cell"].append(cell)
+                cols["sub"].append(np.full(n, s, dtype=np.int64))
+                cols["code"].append(code.astype(np.int64))
+                if with_dist:
+                    cols["d"].append(ds[np.arange(n), code])
+            yield pd.DataFrame(
+                {f.name: np.concatenate(cols[f.name]) for f in fields})
+
+    return df.select(id_col, vec_col).mapInPandas(encode, schema)

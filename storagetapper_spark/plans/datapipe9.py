@@ -98,36 +98,20 @@ def embedding_pq_assign(spark: SparkSession, sf: str) -> DataFrame:
     cb = {int(r.vec_id): [int(v) for v in r.xq] for r in seeds}
     assert len(cb) == _PQ_K
 
-    def _sub_assign(s: int):
-        sub = F.slice("xq", s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
-        ds = F.array(*[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        F.array(*[F.lit(v) for v in
-                                  cb[k][s * _PQ_SUBDIM:
-                                        (s + 1) * _PQ_SUBDIM]]),
-                        lambda x, c: (x - c) * (x - c)),
-                    F.lit(0).cast("long"), lambda a, x: a + x)
-                .alias("d"),
-                F.lit(k).cast("long").alias("k"))
-            for k in sorted(cb)])
-        best = F.array_min(ds)
-        return F.struct(F.lit(s).cast("long").alias("sub"),
-                        best["k"].alias("code"), best["d"].alias("d"))
+    # r10 (guide §4.2): encode in ONE Arrow/numpy pass — the expression
+    # form paid 4×8 interpreted zip_with/aggregate folds per row.
+    # Exact int64 distances and the argmin tie-break are identical
+    # (operators/similarity.pq_encode_np), so (sub, code, d) rows are
+    # bit-equal and the aggregate below is unchanged.
+    from storagetapper_spark.operators.similarity import pq_encode_np
 
-    assigned = xq.select(
-        "vec_id",
-        F.explode(F.array(*[_sub_assign(s)
-                            for s in range(_PQ_SUBS)])).alias("a"))
+    assigned = pq_encode_np(xq, cb, _PQ_SUBS, _PQ_SUBDIM, with_dist=True)
     return (assigned
-            .groupBy(F.col("a.sub").alias("subspace"),
-                     F.col("a.code").alias("code"))
+            .groupBy(F.col("sub").alias("subspace"), "code")
             .agg(F.count(F.lit(1)).alias("n_vecs"),
                  # decimal accumulation (overflow-safe at any scale),
                  # BIGINT at the boundary (HUGEINT→float64 pandas trap)
-                 F.sum(F.col("a.d").cast("decimal(38,0)"))
+                 F.sum(F.col("d").cast("decimal(38,0)"))
                  .cast("long").alias("distortion_sum"))
             .orderBy("subspace", "code"))
 
@@ -198,84 +182,67 @@ def ann_ivf_pq_search(spark: SparkSession, sf: str) -> DataFrame:
                    F.transform(F.col("embedding"),
                                lambda x: F.floor(x.cast("double") * 1000000)
                                .cast("long")).alias("xq")))
-    corpus = emb.filter(F.col("vec_id") >= 5).persist()
+    # r10: no corpus persist (at 100 TB the corpus cannot be cached and
+    # the model rows are a pushed-down vec_id-range scan at any scale),
+    # and ONE model collect instead of two separate jobs.
+    corpus = emb.filter(F.col("vec_id") >= 5)
     queries = emb.filter(F.col("vec_id") < 5)
 
-    coarse_rows = (corpus.filter(F.col("vec_id") < 5 + _IVFPQ_CELLS)
-                   .select("vec_id", "xq").collect())
+    model_rows = sorted(
+        emb.filter((F.col("vec_id") >= 5)
+                   & (F.col("vec_id") < 5 + _IVFPQ_CELLS + _PQ_K))
+           .select("vec_id", "xq").collect(),
+        key=lambda r: r.vec_id)
     coarse = {i: [int(v) for v in r.xq]
-              for i, r in enumerate(sorted(coarse_rows,
-                                           key=lambda r: r.vec_id))}
-    cb_rows = (corpus.filter(
-        (F.col("vec_id") >= 5 + _IVFPQ_CELLS)
-        & (F.col("vec_id") < 5 + _IVFPQ_CELLS + _PQ_K))
-        .select("vec_id", "xq").collect())
+              for i, r in enumerate(model_rows[:_IVFPQ_CELLS])}
     cb = {i: [int(v) for v in r.xq]
-          for i, r in enumerate(sorted(cb_rows, key=lambda r: r.vec_id))}
+          for i, r in enumerate(model_rows[_IVFPQ_CELLS:])}
     assert len(coarse) == _IVFPQ_CELLS and len(cb) == _PQ_K
 
-    def _argmin_struct(vec_col, centroids, lo=None, n=None):
-        """array_min over (exact-int L2², id) structs; optional slice."""
-        items = []
-        for k in sorted(centroids):
-            cvec = centroids[k] if lo is None else centroids[k][lo:lo + n]
-            sub = vec_col if lo is None else F.slice(vec_col, lo + 1, n)
-            items.append(F.struct(
-                F.aggregate(
-                    F.zip_with(sub, F.array(*[F.lit(v) for v in cvec]),
-                               lambda x, c: (x - c) * (x - c)),
-                    F.lit(0).cast("long"), lambda a, x: a + x).alias("d"),
-                F.lit(k).cast("long").alias("k")))
-        return F.array_min(F.array(*items))
+    # r10 (guide §4.2): cell assignment + PQ encoding in ONE Arrow/numpy
+    # pass (operators/similarity.pq_encode_np) — the expression form
+    # paid 8 + 4×8 interpreted zip_with/aggregate folds per corpus row
+    # (whole-stage codegen never compiles HOF lambdas).  Exact int64
+    # math and the argmin tie-break are identical, so the output rows
+    # are bit-equal.
+    from storagetapper_spark.operators.similarity import pq_encode_np
 
-    assigned = corpus.select(
-        "vec_id", "xq",
-        _argmin_struct(F.col("xq"), coarse)["k"].alias("cell"))
-    encoded = assigned.select(
-        "vec_id", "cell",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(s).cast("long").alias("sub"),
-                _argmin_struct(F.col("xq"), cb, lo=s * _PQ_SUBDIM,
-                               n=_PQ_SUBDIM)["k"].alias("code"))
-            for s in range(_PQ_SUBS)])).alias("e")) \
-        .select("vec_id", "cell", "e.sub", "e.code")
+    encoded = pq_encode_np(corpus, cb, _PQ_SUBS, _PQ_SUBDIM,
+                           coarse=coarse)
 
-    # probe list: nprobe nearest coarse cells per query (tiny)
-    cells_arr = F.array(*[
-        F.struct(
-            F.aggregate(
-                F.zip_with("xq", F.array(*[F.lit(v) for v in coarse[k]]),
-                           lambda x, c: (x - c) * (x - c)),
-                F.lit(0).cast("long"), lambda a, x: a + x).alias("d"),
-            F.lit(k).cast("long").alias("k"))
-        for k in sorted(coarse)])
-    probes = (queries.select(F.col("vec_id").alias("query_id"), "xq",
-                             F.explode(F.slice(F.array_sort(cells_arr),
-                                               1, _IVFPQ_NPROBE))
-                             .alias("p"))
-              .select("query_id", "xq", F.col("p.k").alias("cell")))
+    # Probe list + ADC lookup table, built DRIVER-SIDE in exact int64
+    # numpy (r10): the query panel is a FIXED 5-vector collect (the
+    # brute_force_topk_np precedent) and the outputs are nprobe×5 = 10
+    # and 5×4×8 = 160 rows — but as expressions they were 8 + 32
+    # inlined interpreted folds over 64-element literal arrays, whose
+    # Catalyst planning/codegen dwarfed the whole query's execution
+    # (~9s of a 10s run at sf0.1; the data work is milliseconds).
+    # Selection order is identical: stable argsort over (d, k-ascending
+    # layout) == array_sort of struct(d, k).
+    import numpy as np
 
-    # ADC lookup table: queries × subspaces × codebook entries
-    lut = (queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(F.array(*[
-            F.struct(F.lit(s).cast("long").alias("sub"),
-                     F.lit(k).cast("long").alias("code"),
-                     F.aggregate(
-                         F.zip_with(
-                             F.slice("xq", s * _PQ_SUBDIM + 1, _PQ_SUBDIM),
-                             F.array(*[F.lit(v) for v in
-                                       cb[k][s * _PQ_SUBDIM:
-                                             (s + 1) * _PQ_SUBDIM]]),
-                             lambda x, c: (x - c) * (x - c)),
-                         F.lit(0).cast("long"),
-                         lambda a, x: a + x).alias("d"))
-            for s in range(_PQ_SUBS) for k in range(_PQ_K)])).alias("l"))
-        .select("query_id", "l.sub", "l.code", "l.d"))
+    q_rows = sorted(queries.select("vec_id", "xq").collect(),
+                    key=lambda r: r.vec_id)
+    Q = np.array([[int(v) for v in r.xq] for r in q_rows], dtype=np.int64)
+    C = np.array([coarse[k] for k in sorted(coarse)], dtype=np.int64)
+    B = np.array([cb[k] for k in sorted(cb)], dtype=np.int64)
+    dq = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probe_rows = [(int(r.vec_id), int(c))
+                  for r, dr in zip(q_rows, dq)
+                  for c in np.argsort(dr, kind="stable")[:_IVFPQ_NPROBE]]
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
+    lut_rows = []
+    for r, qv in zip(q_rows, Q):
+        for s in range(_PQ_SUBS):
+            qs = qv[s * _PQ_SUBDIM:(s + 1) * _PQ_SUBDIM]
+            bs = B[:, s * _PQ_SUBDIM:(s + 1) * _PQ_SUBDIM]
+            dsub = ((qs[None, :] - bs) ** 2).sum(axis=1)
+            lut_rows += [(int(r.vec_id), s, k, int(dsub[k]))
+                         for k in range(_PQ_K)]
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, sub long, code long, d long")
 
-    cand = (encoded.join(probes.select("query_id", "cell").distinct(),
-                         "cell")
+    cand = (encoded.join(F.broadcast(probes), "cell")
             .join(F.broadcast(lut), ["query_id", "sub", "code"])
             .groupBy("query_id", "vec_id")
             .agg(F.sum("d").alias("approx_d")))
