@@ -621,13 +621,19 @@ def graph_hits(spark: SparkSession, sf: str) -> DataFrame:
     edges.count()
 
     def norm(df: DataFrame, key: str) -> DataFrame:
+        # r10 (guide §1.2): persist the half-step result — the max
+        # subquery AND the normalize both read it, so the unpersisted
+        # form evaluated each half-step's join+agg twice per round.
+        df = df.persist()
         m = df.agg(F.max("s").alias("m"))
         # eager checkpoint per generation: a2 feeds BOTH h2 and the
         # authority top-k — without it the second consumer replays the
         # whole join ladder (the LPA persisted-generation lesson)
-        return (df.crossJoin(F.broadcast(m))
-                .select(key, F.expr(f"s * {_HITS_PPM} div m").alias("s"))
-                .localCheckpoint(eager=True))
+        out = (df.crossJoin(F.broadcast(m))
+               .select(key, F.expr(f"s * {_HITS_PPM} div m").alias("s"))
+               .localCheckpoint(eager=True))
+        df.unpersist()
+        return out
 
     a1 = norm(edges.groupBy("p").agg(F.count(F.lit(1)).alias("s")), "p")
     h1 = norm(edges.join(a1, "p").groupBy("c").agg(F.sum("s").alias("s")),
@@ -802,6 +808,13 @@ def _triangles_degree_oriented(e: DataFrame) -> DataFrame:
     once as (a,b,c) = (x,y,z): wedge join of the two out-edges of x
     with rank(y) < rank(z), closed by the oriented edge y→z."""
     oe, _ = _degree_oriented_edges(e)
+    return _triangles_from_oriented(oe)
+
+
+def _triangles_from_oriented(oe: DataFrame) -> DataFrame:
+    """The triangle wedge-close join over an ALREADY-oriented edge
+    table — split out (r10) so callers that also need oe for degree
+    stats can persist and share one evaluation."""
     a1, a2, e3 = oe.alias("a1"), oe.alias("a2"), oe.alias("e3")
     rank_lt = (F.col("a1.dst_deg") < F.col("a2.dst_deg")) | (
         (F.col("a1.dst_deg") == F.col("a2.dst_deg"))
@@ -833,9 +846,14 @@ def graph_triangles_degree_oriented(spark: SparkSession, sf: str) -> DataFrame:
     """
     e = _edges(spark, sf).persist()
     e.count()
-    n_tri = (_triangles_degree_oriented(e)
-             .agg(F.count(F.lit(1)).alias("n")))
+    # r10 (guide §1.2): build the oriented edge table ONCE and persist —
+    # the former form derived oe independently inside
+    # _triangles_degree_oriented AND again for the degree stats, paying
+    # the deg agg + two joins twice per run.
     oe, _ = _degree_oriented_edges(e)
+    oe = oe.persist()
+    n_tri = (_triangles_from_oriented(oe)
+             .agg(F.count(F.lit(1)).alias("n")))
     out_deg = oe.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     deg_stats = out_deg.agg(
         F.sum(F.col("od") * (F.col("od") - 1) / 2).cast("long").alias("w"),
