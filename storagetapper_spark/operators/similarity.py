@@ -445,3 +445,85 @@ def pq_encode_np(df: DataFrame, codebook: dict[int, list[int]],
                 {f.name: np.concatenate(cols[f.name]) for f in fields})
 
     return df.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
+def cosine_score_np(df: DataFrame, a_col: str, b_col: str,
+                    keep_cols: list[str], out_col: str = "sim") -> DataFrame:
+    """Rounded cosine per ALREADY-PAIRED row, computed in one Arrow/
+    numpy pass (guide §4.2) instead of the three interpreted
+    zip_with/aggregate folds per pair that dominated the in-cell ANN
+    scoring stages.  round(..., 6) is the engine-portability contract
+    the expression form used (the ann_vectorized/brute_force_topk_np
+    precedent — hash-verified across rounds); vectors are dropped on
+    output so only (keys, sim) flow into the downstream shuffle
+    (guide §2.3 project-before-the-exchange)."""
+    import numpy as np
+    import pandas as pd
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    schema = T.StructType([in_fields[c] for c in keep_cols]
+                          + [T.StructField(out_col, T.DoubleType())])
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[a_col]])
+            B = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[b_col]])
+            dots = np.einsum("ij,ij->i", A, B)
+            na = np.sqrt(np.einsum("ij,ij->i", A, A))
+            nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+            out = pd.DataFrame({c: pdf[c] for c in keep_cols})
+            out[out_col] = np.round(dots / (na * nb), 6)
+            yield out
+
+    return df.select(*{*keep_cols, a_col, b_col}).mapInPandas(gen, schema)
+
+
+def cell_rank_np(df: DataFrame, cent_rows: list, id_col: str,
+                 vec_col: str, max_rank: int,
+                 keep_cols: list[str] | None = None) -> DataFrame:
+    """IVF cell ranking (nearest centroids by rounded cosine, ties to
+    the lower centroid id) as one Arrow/numpy pass — the expression
+    form crossJoined every row with the centroid panel and ranked with
+    a row_number window (a shuffle+sort of rows×centroids, each pair
+    paying interpreted cosine folds).  ``cent_rows`` is the collected
+    (centroid_id, vector) panel, ordered by centroid_id 0..K-1 (model
+    collect — k-bounded, the pq_encode_np convention).  Output: input
+    keep_cols + (centroid_id, rn) for rn = 1..max_rank; selection is
+    np.argsort(-sim, stable), whose tie order IS ascending centroid
+    id, matching the window's (sim DESC, centroid_id) exactly on the
+    round-6 sims."""
+    import numpy as np
+    import pandas as pd
+
+    keep_cols = keep_cols if keep_cols is not None else [id_col, vec_col]
+    C = np.array([list(v) for _, v in
+                  sorted(cent_rows, key=lambda r: r[0])], dtype=np.float64)
+    cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    schema = T.StructType([in_fields[c] for c in keep_cols]
+                          + [T.StructField("centroid_id", T.LongType()),
+                             T.StructField("rn", T.IntegerType())])
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            S = np.round((V @ C.T) / np.outer(vn, cn), 6)
+            order = np.argsort(-S, axis=1, kind="stable")[:, :max_rank]
+            n, r = order.shape
+            out = pd.DataFrame(
+                {c: pdf[c].iloc[np.repeat(np.arange(n), r)].to_numpy()
+                 for c in keep_cols})
+            out["centroid_id"] = order.ravel().astype(np.int64)
+            out["rn"] = np.tile(np.arange(1, r + 1, dtype=np.int32), n)
+            yield out
+
+    return df.select(*{*keep_cols, vec_col}).mapInPandas(gen, schema)

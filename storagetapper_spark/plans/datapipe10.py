@@ -588,22 +588,9 @@ QUERIES["events_bot_detection"] = (events_bot_detection,
                                    BOT_DETECTION_SQL)
 
 
-def _cell_rank(df: DataFrame, cent: DataFrame, id_col: str,
-               vec_col: str, max_rank: int) -> DataFrame:
-    """Rank IVF cells per row by rounded cosine (deterministic
-    centroid-id tie-break) and keep ranks <= max_rank — the one
-    Spark-side definition of cell assignment (max_rank=1) and probe
-    selection, shared by ann_ivf_nprobe_sweep and ml_knn_eval_ivf."""
-    from pyspark.sql import Window
-
-    from storagetapper_spark.operators.similarity import cosine
-
-    w = Window.partitionBy(id_col).orderBy(
-        F.round(cosine(F.col(vec_col), F.col("cv")), 6).desc(),
-        F.col("centroid_id"))
-    return (df.crossJoin(F.broadcast(cent))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= max_rank))
+# (the former _cell_rank crossJoin+window helper was replaced in r10 by
+# operators/similarity.cell_rank_np — one Arrow/numpy pass, same
+# round-6 sims and (sim DESC, centroid_id) tie-break)
 
 
 _NP_QUERIES = 5
@@ -623,7 +610,16 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
     serves every cutoff."""
     from pyspark.sql import Window
 
-    from storagetapper_spark.operators.similarity import cosine
+    # r10 (guide §4.2): cell ranking and every pairwise cosine run as
+    # Arrow/numpy passes (operators/similarity.cell_rank_np /
+    # cosine_score_np) — the expression form paid 3 interpreted
+    # zip_with/aggregate folds per (pair) and a rows×centroids
+    # window sort for assignment.  Same round-6 sims and (sim DESC,
+    # id) tie-breaks.
+    from storagetapper_spark.operators.similarity import (
+        cell_rank_np,
+        cosine_score_np,
+    )
 
     emb = t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -631,23 +627,23 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
           .select(F.col("vec_id").alias("query_id"),
                   F.col("v").alias("qv")))
     corpus = emb.filter(F.col("vec_id") >= _NP_QUERIES)
-    cent = (corpus.orderBy("vec_id").limit(_NP_CENTROIDS)
-            .select((F.row_number().over(Window.orderBy("vec_id")) - 1)
-                    .alias("centroid_id"), F.col("v").alias("cv")))
+    cent_rows = [(i, list(r.v)) for i, r in enumerate(
+        corpus.select("vec_id", "v").orderBy("vec_id")
+              .limit(_NP_CENTROIDS).collect())]
     # corpus -> nearest centroid (rank 1), queries -> ranked probes
-    ca = _cell_rank(corpus, cent, "vec_id", "v", 1) \
+    ca = cell_rank_np(corpus, cent_rows, "vec_id", "v", 1) \
         .select("vec_id", "v", "centroid_id")
-    probes = (_cell_rank(qs, cent, "query_id", "qv", max(_NP_SWEEP))
+    probes = (cell_rank_np(qs, cent_rows, "query_id", "qv",
+                           max(_NP_SWEEP),
+                           keep_cols=["query_id", "qv"])
               .select("query_id", "qv", "centroid_id",
-                      F.col("rn").alias("cell_rank")))
-    scored = (ca.join(F.broadcast(probes), "centroid_id")
-              .select("query_id", "vec_id", "cell_rank",
-                      F.round(cosine(F.col("v"), F.col("qv")), 6)
-                      .alias("sim")))
-    exact = (corpus.crossJoin(F.broadcast(qs))
-             .select("query_id", "vec_id",
-                     F.round(cosine(F.col("v"), F.col("qv")), 6)
-                     .alias("sim"))
+                      F.col("rn").cast("int").alias("cell_rank")))
+    scored = cosine_score_np(
+        ca.join(F.broadcast(probes), "centroid_id"), "v", "qv",
+        ["query_id", "vec_id", "cell_rank"], out_col="sim")
+    exact = (cosine_score_np(corpus.crossJoin(F.broadcast(qs)),
+                             "v", "qv", ["query_id", "vec_id"],
+                             out_col="sim")
              .withColumn("r", F.row_number().over(
                  Window.partitionBy("query_id").orderBy(
                      F.desc("sim"), "vec_id")))
@@ -855,7 +851,13 @@ def ml_knn_eval_ivf(spark: SparkSession, sf: str) -> DataFrame:
     eval id."""
     from pyspark.sql import Window
 
-    from storagetapper_spark.operators.similarity import cosine
+    # r10 (guide §4.2): cell ranking + in-cell scoring as Arrow/numpy
+    # passes — see ann_ivf_nprobe_sweep; the in-cell window formerly
+    # paid 3 interpreted 64-dim folds per candidate pair.
+    from storagetapper_spark.operators.similarity import (
+        cell_rank_np,
+        cosine_score_np,
+    )
 
     emb = t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"),
@@ -865,18 +867,21 @@ def ml_knn_eval_ivf(spark: SparkSession, sf: str) -> DataFrame:
                        & (F.col("vec_id") < _KNN_PANEL))
             .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
                     F.col("pos").alias("q_pos")))
-    cent = (train.orderBy("vec_id").limit(_KNN_CENTROIDS)
-            .select((F.row_number().over(Window.orderBy("vec_id")) - 1)
-                    .alias("centroid_id"), F.col("v").alias("cv")))
-    ta = _cell_rank(train, cent, "vec_id", "v", 1) \
+    cent_rows = [(i, list(r.v)) for i, r in enumerate(
+        train.select("vec_id", "v").orderBy("vec_id")
+             .limit(_KNN_CENTROIDS).collect())]
+    ta = cell_rank_np(train, cent_rows, "vec_id", "v", 1,
+                      keep_cols=["vec_id", "v", "pos"]) \
         .select("vec_id", "v", "pos", "centroid_id")
-    probes = _cell_rank(test, cent, "qid", "qv", _KNN_PROBE) \
+    probes = cell_rank_np(test, cent_rows, "qid", "qv", _KNN_PROBE,
+                          keep_cols=["qid", "qv", "q_pos"]) \
         .select("qid", "qv", "q_pos", "centroid_id")
-    nn = (ta.join(probes, "centroid_id")
+    nn = (cosine_score_np(ta.join(probes, "centroid_id"), "v", "qv",
+                          ["qid", "q_pos", "vec_id", "pos"],
+                          out_col="sim")
           .withColumn("r", F.row_number().over(
               Window.partitionBy("qid").orderBy(
-                  F.round(cosine(F.col("v"), F.col("qv")), 6).desc(),
-                  F.col("vec_id"))))
+                  F.desc("sim"), F.col("vec_id"))))
           .filter(F.col("r") <= _KNN_K))
     voted = (nn.groupBy("qid", "q_pos")
              .agg(F.count(F.lit(1)).alias("k_got"),
