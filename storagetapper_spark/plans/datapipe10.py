@@ -110,17 +110,35 @@ def sample_negatives_contrastive(spark: SparkSession, sf: str) -> DataFrame:
            .select(F.col("o_custkey").alias("c"),
                    F.col("l_partkey").alias("p"))
            .distinct().persist())
-    pop = (pos.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
-           .orderBy(F.desc("n"), "p").limit(_NEG_POOL).select("p"))
-    users = pos.select("c").distinct()
-    cand = users.crossJoin(F.broadcast(pop))
-    neg = cand.join(pos, ["c", "p"], "left_anti")
+    # r10 (guide §2.4): the candidate pool is 100 part ids — collect it
+    # (k-bounded, the model-collect convention) and do the whole
+    # negative draw as NARROW array expressions after ONE groupBy(c):
+    # seen-pool items per user via collect_set over an InSet filter,
+    # array_except against the pool literal, and the (md5, p) top-5 by
+    # sorting ≤100 structs per row.  The former plan paid a users×pool
+    # crossJoin, a (c,p) anti-join shuffle AND a per-user window
+    # shuffle; selection is unchanged (same md5 draw, same tie-break).
+    pool = [int(r.p) for r in
+            (pos.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+             .orderBy(F.desc("n"), "p").limit(_NEG_POOL).select("p")
+             .collect())]
+    pool_lit = F.array(*[F.lit(p).cast("long") for p in sorted(pool)])
+    per_user = (pos.groupBy("c")
+                .agg(F.collect_set(F.when(F.col("p").isin(pool), F.col("p")))
+                     .alias("seen")))
+    # explode the ≤100 not-seen candidates per user (narrow generator),
+    # hash with CODEGEN'd md5 (an md5 inside a transform() lambda runs
+    # interpreted — measured 2x slower than this), and rank with a
+    # window that REUSES the groupBy(c) hash partitioning (same key,
+    # same partition count -> Sort only, no new Exchange; guide §2.4).
     from pyspark.sql import Window
+    cand = (per_user.select(
+        "c", F.explode(F.array_except(pool_lit, F.col("seen"))).alias("p")))
     rn = F.row_number().over(
         Window.partitionBy("c").orderBy(
             F.md5(F.concat(F.col("c").cast("string"), F.lit(":"),
                            F.col("p").cast("string"))), "p"))
-    return (neg.select("c", "p", rn.alias("rnk"))
+    return (cand.select("c", "p", rn.alias("rnk"))
             .filter(F.col("rnk") <= _NEG_K)
             .select(F.col("c").alias("custkey"),
                     F.col("p").alias("neg_partkey"), "rnk")
