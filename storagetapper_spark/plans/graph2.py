@@ -311,18 +311,20 @@ def graph_minhash_link_prediction(spark: SparkSession,
                      .alias("bkey"))
             for b in range(_MH_BANDS)])).alias("bk")) \
         .select("u", "bk.band", "bk.bkey")
-    from pyspark.sql import Window
-    bc = (bands.withColumn(
-        "n_bucket",
-        F.count(F.lit(1)).over(Window.partitionBy("band", "bkey")))
-        .filter(F.col("n_bucket") <= _MH_BUCKET_CAP))
-    a = bc.select("band", "bkey", F.col("u").alias("cu"))
-    b = bc.select(F.col("band").alias("band2"), F.col("bkey").alias("bkey2"),
-                  F.col("u").alias("cv"))
-    cand = (a.join(b, (F.col("band") == F.col("band2"))
-                   & (F.col("bkey") == F.col("bkey2"))
-                   & (F.col("cu") < F.col("cv")))
-            .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+    # r10 (guide §2.4): bucket-array pair build — ONE shuffle by
+    # (band, bkey) + an in-map strict i<j combination explode replaces
+    # the bucket-size window + two-sided self-join (each its own
+    # exchange over the banded rows).  u is unique per (band, bkey), so
+    # size(collect_set) == the former count() window and the cap is
+    # identical; sorted arrays keep the strict u < v orientation.
+    buckets = (bands.groupBy("band", "bkey")
+               .agg(F.sort_array(F.collect_set("u")).alias("us"))
+               .filter(F.size("us") <= _MH_BUCKET_CAP))
+    pe = F.explode(F.expr(
+        "flatten(transform(us, (x, i) -> transform(slice(us, i + 2,"
+        " size(us)), y -> named_struct('u', x, 'v', y))))")).alias("pr")
+    cand = (buckets.select(pe)
+            .select(F.col("pr.u").alias("u"), F.col("pr.v").alias("v"))
             .distinct())
     cand = cand.join(e, (cand.u == e.pa) & (cand.v == e.pb), "left_anti")
     su = sig.select(F.col("u").alias("su"),
