@@ -64,11 +64,18 @@ def text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
             for j in range(_NG)])))
     grams = (norm.filter(F.size("w") >= _NG)
              .select("doc_id", "source", F.explode(sh).alias("g")))
-    first = (grams.groupBy("g")
-             .agg(F.min_by("source", "doc_id").alias("first_source")))
-    present = (grams.select("source", "g").distinct()
-               .groupBy("source")
-               .agg(F.count(F.lit(1)).alias("n_present")))
+    # r10 (guide §1.2): ONE (g, source, min doc_id) aggregate —
+    # persisted — serves both readouts; the tokenize+shingle+explode
+    # pass formerly ran twice (min_by pass + the distinct).  doc_ids
+    # are globally unique and a doc has one source, so min_by over the
+    # per-source minima equals min_by over raw rows, and counting gs
+    # rows per source equals the former distinct count.
+    gs = (grams.groupBy("g", "source")
+          .agg(F.min("doc_id").alias("d0"))
+          .persist())
+    first = gs.groupBy("g").agg(F.min_by("source", "d0")
+                                .alias("first_source"))
+    present = gs.groupBy("source").agg(F.count(F.lit(1)).alias("n_present"))
     introduced = (first.groupBy(F.col("first_source").alias("source"))
                   .agg(F.count(F.lit(1)).alias("n_introduced")))
     nov = (F.col("n_introduced").cast("double") * 1000000
@@ -196,9 +203,13 @@ def text_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
     in closed form from the exact shared-mass totals.  Token tables are
     vocabulary-sized; the pair join is an equi-join on token."""
     norm = _norm(spark, sf)
+    # r10 (guide §1.2): cnt is vocabulary-sized but its tokenize+explode
+    # lineage was re-evaluated three times (both join sides + tot);
+    # persist the aggregate so the document scan runs once.
     cnt = (norm.select("source", F.explode("w").alias("tok"))
            .groupBy("source", "tok")
-           .agg(F.count(F.lit(1)).alias("n")))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .persist())
     tot = cnt.groupBy("source").agg(F.sum("n").alias("nt"))
     a = (cnt.join(tot, "source")
          .select(F.col("source").alias("s1"), "tok",

@@ -37,11 +37,16 @@ def drift_ks_by_feature(spark: SparkSession, sf: str) -> DataFrame:
         .selectExpr("is_a",
                     "stack(3, 'quantity', qv, 'price_cents', pv, "
                     "'discount_pct', dv) AS (feat, v)"))
+    # r10 (guide §1.2): per_v is value-grid-bounded but its lineitem
+    # scan+stack lineage fed two branches (tot + the cumulative
+    # window), and cum feeds two more (maxd + arg) — persisting both
+    # tiny aggregates keeps the fact scan to ONE evaluation.
     per_v = (long.groupBy("feat", "v")
              .agg(F.sum(F.when(F.col("is_a"), 1).otherwise(0))
                   .alias("c_a"),
                   F.sum(F.when(F.col("is_a"), 0).otherwise(1))
-                  .alias("c_b")))
+                  .alias("c_b"))
+             .persist())
     tot = per_v.groupBy("feat").agg(F.sum("c_a").alias("n_a"),
                                     F.sum("c_b").alias("n_b"))
     w = (Window.partitionBy("feat").orderBy("v")
@@ -54,7 +59,8 @@ def drift_ks_by_feature(spark: SparkSession, sf: str) -> DataFrame:
         .select("feat", "v", "n_a", "n_b",
                 F.abs(F.col("cum_a").cast(_DEC) * F.col("n_b").cast(_DEC)
                       - F.col("cum_b").cast(_DEC)
-                      * F.col("n_a").cast(_DEC)).alias("diff")))
+                      * F.col("n_a").cast(_DEC)).alias("diff"))
+        .persist())
     maxd = cum.groupBy("feat").agg(F.max("diff").alias("maxd"))
     arg = (cum.join(F.broadcast(maxd), "feat")
            .filter(F.col("diff") == F.col("maxd"))

@@ -705,8 +705,14 @@ def graph_clustering_coefficient(spark: SparkSession, sf: str) -> DataFrame:
     triangle join is node-sized."""
     e = _edges(spark, sf).persist()
     e.count()
-    deg = _adj(e).groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    tri = _triangles_degree_oriented(e).persist()
+    # r10 (guide §1.2): oe persisted and shared across the triangle
+    # join's three self-references (each formerly re-derived
+    # e ⋈ deg ⋈ deg), and deg comes from the same helper instead of a
+    # second _adj aggregation — the graph_triangles_degree_oriented
+    # share applied here.
+    oe, deg = _degree_oriented_edges(e)
+    oe = oe.persist()
+    tri = _triangles_from_oriented(oe).persist()
     n_tri = tri.count()
     corners = tri.selectExpr("stack(3, a, b, c) as (u)")
     t_u = corners.groupBy("u").agg(F.count(F.lit(1)).alias("t"))
@@ -924,22 +930,14 @@ def graph_rich_club(spark: SparkSession, sf: str) -> DataFrame:
     E_k is a conditional count (min(deg_a, deg_b) > k for all five
     thresholds simultaneously), N_k a conditional count on the degree
     table — no per-k re-scan, no pair enumeration beyond the existing
-    edges."""
-    li = (t(spark, sf, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    a, b = li.alias("a"), li.alias("b")
-    e = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-         .groupBy(F.col("a.l_partkey").alias("pa"),
-                  F.col("b.l_partkey").alias("pb"))
-         .agg(F.count(F.lit(1)).alias("n_ab"))
-         .filter(F.col("n_ab") >= 2)
-         .select("pa", "pb"))
-    # deg and the double degree-join each reference e: the AUDITED
-    # lineage unrolls to 45 exchanges, but at runtime Spark's
-    # ReusedExchange collapses the identical subplans (measured: an
-    # explicit persist() here was SLOWER at base scale - it pays full
-    # materialization and blocks scan pruning - and no faster at 10x)
+    edges.
+
+    r10 (guide §2.4): the pair build rides the shared basket-array
+    _edges (one lineitem shuffle) instead of the inlined distinct +
+    self-join this query kept (three lineitem exchanges); the edge set
+    is identical, and the r6 no-persist verdict still holds — e's
+    multiple references collapse under ReusedExchange at runtime."""
+    e = _edges(spark, sf)
     deg = (e.select(F.col("pa").alias("p"))
            .unionAll(e.select(F.col("pb").alias("p")))
            .groupBy("p").agg(F.count(F.lit(1)).alias("deg")))

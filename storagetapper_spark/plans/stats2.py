@@ -151,8 +151,15 @@ def stats_levene_brown_forsythe(spark: SparkSession, sf: str) -> DataFrame:
     cents = F.round(F.col("l_extendedprice")
                     * (1 - F.col("l_discount")) * 100).cast("long")
     base = li.select(F.col("l_returnflag").alias("g"), cents.alias("c"))
-    sizes = base.groupBy("g").agg(F.count(F.lit(1)).alias("n_g"))
-    grid = base.groupBy("g", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    # r10 (guide §1.2): base was scanned three times (sizes, grid, the
+    # deviation pass).  The (g, c) grid — domain-bounded — is persisted
+    # and every downstream readout is a cnt-weighted fold over it:
+    # sizes = Σ cnt, and the deviation moments weight each grid value
+    # by its multiplicity (exact integers/decimals, so the weighted
+    # sums equal the former per-row sums bit-for-bit).
+    grid = (base.groupBy("g", "c").agg(F.count(F.lit(1)).alias("cnt"))
+            .persist())
+    sizes = grid.groupBy("g").agg(F.sum("cnt").alias("n_g"))
     w = (Window.partitionBy("g").orderBy("c")
          .rowsBetween(Window.unboundedPreceding, 0))
     cum = grid.select("g", "c", F.sum("cnt").over(w).alias("cum"))
@@ -163,11 +170,14 @@ def stats_levene_brown_forsythe(spark: SparkSession, sf: str) -> DataFrame:
                 F.min(F.when(F.col("cum") * 2 >= F.col("n_g") + 2,
                              F.col("c"))).alias("m_hi"))
            .select("g", (F.col("m_lo") + F.col("m_hi")).alias("med2")))
-    dev = (base.join(F.broadcast(med), "g")
-           .select("g", F.abs(F.col("c") * 2 - F.col("med2")).alias("d")))
+    dev = (grid.join(F.broadcast(med), "g")
+           .select("g", "cnt",
+                   F.abs(F.col("c") * 2 - F.col("med2")).alias("d")))
     per_g = dev.groupBy("g").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("d").alias("s"),
-        F.sum(F.col("d").cast(_DEC) * F.col("d").cast(_DEC)).alias("ss"))
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("d")).alias("s"),
+        F.sum(F.col("cnt").cast(_DEC) * F.col("d").cast(_DEC)
+              * F.col("d").cast(_DEC)).alias("ss"))
     agg = per_g.agg(
         F.count(F.lit(1)).alias("k"), F.sum("n").alias("n_total"),
         F.sum("s").cast(_DEC).alias("s_all"),
