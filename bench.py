@@ -144,8 +144,12 @@ def main() -> int:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     # soft wall-clock budget: if the sweep runs long (loaded box), drop
     # to single-shot for the remaining queries rather than risk a
-    # harness timeout
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "480"))
+    # harness timeout.  r10 (VERDICT r9 #4): raised 480 -> 900 so the
+    # curated best-of-2 sweep covers the WHOLE list on this box (the r9
+    # driver sweep itself ran well past 480s wall and completed, so the
+    # harness ceiling is comfortably above this; a cold single-shot
+    # tail is where every past phantom 2-4x "regression" came from).
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
     sweep_start = time.time()
     timings: dict[str, float] = {}
     # --full: sweep EVERY registry query (no silent caps — VERDICT r5

@@ -944,24 +944,21 @@ def sample_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
     docs = t(spark, sf, "documents").select("doc_id", "lang", "text")
     bucket = (F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
               .cast("long") % _DSIR_B).alias("bucket")
-    # r10 (guide §1.2/§2.3): the tokenize+explode pass was re-evaluated
-    # by all four readouts (raw, tgt, tot, final per-doc sum).  One
-    # (doc, lang, bucket) count — shuffle rows bounded by docs×B, not
-    # tokens — is persisted and feeds every branch; each count below is
-    # an exact partition of the former per-token counts.
+    # r10: a shared (doc, lang, bucket) pre-aggregate feeding all four
+    # readouts was tried and REVERTED — interleaved A/B at sf0.1
+    # measured 2.2s (this form) vs 3.1s (shared, no persist) vs 18s
+    # (shared + persist): the pre-aggregate is near-token-grained, so
+    # its full-size shuffle (or cache) costs more than the repeated
+    # map-side-combined passes it saves.
     ex = (docs.select("doc_id", "lang",
                       F.explode(F.split(F.col("text"), " ")).alias("tok"))
-          .select("doc_id", "lang", bucket)
-          .groupBy("doc_id", "lang", "bucket")
-          .agg(F.count(F.lit(1)).alias("cnt"))
-          .persist())
-    raw = ex.groupBy("bucket").agg(F.sum("cnt").alias("n_raw"))
+          .select("doc_id", "lang", bucket))
+    raw = ex.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_raw"))
     tgt = (ex.filter(F.col("lang") == "en")
-           .groupBy("bucket").agg(F.sum("cnt").alias("n_tgt")))
+           .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tgt")))
     tot = ex.agg(
-        F.sum("cnt").alias("t_raw"),
-        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0))
-        .alias("t_tgt"))
+        F.count(F.lit(1)).alias("t_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_tgt"))
     ratio = (raw.join(tgt, "bucket", "left")
              .crossJoin(F.broadcast(tot))
              .select("bucket",
@@ -976,14 +973,11 @@ def sample_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
     # (observed: 5/5000 docs off by 1 at the 4th dp between engines),
     # and raw DECIMAL output trips pandas dtype divergence — ×10⁶ of a
     # scale-6 decimal is an exact integer on both sides
-    # sum(cnt·log_ratio) over buckets == sum(log_ratio) over tokens:
-    # log_ratio is a per-bucket exact DECIMAL, so the weighted sum is
-    # bit-identical to the former per-token sum.
     return (ex.join(F.broadcast(ratio), "bucket")
             .groupBy("doc_id")
-            .agg(F.sum("cnt").alias("n_toks"),
-                 (F.sum(F.col("cnt") * F.col("log_ratio")) * 1000000)
-                 .cast("long").alias("weight_micro"))
+            .agg(F.count(F.lit(1)).alias("n_toks"),
+                 (F.sum("log_ratio") * 1000000).cast("long")
+                  .alias("weight_micro"))
             .orderBy("doc_id"))
 
 

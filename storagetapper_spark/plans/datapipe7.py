@@ -64,18 +64,17 @@ def text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
             for j in range(_NG)])))
     grams = (norm.filter(F.size("w") >= _NG)
              .select("doc_id", "source", F.explode(sh).alias("g")))
-    # r10 (guide §1.2): ONE (g, source, min doc_id) aggregate —
-    # persisted — serves both readouts; the tokenize+shingle+explode
-    # pass formerly ran twice (min_by pass + the distinct).  doc_ids
-    # are globally unique and a doc has one source, so min_by over the
-    # per-source minima equals min_by over raw rows, and counting gs
-    # rows per source equals the former distinct count.
-    gs = (grams.groupBy("g", "source")
-          .agg(F.min("doc_id").alias("d0"))
-          .persist())
-    first = gs.groupBy("g").agg(F.min_by("source", "d0")
-                                .alias("first_source"))
-    present = gs.groupBy("source").agg(F.count(F.lit(1)).alias("n_present"))
+    # r10: a shared (g, source, min doc_id) pre-aggregate was tried for
+    # the two readouts below and REVERTED — interleaved A/B at sf0.1
+    # measured 2.1s (this form) vs 3.1s (shared, no persist) vs 8.8s
+    # (shared + persist): the pre-aggregate is near-gram-grained, so
+    # its extra full-size shuffle (or cache) costs more than the second
+    # map-side-combined pass it saves.
+    first = (grams.groupBy("g")
+             .agg(F.min_by("source", "doc_id").alias("first_source")))
+    present = (grams.select("source", "g").distinct()
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_present")))
     introduced = (first.groupBy(F.col("first_source").alias("source"))
                   .agg(F.count(F.lit(1)).alias("n_introduced")))
     nov = (F.col("n_introduced").cast("double") * 1000000
@@ -203,13 +202,13 @@ def text_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
     in closed form from the exact shared-mass totals.  Token tables are
     vocabulary-sized; the pair join is an equi-join on token."""
     norm = _norm(spark, sf)
-    # r10 (guide §1.2): cnt is vocabulary-sized but its tokenize+explode
-    # lineage was re-evaluated three times (both join sides + tot);
-    # persist the aggregate so the document scan runs once.
+    # r10: a persist() of cnt was tried and REVERTED — interleaved A/B
+    # at sf0.1 measured 1.6s (this form) vs 2.6s (persisted): the three
+    # references share the identical exchange subtree, which Spark
+    # already collapses via ReusedExchange, so the cache is pure cost.
     cnt = (norm.select("source", F.explode("w").alias("tok"))
            .groupBy("source", "tok")
-           .agg(F.count(F.lit(1)).alias("n"))
-           .persist())
+           .agg(F.count(F.lit(1)).alias("n")))
     tot = cnt.groupBy("source").agg(F.sum("n").alias("nt"))
     a = (cnt.join(tot, "source")
          .select(F.col("source").alias("s1"), "tok",
