@@ -100,9 +100,17 @@ def pagerank(edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
                            "src", "left_anti").persist()
     else:
         # symmetrized edges: src covers every node, no sinks exist
-        n_nodes = adj.select("src").distinct().count()  # hits the cache
         nodes = adj.select("src").distinct()
         sinks = None
+        if personalization is None or scaled:
+            n_nodes = nodes.count()  # hits the cache
+        else:
+            # r10: unscaled personalized mode never reads n_nodes
+            # (restart mass is p0-shaped, no uniform term) — a plain
+            # count materializes the adjacency cache for the lazy loop
+            # without paying a distinct aggregation nobody consumes
+            n_nodes = None
+            adj.count()
 
     if personalization is not None:
         p0 = personalization.select(F.col(personalization.columns[0])
@@ -140,13 +148,24 @@ def pagerank(edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
             dm = (ranks.join(sinks, ranks.node == sinks.src)
                   .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm"))
                   .collect()[0]._dm)
-        if p0 is not None:
+        if p0 is not None and sinks is None:
+            # r10 (guide §2.4): in undirected mode contribs emits one
+            # row per edge regardless of rank value and the symmetrized
+            # edge list gives every node an in-edge, so summed already
+            # covers EVERY node — the per-round left-join against the
+            # nodes distinct (one distinct aggregation over the cached
+            # adjacency per iteration in the lazy plan) is redundant.
+            # restart + _link is the identical float expression (every
+            # summed row carries _link, so the former coalesce never
+            # fired; no dangling term exists without sinks).
+            new_ranks = (summed.join(p0, summed.dst == p0.node, "left")
+                         .select(F.col("dst").alias("node"),
+                                 (restart + F.col("_link")).alias("pr")))
+        elif p0 is not None:
             # dangling mass lands back on the personalization vector in
-            # directed mode; lit(0.0) otherwise — one build per round
-            # (a conditional rebuild here used to leave a dead first
-            # assignment, ADVICE r4)
-            dangling = (F.lit(damping * dm) * F.coalesce("p0", F.lit(0.0))
-                        if sinks is not None else F.lit(0.0))
+            # directed mode — one build per round (a conditional rebuild
+            # here used to leave a dead first assignment, ADVICE r4)
+            dangling = F.lit(damping * dm) * F.coalesce("p0", F.lit(0.0))
             new_ranks = (nodes.join(summed, nodes.src == summed.dst, "left")
                          .join(p0, nodes.src == p0.node, "left")
                          .select(F.col("src").alias("node"),
