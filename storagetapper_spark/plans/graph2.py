@@ -201,23 +201,31 @@ def graph_jaccard_link_prediction_capped(spark: SparkSession,
     Scale shape: the cap rank is a window partitioned by center node —
     shuffle on w, never unpartitioned; everything downstream is the
     exact form's equi-join machinery on strictly smaller inputs."""
-    from pyspark.sql import Window
-
     e = _edges(spark, sf).persist()
     adj = _adj(e)
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     degb = deg.select(F.col("u").alias("c"), "deg")
     nbr = adj.select(F.col("v").alias("w"), F.col("u").alias("c"))
-    win = Window.partitionBy("w").orderBy(F.desc("deg"), F.asc("c"))
-    capped = (nbr.join(F.broadcast(degb), "c")
-              .withColumn("rk", F.row_number().over(win))
-              .filter(F.col("rk") <= _LP_CAP_K)
-              .select("w", "c"))
-    a = capped.select("w", F.col("c").alias("cu"))
-    b = capped.select(F.col("w").alias("w2"), F.col("c").alias("cv"))
-    cand = (a.join(b, (F.col("w") == F.col("w2"))
-                   & (F.col("cu") < F.col("cv")))
-            .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))
+    # r10 (guide §2.4, the graph_minhash_link_prediction bucket-array
+    # pattern): ONE groupBy(w) builds the rank-capped neighbor array —
+    # sort_array(struct(-deg, c)) ascending == the former window's
+    # (deg DESC, c ASC) total order (c is unique per center, so no
+    # ties) and slice(1, K) == rk <= K — and the candidate pairs
+    # explode in-map with least/greatest orientation, replacing the
+    # window sort + two-sided self-join of the capped table.  Pair
+    # multiset identical; work per center stays bounded by K²/2.
+    capped_arr = (nbr.join(F.broadcast(degb), "c")
+                  .groupBy("w")
+                  .agg(F.expr(
+                      f"transform(slice(sort_array(collect_list("
+                      f"named_struct('nd', -deg, 'c', c))), 1,"
+                      f" {_LP_CAP_K}), s -> s.c)").alias("cs")))
+    pe = F.explode(F.expr(
+        "flatten(transform(cs, (x, i) -> transform(slice(cs, i + 2,"
+        " size(cs)), y -> named_struct('cu', least(x, y),"
+        " 'cv', greatest(x, y)))))")).alias("pr")
+    cand = (capped_arr.select(pe)
+            .groupBy(F.col("pr.cu").alias("u"), F.col("pr.cv").alias("v"))
             .agg(F.count(F.lit(1)).alias("cn")))
     cand = cand.join(e, (cand.u == e.pa) & (cand.v == e.pb), "left_anti")
     du = deg.select(F.col("u").alias("du_id"), F.col("deg").alias("deg_u"))
