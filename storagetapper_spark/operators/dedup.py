@@ -595,14 +595,22 @@ def ngram_containment_pairs(df: DataFrame, bucket_cols: list[str],
     sh = grams.unionByName(shorts).distinct().persist()
     sh.count()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, on=[*bucket_cols, "sh"])
-         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-         .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                  F.col(f"b.{id_col}").alias("id_b"))
-         .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    # r10 (guide §2.4): the same basket-array intersection build as
+    # ngram_jaccard_pairs — ONE shuffle of the gram table by (bucket, sh)
+    # + an in-map strict i<j combination explode replaces the two-sided
+    # (bucket, sh) self-join.  collect_set over the already-distinct gram
+    # rows lists each (bucket, sh)'s doc ids exactly once; sort_array +
+    # slice keeps the id_a < id_b orientation, so n_inter is identical.
+    baskets = (sh.groupBy(*bucket_cols, "sh")
+               .agg(F.sort_array(F.collect_set(id_col)).alias("ids")))
+    pe = F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2,"
+        " size(ids)), y -> named_struct('id_a', x, 'id_b', y))))")).alias("pr")
+    inter = (baskets.select(pe)
+             .select(F.col("pr.id_a").alias("id_a"),
+                     F.col("pr.id_b").alias("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (

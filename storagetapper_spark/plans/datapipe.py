@@ -578,12 +578,17 @@ def embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
     label's vectors varies per run with the partial order (the
     rfm_segments class)."""
     emb = t(spark, sf, "embeddings")
-    norm_u = F.round(S.l2_norm(F.col("embedding")) * 1e6).cast("long")
-    return emb.groupBy("label").agg(
+    # r10 (guide §1.2): the 64-element interpreted norm fold ran TWICE
+    # per row (once under sum, once under max — aggregate children are
+    # not CSE'd); project it once and aggregate the projected column.
+    # Same expression per row, so every aggregate sees identical doubles.
+    normed = emb.select("label", S.l2_norm(F.col("embedding")).alias("_norm"))
+    norm_u = F.round(F.col("_norm") * 1e6).cast("long")
+    return normed.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         (F.sum(norm_u).cast("double") / F.count(F.lit(1)) / 1e6)
         .alias("avg_norm"),
-        F.round(F.max(S.l2_norm(F.col("embedding"))), 4).alias("max_norm"),
+        F.round(F.max("_norm"), 4).alias("max_norm"),
     )
 
 

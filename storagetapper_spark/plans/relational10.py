@@ -259,21 +259,29 @@ def overlapping_orders(spark: SparkSession, sf: str) -> DataFrame:
     when a natural blocking key exists."""
     o = (t(spark, sf, "orders")
          .select("o_orderkey", "o_custkey", "o_orderdate"))
-    a, b = o.alias("a"), o.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.o_custkey") == F.col("b.o_custkey"))
-        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
-        & (F.col("a.o_orderdate")
-           <= F.date_add(F.col("b.o_orderdate"), _OVERLAP_DAYS))
-        & (F.col("b.o_orderdate")
-           <= F.date_add(F.col("a.o_orderdate"), _OVERLAP_DAYS)))
+    # r10 (guide §2.4): per-customer basket arrays — ONE shuffle of the
+    # narrow orders projection + an in-map strict i<j pair count replaces
+    # the two-sided custkey self-join (two exchanges + the fanned-out
+    # pair rows).  sort_array over struct(o_orderkey, ...) orders each
+    # basket by the unique orderkey, so x before y in the array IS
+    # a.o_orderkey < b.o_orderkey; the symmetric 30-day predicate is
+    # |datediff| <= 30, evaluated inside the fold.  Only the per-customer
+    # pair COUNT leaves the map side.
+    baskets = (o.groupBy("o_custkey")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct("o_orderkey", "o_orderdate"))).alias("os")))
+    npairs = F.expr(
+        "aggregate(transform(os, (x, i) -> size(filter(slice(os, i + 2,"
+        f" size(os)), y -> abs(datediff(x.o_orderdate, y.o_orderdate))"
+        f" <= {_OVERLAP_DAYS}))), 0L, (acc, v) -> acc + v)")
+    per_cust = (baskets.select("o_custkey", npairs.alias("np"))
+                .filter(F.col("np") > 0))
     c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
-    return (pairs.select(F.col("a.o_custkey").alias("cust"))
-            .join(c, F.col("cust") == F.col("c_custkey"))
+    return (per_cust
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
             .groupBy("c_mktsegment")
-            .agg(F.count(F.lit(1)).alias("n_overlap_pairs"),
-                 F.countDistinct("cust").alias("n_customers"))
+            .agg(F.sum("np").alias("n_overlap_pairs"),
+                 F.count(F.lit(1)).alias("n_customers"))
             .orderBy("c_mktsegment"))
 
 

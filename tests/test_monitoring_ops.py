@@ -37,6 +37,28 @@ def test_containment_detects_full_containment(spark):
     assert (1, 3) not in out and (2, 3) not in out
 
 
+def test_containment_pairs_multi_doc_bucket_exact_counts(spark):
+    """r10 basket-array pair build: a shingle shared by >2 docs must
+    emit every strict i<j pair exactly once, across bucket boundaries
+    never, with n_inter == |shingle-set intersection| (hand-computed)."""
+    from storagetapper_spark.operators.dedup import ngram_containment_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en", "s"),      # shingles: ab-g, b-g-d
+         (2, "alpha beta gamma epsilon", "en", "s"),    # shares 'alpha beta gamma'
+         (3, "alpha beta gamma delta tail", "en", "s"), # shares both of doc1's
+         (4, "alpha beta gamma delta", "fr", "s")],     # other bucket: no pairs
+        "doc_id LONG, text STRING, lang STRING, source STRING")
+    out = {(r.id_a, r.id_b): r for r in
+           ngram_containment_pairs(docs, ["lang", "source"]).collect()}
+    # doc1 ∩ doc2 = {'alpha beta gamma'}; doc1 ∩ doc3 = both doc1 shingles;
+    # doc2 ∩ doc3 = {'alpha beta gamma'}; doc4 isolated by its bucket.
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    assert out[(1, 3)].containment == 1.0       # doc1 fully inside doc3
+    assert out[(1, 2)].containment == 0.5       # 1 shared of min(2, 2)
+    assert out[(2, 3)].containment == 0.5
+
+
 def test_table_checksum_is_order_independent_and_sensitive(spark, sf_dir):
     base = {r.l_returnflag: (r.n_rows, r.xor_hash) for r in
             QUERIES["cdc_table_checksum"](spark, sf_dir).collect()}
