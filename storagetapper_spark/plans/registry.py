@@ -92,14 +92,16 @@ for mod in (relational, relational2, relational3, relational4, relational5,
 # text surface) plus the 3 queries whose oracles were fixed this round
 # into the window.  Previously-green queries keep their recorded rows.
 _CHECK_FIRST = [
-    # Round-10 window (VERDICT r9 #1): the FINAL 32 never-witnessed
-    # names — computed mechanically as registry minus the union of
+    # Round-10 window (VERDICT r9 #1): ALL 45 never-witnessed names —
+    # the 32 computed mechanically as registry minus the union of
     # CORRECTNESS_r01-r09 keys (matches ROADMAP's round-10 rotation
-    # list exactly) — followed by 18 re-witness slots.  All 32 are
-    # green in the round-9 full gates (CHECK_ALL sf0.01 + sf0.1 +
-    # the full local[3] sweep) and in the r9 judge's independent
-    # oracle run.  Once CORRECTNESS_r10 lands, every registry query
-    # has at least one driver witness and the backlog is 0.
+    # list exactly) PLUS the 13 queries registered in round 10 itself
+    # (a new registration must be witnessed by the window that ships
+    # it, VERDICT r9 #2) — followed by 5 re-witness slots.  All 45 are
+    # green in the full local gates (CHECK_ALL sf0.01 + sf0.1 + the
+    # full local[3] sweep).  Once CORRECTNESS_r10 lands, every
+    # registry query has at least one driver witness and the
+    # unwitnessed backlog is 0.
     "stats_bartlett_test", "stats_anderson_darling",
     "stats_tost_equivalence", "stats_sign_test",
     "stats_wilcoxon_signed_rank", "stats_wilson_ci",
@@ -113,17 +115,23 @@ _CHECK_FIRST = [
     "ml_reliability_slope", "contamination_screen_audit",
     "sample_epoch_allocation", "embedding_quantization_error",
     "ann_mips_vs_cosine", "ann_filtered_search",
-    # 18 re-witness slots (VERDICT r9 #1: "oldest r1-r3 CDC rows are
-    # now 6+ rounds stale — prefer those"): the first 18 CDC-family
-    # names whose latest driver witness is round 3, registry order,
-    # including the entry() flagship cdc_snapshot_changelog_merge.
+    # The 13 round-10 registrations (datapipe12 curation batch,
+    # batch 13/14, holt-winters, unigram viterbi, louvain round) —
+    # never driver-witnessed, so they take window slots ahead of any
+    # re-witness.
+    "dedup_winnowing_pairs", "events_watermark_planner",
+    "graph_louvain_move_round", "ml_isotonic_calibration",
+    "recsys_coverage_diversity", "sample_dsir_importance",
+    "sample_pps_systematic", "stats_g_test", "text_encoding_quality",
+    "text_winnowing_fingerprints", "tokenizer_fertility_by_lang",
+    "tokenizer_unigram_viterbi", "ts_holt_winters_additive",
+    # 5 re-witness slots (VERDICT r9 #1: "oldest r1-r3 CDC rows are
+    # now 6+ rounds stale — prefer those"): the first CDC-family names
+    # whose latest driver witness is round 3, registry order, plus the
+    # entry() flagship cdc_snapshot_changelog_merge.
     "cdc_snapshot_scan", "cdc_snapshot_filtered",
-    "cdc_decompose_updates", "cdc_latest_state", "cdc_latest_state_agg",
-    "cdc_snapshot_changelog_merge", "cdc_json_roundtrip", "cdc_row_key",
-    "cdc_sql_encoder", "cdc_sql_encoder_idempotent",
-    "cdc_dedup_retransmit", "cdc_type_coercion", "cdc_avro_roundtrip",
-    "cdc_seqno_derivation", "cdc_msgpack_roundtrip", "cdc_avro_prepare",
-    "cdc_consistent_cut", "cdc_scd2_history",
+    "cdc_decompose_updates", "cdc_latest_state",
+    "cdc_snapshot_changelog_merge",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 assert all(n in _ALL for n in _CHECK_FIRST), "unknown name in _CHECK_FIRST"
