@@ -352,16 +352,17 @@ def ngram_jaccard_pairs(df: DataFrame, bucket_cols: list[str],
     # orientation, so the per-pair shared-gram count is identical.
     baskets = (sh.groupBy(*bucket_cols, "sh")
                .agg(F.sort_array(F.collect_set(id_col)).alias("ids")))
-    pe = F.explode(F.expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2,"
-        " size(ids)), y -> named_struct('id_a', x, 'id_b', y))))")).alias("pr")
     # a pair lives in exactly ONE bucket (each doc has one bucket row),
     # so grouping by the bucket keys too leaves n_inter unchanged and
-    # lets keep_bucket callers feed connected_components_blocked
-    inter = (baskets.select(*bucket_cols, pe)
-             .select(*bucket_cols,
-                     F.col("pr.id_a").alias("id_a"),
-                     F.col("pr.id_b").alias("id_b"))
+    # lets keep_bucket callers feed connected_components_blocked.
+    # r11: the explode is size-guarded — a boilerplate shingle shared
+    # by thousands of bucket-mates decomposes into redistributed
+    # chunk-pair units instead of an O(s²) single-task explode (exact
+    # same pair multiset — operators/skew.guarded_pair_explode).
+    from storagetapper_spark.operators.skew import guarded_pair_explode
+
+    inter = (guarded_pair_explode(baskets, "ids", "id_a", "id_b",
+                                  keep=tuple(bucket_cols))
              .groupBy(*bucket_cols, "id_a", "id_b")
              .agg(F.count(F.lit(1)).alias("n_inter")))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
@@ -603,12 +604,11 @@ def ngram_containment_pairs(df: DataFrame, bucket_cols: list[str],
     # slice keeps the id_a < id_b orientation, so n_inter is identical.
     baskets = (sh.groupBy(*bucket_cols, "sh")
                .agg(F.sort_array(F.collect_set(id_col)).alias("ids")))
-    pe = F.explode(F.expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2,"
-        " size(ids)), y -> named_struct('id_a', x, 'id_b', y))))")).alias("pr")
-    inter = (baskets.select(pe)
-             .select(F.col("pr.id_a").alias("id_a"),
-                     F.col("pr.id_b").alias("id_b"))
+    # r11: size-guarded explode (hot-shingle chunk spread, exact same
+    # pair multiset — operators/skew.guarded_pair_explode).
+    from storagetapper_spark.operators.skew import guarded_pair_explode
+
+    inter = (guarded_pair_explode(baskets, "ids", "id_a", "id_b")
              .groupBy("id_a", "id_b")
              .agg(F.count(F.lit(1)).alias("n_inter")))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))

@@ -250,11 +250,12 @@ def recsys_item_item_cosine(spark: SparkSession, sf: str) -> DataFrame:
     baskets = (li.groupBy("l_orderkey")
                .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
                .persist())
-    pe = F.explode(F.expr(
-        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2,"
-        " size(ps)), y -> named_struct('pa', x, 'pb', y))))")).alias("pr")
-    cc = (baskets.select(pe)
-          .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+    # r11: size-guarded pair explode (exact same pair multiset —
+    # operators/skew.guarded_pair_explode); baskets is persisted, so
+    # the guard's second reference reads the cache.
+    from storagetapper_spark.operators.skew import guarded_pair_explode
+
+    cc = (guarded_pair_explode(baskets, "ps", "pa", "pb")
           .groupBy("pa", "pb")
           .agg(F.count(F.lit(1)).alias("n_ab"))
           .filter(F.col("n_ab") >= 2))

@@ -235,38 +235,56 @@ _KCORE_ROUNDS = 12
 def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
     """k-core decomposition of the co-purchase graph (k=2,3): repeated
     peeling of nodes with alive-degree < k.  The iterative-fixpoint
-    operator shape: each round is one equi-join + agg; generations are
-    eagerly localCheckpoint-ed (the connected_components lesson —
+    operator shape: each round is one equi-join + agg over
+    localCheckpoint-ed generations (the connected_components lesson —
     persist never truncates lineage).  Both engines run the identical
     {_KCORE_ROUNDS}-round bound, so results match even mid-convergence;
-    at the tested SFs peeling reaches fixpoint in ≤ 5 rounds."""
+    at the tested SFs peeling reaches fixpoint in ≤ 5 rounds.
+
+    r11 (VERDICT r10 #4, guide §1.2/§2.6): the per-round action count
+    is halved — generations checkpoint LAZILY and the fixpoint count()
+    is the action that materializes them (the old eager checkpoint +
+    separate count paid two scheduler round-trips per round); round 1
+    degrees come straight off the adjacency (every node is alive, so
+    the two alive-joins were no-op filters); and the k=2 / k=3 ladders
+    run in two driver threads so one ladder's scheduler gaps back-fill
+    with the other's tasks (FIFO scheduling, shared cached adjacency —
+    materialized BEFORE the threads fork so neither recomputes it).
+    Peeling math is unchanged: identical joins, same generation bound,
+    equal-count ⇒ equal-set under monotone peeling."""
+    from concurrent.futures import ThreadPoolExecutor
+
     e = _edges(spark, sf).persist()
     adj = _adj(e).persist()
     adj.count()
-    out_rows = []
-    for k in _KCORE_KS:
-        alive = adj.select("u").distinct().localCheckpoint(eager=True)
-        prev_n = -1
+
+    def peel(k: int) -> DataFrame:
+        alive, prev_n = None, None
         for _ in range(_KCORE_ROUNDS):
-            n = alive.count()
+            if alive is None:
+                deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+            else:
+                av = alive.select(F.col("u").alias("vv"))
+                deg = (adj.join(alive, "u")
+                       .join(av, F.col("v") == F.col("vv"))
+                       .groupBy("u").agg(F.count(F.lit(1)).alias("d")))
+            alive = (deg.filter(F.col("d") >= k).select("u")
+                     .localCheckpoint(eager=False))
+            n = alive.count()  # one action: materializes the checkpoint
             if n == prev_n:
                 break  # fixpoint: further rounds are no-ops
             prev_n = n
-            av = alive.select(F.col("u").alias("vv"))
-            deg = (adj.join(alive, "u")
-                   .join(av, F.col("v") == F.col("vv"))
-                   .groupBy("u").agg(F.count(F.lit(1)).alias("d")))
-            alive = (deg.filter(F.col("d") >= k).select("u")
-                     .localCheckpoint(eager=True))
         al2 = alive.select(F.col("u").alias("pa2"))
         al3 = alive.select(F.col("u").alias("pb2"))
         core_edges = (e.join(al2, F.col("pa") == F.col("pa2"))
                       .join(al3, F.col("pb") == F.col("pb2")))
-        out_rows.append(
-            alive.agg(F.lit(k).alias("k"),
-                      F.count(F.lit(1)).alias("n_core_nodes"))
-            .crossJoin(core_edges.agg(
-                F.count(F.lit(1)).alias("n_core_edges"))))
+        return (alive.agg(F.lit(k).alias("k"),
+                          F.count(F.lit(1)).alias("n_core_nodes"))
+                .crossJoin(core_edges.agg(
+                    F.count(F.lit(1)).alias("n_core_edges"))))
+
+    with ThreadPoolExecutor(max_workers=len(_KCORE_KS)) as pool:
+        out_rows = list(pool.map(peel, _KCORE_KS))
     out = out_rows[0]
     for r in out_rows[1:]:
         out = out.unionAll(r)

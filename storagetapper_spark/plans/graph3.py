@@ -43,14 +43,14 @@ def graph_louvain_move_round(spark: SparkSession, sf: str) -> DataFrame:
     # edge list is PERSISTED — it feeds sym (×2 via the union), both
     # modularity accountings (qb, qa) and the edge count, which
     # previously re-ran the whole lineitem pair build five times.
+    # r11: size-guarded pair explode (hot-basket chunk spread, exact
+    # same pair multiset — operators/skew.guarded_pair_explode).
+    from storagetapper_spark.operators.skew import guarded_pair_explode
+
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     baskets = (li.groupBy("l_orderkey")
                .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
-    pe = F.explode(F.expr(
-        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2,"
-        " size(ps)), y -> named_struct('pa', x, 'pb', y))))")).alias("pr")
-    edges = (baskets.select(pe)
-             .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+    edges = (guarded_pair_explode(baskets, "ps", "pa", "pb")
              .groupBy("pa", "pb")
              .agg(F.count(F.lit(1)).alias("w"))
              .filter(F.col("w") >= 2)
@@ -71,66 +71,88 @@ def graph_louvain_move_round(spark: SparkSession, sf: str) -> DataFrame:
     nbr = (sym.join(lbl.select(F.col("i").alias("j"),
                                F.col("c").alias("cj")), "j")
            .groupBy("i", "cj").agg(F.sum("w").alias("wic")))
-    base = (lbl.join(nbr.withColumnRenamed("cj", "c")
-                     .withColumnRenamed("wic", "w_own"),
-                     ["i", "c"], "left")
-            .na.fill({"w_own": 0})
-            .join(F.broadcast(tot), "c")
-            .crossJoin(F.broadcast(m2df)))
-    stay = (F.col("m2").cast("decimal(19,0)") * F.col("w_own")
+    # r11 (VERDICT r10 #4, guide §1.2): the stay/cand/argmax chain is
+    # ONE pass over nbr instead of two (the old `base` chain re-joined
+    # lbl⋈nbr⋈tot just to compute w_own).  Per node, a single grouped
+    # aggregate yields BOTH the best non-own candidate (the identical
+    # max(struct(g, cj)) — same decimal g expression, same tie order)
+    # and w_own = Σ wic over own-community rows (Σ over ≤1 row, ==
+    # the old left-join + fill(0) via the coalesce below).  Exact
+    # integer/decimal math throughout — no float anywhere.
+    x = (nbr.join(lbl.select("i", F.col("c").alias("c_own"), "k"), "i")
+         .join(F.broadcast(tot.select(F.col("c").alias("cj"),
+                                      F.col("tot").alias("tot_t"))),
+               "cj")
+         .crossJoin(F.broadcast(m2df)))
+    g = (F.col("m2").cast("decimal(19,0)") * F.col("wic")
+         - F.col("k").cast("decimal(19,0)") * F.col("tot_t")
+         ).cast("decimal(38,0)")
+    per_i = (x.groupBy("i").agg(
+        F.max(F.when(F.col("cj") != F.col("c_own"),
+                     F.struct(g.alias("g"), F.col("cj"))))
+        .alias("b"),
+        F.sum(F.when(F.col("cj") == F.col("c_own"), F.col("wic")))
+        .alias("w_own")))
+    stay = (F.col("m2").cast("decimal(19,0)")
+            * F.coalesce(F.col("w_own"), F.lit(0))
             - F.col("k").cast("decimal(19,0)")
             * (F.col("tot") - F.col("k"))).cast("decimal(38,0)")
-    cand = (nbr.join(lbl.select("i", F.col("c").alias("c_own"),
-                                "k"), "i")
-            .filter(F.col("cj") != F.col("c_own"))
-            .join(F.broadcast(tot.select(F.col("c").alias("cj"),
-                                         F.col("tot").alias("tot_t"))),
-                  "cj")
-            .crossJoin(F.broadcast(m2df))
-            .select("i", "cj",
-                    (F.col("m2").cast("decimal(19,0)") * F.col("wic")
-                     - F.col("k").cast("decimal(19,0)") * F.col("tot_t"))
-                    .cast("decimal(38,0)").alias("g")))
-    best = (cand.groupBy("i")
-            .agg(F.max(F.struct("g", "cj")).alias("b"))
-            .select("i", F.col("b.g").alias("best_g"),
-                    F.col("b.cj").alias("best_c")))
-    # moved feeds qb, qa and counts — persist the tiny (i, c, c_new)
-    # label table so the stay/cand/argmax chain runs once, not three
-    # times (r10, guide §5).
-    moved = (base.select("i", "c", stay.alias("g_stay"))
-             .join(best, "i", "left")
+    # moved feeds the fused q4 accounting and counts — persist the tiny
+    # (i, c, c_new) label table so the chain runs once (r10, guide §5).
+    moved = (lbl.join(per_i, "i", "left")
+             .join(F.broadcast(tot), "c")
+             .crossJoin(F.broadcast(m2df))
              .select("i", "c",
-                     F.when(F.col("best_g") > F.col("g_stay"),
-                            F.col("best_c")).otherwise(F.col("c"))
+                     F.when(F.col("b.g") > stay,
+                            F.col("b.cj")).otherwise(F.col("c"))
                      .alias("c_new"))
              .persist())
 
-    def q4(labels: DataFrame, col: str) -> DataFrame:
-        lj = labels.select(F.col("i").alias("pa"),
-                           F.col(col).alias("ca"))
-        lk = labels.select(F.col("i").alias("pb"),
-                           F.col(col).alias("cb"))
-        inner = (edges.join(lj, "pa").join(lk, "pb")
-                 .filter(F.col("ca") == F.col("cb"))
-                 .groupBy("ca").agg((2 * F.sum("w")).alias("s_in")))
-        tots = (labels.join(deg, "i").groupBy(F.col(col).alias("ca"))
-                .agg(F.sum("k").alias("s_tot")))
-        per_c = (tots.join(inner, "ca", "left").na.fill({"s_in": 0})
-                 .crossJoin(F.broadcast(m2df)))
-        return per_c.agg(
-            F.sum((F.col("m2").cast("decimal(19,0)") * F.col("s_in")
-                   - F.col("s_tot").cast("decimal(19,0)")
-                   * F.col("s_tot")).cast("decimal(38,0)"))
-            .alias("q4"),
-            F.count(F.lit(1)).alias("n_comm"))
-
-    qb = q4(moved.select("i", F.col("c")), "c") \
-        .withColumnRenamed("q4", "q4_before") \
-        .withColumnRenamed("n_comm", "n_comm_before")
-    qa = q4(moved.select("i", F.col("c_new").alias("c")), "c") \
-        .withColumnRenamed("q4", "q4_after") \
-        .withColumnRenamed("n_comm", "n_comm_after")
+    # r11 (VERDICT r10 #4): BOTH modularity accountings in one pass —
+    # a stacked explode tags every edge/degree row 0=before/1=after,
+    # so edges⋈labels⋈labels and moved⋈deg each run ONCE instead of
+    # twice, and one conditional aggregate emits all four outputs.
+    # Exactness: each (tag, community) group receives exactly the rows
+    # the old per-labeling q4 saw; the summed terms are the identical
+    # decimal expressions, and decimal/integer sums are order-free.
+    lj = moved.select(F.col("i").alias("pa"), F.col("c").alias("ca"),
+                      F.col("c_new").alias("ca2"))
+    lk = moved.select(F.col("i").alias("pb"), F.col("c").alias("cb"),
+                      F.col("c_new").alias("cb2"))
+    inner = (edges.join(lj, "pa").join(lk, "pb")
+             .select("w", F.explode(F.array(
+                 F.struct(F.lit(0).alias("tag"),
+                          F.col("ca").alias("ca"),
+                          F.col("cb").alias("cb")),
+                 F.struct(F.lit(1).alias("tag"),
+                          F.col("ca2").alias("ca"),
+                          F.col("cb2").alias("cb")))).alias("t"))
+             .filter(F.col("t.ca") == F.col("t.cb"))
+             .groupBy(F.col("t.tag").alias("tag"),
+                      F.col("t.ca").alias("ca"))
+             .agg((2 * F.sum("w")).alias("s_in")))
+    tots = (moved.join(deg, "i")
+            .select("k", F.explode(F.array(
+                F.struct(F.lit(0).alias("tag"), F.col("c").alias("ca")),
+                F.struct(F.lit(1).alias("tag"),
+                         F.col("c_new").alias("ca")))).alias("t"))
+            .groupBy(F.col("t.tag").alias("tag"),
+                     F.col("t.ca").alias("ca"))
+            .agg(F.sum("k").alias("s_tot")))
+    term = (F.col("m2").cast("decimal(19,0)") * F.col("s_in")
+            - F.col("s_tot").cast("decimal(19,0)")
+            * F.col("s_tot")).cast("decimal(38,0)")
+    q4row = (tots.join(inner, ["tag", "ca"], "left")
+             .na.fill({"s_in": 0})
+             .crossJoin(F.broadcast(m2df))
+             .agg(F.sum(F.when(F.col("tag") == 0, term))
+                  .alias("q4_before"),
+                  F.sum(F.when(F.col("tag") == 1, term))
+                  .alias("q4_after"),
+                  F.count(F.when(F.col("tag") == 0, F.lit(1)))
+                  .alias("n_comm_before"),
+                  F.count(F.when(F.col("tag") == 1, F.lit(1)))
+                  .alias("n_comm_after")))
     counts = moved.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum((F.col("c_new") != F.col("c")).cast("long"))
@@ -142,7 +164,7 @@ def graph_louvain_move_round(spark: SparkSession, sf: str) -> DataFrame:
                         .cast("long"))
     return (counts.crossJoin(F.broadcast(ne))
             .crossJoin(F.broadcast(m2df))
-            .crossJoin(F.broadcast(qb)).crossJoin(F.broadcast(qa))
+            .crossJoin(F.broadcast(q4row))
             .select("n_nodes", "n_edges", "m2", "n_moved",
                     "n_comm_before", "n_comm_after",
                     qmicro("q4_before").alias("q_before_micro"),

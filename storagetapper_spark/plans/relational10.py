@@ -270,13 +270,34 @@ def overlapping_orders(spark: SparkSession, sf: str) -> DataFrame:
     baskets = (o.groupBy("o_custkey")
                .agg(F.sort_array(F.collect_list(
                    F.struct("o_orderkey", "o_orderdate"))).alias("os")))
-    npairs = F.expr(
-        "aggregate(transform(os, (x, i) -> size(filter(slice(os, i + 2,"
-        f" size(os)), y -> abs(datediff(x.o_orderdate, y.o_orderdate))"
-        f" <= {_OVERLAP_DAYS}))), 0L, (acc, v) -> acc + v)")
-    per_cust = (baskets.select("o_custkey", npairs.alias("np"))
+    # r11 (guide §2.2/§2.5): the O(s²) in-task pair fold is size-guarded
+    # — a customer with more than _PAIR_CAP orders decomposes into
+    # redistributed chunk-pair units (operators/skew.basket_units), so
+    # no single task ever evaluates more than chunk² predicate pairs.
+    # Every strict orderkey-ordered pair is counted in exactly one unit
+    # (sortedness makes all cross-chunk pairs strictly ordered), so the
+    # per-customer total (a sum of exact longs over units) is
+    # bit-identical to the unguarded fold.
+    from storagetapper_spark.operators.skew import basket_units
+
+    pred = (f"abs(datediff(x.o_orderdate, y.o_orderdate))"
+            f" <= {_OVERLAP_DAYS}")
+    units = basket_units(baskets, "os", keep=("o_custkey",))
+    unit_np = F.expr(
+        "CASE WHEN _u.diag THEN aggregate(transform(_u.xs, (x, i) ->"
+        f" size(filter(slice(_u.xs, i + 2, size(_u.xs)), y -> {pred}))),"
+        " 0L, (acc, v) -> acc + v)"
+        f" ELSE aggregate(transform(_u.xs, x -> size(filter(_u.ys,"
+        f" y -> {pred}))), 0L, (acc, v) -> acc + v) END")
+    per_cust = (units.select("o_custkey", unit_np.alias("np"))
+                .groupBy("o_custkey").agg(F.sum("np").alias("np"))
                 .filter(F.col("np") > 0))
     c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    # ADVICE r10: count(1) here equals the oracle's
+    # count(DISTINCT a.o_custkey) only because c_custkey is UNIQUE in
+    # customer (TPC-H PK) — per_cust is already one row per custkey, so
+    # the join cannot fan out.  If customer ever carried duplicate
+    # keys, switch back to countDistinct("o_custkey").
     return (per_cust
             .join(c, F.col("o_custkey") == F.col("c_custkey"))
             .groupBy("c_mktsegment")
@@ -526,18 +547,15 @@ def graph_pagerank_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     # exchange).  collect_set dedups (orderkey, partkey) exactly like
     # the former .distinct(); sort_array + slice keeps the strict
     # id_a < id_b orientation; the pair SET is identical (measured:
-    # exceptAll both ways = 0 rows; full query bit-identical), and the
-    # basket fan-out stays bounded by basket size at any scale.
+    # exceptAll both ways = 0 rows; full query bit-identical).  r11:
+    # the explode is size-guarded (hot-basket chunk spread, exact same
+    # pair multiset — operators/skew.guarded_pair_explode).
+    from storagetapper_spark.operators.skew import guarded_pair_explode
+
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     baskets = (li.groupBy("l_orderkey")
                .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
-    pe = F.explode(F.expr(
-        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2,"
-        " size(ps)), y -> named_struct('ida', x, 'idb', y))))")).alias("pr")
-    pairs = (baskets.select(pe)
-             .select(F.col("pr.ida").alias("id_a"),
-                     F.col("pr.idb").alias("id_b"))
-             .distinct())
+    pairs = guarded_pair_explode(baskets, "ps", "id_a", "id_b").distinct()
     # pairs are distinct with strict id_a < id_b, so the symmetrized
     # edge set is unique by construction → dedup=False skips a shuffle;
     # fixed 5 iterations → lazy single-plan mode (see pagerank docstring)
@@ -605,12 +623,13 @@ def market_basket_rules(spark: SparkSession, sf: str) -> DataFrame:
                            .cast("double").alias("n_orders"))
     item = (baskets.select(F.explode("ps").alias("l_partkey"))
             .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item")))
-    pe = F.explode(F.expr(
-        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2,"
-        " size(ps)), y -> named_struct('ida', x, 'idb', y))))")).alias("pr")
-    pairs = (baskets.select(pe)
-             .groupBy(F.col("pr.ida").alias("pa"),
-                      F.col("pr.idb").alias("pb"))
+    # r11: size-guarded pair explode (exact same pair multiset —
+    # operators/skew.guarded_pair_explode); baskets is persisted, so
+    # the guard's second reference reads the cache, not the lineage.
+    from storagetapper_spark.operators.skew import guarded_pair_explode
+
+    pairs = (guarded_pair_explode(baskets, "ps", "pa", "pb")
+             .groupBy("pa", "pb")
              .agg(F.count(F.lit(1)).alias("n_ab"))
              .filter(F.col("n_ab") >= 2))
     na = item.select(F.col("l_partkey").alias("pa"),
@@ -1395,15 +1414,14 @@ def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     # r10 (guide §2.4): basket-array pair build — one groupBy(orderkey)
     # shuffle instead of distinct + self-join (see graph_pagerank_
     # copurchase); collect_set == per-order distinct so pair counts and
-    # the ≥2 threshold are identical.
+    # the ≥2 threshold are identical.  r11: size-guarded explode (exact
+    # same pair multiset — operators/skew.guarded_pair_explode).
+    from storagetapper_spark.operators.skew import guarded_pair_explode
+
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     baskets = (li.groupBy("l_orderkey")
                .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
-    pe = F.explode(F.expr(
-        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2,"
-        " size(ps)), y -> named_struct('pa', x, 'pb', y))))")).alias("pr")
-    e = (baskets.select(pe)
-         .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+    e = (guarded_pair_explode(baskets, "ps", "pa", "pb")
          .groupBy("pa", "pb")
          .agg(F.count(F.lit(1)).alias("n_ab"))
          .filter(F.col("n_ab") >= 2)
@@ -1617,16 +1635,16 @@ def graph_ppr_brand(spark: SparkSession, sf: str) -> DataFrame:
     # r10: basket-array pair build (see graph_pagerank_copurchase) —
     # one orderkey shuffle replaces distinct + self-join; the per-pair
     # co-occurrence counts (edge weights) are identical because
-    # collect_set per order == the former per-order distinct.
+    # collect_set per order == the former per-order distinct.  r11:
+    # size-guarded explode (exact same pair multiset —
+    # operators/skew.guarded_pair_explode).
+    from storagetapper_spark.operators.skew import guarded_pair_explode
+
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     baskets = (li.groupBy("l_orderkey")
                .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
-    pe = F.explode(F.expr(
-        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2,"
-        " size(ps)), y -> named_struct('ida', x, 'idb', y))))")).alias("pr")
-    pairs = (baskets.select(pe)
-             .groupBy(F.col("pr.ida").alias("id_a"),
-                      F.col("pr.idb").alias("id_b"))
+    pairs = (guarded_pair_explode(baskets, "ps", "id_a", "id_b")
+             .groupBy("id_a", "id_b")
              .agg(F.count(F.lit(1)).cast("double").alias("w")))
     seeds = (t(spark, sf, "part")
              .filter(F.col("p_brand") == _PPR_BRAND)
