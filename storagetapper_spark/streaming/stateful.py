@@ -93,23 +93,41 @@ def conflate_cdc_tws(stream: DataFrame, pk_cols: list[str],
 
 def conflate_cdc(stream: DataFrame, pk_cols: list[str],
                  value_cols: list[str], seqno_col: str = "seqno",
-                 op_col: str = "op", ttl_ms: int | None = None) -> DataFrame:
+                 op_col: str = "op", ttl_ms: int | None = None,
+                 proactive_ttl: bool = False) -> DataFrame:
     """Conflate a CDC stream to ≤1 output row per key per trigger.
 
     Emitted row = max-seqno event across (this batch ∪ remembered
     state); ties/older events never downgrade.  ``n_conflated`` counts
     the raw events absorbed this trigger (monitoring: conflation ratio
     = input rows / output rows).
+
+    TTL eviction is LAZY by default (r11 perf fix): the state row
+    carries its last-touch processing time and a key idle past
+    ``ttl_ms`` is discarded on its NEXT event, so the plan uses
+    ``NoTimeout`` and an ``availableNow`` drain terminates when the
+    data is drained.  The previous ``ProcessingTimeTimeout`` form kept
+    a registered timeout on every key, and Spark keeps scheduling
+    micro-batches under availableNow until every registered timeout
+    has fired — measured: a 4-row drain with a 1 h TTL was STILL
+    running after 300 s and ~150 empty micro-batches (the source of
+    the 242 s test_stateful runtime; the test only passed because it
+    read partial output after ``awaitTermination`` expired).
+    ``proactive_ttl=True`` restores timeout-driven eviction (which
+    also RECLAIMS idle keys' store memory) for genuinely continuous
+    deployments where the query never drains dry.
     """
     pk_fields = [stream.schema[c] for c in pk_cols]
     val_fields = [stream.schema[c] for c in value_cols]
 
     state_schema = T.StructType(
         [T.StructField("seqno", T.LongType()), T.StructField("op", T.StringType())]
-        + [T.StructField(f.name, f.dataType) for f in val_fields])
+        + [T.StructField(f.name, f.dataType) for f in val_fields]
+        + [T.StructField("touched_ms", T.LongType())])
     out_schema = T.StructType(
         [T.StructField(f.name, f.dataType) for f in pk_fields]
-        + list(state_schema.fields)
+        + [T.StructField("seqno", T.LongType()), T.StructField("op", T.StringType())]
+        + [T.StructField(f.name, f.dataType) for f in val_fields]
         + [T.StructField("n_conflated", T.LongType())])
 
     def conflate(key, pdf_iter, state: GroupState):
@@ -118,7 +136,11 @@ def conflate_cdc(stream: DataFrame, pk_cols: list[str],
         if state.hasTimedOut:          # idle past TTL: evict, emit nothing
             state.remove()
             return
-        best = tuple(state.get) if state.exists else None
+        now_ms = state.getCurrentProcessingTimeMs()
+        best = tuple(state.get)[:-1] if state.exists else None
+        if (best is not None and ttl_ms is not None and not proactive_ttl
+                and now_ms - tuple(state.get)[-1] > ttl_ms):
+            best = None                # lazy eviction on next touch
         n = 0
         for pdf in pdf_iter:
             if not len(pdf):
@@ -131,8 +153,8 @@ def conflate_cdc(stream: DataFrame, pk_cols: list[str],
                         *(row[c] for c in value_cols))
         if n == 0:
             return
-        state.update(best)
-        if ttl_ms is not None:
+        state.update((*best, now_ms))
+        if ttl_ms is not None and proactive_ttl:
             state.setTimeoutDuration(ttl_ms)
         out = {f.name: [k] for f, k in zip(pk_fields, key)}
         out["seqno"], out["op"] = [best[0]], [best[1]]
@@ -141,7 +163,8 @@ def conflate_cdc(stream: DataFrame, pk_cols: list[str],
         out["n_conflated"] = [n]
         yield pd.DataFrame(out)
 
-    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if (ttl_ms is not None and proactive_ttl)
                else GroupStateTimeout.NoTimeout)
     return (stream.groupBy(*pk_cols)
                   .applyInPandasWithState(conflate, out_schema, state_schema,
