@@ -92,46 +92,31 @@ for mod in (relational, relational2, relational3, relational4, relational5,
 # text surface) plus the 3 queries whose oracles were fixed this round
 # into the window.  Previously-green queries keep their recorded rows.
 _CHECK_FIRST = [
-    # Round-10 window (VERDICT r9 #1): ALL 45 never-witnessed names —
-    # the 32 computed mechanically as registry minus the union of
-    # CORRECTNESS_r01-r09 keys (matches ROADMAP's round-10 rotation
-    # list exactly) PLUS the 13 queries registered in round 10 itself
-    # (a new registration must be witnessed by the window that ships
-    # it, VERDICT r9 #2) — followed by 5 re-witness slots.  All 45 are
-    # green in the full local gates (CHECK_ALL sf0.01 + sf0.1 + the
-    # full local[3] sweep).  Once CORRECTNESS_r10 lands, every
-    # registry query has at least one driver witness and the
-    # unwitnessed backlog is 0.
-    "stats_bartlett_test", "stats_anderson_darling",
-    "stats_tost_equivalence", "stats_sign_test",
-    "stats_wilcoxon_signed_rank", "stats_wilson_ci",
-    "stats_capture_recapture", "stats_fdr_by", "agg_trimmed_mean_exact",
-    "survival_nelson_aalen", "survival_logrank", "ml_survival_concordance",
-    "ml_ridge_normal", "ml_target_encoding_loo", "ml_woe_iv",
-    "ml_mutual_info_screen", "geo_grid_neighbors", "geo_dbscan_core",
-    "recsys_als_user_step", "ml_auc_delong_ci", "ml_brier_decomposition",
-    "ml_cohen_kappa", "ml_group_auc", "ml_pinball_loss",
-    "ml_mcnemar_model_comparison", "ml_threshold_cost_curve",
-    "ml_reliability_slope", "contamination_screen_audit",
-    "sample_epoch_allocation", "embedding_quantization_error",
-    "ann_mips_vs_cosine", "ann_filtered_search",
-    # The 13 round-10 registrations (datapipe12 curation batch,
-    # batch 13/14, holt-winters, unigram viterbi, louvain round) —
-    # never driver-witnessed, so they take window slots ahead of any
-    # re-witness.
-    "dedup_winnowing_pairs", "events_watermark_planner",
-    "graph_louvain_move_round", "ml_isotonic_calibration",
-    "recsys_coverage_diversity", "sample_dsir_importance",
-    "sample_pps_systematic", "stats_g_test", "text_encoding_quality",
-    "text_winnowing_fingerprints", "tokenizer_fertility_by_lang",
-    "tokenizer_unigram_viterbi", "ts_holt_winters_additive",
-    # 5 re-witness slots (VERDICT r9 #1: "oldest r1-r3 CDC rows are
-    # now 6+ rounds stale — prefer those"): the first CDC-family names
-    # whose latest driver witness is round 3, registry order, plus the
-    # entry() flagship cdc_snapshot_changelog_merge.
-    "cdc_snapshot_scan", "cdc_snapshot_filtered",
-    "cdc_decompose_updates", "cdc_latest_state",
-    "cdc_snapshot_changelog_merge",
+    # Round-11 window (ROADMAP "Round-11 rotation", VERDICT r10 #9):
+    # the unwitnessed backlog is 0 after CORRECTNESS_r10, so this is a
+    # PURE RE-WITNESS window — zero new registrations this round.  The
+    # 13 CDC names whose last driver witness is round 3 (the stalest
+    # rows in the ledger) come first, then the oldest round-2
+    # relational rows in registry order fill the remaining 37 slots.
+    # All 50 are green in this round's full local gates (CHECK_ALL at
+    # sf0.01 + sf0.1).
+    "cdc_latest_state_agg", "cdc_json_roundtrip", "cdc_row_key",
+    "cdc_sql_encoder", "cdc_sql_encoder_idempotent",
+    "cdc_dedup_retransmit", "cdc_type_coercion", "cdc_avro_roundtrip",
+    "cdc_seqno_derivation", "cdc_msgpack_roundtrip", "cdc_avro_prepare",
+    "cdc_consistent_cut", "cdc_scd2_history",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "join_semi_anti", "join_outer", "agg_rollup", "agg_cube",
+    "window_topk_per_group", "window_running", "sort_limit", "set_ops",
+    "scalar_functions", "json_extract", "agg_distinct_having",
+    "in_subquery", "window_event_time", "agg_stats", "agg_percentiles",
+    "pivot_returnflag", "date_functions", "string_functions2",
+    "null_semantics", "exists_correlated", "scalar_subquery_cross",
+    "array_functions", "grouping_sets", "posexplode_words",
+    "string_agg_ordered", "argmin_argmax", "bool_aggregates",
+    "regexp_counting", "schema_conform", "session_window_native",
+    "union_by_name_missing", "map_functions", "array_hof",
+    "q7_volume_shipping",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 assert all(n in _ALL for n in _CHECK_FIRST), "unknown name in _CHECK_FIRST"
