@@ -73,11 +73,25 @@ def pagerank(edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
         eager = True
     cols = [F.col(a_col).alias("src"), F.col(b_col).alias("dst")] + (
         [F.col(weight_col).cast("double").alias("w")] if weight_col else [])
-    rcols = [F.col(b_col).alias("src"), F.col(a_col).alias("dst")] + (
-        [F.col(weight_col).cast("double").alias("w")] if weight_col else [])
-    sym = edges.select(*cols)
     if not directed:
-        sym = sym.unionByName(edges.select(*rcols))
+        # r11 (guide §1.2): symmetrize with ONE explode instead of a
+        # self-union — the union referenced the caller's (usually
+        # unpersisted) edge subtree twice, so its final aggregate (the
+        # pair-build distinct/groupBy) evaluated twice per run even
+        # with ReuseExchange deduplicating the shuffle underneath.
+        # Identical row multiset, just emitted map-side in one pass.
+        w = ([("w", F.col(weight_col).cast("double"))]
+             if weight_col else [])
+        fwd = F.struct(F.col(a_col).alias("src"),
+                       F.col(b_col).alias("dst"),
+                       *[v.alias(k) for k, v in w])
+        rev = F.struct(F.col(b_col).alias("src"),
+                       F.col(a_col).alias("dst"),
+                       *[v.alias(k) for k, v in w])
+        sym = (edges.select(F.explode(F.array(fwd, rev)).alias("_e"))
+               .select("_e.*"))
+    else:
+        sym = edges.select(*cols)
     if dedup:
         sym = sym.distinct()
     if not weight_col:
