@@ -63,9 +63,16 @@ def _edges(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _adj(e: DataFrame) -> DataFrame:
-    return (e.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
-            .unionAll(e.select(F.col("pb").alias("u"),
-                               F.col("pa").alias("v"))))
+    # r11 (guide §1.2, the operators/graph.pagerank lesson): symmetrize
+    # with ONE explode instead of a self-union — the union referenced
+    # the (often unmaterialized) persisted edge subtree twice, so the
+    # pair-build's final aggregate computed twice in the first job that
+    # touched adj (two union branches racing the cold cache).  Identical
+    # row multiset, emitted map-side in one pass.
+    fwd = F.struct(F.col("pa").alias("u"), F.col("pb").alias("v"))
+    rev = F.struct(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    return (e.select(F.explode(F.array(fwd, rev)).alias("_e"))
+            .select("_e.u", "_e.v"))
 
 
 _LP_TOPK = 20
@@ -642,26 +649,38 @@ def graph_hits(spark: SparkSession, sf: str) -> DataFrame:
              .distinct().persist())
     edges.count()
 
-    def norm(df: DataFrame, key: str) -> DataFrame:
+    def norm(df: DataFrame, key: str, eager: bool = False) -> DataFrame:
         # r10 (guide §1.2): persist the half-step result — the max
         # subquery AND the normalize both read it, so the unpersisted
         # form evaluated each half-step's join+agg twice per round.
+        # The max broadcast materializes the persist before the probe
+        # side reads it (the join stage cannot launch without the
+        # broadcast value), so no cold-cache race.
         df = df.persist()
-        m = df.agg(F.max("s").alias("m"))
-        # eager checkpoint per generation: a2 feeds BOTH h2 and the
-        # authority top-k — without it the second consumer replays the
-        # whole join ladder (the LPA persisted-generation lesson)
-        out = (df.crossJoin(F.broadcast(m))
-               .select(key, F.expr(f"s * {_HITS_PPM} div m").alias("s"))
-               .localCheckpoint(eager=True))
-        df.unpersist()
+        out = (df.crossJoin(F.broadcast(df.agg(F.max("s").alias("m"))))
+               .select(key, F.expr(f"s * {_HITS_PPM} div m").alias("s")))
+        if eager:
+            # eager checkpoint only where a generation feeds TWO
+            # consumers (a2 → h2 AND the authority top-k) — without it
+            # the second consumer replays the whole join ladder (the
+            # LPA persisted-generation lesson).
+            out = out.localCheckpoint(eager=True)
+            df.unpersist()
+        # r11 (guide §1.2): singly-consumed half-steps (a1→h1, h1→a2,
+        # h2→hub top-k) stay LAZY — their former per-step eager
+        # checkpoint jobs were pure scheduler round-trips (3 of the
+        # query's 6 actions); the persisted pre-norm aggregates still
+        # pin each half-step to one evaluation inside the consuming
+        # job.  Interleaved A/B (best-of-3 × 3 rounds, noisy box):
+        # 4.71/4.39/4.62 vs 4.94/4.88/4.49 s — small but same-signed
+        # in every paired round.
         return out
 
     a1 = norm(edges.groupBy("p").agg(F.count(F.lit(1)).alias("s")), "p")
     h1 = norm(edges.join(a1, "p").groupBy("c").agg(F.sum("s").alias("s")),
               "c")
     a2 = norm(edges.join(h1, "c").groupBy("p").agg(F.sum("s").alias("s")),
-              "p")
+              "p", eager=True)
     h2 = norm(edges.join(a2, "p").groupBy("c").agg(F.sum("s").alias("s")),
               "c")
     top_a = (a2.orderBy(F.desc("s"), "p").limit(15)
@@ -732,25 +751,40 @@ def graph_clustering_coefficient(spark: SparkSession, sf: str) -> DataFrame:
     # share applied here.
     oe, deg = _degree_oriented_edges(e)
     oe = oe.persist()
-    tri = _triangles_from_oriented(oe).persist()
-    n_tri = tri.count()
+    # r11 (guide §1.2): materialize oe with its OWN cheap count — the
+    # single final action below references it three times (a1/a2/e3),
+    # and an unmaterialized persist lets those concurrent exchange map
+    # stages race the cold cache into recomputing the deg-join lineage.
+    oe.count()
+    # r11 (guide §1.2): n_triangles no longer needs its own
+    # materializing tri.count() action — every triangle contributes
+    # exactly 3 corner rows, and every corner has deg ≥ 2 (its two
+    # co-triangle neighbors are distinct), so Σ t over the local rows
+    # is exactly 3·n_tri and the count folds into the node-level
+    # aggregate the query already runs.  Drops the persisted triangle
+    # table and one full wedge-join action; the wedge join now runs
+    # once, streamed straight into the corner aggregate.
+    tri = _triangles_from_oriented(oe)
     corners = tri.selectExpr("stack(3, a, b, c) as (u)")
     t_u = corners.groupBy("u").agg(F.count(F.lit(1)).alias("t"))
     local = (deg.filter(F.col("deg") >= 2)
              .join(t_u, "u", "left").fillna(0, subset=["t"])
-             .select(F.floor(F.col("t") * 2000000
+             .select(F.col("t"),
+                     F.floor(F.col("t") * 2000000
                              / (F.col("deg") * (F.col("deg") - 1)))
                      .cast("long").alias("cc")))
     stats = local.agg(F.count(F.lit(1)).alias("n_nodes_deg2"),
-                      F.sum("cc").alias("cc_sum"))
+                      F.sum("cc").alias("cc_sum"),
+                      F.coalesce(F.sum("t"), F.lit(0)).alias("t_sum"))
     wedges = deg.agg(
         F.sum(F.col("deg") * (F.col("deg") - 1)).alias("w2"))
+    n_tri = F.expr("t_sum div 3").cast("long")
     return (stats.crossJoin(F.broadcast(wedges))
             .select(
-                F.lit(n_tri).cast("long").alias("n_triangles"),
+                n_tri.alias("n_triangles"),
                 (F.col("w2") / 2).cast("long").alias("n_wedges"),
                 "n_nodes_deg2",
-                F.floor(F.lit(n_tri).cast("long") * 6000000 / F.col("w2"))
+                F.floor(n_tri * 6000000 / F.col("w2"))
                 .cast("long").alias("global_cc_micro"),
                 F.floor(F.col("cc_sum") / F.col("n_nodes_deg2"))
                 .cast("long").alias("avg_local_cc_micro")))
@@ -880,6 +914,11 @@ def graph_triangles_degree_oriented(spark: SparkSession, sf: str) -> DataFrame:
     # the deg agg + two joins twice per run.
     oe, _ = _degree_oriented_edges(e)
     oe = oe.persist()
+    # r11 (guide §1.2): materialize before the final action references
+    # oe four times (a1/a2/e3 + out_deg) — unmaterialized, those
+    # concurrent exchange map stages race the cold cache and recompute
+    # the deg-join lineage up to 3×.
+    oe.count()
     n_tri = (_triangles_from_oriented(oe)
              .agg(F.count(F.lit(1)).alias("n")))
     out_deg = oe.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
