@@ -87,9 +87,44 @@ def minhash_udf(num_hashes: int, n: int = 3):
     return _udf
 
 
+def shingle_grams(df: DataFrame, bucket_cols: list[str],
+                  text_col: str = "text", id_col: str = "doc_id",
+                  shingle_n: int = 3) -> DataFrame:
+    """The shared shingling front-end of :func:`minhash_signature` and
+    :func:`ngram_jaccard_pairs` (r11, guide §1.2): one
+    (bucket_cols…, id_col, _g) row per overlapping word n-gram
+    OCCURRENCE (duplicates kept — a min-hash ignores them and the
+    Jaccard side applies its own ``distinct()``), with sub-n-word docs
+    contributing their whole normalized text as the single shingle.
+
+    Split out so a query that needs BOTH the sketch and the exact
+    pipeline over the same corpus (dedup_minhash_calibration) can
+    persist ONE tokenize+explode pass instead of paying the
+    regex-normalize scan once per operator (~0.7 s warm at sf0.1,
+    measured with the noop sink).
+    """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+                        id_col)
+    norm = normalize_text(F.col(text_col))
+    # one overlapping-ngram pass: at each word start ((?<!\S)), capture
+    # the next n whitespace-delimited words via lookahead (overlap-safe)
+    pat = "(?<!\\S)(?=(" + " ".join(["\\S+"] * shingle_n) + "))"
+    keep = [F.col(c) for c in bucket_cols] + [F.col(id_col)]
+    grams = df.select(
+        *keep,
+        F.explode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias("_g"))
+    # plan hazard (see minhash_signature): the normalized text is never
+    # carried through the explode — short docs come from a separate
+    # non-exploded branch
+    shorts = (df.select(*keep, norm.alias("_g"))
+                .filter(F.size(F.split("_g", " ")) < shingle_n))
+    return grams.unionByName(shorts)
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 8,
-                      shingle_n: int = 3) -> DataFrame:
+                      shingle_n: int = 3,
+                      grams: DataFrame | None = None) -> DataFrame:
     """MinHash signature: num_hashes salted-md5 minima over the shingle
     set.  min over md5 hex strings is a valid uniform min-hash (md5 is
     uniform; lexicographic order on fixed-width hex == numeric order).
@@ -111,21 +146,17 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     separate non-exploded branch instead.
 
     Output: (id_col, mh_0 … mh_{k-1}).
+
+    ``grams``: optionally a pre-built :func:`shingle_grams` table
+    (must carry ``id_col`` and ``_g``; extra bucket columns are
+    projected away) so a caller running several shingle consumers can
+    share one tokenize pass.
     """
-    # small fixture files arrive as one partition; fan the regex/explode
-    # work out to cluster width (no-op at scale where the scan is already
-    # many-partitioned — AQE coalesces)
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    norm = normalize_text(F.col(text_col))
-    # one overlapping-ngram pass: at each word start ((?<!\S)), capture
-    # the next n whitespace-delimited words via lookahead (overlap-safe)
-    pat = "(?<!\\S)(?=(" + " ".join(["\\S+"] * shingle_n) + "))"
-    grams = df.select(
-        F.col(id_col),
-        F.explode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias("_g"))
-    shorts = (df.select(F.col(id_col), norm.alias("_g"))
-                .filter(F.size(F.split("_g", " ")) < shingle_n))
-    sh = grams.unionByName(shorts)
+    # small fixture files arrive as one partition; shingle_grams fans
+    # the regex/explode work out to cluster width (no-op at scale where
+    # the scan is already many-partitioned — AQE coalesces)
+    sh = (grams.select(id_col, "_g") if grams is not None
+          else shingle_grams(df, [], text_col, id_col, shingle_n))
     return sh.groupBy(id_col).agg(*[
         F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("_g"))))
          .alias(f"mh_{i}")
@@ -240,7 +271,8 @@ def minhash_lsh_incremental(corpus_sig: DataFrame, new_docs: DataFrame,
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 8,
                       bands: int = 4, shingle_n: int = 3,
-                      star_threshold: int | None = None) -> DataFrame:
+                      star_threshold: int | None = None,
+                      grams: DataFrame | None = None) -> DataFrame:
     """LSH candidate pairs: band the signature (bands × rows_per_band),
     bucket-join on (band, band_key), emit distinct (id_a < id_b) pairs
     with the estimated Jaccard = fraction of matching signature slots.
@@ -263,7 +295,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # signature expression re-evaluates it per emitted row (measured
     # 250s vs <1s at sf0.1).  At 100 TB this is the checkpointed
     # signature table.
-    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n).persist()
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n,
+                            grams=grams).persist()
     sig.count()
     banded = _band_signature(sig, id_col, num_hashes, bands)
     if star_threshold is not None:
@@ -313,7 +346,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, bucket_cols: list[str],
                         text_col: str = "text", id_col: str = "doc_id",
                         shingle_n: int = 3, threshold: float = 0.0,
-                        keep_bucket: bool = False) -> DataFrame:
+                        keep_bucket: bool = False,
+                        grams: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs within a bucket
     (blocking on ``bucket_cols`` keeps this quadratic-in-bucket, linear
     overall — the standard blocked-dedup shape).
@@ -329,17 +363,16 @@ def ngram_jaccard_pairs(df: DataFrame, bucket_cols: list[str],
     (narrow rows: bucket keys + id + gram).  Bucket columns are plain
     attributes, safe to carry through the generator — only computed
     EXPRESSIONS get re-evaluated per exploded row.
+
+    ``grams``: optionally a pre-built :func:`shingle_grams` table
+    carrying the same ``bucket_cols`` — shares one tokenize pass with
+    other shingle consumers (r11, dedup_minhash_calibration).
     """
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    norm = normalize_text(F.col(text_col))
-    pat = "(?<!\\S)(?=(" + " ".join(["\\S+"] * shingle_n) + "))"
-    grams = df.select(
-        *[F.col(c) for c in bucket_cols], F.col(id_col),
-        F.explode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias("sh"))
-    shorts = (df.select(*[F.col(c) for c in bucket_cols], F.col(id_col),
-                        norm.alias("sh"))
-                .filter(F.size(F.split("sh", " ")) < shingle_n))
-    sh = grams.unionByName(shorts).distinct().persist()
+    if grams is None:
+        grams = shingle_grams(df, bucket_cols, text_col, id_col, shingle_n)
+    sh = (grams.select(*[F.col(c) for c in bucket_cols], F.col(id_col),
+                       F.col("_g").alias("sh"))
+          .distinct().persist())
     # eager materialize: the self-join below reads this from both sides;
     # an unmaterialized persist would race and compute the lineage twice
     sh.count()

@@ -1069,10 +1069,19 @@ def dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
     unaffordable.  Both sides reuse the oracle-proven pair machinery;
     the join key is the (id_a, id_b) pair."""
     docs = t(spark, sf, "documents")
+    # r11 (guide §1.2): both pipelines shingle the SAME corpus with the
+    # SAME n — build the token-occurrence table once and share it
+    # (operators/dedup.shingle_grams; ~0.7 s warm per avoided
+    # tokenize+explode pass at sf0.1).  Lazy persist is race-free here:
+    # the LSH side's sig.count() is the first action and references
+    # grams exactly once; the exact side then reads the cache.
+    grams = D.shingle_grams(docs, ["lang", "source"],
+                            shingle_n=_SHINGLE_N).persist()
     est = D.minhash_lsh_pairs(docs, num_hashes=_MH_HASHES, bands=4,
-                              shingle_n=_SHINGLE_N)
+                              shingle_n=_SHINGLE_N, grams=grams)
     exact = D.ngram_jaccard_pairs(docs, bucket_cols=["lang", "source"],
-                                  shingle_n=_SHINGLE_N, threshold=0.0)
+                                  shingle_n=_SHINGLE_N, threshold=0.0,
+                                  grams=grams)
     joined = est.join(exact, ["id_a", "id_b"])
     band = (F.floor(F.col("jaccard_est") / 0.25) * 0.25).alias("est_band")
     # means ride exact 1e-9-unit BIGINT sums + one shared division:

@@ -206,3 +206,37 @@ def test_connected_components_blocked_matches_iterative(spark):
     slow = {(r.node, r.comp)
             for r in connected_components(e).collect()}
     assert fast == slow
+
+
+def test_shared_grams_matches_builtin_shingling(spark):
+    """The r11 shared-grams path (one shingle_grams table fed to both
+    minhash_lsh_pairs and ngram_jaccard_pairs, the
+    dedup_minhash_calibration shape) must reproduce the operators'
+    built-in shingling bit-for-bit — including short docs whose single
+    shingle is the whole normalized text."""
+    from storagetapper_spark.operators.dedup import shingle_grams
+
+    rows = [
+        (1, DOC, "b1"),
+        (2, DOC, "b1"),
+        (3, DOC.replace("quiet", "silent"), "b1"),
+        (4, "tiny doc", "b1"),              # < shingle_n words: shorts branch
+        (5, "one", "b2"),                   # single word
+        (6, "kafka pipelines with binlog replication", "b2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, bucket string")
+    grams = shingle_grams(docs, ["bucket"], shingle_n=3).persist()
+
+    est_shared = minhash_lsh_pairs(docs, num_hashes=8, bands=4,
+                                   shingle_n=3, grams=grams)
+    est_own = minhash_lsh_pairs(docs, num_hashes=8, bands=4, shingle_n=3)
+    assert sorted(map(tuple, est_shared.collect())) == \
+        sorted(map(tuple, est_own.collect()))
+
+    ex_shared = ngram_jaccard_pairs(docs, ["bucket"], shingle_n=3,
+                                    threshold=0.0, grams=grams)
+    ex_own = ngram_jaccard_pairs(docs, ["bucket"], shingle_n=3,
+                                 threshold=0.0)
+    assert sorted(map(tuple, ex_shared.collect())) == \
+        sorted(map(tuple, ex_own.collect()))
+    grams.unpersist()
