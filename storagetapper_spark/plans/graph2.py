@@ -88,6 +88,12 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     One top-k at the end (TakeOrderedAndProject).  No all-pairs stage
     anywhere: candidates exist only at distance 2."""
     e = _edges(spark, sf).persist()
+    # r11 (guide §1.2): materialize — the single final action references
+    # the persisted pair build several times (adjacency fan-out + the
+    # existing-edge anti-join), and concurrent exchange map stages race
+    # an unmaterialized cache into recomputing the basket aggregate per
+    # reference.
+    e.count()
     adj = _adj(e)
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     a = adj.select(F.col("v").alias("w"), F.col("u").alias("cu"))
@@ -147,6 +153,12 @@ def graph_ra_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     Adamic-Adar, hence hash-exact cross-engine) — and the pair score is
     an exact integer sum of those micros."""
     e = _edges(spark, sf).persist()
+    # r11 (guide §1.2): materialize — the single final action references
+    # the persisted pair build several times (adjacency fan-out + the
+    # existing-edge anti-join), and concurrent exchange map stages race
+    # an unmaterialized cache into recomputing the basket aggregate per
+    # reference.
+    e.count()
     adj = _adj(e)
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     wmicro = (deg.select(F.col("u").alias("w"),
@@ -212,6 +224,12 @@ def graph_jaccard_link_prediction_capped(spark: SparkSession,
     shuffle on w, never unpartitioned; everything downstream is the
     exact form's equi-join machinery on strictly smaller inputs."""
     e = _edges(spark, sf).persist()
+    # r11 (guide §1.2): materialize — the single final action references
+    # the persisted pair build several times (adjacency fan-out + the
+    # existing-edge anti-join), and concurrent exchange map stages race
+    # an unmaterialized cache into recomputing the basket aggregate per
+    # reference.
+    e.count()
     adj = _adj(e)
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     degb = deg.select(F.col("u").alias("c"), "deg")
@@ -319,6 +337,14 @@ def graph_minhash_link_prediction(spark: SparkSession,
                                 F.col("v").cast("string"))))
          .alias(f"mh_{i}") for i in range(_MH_H)])
     sig = sig.persist()
+    # r11 (guide §1.2): materialize — the single final action
+    # references sig THREE times (band explode + both signature join
+    # sides) and e twice (adjacency lineage + the existing-edge
+    # anti-join); unmaterialized, the concurrent exchange map stages
+    # race the cold cache and recompute the signature aggregate (and
+    # transitively the pair build) per reference.  This one node-sized
+    # count pins both: computing sig caches e on the way.
+    sig.count()
     rows_per_band = _MH_H // _MH_BANDS
     bands = sig.select(
         "u",
@@ -438,8 +464,14 @@ def graph_bfs_distance(spark: SparkSession, sf: str) -> DataFrame:
     frontier is checkpointed per generation (operators/graph.py's
     persisted-generation pattern).  The hop count is bounded, so the
     whole profile is one lazy plan here."""
-    e = _edges(spark, sf).persist()
+    e = _edges(spark, sf)
     adj = _adj(e).persist()
+    # r11 (guide §1.2): materialize the adjacency — the whole fixed-depth
+    # profile is ONE action that references adj once per hop plus the
+    # source agg; the first two readers launch concurrently and raced an
+    # unmaterialized cache into computing the pair build twice.  (e needs
+    # no persist of its own: adj is its only consumer.)
+    adj.count()
     src = adj.agg(F.min("u").alias("u"))  # 1 row
     visited = src.select("u").persist()
     frontier = visited
@@ -498,6 +530,12 @@ def graph_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     Exact BIGINT sufficient statistics over integer degrees; one final
     double expression (the ts_autocorrelation pattern)."""
     e = _edges(spark, sf).persist()
+    # r11 (guide §1.2): materialize — the single final action references
+    # the persisted pair build several times (adjacency fan-out + the
+    # existing-edge anti-join), and concurrent exchange map stages race
+    # an unmaterialized cache into recomputing the basket aggregate per
+    # reference.
+    e.count()
     adj = _adj(e)
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     du = deg.select(F.col("u").alias("su"), F.col("deg").alias("x"))

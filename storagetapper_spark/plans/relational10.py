@@ -619,6 +619,11 @@ def market_basket_rules(spark: SparkSession, sf: str) -> DataFrame:
     baskets = (li.groupBy("l_orderkey")
                .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
                .persist())
+    # r11 (guide §1.2): materialize — the single final action reads
+    # baskets from FOUR concurrent subtrees (pair units, the two item
+    # broadcasts, the order-count broadcast); unmaterialized, those
+    # racing readers each recompute the collect_set aggregate.
+    baskets.count()
     n_orders = baskets.agg(F.count(F.lit(1))
                            .cast("double").alias("n_orders"))
     item = (baskets.select(F.explode("ps").alias("l_partkey"))
