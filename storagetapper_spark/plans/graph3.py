@@ -55,10 +55,20 @@ def graph_louvain_move_round(spark: SparkSession, sf: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("w"))
              .filter(F.col("w") >= 2)
              .persist())
-    sym = (edges.select(F.col("pa").alias("i"), F.col("pb").alias("j"), "w")
-           .unionByName(
-               edges.select(F.col("pb").alias("i"),
-                            F.col("pa").alias("j"), "w")))
+    # r11 (guide §1.2): materialize — the single final action reads
+    # edges from FOUR concurrent subtrees (the symmetrized adjacency,
+    # the q4 edge join, the edge-count broadcast); unmaterialized, the
+    # racing exchange map stages each recompute the pair build.
+    edges.count()
+    # symmetrize with ONE explode, not a self-union (the _adj /
+    # operators/graph.pagerank lesson): identical row multiset, one
+    # read of the cached edge table instead of two.
+    sym = (edges.select(F.explode(F.array(
+        F.struct(F.col("pa").alias("i"), F.col("pb").alias("j"),
+                 F.col("w").alias("w")),
+        F.struct(F.col("pb").alias("i"), F.col("pa").alias("j"),
+                 F.col("w").alias("w")))).alias("_e"))
+           .select("_e.i", "_e.j", "_e.w"))
     # deg feeds lbl and both q4 accountings, lbl feeds tot/nbr/base/cand
     # — persist the tiny per-node tables (r10, guide §5).
     deg = sym.groupBy("i").agg(F.sum("w").alias("k")).persist()
@@ -107,6 +117,12 @@ def graph_louvain_move_round(spark: SparkSession, sf: str) -> DataFrame:
                             F.col("b.cj")).otherwise(F.col("c"))
                      .alias("c_new"))
              .persist())
+    # r11 (guide §1.2): materialize — lj/lk (the q4 edge join's two
+    # label sides), tots and counts all read moved concurrently in the
+    # final action; unmaterialized, each reader replays the whole
+    # argmax chain.  The count itself is the n_nodes the query needs
+    # anyway conceptually, but stays a plain materializer here.
+    moved.count()
 
     # r11 (VERDICT r10 #4): BOTH modularity accountings in one pass —
     # a stacked explode tags every edge/degree row 0=before/1=after,
