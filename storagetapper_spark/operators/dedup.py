@@ -394,8 +394,11 @@ def ngram_jaccard_pairs(df: DataFrame, bucket_cols: list[str],
     # same pair multiset — operators/skew.guarded_pair_explode).
     from storagetapper_spark.operators.skew import guarded_pair_explode
 
+    # split=True (r11 session 3): sh is persisted AND counted, so the
+    # two size filters read a reused shuffle — small baskets explode in
+    # place with no spread exchange, only > cap stragglers ride it.
     inter = (guarded_pair_explode(baskets, "ids", "id_a", "id_b",
-                                  keep=tuple(bucket_cols))
+                                  keep=tuple(bucket_cols), split=True)
              .groupBy(*bucket_cols, "id_a", "id_b")
              .agg(F.count(F.lit(1)).alias("n_inter")))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
@@ -617,16 +620,10 @@ def ngram_containment_pairs(df: DataFrame, bucket_cols: list[str],
     containment 1.0).  Same blocked posting-list shape (and cost) as
     ``ngram_jaccard_pairs``; emits both directional containments plus
     the max."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    norm = normalize_text(F.col(text_col))
-    pat = "(?<!\\S)(?=(" + " ".join(["\\S+"] * shingle_n) + "))"
-    grams = df.select(
-        *[F.col(c) for c in bucket_cols], F.col(id_col),
-        F.explode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias("sh"))
-    shorts = (df.select(*[F.col(c) for c in bucket_cols], F.col(id_col),
-                        norm.alias("sh"))
-                .filter(F.size(F.split("sh", " ")) < shingle_n))
-    sh = grams.unionByName(shorts).distinct().persist()
+    sh = (shingle_grams(df, bucket_cols, text_col, id_col, shingle_n)
+          .select(*[F.col(c) for c in bucket_cols], F.col(id_col),
+                  F.col("_g").alias("sh"))
+          .distinct().persist())
     sh.count()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     # r10 (guide §2.4): the same basket-array intersection build as
@@ -641,7 +638,9 @@ def ngram_containment_pairs(df: DataFrame, bucket_cols: list[str],
     # pair multiset — operators/skew.guarded_pair_explode).
     from storagetapper_spark.operators.skew import guarded_pair_explode
 
-    inter = (guarded_pair_explode(baskets, "ids", "id_a", "id_b")
+    # split=True: same persisted-gram argument as ngram_jaccard_pairs.
+    inter = (guarded_pair_explode(baskets, "ids", "id_a", "id_b",
+                                  split=True)
              .groupBy("id_a", "id_b")
              .agg(F.count(F.lit(1)).alias("n_inter")))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))

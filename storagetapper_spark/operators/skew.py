@@ -112,7 +112,8 @@ def guarded_pair_explode(baskets: DataFrame, arr: str = "ps",
                          a: str = "pa", b: str = "pb",
                          keep: tuple[str, ...] = (),
                          cap: int | None = None,
-                         chunk: int | None = None) -> DataFrame:
+                         chunk: int | None = None,
+                         split: bool = False) -> DataFrame:
     """All strict ``a < b`` element pairs per basket — the r10
     basket-array pair build with the r11 hot-basket guard.
 
@@ -120,18 +121,51 @@ def guarded_pair_explode(baskets: DataFrame, arr: str = "ps",
     passed through plus ``a``/``b`` — an EXACT multiset match of the
     unguarded ``pair_list_expr`` explode (and of the pre-r10
     distinct + self-join) for any cap/chunk.  See :func:`basket_units`
-    for the guard mechanics and exactness argument."""
+    for the guard mechanics and exactness argument.
+
+    ``split=False`` (default): single-path — every basket becomes a
+    work unit and ALL units ride the spread exchange.  Right when the
+    basket table is an unmaterialized aggregate (a filter split would
+    evaluate it twice).
+
+    ``split=True``: two-branch — baskets ≤ cap explode IN PLACE with
+    no extra exchange (they are already spread by the upstream groupBy
+    hash); only the > cap stragglers go through the unit spread, whose
+    exchange is empty on well-behaved data.  The two filters reference
+    the basket aggregate twice, so this shape is for callers whose
+    basket input sits on a PERSISTED + MATERIALIZED table (the dedup
+    gram sites: `sh` is cached and counted, so the duplicated
+    reduce-side aggregate reads a reused shuffle, not the lineage) —
+    there it saves re-shuffling every (key, array) row just to guard
+    against the rare hot basket (measured ~0.2-0.3 s on
+    dedup_ngram_jaccard at sf0.1, the one site where the single-path
+    unit exchange was visible)."""
+    cap = _PAIR_CAP if cap is None else cap
     keepc = [F.col(c) for c in keep]
-    units = basket_units(baskets, arr, keep, cap, chunk)
     cross = (f"flatten(transform(_u.xs, x -> transform(_u.ys, "
              f"y -> named_struct('{a}', x, '{b}', y))))")
-    diag = pair_list_expr("_u.xs", a, b)
-    return (units.select(*keepc,
-                         F.explode(F.expr(
-                             f"CASE WHEN _u.diag THEN {diag} "
-                             f"ELSE {cross} END")).alias("_pr"))
-            .select(*keepc, F.col(f"_pr.{a}").alias(a),
-                    F.col(f"_pr.{b}").alias(b)))
+    diag_u = pair_list_expr("_u.xs", a, b)
+    if split:
+        small = (baskets.filter(F.expr(f"size({arr}) <= {cap}"))
+                 .select(*keepc,
+                         F.explode(F.expr(pair_list_expr(arr, a, b)))
+                         .alias("_pr")))
+        big_units = basket_units(
+            baskets.filter(F.expr(f"size({arr}) > {cap}")),
+            arr, keep, cap, chunk)
+        big = big_units.select(*keepc,
+                               F.explode(F.expr(
+                                   f"CASE WHEN _u.diag THEN {diag_u} "
+                                   f"ELSE {cross} END")).alias("_pr"))
+        out = small.unionByName(big)
+    else:
+        units = basket_units(baskets, arr, keep, cap, chunk)
+        out = units.select(*keepc,
+                           F.explode(F.expr(
+                               f"CASE WHEN _u.diag THEN {diag_u} "
+                               f"ELSE {cross} END")).alias("_pr"))
+    return out.select(*keepc, F.col(f"_pr.{a}").alias(a),
+                      F.col(f"_pr.{b}").alias(b))
 
 
 def salted_join(left: DataFrame, right: DataFrame, key: str,

@@ -92,3 +92,21 @@ def test_guard_exact_at_tiny_caps(spark, cap, chunk):
     exp = sorted((k, a, b) for k, v in rows
                  for a, b in itertools.combinations(v, 2))
     assert got == exp
+
+
+@pytest.mark.parametrize("cap,chunk", [(3, 2), (5, 5), (1024, 512)])
+def test_split_path_matches_single_path(spark, cap, chunk):
+    # split=True (r11 session 3): small baskets explode in place, only
+    # > cap baskets ride the unit spread — exact same pair multiset as
+    # the single-path guard and the unguarded explode.
+    rows = [(1, [1, 2, 3, 4, 5, 6, 7, 8]), (2, [10, 11, 12]),
+            (3, list(range(100, 120))), (4, [7]), (5, [])]
+    b = _baskets(spark, rows)
+    split = sorted((r.k, r.pa, r.pb) for r in guarded_pair_explode(
+        b, "ps", "pa", "pb", keep=("k",), cap=cap, chunk=chunk,
+        split=True).collect())
+    single = sorted((r.k, r.pa, r.pb) for r in guarded_pair_explode(
+        b, "ps", "pa", "pb", keep=("k",), cap=cap, chunk=chunk).collect())
+    exp = sorted((k, a, b2) for k, v in rows
+                 for a, b2 in itertools.combinations(v, 2))
+    assert split == single == exp
